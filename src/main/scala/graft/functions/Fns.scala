@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar column library (SURVEY §2 rows P1-P9, F1-F8).
+  *
+  * Everything here is a pure `Column => Column` composition of built-in,
+  * codegen-friendly Spark expressions — no UDFs, so Catalyst can fold,
+  * push down, and whole-stage-codegen through every one of them.
+  *
+  * Reference behavior being reproduced (cited file:line are in
+  * /root/reference):
+  *  - snake-casing: ingestion/src/ingestion/utils.py:21-31
+  *  - slugify:      ingestion/src/ingestion/fastf1_ingest.py:75
+  *  - ns durations: ai/rag_api/main.py:63 ("Times are stored as nanoseconds")
+  *  - ns → pretty:  dashboard/app.py:48-53
+  *  - defensive ts: dashboard/app.py:61-68
+  *  - safe_* macros: transform/macros/compat.sql:3-6, safe.sql:1-3
+  */
+object Fns {
+
+  /** P1 — column snake-casing: lowercase, collapse non-alphanumerics to `_`,
+    * strip leading/trailing `_`. Matches the reference exactly: camelCase
+    * yields separator-free names (`LapTime` → `laptime`).
+    * Ref: ingestion/src/ingestion/utils.py:21-31.
+    */
+  def toSnake(name: String): String =
+    name.toLowerCase
+      .replaceAll("[^a-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "")
+
+  /** P1 applied to a whole frame (pure rename — zero runtime cost). */
+  def snakeColumns(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(toSnake).toIndexedSeq: _*)
+
+  /** P4 — "keys first, then the remaining columns in original order"
+    * star-exclude projection shape (silver/laps.sql:4-9).
+    */
+  def keysFirst(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val rest = df.columns.filterNot(keys.contains)
+    df.select((keys ++ rest).map(col).toIndexedSeq: _*)
+  }
+
+  /** F1 — slugify: "Bahrain Grand Prix" → "bahrain-grand-prix".
+    * Ref: fastf1_ingest.py:5,75 (python-slugify; ASCII inputs only in F1
+    * event names, so transliteration is not needed).
+    */
+  def slugify(c: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(trim(c)), "[^a-z0-9]+", "-"),
+      "^-+|-+$", "")
+
+  /** F2 — int64 nanoseconds → fractional seconds (dashboard/app.py:56-58). */
+  def nsToSeconds(c: Column): Column = c / lit(1e9)
+
+  /** F3 — int64 nanoseconds → zero-padded "mm:ss.mmm"
+    * (dashboard/app.py:48-53). floor() before cast keeps the arithmetic
+    * identical across engines (DuckDB CAST(double AS BIGINT) rounds,
+    * Spark truncates — floor removes the difference).
+    */
+  def nsToPretty(ns: Column): Column =
+    format_string("%02d:%02d.%03d",
+      floor(ns / lit(60000000000L)).cast(LongType),
+      (floor(ns / lit(1000000000L)) % 60).cast(LongType),
+      (floor(ns / lit(1000000L)) % 1000).cast(LongType))
+
+  /** P2 — error-tolerant int promotion (silver/laps.sql:5-6 try_cast). */
+  def tryCastInt(c: Column): Column = c.try_cast(IntegerType)
+
+  /** F6 — safe_numeric macro: try_cast to decimal(38,6)
+    * (transform/macros/compat.sql:3).
+    */
+  def safeNumeric(c: Column): Column = c.try_cast(DecimalType(38, 6))
+
+  /** F6 — safe_timestamp macro (transform/macros/compat.sql:4). */
+  def safeTimestamp(c: Column): Column = c.try_cast(TimestampType)
+
+  /** F6 — safe_text macro: nullif(trim(cast(x as varchar)), '').
+    * compat.sql:6 has a latent `""` identifier bug; we implement the
+    * intended `''` semantics (SURVEY §2 F6).
+    */
+  def safeText(c: Column): Column =
+    nullif(trim(c.cast(StringType)), lit(""))
+
+  /** F8 — bool_to_int macro (transform/macros/safe.sql:1-3). */
+  def boolToInt(c: Column): Column = when(c, 1).otherwise(0)
+
+  /** P8 — NULL/empty normalization:
+    * COALESCE(NULLIF(x, ''), fallback)  ([DSS]:10).
+    */
+  def emptyToFallback(c: Column, fallback: Column): Column =
+    coalesce(nullif(c, lit("")), fallback)
+
+  /** F4 — defensive datetime parse (dashboard/app.py:61-68): try a direct
+    * timestamp parse, else interpret the value as int64 nanoseconds.
+    */
+  def defensiveTs(c: Column): Column =
+    coalesce(
+      c.try_cast(TimestampType),
+      timestamp_micros(floor(c.try_cast(DoubleType) / lit(1000.0)).cast(LongType)))
+
+  /** Exact, engine-order-independent SUM of a double column: cast each value
+    * to DECIMAL(38,6) first so partial/final aggregation order cannot
+    * change the result (double summation is not associative; decimal is).
+    * This is the idiom every money/measure SUM in the library uses — it is
+    * also what makes results hash-identical to a single-threaded oracle.
+    */
+  def exactSum(c: Column): Column = sum(c.cast(DecimalType(38, 6)))
+
+  /** Deterministic AVG built from the exact decimal SUM: the sum is exact,
+    * the final decimal→double conversion and the IEEE division are
+    * deterministic, so the result is bit-identical regardless of
+    * parallelism. (Plain avg(double) is partition-order-dependent.)
+    */
+  def exactAvg(c: Column): Column =
+    exactSum(c).cast(DoubleType) / count(c)
+}

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * quality scoring, language ID, fingerprinting. All pure expression
+  * chains (array/lambda higher-order functions) — fully codegen'd, no
+  * UDFs, embarrassingly parallel per-row at any scale.
+  *
+  * Each operator ships its DuckDB-oracle SQL alongside so the two stay
+  * in lock-step (the oracle is the t2 correctness gate).
+  */
+object TextAnalysis {
+
+  private def tokens(c: Column): Column = split(c, "\\s+")
+
+  private val Stopwords = Seq("the", "a", "and", "of", "to")
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  // ------------------------------------------------------------- quality
+
+  /** Quality scoring: char/token counts, stopword ratio, punctuation
+    * count, and a keep/drop flag — the usual first-pass corpus filter.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks).cast(LongType)
+    val nStop = size(filter(toks, t => t.isInCollection(Stopwords))).cast(LongType)
+    val stopRatio = nStop.cast(DoubleType) / nTokens
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0))).cast(LongType)
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars"),
+      nTokens.as("n_tokens"),
+      nStop.as("n_stop"),
+      stopRatio.as("stop_ratio"),
+      nPunct.as("n_punct"),
+      when(nTokens >= 5 && nTokens <= 10000 && stopRatio < lit(0.5), 1)
+        .otherwise(0).as("keep"))
+  }
+
+  val qualityScoreOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, STRING_SPLIT_REGEX(text, '\\s+') AS toks
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       |  CAST(LEN(toks) AS BIGINT) AS n_tokens,
+       |  CAST(LEN(LIST_FILTER(toks, t -> t IN ${sqlList(Stopwords)})) AS BIGINT) AS n_stop,
+       |  CAST(LEN(LIST_FILTER(toks, t -> t IN ${sqlList(Stopwords)})) AS DOUBLE)
+       |    / LEN(toks) AS stop_ratio,
+       |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^a-z0-9\\s]')) AS BIGINT) AS n_punct,
+       |  CASE WHEN LEN(toks) >= 5 AND LEN(toks) <= 10000
+       |        AND CAST(LEN(LIST_FILTER(toks, t -> t IN ${sqlList(Stopwords)})) AS DOUBLE)
+       |              / LEN(toks) < 0.5
+       |       THEN 1 ELSE 0 END AS keep
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- tokens
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token stream
+    * (letter runs / digit runs / single non-alnum symbols).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast(LongType).as("n_bpe_tokens"),
+      length(col("text")).cast(LongType).as("n_chars"))
+
+  val tokenCountsOracle: String =
+    """SELECT doc_id,
+      |  CAST(LEN(STRING_SPLIT_REGEX(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(LENGTH(text) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- lang id
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "fr" -> Seq("le", "les", "et"),
+    "de" -> Seq("der", "die", "und"),
+    "zh" -> Seq("de5", "shi4", "le5"))
+
+  /** Marker-word language ID with a deterministic priority argmax. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isInCollection(markers))).cast(LongType)
+    }
+    val scoreCols = scores.map { case (lang, c) => c.as(s"s_$lang") }
+    val withScores = docs.select(col("doc_id") +: col("lang") +: scoreCols: _*)
+    val predicted = LangMarkers.map(_._1).init.foldRight(lit(LangMarkers.last._1)) {
+      case (lang, elseCol) =>
+        val mine = col(s"s_$lang")
+        val ge = LangMarkers.map(_._1).filter(_ != lang)
+          .map(o => mine >= col(s"s_$o")).reduce(_ && _)
+        when(ge, lang).otherwise(elseCol)
+    }
+    withScores.withColumn("predicted_lang", predicted)
+  }
+
+  val langIdOracle: String = {
+    val scoreExprs = LangMarkers.map { case (lang, markers) =>
+      s"CAST(LEN(LIST_FILTER(toks, t -> t IN ${sqlList(markers)})) AS BIGINT) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = LangMarkers.map(_._1)
+    val caseArms = langs.init.map { lang =>
+      val conds = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, STRING_SPLIT_REGEX(text, '\\s+') AS toks
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |  $scoreExprs
+       |  FROM t)
+       |SELECT doc_id, lang, s_en, s_es, s_fr, s_de, s_zh,
+       |  CASE $caseArms
+       |    ELSE '${langs.last}' END AS predicted_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------- fingerprints
+
+  /** Document fingerprinting: min-MD5 over 5-token shingles (the
+    * winnowing/rolling-hash family, expressed order-independently so it
+    * parallelizes without coordination).
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val shingles = transform(
+      sequence(lit(1), n - lit(4)),
+      i => md5(array_join(slice(toks, i, lit(5)), " ")))
+    docs.select(
+      col("doc_id"),
+      when(n >= 5, array_min(shingles)).otherwise(lit(null)).as("fp_min"),
+      when(n >= 5, (n - lit(4)).cast(LongType)).otherwise(lit(0L)).as("n_shingles"),
+      md5(col("text").cast("binary")).as("fp_full"))
+  }
+
+  val fingerprintOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, STRING_SPLIT_REGEX(text, '\s+') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN LEN(toks) >= 5 THEN
+      |    LIST_MIN(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 4),
+      |      i -> MD5(ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 4), ' '))))
+      |  ELSE NULL END AS fp_min,
+      |  CASE WHEN LEN(toks) >= 5 THEN CAST(LEN(toks) - 4 AS BIGINT)
+      |       ELSE 0 END AS n_shingles,
+      |  MD5(text) AS fp_full
+      |FROM t ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,80 @@
+package graft.serving
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan}
+
+/** Guard-railed gateway for untrusted SQL (SURVEY §2 F9/F10/T3, §3.3).
+  *
+  * Mirrors the reference's NL→SQL copilot guard rails
+  * (ai/rag_api/app.py:167-177, ai/rag_api/main.py:79-88,146-147):
+  *   1. SELECT-only + forbidden-keyword screen (same error surface);
+  *   2. schema-prefix rewrite (`silver.` → resolved schema);
+  *   3. hard row cap via a LIMIT wrap (AI_MAX_ROWS=200, .env:8);
+  * and improves on the reference (SURVEY §2 F9 note) by *also* parsing
+  * with Catalyst and rejecting any plan that contains a command/write
+  * node — a keyword screen alone can be smuggled past, a parsed plan
+  * cannot.
+  */
+object SafeSql {
+
+  final case class RejectedSql(reason: String)
+      extends IllegalArgumentException(reason)
+
+  /** Keyword screen kept for parity of the error surface with
+    * ai/rag_api/main.py:82-85 (word-boundary regex).
+    */
+  private val Forbidden: Seq[String] = Seq(
+    "insert", "update", "delete", "drop", "alter", "create", "replace",
+    "truncate", "attach", "detach", "copy", "export", "import", "pragma",
+    "call", "grant", "revoke", "vacuum", "merge", "set")
+
+  private def keywordScreen(sql: String): Unit = {
+    val lowered = sql.toLowerCase
+    Forbidden.foreach { kw =>
+      if (("""\b""" + kw + """\b""").r.findFirstIn(lowered).isDefined)
+        throw RejectedSql(s"forbidden keyword: $kw")
+    }
+  }
+
+  private def isSelectLike(sql: String): Boolean = {
+    val head = sql.trim.stripPrefix("(").trim.toLowerCase
+    head.startsWith("select") || head.startsWith("with")
+  }
+
+  /** Catalyst-level validation: the parsed plan must be a pure query —
+    * no Command (DDL/DML/utility) nodes anywhere in the tree.
+    */
+  private def assertQueryPlan(spark: SparkSession, sql: String): Unit = {
+    val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sql)
+    val bad = plan.collectFirst {
+      case c: Command => c
+      case i: InsertIntoStatement => i
+    }
+    if (bad.isDefined)
+      throw RejectedSql(s"not a read-only query: ${bad.get.nodeName}")
+  }
+
+  /** F10 — schema-prefix rewrite (ai/rag_api/main.py:146-147). */
+  def rewriteSchemas(sql: String, rewrites: Map[String, String]): String =
+    rewrites.foldLeft(sql) { case (acc, (from, to)) =>
+      acc.replaceAll("""\b""" + from + """\.""", to + ".")
+    }
+
+  /** Validate + execute untrusted SQL with a hard row cap (default 200,
+    * matching AI_MAX_ROWS). The `.limit` lands as a GlobalLimit on top of
+    * the parsed plan — the same shape as the reference's
+    * `SELECT * FROM (<stmt>) AS safe_view LIMIT 200` wrap.
+    */
+  def run(
+      spark: SparkSession,
+      sql: String,
+      maxRows: Int = 200,
+      schemaRewrites: Map[String, String] = Map.empty): DataFrame = {
+    val stripped = sql.trim.stripSuffix(";")
+    if (!isSelectLike(stripped)) throw RejectedSql("only SELECT queries are allowed")
+    keywordScreen(stripped)
+    val rewritten = rewriteSchemas(stripped, schemaRewrites)
+    assertQueryPlan(spark, rewritten)
+    spark.sql(rewritten).limit(maxRows)
+  }
+}

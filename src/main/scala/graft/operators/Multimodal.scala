@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads plus typed metadata, with decode / feature-extraction /
+  * resize / frame-sampling as partition-batched transforms.
+  *
+  * The actual media decode is STUBBED (no image/audio libraries in this
+  * container — see `decodeStub`): it produces a deterministic fake
+  * feature vector from the payload bytes. Everything around it — the
+  * asset schema, the binary column handling, the per-partition batch
+  * shape (the Scala analogue of `mapInPandas` batches), partitioning by
+  * asset id — is real and tested.
+  */
+object Multimodal {
+
+  /** Canonical asset row: a multimodal record with an opaque payload. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType),           // image | audio | video
+    StructField("payload", BinaryType),            // opaque encoded bytes
+    StructField("media_format", StringType),       // e.g. jpeg, wav, mp4
+    StructField("source", StringType)))
+
+  /** Wrap any (id, string-content) frame into the asset shape — lets the
+    * `documents` testdata stand in for a media corpus.
+    */
+  def fromText(df: DataFrame, id: String, content: String,
+               modality: String = "image", format: String = "raw"): DataFrame =
+    df.select(
+      col(id).cast(LongType).as("asset_id"),
+      lit(modality).as("modality"),
+      col(content).cast(BinaryType).as("payload"),
+      lit(format).as("media_format"),
+      lit("testdata").as("source"))
+
+  /** Cheap metadata pass — pure expressions, no decode needed. */
+  def withMetadata(assets: DataFrame): DataFrame =
+    assets
+      .withColumn("n_bytes", octet_length(col("payload")).cast(LongType))
+      .withColumn("digest", md5(col("payload")))
+
+  final case class AssetFeature(asset_id: Long, modality: String,
+                                n_bytes: Long, feature: Array[Float])
+
+  /** Partition-batched decode + feature extraction. At scale each task
+    * decodes its partition's assets in one batch (the `mapInPandas`
+    * shape: Iterator[batch] => Iterator[batch]) so per-record library
+    * setup is amortized.
+    *
+    * STUB: a real implementation would decode `payload` with an image /
+    * audio codec here. This one derives a deterministic 8-dim feature
+    * from the payload bytes so the plumbing (schema, batching,
+    * determinism, downstream joins) is fully testable.
+    */
+  def decodeStub(assets: DataFrame, dim: Int = 8): Dataset[AssetFeature] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "modality", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        // one-time per-partition "codec init" would go here
+        batch.map { case (id, modality, payload) =>
+          val bytes = Option(payload).getOrElse(Array.emptyByteArray)
+          val feature = Array.tabulate(dim) { j =>
+            if (bytes.isEmpty) 0f
+            else {
+              var acc = 0
+              var i = j
+              while (i < bytes.length) { acc = acc * 31 + (bytes(i) & 0xff); i += dim }
+              (acc & 0xffff) / 65535.0f
+            }
+          }
+          AssetFeature(id, modality, bytes.length.toLong, feature)
+        }
+      }
+  }
+
+  /** Frame-sampling stub for video payloads: emits `n` (offset, slice)
+    * pseudo-frames per asset — the explode/partition shape of real frame
+    * extraction without the codec.
+    */
+  def frameSampleStub(assets: DataFrame, n: Int): DataFrame =
+    assets
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("frame_offset",
+        (col("frame_idx") * octet_length(col("payload")) / n).cast(LongType))
+      .select("asset_id", "modality", "frame_idx", "frame_offset")
+}

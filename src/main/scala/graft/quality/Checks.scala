@@ -1,0 +1,51 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality contract runner — the reference's 17 `not_null` dbt
+  * tests (transform/models/silver/schema.yml:5-29,
+  * transform/models/gold/schema.yml:5-24) as post-build assertions
+  * (SURVEY §5 item 1, §7 step 8).
+  */
+object Checks {
+
+  final case class CheckResult(table: String, column: String, failures: Long) {
+    def passed: Boolean = failures == 0L
+  }
+
+  /** dbt compiles each not_null test to
+    * `count(*) as failures ... where <col> is null` — same probe here,
+    * but all columns of a table are checked in ONE pass (single scan,
+    * one aggregate row) instead of one query per test.
+    */
+  def notNull(df: DataFrame, table: String, columns: Seq[String]): Seq[CheckResult] = {
+    val row = df.agg(
+      sum(col(columns.head).isNull.cast("long")).as(columns.head),
+      columns.tail.map(c => sum(col(c).isNull.cast("long")).as(c)): _*)
+      .head()
+    columns.zipWithIndex.map { case (c, i) =>
+      CheckResult(table, c, if (row.isNullAt(i)) 0L else row.getLong(i))
+    }
+  }
+
+  /** The reference's full 17-test contract. */
+  def contract(
+      silverLaps: DataFrame, silverWeather: DataFrame, silverResults: DataFrame,
+      dss: DataFrame, tes: DataFrame): Seq[CheckResult] = {
+    val keys = Seq("season", "round", "grand_prix")
+    notNull(silverLaps, "silver.laps", keys) ++
+      notNull(silverWeather, "silver.weather", keys) ++
+      notNull(silverResults, "silver.results", keys) ++
+      notNull(dss, "gold.driver_session_summary",
+        Seq("season", "round", "grand_prix", "driver")) ++
+      notNull(tes, "gold.team_event_summary",
+        Seq("season", "round", "grand_prix", "team"))
+  }
+
+  def assertAll(results: Seq[CheckResult]): Unit = {
+    val failed = results.filterNot(_.passed)
+    require(failed.isEmpty,
+      s"not_null contract violated: ${failed.map(r => s"${r.table}.${r.column}=${r.failures}").mkString(", ")}")
+  }
+}

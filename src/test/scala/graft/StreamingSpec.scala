@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+class StreamingSpec extends SparkSpec {
+
+  /** File streams need a directory source — stage the single-file
+    * events table into a temp dir.
+    */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("hourlyRollup over a file-source stream matches the batch plan") {
+    val streamed = EventStream.hourlyRollup(
+      EventStream.readEvents(spark, eventsDir))
+    val q = streamed.writeStream
+      .format("memory").queryName("hourly_stream").outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("hourly_stream")
+      .orderBy("window_start", "event_type").collect()
+    val expected = EventStream.hourlyRollup(
+      spark.read.parquet(s"$eventsDir/events.parquet"))
+      .orderBy("window_start", "event_type").collect()
+    assert(got.length === expected.length)
+    assert(got.map(_.toString).toSeq === expected.map(_.toString).toSeq)
+    assert(got.map(_.getAs[Long]("n")).sum > 0)
+  }
+
+  test("sessionize splits on gaps and aggregates custom state") {
+    import spark.implicits._
+    val evs = Seq(
+      EventStream.Ev(1, 10L, 0L, "click", 1.0),
+      EventStream.Ev(2, 10L, 5L * 60000000L, "click", 1.0),      // +5 min
+      EventStream.Ev(3, 10L, 50L * 60000000L, "view", 1.0),      // +45 min → new session
+      EventStream.Ev(4, 20L, 0L, "click", 1.0)).toDS()
+    val sessions = EventStream.sessionize(evs, gapMinutes = 30)
+      .collect().sortBy(s => (s.user_id, s.session_start_us))
+    assert(sessions.length === 3)
+    assert(sessions(0).user_id === 10L && sessions(0).n_events === 2L)
+    assert(sessions(0).session_end_us === 5L * 60000000L)
+    assert(sessions(1).n_events === 1L)
+    assert(sessions(2).user_id === 20L)
+  }
+}

@@ -2,15 +2,278 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Deduplication operators for large-scale corpus preparation.
+/** Deduplication operators for large-scale corpus preparation: exact
+  * (hash-groupBy), n-gram Jaccard (shingle equi-join), MinHash+LSH
+  * (shingle → signature → band → bucket-join), SimHash (bit-vote
+  * fingerprint + Hamming pairs).
   *
   * Exact dedup is a single hash-shuffle on a 128-bit digest; at 100 TB
   * this is the cheapest possible formulation (map-side combine collapses
   * per-partition duplicates before the shuffle, and the digest — not the
   * document body — is what moves over the network).
+  *
+  * The near-dup family deliberately avoids all-pairs comparison: n-gram
+  * Jaccard joins on shared shingles, MinHash-LSH joins on band buckets,
+  * SimHash buckets on a signature prefix — every candidate generation is
+  * an equi-join, which is what survives a 1000-executor scale-up.
+  *
+  * Hash portability: every hash here is MD5-hex (identical string output
+  * in Spark and DuckDB), so the DuckDB oracle can replay the exact
+  * semantics — engine-specific hashes (xxhash64, DuckDB `hash`) would
+  * make the t2 gate unverifiable.
   */
 object Dedup {
+
+  /** Distinct word `n`-gram shingles of a text column. Guarded: Spark's
+    * `sequence(1, k)` turns DESCENDING for k < 1 (DuckDB's
+    * generate_series returns empty) — short docs must yield [] on both
+    * engines.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = split(c, "\\s+")
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  private def shinglesSql(n: Int): String =
+    s"""CASE WHEN LEN(toks) >= $n THEN
+       |  LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - ${n - 1}),
+       |    i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + ${n - 1}), ' ')))
+       |ELSE [] END""".stripMargin
+
+  // -------------------------------------------------- n-gram Jaccard
+
+  /** Exact n-gram Jaccard near-dup pairs. Candidates = doc pairs sharing
+    * at least one shingle (equi-join on the shingle — never an all-pairs
+    * cross join); intersection counted on the join, union from per-doc
+    * shingle counts, pairs kept at `jaccard >= threshold`.
+    */
+  def ngramJaccardPairs(docs: DataFrame, content: Column, id: Column,
+                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val base = docs.select(id.as("doc_id"), shingles(content, n).as("sh"))
+    val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = base.select(col("doc_id"), size(col("sh")).cast(LongType).as("n_sh"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+  }
+
+  def ngramJaccardPairsOracle(n: Int, threshold: Double): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${shinglesSql(n)} AS sh
+       |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks FROM documents)),
+       |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM t),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n_sh FROM t)
+       |SELECT doc_a, doc_b, inter,
+       |  CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------------------------------------------- MinHash LSH
+
+  /** MinHash signature component `i`: min over shingles of
+    * md5("<i>:<shingle>") — the classic k-permutation approximation with
+    * a portable string hash.
+    */
+  private def minhashComponent(sh: Column, i: Int): Column =
+    array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))
+
+  /** MinHash + LSH near-dup pairs:
+    * shingle → k-component signature → `bands` band hashes → candidates
+    * join on (band index, band hash) → exact Jaccard verification at
+    * `threshold`. The verification join re-derives shingle sets only for
+    * candidate pairs — at scale, a tiny fraction of the corpus.
+    */
+  def minHashLshPairs(docs: DataFrame, content: Column, id: Column,
+                      n: Int = 3, k: Int = 8, bands: Int = 4,
+                      threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val base = docs.select(id.as("doc_id"), shingles(content, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = base.select(
+      col("doc_id"), col("sh"),
+      array((0 until k).map(i => minhashComponent(col("sh"), i)): _*).as("sig"))
+    val banded = sig.select(
+      col("doc_id"), col("sh"),
+      posexplode(array((0 until bands).map { b =>
+        md5(concat_ws("|", (0 until r).map(j => col("sig")(b * r + j)): _*))
+      }: _*)).as(Seq("band", "bucket")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+    cand
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def minHashLshPairsOracle(n: Int, k: Int, bands: Int, threshold: Double): String = {
+    val r = k / bands
+    val sigExprs = (0 until k)
+      .map(i => s"LIST_MIN(LIST_TRANSFORM(sh, s -> MD5('$i:' || s)))")
+      .mkString("[", ",\n    ", "]")
+    val bandSelects = (0 until bands).map { b =>
+      val parts = (0 until r).map(j => s"sig[${b * r + j + 1}]").mkString(" || '|' || ")
+      s"SELECT doc_id, sh, $b AS band, MD5($parts) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (
+       |  SELECT doc_id, ${shinglesSql(n)} AS sh
+       |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks FROM documents)),
+       |nz AS (SELECT * FROM t WHERE LEN(sh) > 0),
+       |sig AS (SELECT doc_id, sh, $sigExprs AS sig FROM nz),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.sh AS sh_a, b.sh AS sh_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(LEN(LIST_INTERSECT(sh_a, sh_b)) AS DOUBLE)
+       |    / (LEN(sh_a) + LEN(sh_b) - LEN(LIST_INTERSECT(sh_a, sh_b))) AS jaccard
+       |FROM cand
+       |WHERE CAST(LEN(LIST_INTERSECT(sh_a, sh_b)) AS DOUBLE)
+       |    / (LEN(sh_a) + LEN(sh_b) - LEN(LIST_INTERSECT(sh_a, sh_b))) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --------------------------------------------------------- SimHash
+
+  /** 60-bit portable token hash: first 15 hex chars of MD5, parsed to an
+    * integer (Spark `conv(…,16,10)`; DuckDB replays it with STRPOS
+    * nibble arithmetic — identical values, both < 2^60 so they fit a
+    * signed int64 on either engine).
+    */
+  private def tokenHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast(LongType)
+
+  val SimHashBits = 60
+  private val SimHashBands = 4          // 4 bands × 15 bits
+  private val BandBits = SimHashBits / SimHashBands
+
+  /** 60-bit SimHash per document: each token votes ±1 on every bit of
+    * its hash; bit j of the signature is set iff the vote sum is
+    * positive. Computed by exploding tokens and aggregating 60
+    * conditional sums in ONE pass (single shuffle on doc_id).
+    */
+  def simHash(docs: DataFrame, content: Column, id: Column): DataFrame = {
+    val tok = docs.select(id.as("doc_id"),
+        explode(split(content, "\\s+")).as("t"))
+      .withColumn("v", tokenHash60(col("t")))
+    val votes = tok.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      (0 until SimHashBits).map { j =>
+        sum(when(shiftright(col("v"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          .as(s"s$j")
+      }: _*)
+    votes.select(
+      col("doc_id"), col("n_tokens"),
+      (0 until SimHashBits)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at Hamming distance <= maxHamming (< number
+    * of bands). Candidate generation is the pigeonhole band trick: split
+    * the 60-bit signature into 4 15-bit bands — any pair within Hamming
+    * distance 3 MUST agree on at least one whole band, so joining on
+    * (band index, band value) is an equi-join with FULL recall, never an
+    * all-pairs comparison.
+    */
+  def simHashPairs(docs: DataFrame, content: Column, id: Column,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < SimHashBands, "pigeonhole recall needs maxHamming < bands")
+    val sig = simHash(docs, content, id)
+    val banded = sig.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimHashBands).map { b =>
+        shiftright(col("simhash"), b * BandBits)
+          .bitwiseAND((1L << BandBits) - 1)
+      }: _*)).as(Seq("band", "band_bits")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_bits") === col("b.band_bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(IntegerType))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  def simHashPairsOracle(maxHamming: Int): String = {
+    def nib(i: Int) = s"(STRPOS('0123456789abcdef', h[$i]) - 1)"
+    val vExpr = (1 to 15)
+      .map(i => s"${nib(i)} * ${math.pow(16, 15 - i).toLong}")
+      .mkString(" + ")
+    val voteExprs = (0 until SimHashBits)
+      .map(j => s"SUM(CASE WHEN (v // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n    ")
+    val sigExpr = (0 until SimHashBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val bandSelects = (0 until SimHashBands).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, " +
+        s"(simhash // ${1L << (b * BandBits)}) % ${1L << BandBits} AS band_bits FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS t
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, $vExpr AS v
+       |  FROM (SELECT doc_id, MD5(t) AS h FROM tok)),
+       |votes AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    $voteExprs
+       |  FROM hashed GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id, CAST($sigExpr AS BIGINT) AS simhash FROM votes),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_bits = b.band_bits
+       |   AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(BIT_COUNT(XOR(sim_a, sim_b)) AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE BIT_COUNT(XOR(sim_a, sim_b)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Exact content dedup: group by MD5(content), keep the minimum id.
     * Returns (fp, keep_id, copies).

@@ -78,6 +78,36 @@ object Similarity {
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Embedding-cosine near-duplicate pairs: all pairs with
+    * cosine >= threshold. Test-scale formulation is the full pairwise
+    * nested-loop (one broadcast side); the 100 TB path replaces the
+    * `<` condition join with the sign-LSH bucket equi-join of
+    * [[lshTopK]] — same scoring expression, restricted candidates.
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val asDouble = col("embedding").cast(ArrayType(DoubleType))
+    val e = emb.select(col("vec_id"), asDouble.as("e"))
+    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.e"), col("b.e")).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  def nearDupPairsOracle(threshold: Double): String = {
+    def dotSql(x: String, y: String) =
+      s"""LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($x)),
+         |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (u, v) -> u + v)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${dotSql("a.embedding", "b.embedding")}
+       |    / SQRT(${dotSql("a.embedding", "a.embedding")}
+       |         * ${dotSql("b.embedding", "b.embedding")}) AS score
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, score FROM scored
+       |WHERE score >= $threshold ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   /** Sign-LSH bucket id from the first `bits` dimensions: bit j set iff
     * embedding[j] > 0. Equal vectors land in equal buckets; at scale the
     * ANN search becomes an equi-join on this id.

@@ -73,5 +73,189 @@ object Extensions {
     Some(Similarity.bruteForceTopKOracle(nQueries = 5, k = 3)),
     headline = true)
 
-  val all: Vector[Q] = Vector(q40, q41, q42, q43, q44, q45, q46)
+  /** n-gram Jaccard near-dup pairs — candidates via shingle equi-join. */
+  private val q47 = Q("q47_dedup_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d),
+        col("text"), col("doc_id"), n = 3, threshold = 0.8)
+      .orderBy("doc_a", "doc_b"),
+    Some(Dedup.ngramJaccardPairsOracle(n = 3, threshold = 0.8)),
+    headline = true)
+
+  /** MinHash+LSH near-dup pairs — signature → bands → bucket join →
+    * exact-Jaccard verify.
+    */
+  private val q48 = Q("q48_dedup_minhash_lsh",
+    (s, d) => Dedup.minHashLshPairs(Tables.documents(s, d),
+        col("text"), col("doc_id"), n = 3, k = 8, bands = 4, threshold = 0.8)
+      .orderBy("doc_a", "doc_b"),
+    Some(Dedup.minHashLshPairsOracle(n = 3, k = 8, bands = 4, threshold = 0.8)),
+    headline = true)
+
+  /** SimHash near-dup pairs — bit-vote fingerprint, prefix-bucketed
+    * Hamming join.
+    */
+  private val q49 = Q("q49_dedup_simhash",
+    (s, d) => Dedup.simHashPairs(Tables.documents(s, d),
+        col("text"), col("doc_id"), maxHamming = 3)
+      .orderBy("doc_a", "doc_b"),
+    Some(Dedup.simHashPairsOracle(maxHamming = 3)))
+
+  /** Embedding-cosine near-duplicate pairs. */
+  private val q50 = Q("q50_dedup_embedding_cosine",
+    (s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d), threshold = 0.45)
+      .orderBy("vec_a", "vec_b"),
+    Some(Similarity.nearDupPairsOracle(threshold = 0.45)))
+
+  /** Sign-LSH bucketed ANN — the scale path for q46's brute force. */
+  private val q51 = Q("q51_knn_lsh_bucketed",
+    (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), nQueries = 20, k = 3, bits = 4)
+      .orderBy("query_id", "rnk"),
+    Some(Similarity.lshTopKOracle(nQueries = 20, k = 3, bits = 4)))
+
+  /** JSON field extraction from the events props column (portable
+    * regex formulation — identical semantics on both engines).
+    */
+  private val q52 = Q("q52_json_extract",
+    (s, d) => Tables.events(s, d)
+      .select(
+        col("event_id"),
+        regexp_extract(col("props"), """"k":\s*(\d+)""", 1)
+          .try_cast(LongType).as("props_k"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+              TRY_CAST(REGEXP_EXTRACT(props, '"k":\s*(\d+)', 1) AS BIGINT) AS props_k
+            FROM events ORDER BY event_id"""))
+
+  /** Semi/anti joins (beyond the reference's equi-join surface). */
+  private val q53 = Q("q53_semi_anti_join",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select("o_custkey")
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("status"))
+      val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("status"))
+      withOrders.unionByName(without).orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, 'has_orders' AS status FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            UNION ALL
+            SELECT c_custkey, 'no_orders' AS status FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey"""))
+
+  /** ROLLUP grouping sets (explicit NULLS FIRST ordering — Spark and
+    * DuckDB disagree on the default null sort order).
+    */
+  private val q54 = Q("q54_rollup",
+    (s, d) => Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), Fns.exactSum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+              SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  /** Window-function suite beyond ROW_NUMBER: lag, rank/dense_rank over
+    * a tied key, running sum with an explicit ROWS frame.
+    */
+  private val q55 = Q("q55_window_suite",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byOrder = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val byYear = Window.partitionBy("o_custkey")
+        .orderBy(date_format(col("o_orderdate"), "yyyy"))
+      val running = byOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(byOrder).as("prev_price"),
+        rank().over(byYear).cast(LongType).as("rnk_year"),
+        dense_rank().over(byYear).cast(LongType).as("drnk_year"),
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).over(running).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              LAG(o_totalprice, 1) OVER w AS prev_price,
+              CAST(RANK() OVER wy AS BIGINT) AS rnk_year,
+              CAST(DENSE_RANK() OVER wy AS BIGINT) AS drnk_year,
+              SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   wy AS (PARTITION BY o_custkey ORDER BY STRFTIME(o_orderdate, '%Y'))
+            ORDER BY o_custkey, o_orderkey"""),
+    headline = true)
+
+  /** Gap-based sessionization in pure SQL (lag + cumulative new-session
+    * flags) — the batch equivalent of the streaming
+    * flatMapGroupsWithState operator, oracle-checkable. `ts` is int64 ns
+    * on the Spark side (nanosAsLong); epoch_ns replays it in DuckDB.
+    */
+  private val q56 = Q("q56_sessionize_sql",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // µs precision on both sides: DuckDB truncates parquet ns
+      // timestamps to µs on read, so the oracle can only see µs.
+      val gapUs = 30L * 60 * 1000000L
+      val byTs = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(byTs))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum("new_sess").over(cum))
+        .groupBy("user_id", "session_idx")
+        .agg(
+          min("ts_us").as("session_start_us"),
+          max("ts_us").as("session_end_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_idx")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, EPOCH_US(ts) AS ts_us FROM events),
+            flagged AS (
+              SELECT user_id, event_id, ts_us,
+                CASE WHEN LAG(ts_us, 1) OVER w IS NULL
+                       OR ts_us - LAG(ts_us, 1) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            idx AS (
+              SELECT user_id, ts_us,
+                CAST(SUM(new_sess) OVER
+                  (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS session_idx
+              FROM flagged)
+            SELECT user_id, session_idx,
+              MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+              COUNT(*) AS n_events
+            FROM idx GROUP BY user_id, session_idx
+            ORDER BY user_id, session_idx"""))
+
+  /** F12 — catalog introspection in the reference's schema_overview
+    * shape ("table(col type, …)"); rows-only check (the oracle's
+    * information_schema depends on how the harness registers tables).
+    */
+  private val q57 = Q("q57_catalog_overview",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      val overview = Tables.names.sorted.map { t =>
+        val cols = s.catalog.listColumns(t).collect()
+          .map(c => s"${c.name} ${c.dataType}").mkString(", ")
+        (t, s"$t($cols)")
+      }
+      s.createDataFrame(overview).toDF("table_name", "schema_line")
+        .orderBy("table_name")
+    },
+    None)
+
+  val all: Vector[Q] = Vector(
+    q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
+    q50, q51, q52, q53, q54, q55, q56, q57)
 }

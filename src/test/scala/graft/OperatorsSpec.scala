@@ -56,6 +56,41 @@ class OperatorsSpec extends SparkSpec {
     assert(r(0L).getAs[String]("fp_full") === r(1L).getAs[String]("fp_full"))
   }
 
+  test("SimHash: identical docs collide at hamming 0; unrelated docs don't pair") {
+    val near = spark.createDataFrame(Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "completely different words entirely unrelated content here now"))).
+      toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(near, col("text"), col("doc_id"), maxHamming = 3)
+      .collect()
+    assert(pairs.length === 1)
+    assert((pairs.head.getAs[Long]("doc_a"), pairs.head.getAs[Long]("doc_b")) === ((0L, 1L)))
+    assert(pairs.head.getAs[Int]("hamming") === 0)
+    // signature is partition-order independent
+    val s1 = Dedup.simHash(near, col("text"), col("doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val s2 = Dedup.simHash(near.repartition(5), col("text"), col("doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(s1 === s2)
+  }
+
+  test("MinHash-LSH finds exact-duplicate docs with jaccard 1.0") {
+    val pairs = Dedup.minHashLshPairs(docs, col("text"), col("doc_id"),
+      n = 3, k = 8, bands = 4, threshold = 0.9).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Long]("doc_a") === 0L)
+    assert(pairs.head.getAs[Long]("doc_b") === 1L)
+    assert(pairs.head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("ngramJaccardPairs: identical docs 1.0, distinct docs absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+      n = 3, threshold = 0.5).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Double]("jaccard") === 1.0)
+  }
+
   private lazy val vecs = spark.createDataFrame(Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
     (1L, Array(0.0f, 1.0f, 0.0f)),

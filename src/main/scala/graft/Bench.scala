@@ -36,7 +36,10 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id) s").write
       .format("noop").mode("overwrite").save()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args: run only the named queries (dev iteration)
+    val names =
+      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
+      else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

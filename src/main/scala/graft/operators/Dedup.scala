@@ -26,18 +26,34 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Distinct word `n`-gram shingles of a text column. Guarded: Spark's
-    * `sequence(1, k)` turns DESCENDING for k < 1 (DuckDB's
-    * generate_series returns empty) — short docs must yield [] on both
-    * engines.
+  /** Distinct word `n`-gram shingles over an ALREADY-MATERIALIZED token
+    * array attribute. Two sharp edges:
+    *  - `toks` must be a plain column attribute, never the raw
+    *    `split(...)` expression: a lambda body referencing an outer
+    *    expression tree re-evaluates it per element — one regex split
+    *    per shingle, O(tokens²) splits per document (measured 8-10× on
+    *    the benchmark before this was staged);
+    *  - guarded for short docs: Spark's `sequence(1, k)` turns
+    *    DESCENDING for k < 1 (DuckDB's generate_series returns empty),
+    *    so both engines must yield [] explicitly.
     */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = split(c, "\\s+")
+  def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(1), size(toks) - lit(n - 1)),
         i => array_join(slice(toks, i, lit(n)), " "))))
       .otherwise(array().cast(ArrayType(StringType)))
+
+  /** (doc_id, sh) with the token array staged as a real column so the
+    * shingle lambda reads an attribute (see [[shingles]]); the
+    * short-doc filter runs on `size(toks)` so predicate pushdown never
+    * duplicates the shingle construction into a Filter node.
+    */
+  private def shingledDocs(docs: DataFrame, content: Column, id: Column,
+                           n: Int, dropShort: Boolean): DataFrame = {
+    val tokenized = docs.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
+    val kept = if (dropShort) tokenized.filter(size(col("toks")) >= n) else tokenized
+    kept.select(col("doc_id"), shingles(col("toks"), n).as("sh"))
   }
 
   private def shinglesSql(n: Int): String =
@@ -52,13 +68,33 @@ object Dedup {
     * at least one shingle (equi-join on the shingle — never an all-pairs
     * cross join); intersection counted on the join, union from per-doc
     * shingle counts, pairs kept at `jaccard >= threshold`.
+    *
+    * `maxDf` prunes shingles appearing in more than that many documents
+    * BEFORE the self-join — a hot shingle with document frequency c
+    * contributes c² join rows while carrying no near-dup signal (the
+    * standard skew guard for this operator; duplicate pairs share
+    * predominantly rare shingles). Union sizes keep the FULL shingle
+    * counts, so pruning can only lower a pair's estimated jaccard,
+    * never inflate it.
     */
   def ngramJaccardPairs(docs: DataFrame, content: Column, id: Column,
-                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val base = docs.select(id.as("doc_id"), shingles(content, n).as("sh"))
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxDf: Int = Int.MaxValue): DataFrame = {
+    val base = shingledDocs(docs, content, id, n, dropShort = false)
+    // the exploded shingle frame feeds the df-filter, both sides of the
+    // self-join, and (via base) the size lookup — persist it once
+    // instead of re-running the tokenize+shingle pipeline per consumer
     val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
-    val inter = exploded.as("a")
-      .join(exploded.as("b"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept =
+      if (maxDf == Int.MaxValue) exploded
+      else {
+        val rare = exploded.groupBy("s")
+          .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf).select("s")
+        exploded.join(rare, "s")
+      }
+    val inter = kept.as("a")
+      .join(kept.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -74,14 +110,21 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "jaccard")
   }
 
-  def ngramJaccardPairsOracle(n: Int, threshold: Double): String =
+  def ngramJaccardPairsOracle(n: Int, threshold: Double,
+                              maxDf: Int = Int.MaxValue): String = {
+    val keptCte =
+      if (maxDf == Int.MaxValue) "ex"
+      else s"""(SELECT ex.doc_id, ex.s FROM ex
+              | JOIN (SELECT s, COUNT(*) AS df FROM ex GROUP BY s) d
+              |   ON ex.s = d.s WHERE d.df <= $maxDf)""".stripMargin
     s"""WITH t AS (
        |  SELECT doc_id, ${shinglesSql(n)} AS sh
        |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks FROM documents)),
        |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM t),
+       |kept AS (SELECT * FROM $keptCte),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |sizes AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n_sh FROM t)
        |SELECT doc_a, doc_b, inter,
@@ -91,6 +134,7 @@ object Dedup {
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   // ----------------------------------------------------- MinHash LSH
 
@@ -112,13 +156,16 @@ object Dedup {
                       threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val base = docs.select(id.as("doc_id"), shingles(content, n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // reused by both self-join sides and the candidate verification
+    val base = shingledDocs(docs, content, id, n, dropShort = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = base.select(
       col("doc_id"), col("sh"),
       array((0 until k).map(i => minhashComponent(col("sh"), i)): _*).as("sig"))
+    // bands carry ids only — the distinct() below must never hash the
+    // full shingle arrays; shingles re-join for candidate verification
     val banded = sig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       posexplode(array((0 until bands).map { b =>
         md5(concat_ws("|", (0 until r).map(j => col("sig")(b * r + j)): _*))
       }: _*)).as(Seq("band", "bucket")))
@@ -126,10 +173,12 @@ object Dedup {
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val sh = base.select(col("doc_id"), col("sh"))
     cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
       .withColumn("jaccard", col("inter").cast(DoubleType) /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -144,7 +193,7 @@ object Dedup {
       .mkString("[", ",\n    ", "]")
     val bandSelects = (0 until bands).map { b =>
       val parts = (0 until r).map(j => s"sig[${b * r + j + 1}]").mkString(" || '|' || ")
-      s"SELECT doc_id, sh, $b AS band, MD5($parts) AS bucket FROM sig"
+      s"SELECT doc_id, $b AS band, MD5($parts) AS bucket FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH t AS (
        |  SELECT doc_id, ${shinglesSql(n)} AS sh
@@ -154,14 +203,18 @@ object Dedup {
        |banded AS (
        |  $bandSelects),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |         a.sh AS sh_a, b.sh AS sh_b
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT doc_a, doc_b, sa.sh AS sh_a, sb.sh AS sh_b
+       |  FROM cand
+       |  JOIN nz sa ON cand.doc_a = sa.doc_id
+       |  JOIN nz sb ON cand.doc_b = sb.doc_id)
        |SELECT doc_a, doc_b,
        |  CAST(LEN(LIST_INTERSECT(sh_a, sh_b)) AS DOUBLE)
        |    / (LEN(sh_a) + LEN(sh_b) - LEN(LIST_INTERSECT(sh_a, sh_b))) AS jaccard
-       |FROM cand
+       |FROM verified
        |WHERE CAST(LEN(LIST_INTERSECT(sh_a, sh_b)) AS DOUBLE)
        |    / (LEN(sh_a) + LEN(sh_b) - LEN(LIST_INTERSECT(sh_a, sh_b))) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin

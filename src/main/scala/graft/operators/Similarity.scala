@@ -4,48 +4,68 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.expressions.GraftFunctions
 
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Baseline: brute-force cosine top-k — a broadcast of the (small) query
   * set against a partitioned scan of the corpus, so the big side never
   * shuffles; per-row score + a per-query top-k window. At 100 TB the
-  * same plan holds: broadcast Q, map-side score, `TakeOrdered`-style
-  * window on rank.
+  * same plan holds: broadcast Q, map-side score, window on rank.
   *
   * Scale path: LSH/IVF bucketing (see `lshBucket`) — candidates are
   * restricted to the query's bucket, turning the cross product into an
   * equi-join on bucket id.
   *
+  * Scoring runs on the native codegen'd `dot_product` Catalyst
+  * expression (graft.expressions.DotProduct); per-vector norms are
+  * computed ONCE before the pair join, so each candidate pair costs a
+  * single primitive-loop dot product.
+  *
   * Float math notes for oracle parity: elements are cast float→double
-  * (exact), products/sums run left-to-right (Spark `aggregate` fold ≡
-  * DuckDB `list_reduce` fold, and `0.0 + x == x` in IEEE), so scores are
+  * (exact); products/sums run left-to-right (the codegen loop ≡ DuckDB
+  * `list_reduce` fold, and `0.0 + x == x` in IEEE), so scores are
   * bit-identical to the single-threaded oracle.
   */
 object Similarity {
 
-  /** Left-to-right dot product of two double arrays. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private val AsDouble = ArrayType(DoubleType)
 
-  private def norm2(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(norm2(a) * norm2(b))
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  private def dotSql(x: String, y: String) =
+    s"""LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($x)),
+       |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (u, v) -> u + v)""".stripMargin
+
+  /** (vec_id, e: array<double>, nrm: ||e||²) — norms computed once. */
+  private def withNorm(emb: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(emb.sparkSession)
+    emb.select(col("vec_id"), col("embedding"),
+        col("embedding").cast(AsDouble).as("e"))
+      .withColumn("nrm", dot(col("e"), col("e")))
+  }
+
+  private def pairScore: Column =
+    (dot(col("qe"), col("ce")) / sqrt(col("qn") * col("cn"))).as("score")
 
   /** Brute-force cosine top-k: query set = vec_id < nQueries (broadcast),
     * corpus = the rest. Returns (query_id, neighbor_id, score, rnk).
     */
   def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val asDouble = col("embedding").cast(ArrayType(DoubleType))
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), asDouble.as("qe"))
-    val c = emb.filter(col("vec_id") >= nQueries)
-      .select(col("vec_id").as("neighbor_id"), asDouble.as("ce"))
-    val scored = c.crossJoin(broadcast(q))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qe"), col("ce")).as("score"))
+    val base = withNorm(emb)
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val c = base.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn"))
+    rankTopK(c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"), pairScore), k)
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     scored
@@ -54,20 +74,18 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rnk")
   }
 
-  def bruteForceTopKOracle(nQueries: Int, k: Int): String = {
-    def dotSql(x: String, y: String) =
-      s"""LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($x)),
-         |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (u, v) -> u + v)""".stripMargin
-    s"""WITH q AS (
-       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-       |  WHERE vec_id < $nQueries),
-       |c AS (
-       |  SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings
-       |  WHERE vec_id >= $nQueries),
+  def bruteForceTopKOracle(nQueries: Int, k: Int): String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    ${dotSql("embedding", "embedding")} AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM base
+       |      WHERE vec_id < $nQueries),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, nrm AS cn FROM base
+       |      WHERE vec_id >= $nQueries),
        |scored AS (
        |  SELECT query_id, neighbor_id,
-       |    ${dotSql("qe", "ce")}
-       |    / SQRT(${dotSql("qe", "qe")} * ${dotSql("ce", "ce")}) AS score
+       |    ${dotSql("qe", "ce")} / SQRT(qn * cn) AS score
        |  FROM c CROSS JOIN q),
        |ranked AS (
        |  SELECT query_id, neighbor_id, score,
@@ -76,37 +94,32 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, neighbor_id, score, rnk FROM ranked
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
-  }
 
   /** Embedding-cosine near-duplicate pairs: all pairs with
-    * cosine >= threshold. Test-scale formulation is the full pairwise
-    * nested-loop (one broadcast side); the 100 TB path replaces the
-    * `<` condition join with the sign-LSH bucket equi-join of
-    * [[lshTopK]] — same scoring expression, restricted candidates.
+    * cosine >= threshold. Exact (all-pairs nested loop with one
+    * broadcast side) — the recall-1 baseline; the LSH variants are the
+    * 100 TB path. Norms precomputed, one dot product per pair.
     */
   def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val asDouble = col("embedding").cast(ArrayType(DoubleType))
-    val e = emb.select(col("vec_id"), asDouble.as("e"))
-    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.e"), col("b.e")).as("score"))
+    val base = withNorm(emb)
+    val a = base.select(col("vec_id").as("vec_a"), col("e").as("qe"), col("nrm").as("qn"))
+    val b = base.select(col("vec_id").as("vec_b"), col("e").as("ce"), col("nrm").as("cn"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), pairScore)
       .filter(col("score") >= threshold)
   }
 
-  def nearDupPairsOracle(threshold: Double): String = {
-    def dotSql(x: String, y: String) =
-      s"""LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($x)),
-         |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (u, v) -> u + v)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+  def nearDupPairsOracle(threshold: Double): String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    ${dotSql("embedding", "embedding")} AS nrm
+       |  FROM embeddings),
        |scored AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    ${dotSql("a.embedding", "b.embedding")}
-       |    / SQRT(${dotSql("a.embedding", "a.embedding")}
-       |         * ${dotSql("b.embedding", "b.embedding")}) AS score
-       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |    ${dotSql("a.embedding", "b.embedding")} / SQRT(a.nrm * b.nrm) AS score
+       |  FROM base a JOIN base b ON a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, score FROM scored
        |WHERE score >= $threshold ORDER BY vec_a, vec_b""".stripMargin
-  }
 
   /** Sign-LSH bucket id from the first `bits` dimensions: bit j set iff
     * embedding[j] > 0. Equal vectors land in equal buckets; at scale the
@@ -121,43 +134,33 @@ object Similarity {
     * restricted to the query's sign-LSH bucket (recall < 1, cost ≫ lower).
     */
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int, bits: Int): DataFrame = {
-    val asDouble = col("embedding").cast(ArrayType(DoubleType))
-    val withBucket = emb.select(col("vec_id"),
-      asDouble.as("e"), lshBucket(col("embedding"), bits).as("bucket"))
-    val q = withBucket.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bucket"))
-    val c = withBucket.filter(col("vec_id") >= nQueries)
-      .select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qe"), col("ce")).as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= k)
-      .select("query_id", "neighbor_id", "score", "rnk")
+    val base = withNorm(emb)
+      .withColumn("bucket", lshBucket(col("embedding").cast(ArrayType(FloatType)), bits))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("bucket"))
+    val c = base.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+        col("nrm").as("cn"), col("bucket"))
+    rankTopK(c.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col("neighbor_id"), pairScore), k)
   }
 
   def lshTopKOracle(nQueries: Int, k: Int, bits: Int): String = {
-    def dotSql(x: String, y: String) =
-      s"""LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN($x)),
-         |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (u, v) -> u + v)""".stripMargin
     val bucketSql = (0 until bits).map { j =>
       s"CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
-    s"""WITH b AS (
-       |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
-       |q AS (
-       |  SELECT vec_id AS query_id, embedding AS qe, bucket FROM b
-       |  WHERE vec_id < $nQueries),
-       |c AS (
-       |  SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM b
-       |  WHERE vec_id >= $nQueries),
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, $bucketSql AS bucket,
+       |    ${dotSql("embedding", "embedding")} AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket
+       |      FROM base WHERE vec_id < $nQueries),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, nrm AS cn, bucket
+       |      FROM base WHERE vec_id >= $nQueries),
        |scored AS (
        |  SELECT query_id, neighbor_id,
-       |    ${dotSql("qe", "ce")}
-       |    / SQRT(${dotSql("qe", "qe")} * ${dotSql("ce", "ce")}) AS score
+       |    ${dotSql("qe", "ce")} / SQRT(qn * cn) AS score
        |  FROM c JOIN q USING (bucket)),
        |ranked AS (
        |  SELECT query_id, neighbor_id, score,

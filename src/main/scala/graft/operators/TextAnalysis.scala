@@ -135,12 +135,16 @@ object TextAnalysis {
     * parallelizes without coordination).
     */
   def fingerprint(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // tokens staged as an attribute: a lambda body referencing the raw
+    // split() expression re-evaluates the regex split per shingle
+    val staged = docs.select(col("doc_id"), col("text"),
+      tokens(col("text")).as("toks"))
+    val toks = col("toks")
     val n = size(toks)
     val shingles = transform(
       sequence(lit(1), n - lit(4)),
       i => md5(array_join(slice(toks, i, lit(5)), " ")))
-    docs.select(
+    staged.select(
       col("doc_id"),
       when(n >= 5, array_min(shingles)).otherwise(lit(null)).as("fp_min"),
       when(n >= 5, (n - lit(4)).cast(LongType)).otherwise(lit(0L)).as("n_shingles"),

@@ -76,9 +76,9 @@ object Extensions {
   /** n-gram Jaccard near-dup pairs — candidates via shingle equi-join. */
   private val q47 = Q("q47_dedup_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d),
-        col("text"), col("doc_id"), n = 3, threshold = 0.8)
+        col("text"), col("doc_id"), n = 3, threshold = 0.8, maxDf = 100)
       .orderBy("doc_a", "doc_b"),
-    Some(Dedup.ngramJaccardPairsOracle(n = 3, threshold = 0.8)),
+    Some(Dedup.ngramJaccardPairsOracle(n = 3, threshold = 0.8, maxDf = 100)),
     headline = true)
 
   /** MinHash+LSH near-dup pairs — signature → bands → bucket join →

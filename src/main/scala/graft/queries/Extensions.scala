@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Fns
 import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.serving.SafeSql
 import graft.queries.Parity.Q
 import graft.tables.Tables
 
@@ -245,12 +246,8 @@ object Extensions {
   private val q57 = Q("q57_catalog_overview",
     (s, d) => {
       Tables.registerAll(s, d)
-      val overview = Tables.names.sorted.map { t =>
-        val cols = s.catalog.listColumns(t).collect()
-          .map(c => s"${c.name} ${c.dataType}").mkString(", ")
-        (t, s"$t($cols)")
-      }
-      s.createDataFrame(overview).toDF("table_name", "schema_line")
+      s.createDataFrame(SafeSql.schemaOverview(s, Tables.names))
+        .toDF("table_name", "schema_line")
         .orderBy("table_name")
     },
     None)

@@ -173,16 +173,22 @@ object Parity {
               MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal, COUNT(*) AS n
             FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""))
 
-  /** A9 — exact median (Spark ≥3.4 `median` = interpolated percentile 0.5,
-    * matching DuckDB `median` on numeric input). l_quantity is integral,
-    * so midpoints are exact in both engines.
+  /** A9 + A13 — exact median (Spark ≥3.4 `median` = interpolated
+    * percentile 0.5, matching DuckDB `median` on numeric input;
+    * l_quantity is integral so midpoints are exact in both engines)
+    * inside the per-group describe shape (count/min/median/max).
     */
   private val q11 = Q("q11_a9_median",
     (s, d) => Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(median(col("l_quantity")).as("med_qty"), count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n"),
+        min("l_quantity").as("min_qty"),
+        median(col("l_quantity")).as("med_qty"),
+        max("l_quantity").as("max_qty"))
       .orderBy("l_returnflag"),
-    Some("""SELECT l_returnflag, MEDIAN(l_quantity) AS med_qty, COUNT(*) AS n
+    Some("""SELECT l_returnflag, COUNT(*) AS n, MIN(l_quantity) AS min_qty,
+              MEDIAN(l_quantity) AS med_qty, MAX(l_quantity) AS max_qty
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     headline = true)
 
@@ -531,8 +537,30 @@ object Parity {
             ORDER BY a.l_orderkey, a.l_suppkey"""),
     headline = true)
 
+  /** T5 — the reference's string-sort quirk: top-50 ordered on the
+    * FORMATTED "mm:ss.mmm" string (lexicographic ≡ numeric for
+    * fixed-width sub-hour values; dashboard/app.py:183-186).
+    */
+  private val q31 = Q("q31_t5_pretty_sort",
+    (s, d) => Tables.lineitem(s, d)
+      .withColumn("dur_ns", floor(col("l_extendedprice") * lit(1000000L)).cast(LongType))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Fns.nsToPretty(col("dur_ns")).as("dur_pretty"))
+      .orderBy(col("dur_pretty"), col("l_orderkey"), col("l_linenumber"))
+      .limit(50),
+    Some("""WITH t AS (
+              SELECT l_orderkey, l_linenumber,
+                     CAST(FLOOR(l_extendedprice * 1000000) AS BIGINT) AS dur_ns
+              FROM lineitem)
+            SELECT l_orderkey, l_linenumber,
+              PRINTF('%02d:%02d.%03d',
+                CAST(FLOOR(dur_ns / 60000000000) AS BIGINT),
+                CAST(FLOOR(dur_ns / 1000000000) AS BIGINT) % 60,
+                CAST(FLOOR(dur_ns / 1000000) AS BIGINT) % 1000) AS dur_pretty
+            FROM t ORDER BY dur_pretty, l_orderkey, l_linenumber LIMIT 50"""))
+
   val all: Vector[Q] = Vector(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
 }

@@ -99,6 +99,17 @@ object QueryService {
       avg(col(columns.head).isNull.cast("int")).as(columns.head),
       columns.tail.map(c => avg(col(c).isNull.cast("int")).as(c)): _*)
 
+  /** F11 — chart-type heuristic (ai/rag_api/main.py:90-96): numeric
+    * second column + small row count → line; medium → bar; else table.
+    */
+  def chartHint(df: DataFrame, rowCount: Long): String = {
+    import org.apache.spark.sql.types.NumericType
+    val numericTail = df.schema.fields.drop(1).exists(_.dataType.isInstanceOf[NumericType])
+    if (!numericTail || rowCount > 50) "table"
+    else if (rowCount <= 20) "line"
+    else "bar"
+  }
+
   /** check_gold.sh:19-22 — the 5 latest best laps. */
   def top5BestLaps(dss: DataFrame): DataFrame =
     dss.select("season", "round", "grand_prix", "session_code", "driver",

@@ -54,6 +54,25 @@ object SafeSql {
       throw RejectedSql(s"not a read-only query: ${bad.get.nodeName}")
   }
 
+  /** S9 — schema resolution probe: first existing database among the
+    * candidates (dashboard/app.py:22-35 tries `main_silver` then
+    * `silver`; same two-candidate behavior here via the Catalog API).
+    */
+  def resolveSchema(spark: SparkSession, candidates: Seq[String]): Option[String] =
+    candidates.find(spark.catalog.databaseExists)
+
+  /** F12/A11 — catalog dump in the reference's `schema_overview` shape:
+    * one "table(col type, …)" line per table, columns in ordinal order
+    * (ai/rag_api/app.py:77-90). Uses the Catalog API — Spark has no
+    * information_schema — with identical output shape.
+    */
+  def schemaOverview(spark: SparkSession, tables: Seq[String]): Seq[(String, String)] =
+    tables.sorted.map { t =>
+      val cols = spark.catalog.listColumns(t).collect()
+        .map(c => s"${c.name} ${c.dataType}").mkString(", ")
+      (t, s"$t($cols)")
+    }
+
   /** F10 — schema-prefix rewrite (ai/rag_api/main.py:146-147). */
   def rewriteSchemas(sql: String, rewrites: Map[String, String]): String =
     rewrites.foldLeft(sql) { case (acc, (from, to)) =>

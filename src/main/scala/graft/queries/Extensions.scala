@@ -71,16 +71,14 @@ object Extensions {
   private val q46 = Q("q46_knn_brute_force",
     (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 5, k = 3)
       .orderBy("query_id", "rnk"),
-    Some(Similarity.bruteForceTopKOracle(nQueries = 5, k = 3)),
-    headline = true)
+    Some(Similarity.bruteForceTopKOracle(nQueries = 5, k = 3)))
 
   /** n-gram Jaccard near-dup pairs — candidates via shingle equi-join. */
   private val q47 = Q("q47_dedup_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d),
         col("text"), col("doc_id"), n = 3, threshold = 0.8, maxDf = 100)
       .orderBy("doc_a", "doc_b"),
-    Some(Dedup.ngramJaccardPairsOracle(n = 3, threshold = 0.8, maxDf = 100)),
-    headline = true)
+    Some(Dedup.ngramJaccardPairsOracle(n = 3, threshold = 0.8, maxDf = 100)))
 
   /** MinHash+LSH near-dup pairs — signature → bands → bucket join →
     * exact-Jaccard verify.
@@ -89,8 +87,7 @@ object Extensions {
     (s, d) => Dedup.minHashLshPairs(Tables.documents(s, d),
         col("text"), col("doc_id"), n = 3, k = 8, bands = 4, threshold = 0.8)
       .orderBy("doc_a", "doc_b"),
-    Some(Dedup.minHashLshPairsOracle(n = 3, k = 8, bands = 4, threshold = 0.8)),
-    headline = true)
+    Some(Dedup.minHashLshPairsOracle(n = 3, k = 8, bands = 4, threshold = 0.8)))
 
   /** SimHash near-dup pairs — bit-vote fingerprint, prefix-bucketed
     * Hamming join.

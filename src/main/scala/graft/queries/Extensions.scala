@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Fns
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, RangeJoin, Similarity, TextAnalysis}
 import graft.serving.SafeSql
 import graft.queries.Parity.Q
 import graft.tables.Tables
@@ -249,7 +249,65 @@ object Extensions {
     },
     None)
 
+  /** As-of join: each click gets the user's latest preceding purchase.
+    * Spark side is the union + running-last formulation (one shuffle);
+    * the oracle uses DuckDB's native ASOF LEFT JOIN — two completely
+    * independent formulations of the same semantics.
+    */
+  private val q58 = Q("q58_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      AsOfJoin.asOf(clicks, purchases,
+          partitionKeys = Seq("user_id"), timeCol = "ts_us",
+          carryCols = Seq("p_event_id", "p_value"), prefix = "")
+        .select("click_id", "user_id", "ts_us", "p_event_id", "p_value")
+        .orderBy("click_id")
+    },
+    Some("""SELECT c.event_id AS click_id, c.user_id, EPOCH_US(c.ts) AS ts_us,
+              p.event_id AS p_event_id, p.value AS p_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+            ORDER BY click_id"""))
+
+  /** Range join: for each error event, clicks by the same user in the
+    * preceding 5 minutes. Spark side is the bucketed equi-join (linear
+    * shuffle); the oracle is DuckDB's plain non-equi join — independent
+    * formulations, same semantics.
+    */
+  private val q59 = Q("q59_range_join",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"))
+      RangeJoin.countInPrecedingRange(errors, clicks,
+          idCol = "error_id", keyCol = "user_id", timeCol = "ts_us",
+          range = 300000000L)
+        .orderBy("error_id")
+    },
+    Some("""WITH e AS (
+              SELECT event_id AS error_id, user_id, EPOCH_US(ts) AS ts_us
+              FROM events WHERE event_type = 'error'),
+            c AS (
+              SELECT user_id, EPOCH_US(ts) AS ts_us
+              FROM events WHERE event_type = 'click')
+            SELECT e.error_id, e.user_id, e.ts_us,
+              COUNT(c.ts_us) AS n_in_range
+            FROM e LEFT JOIN c
+              ON e.user_id = c.user_id
+             AND c.ts_us >= e.ts_us - 300000000
+             AND c.ts_us < e.ts_us
+            GROUP BY e.error_id, e.user_id, e.ts_us
+            ORDER BY error_id"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52, q53, q54, q55, q56, q57)
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
 }

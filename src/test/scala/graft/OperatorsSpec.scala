@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, RangeJoin, Similarity, TextAnalysis}
 
 class OperatorsSpec extends SparkSpec {
 
@@ -106,6 +106,50 @@ class OperatorsSpec extends SparkSpec {
     assert(r((0L, 1L))._2 === 1.0)
     assert(r((0L, 2L))._1 === 7L)                    // cos = 1/sqrt(2)
     assert(r((1L, 1L))._1 === 6L)
+  }
+
+  test("AsOfJoin: latest preceding right row, equal timestamps included") {
+    val clicks = spark.createDataFrame(Seq(
+      (1L, 10L, 100L),   // click at t=100
+      (2L, 10L, 50L),    // click before any purchase → null carry
+      (3L, 10L, 200L),   // click exactly at purchase t=200 → matches it
+      (4L, 20L, 100L)    // other user, no purchases at all
+    )).toDF("click_id", "user_id", "t")
+    val purchases = spark.createDataFrame(Seq(
+      (101L, 10L, 60L, 9.5),
+      (102L, 10L, 200L, 7.0)
+    )).toDF("p_id", "user_id", "t", "p_value")
+    val got = AsOfJoin.asOf(clicks, purchases,
+        partitionKeys = Seq("user_id"), timeCol = "t",
+        carryCols = Seq("p_id", "p_value"), prefix = "")
+      .collect()
+      .map(r => r.getAs[Long]("click_id") ->
+        (Option(r.getAs[java.lang.Long]("p_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("p_value")).map(_.toDouble)))
+      .toMap
+    assert(got(1L) === ((Some(101L), Some(9.5))))   // t=100 → purchase at 60
+    assert(got(2L) === ((None, None)))              // nothing before t=50
+    assert(got(3L) === ((Some(102L), Some(7.0))))   // tie: purchase at same t wins
+    assert(got(4L) === ((None, None)))              // user without purchases
+  }
+
+  test("RangeJoin: counts rows in [t-range, t), bucket boundaries exact") {
+    val probes = spark.createDataFrame(Seq(
+      (1L, 10L, 1000L),   // window [900, 1000)
+      (2L, 10L, 950L),    // window [850, 950)
+      (3L, 20L, 1000L)    // other key
+    )).toDF("id", "k", "t")
+    val counted = spark.createDataFrame(Seq(
+      (10L, 899L),   // probe 2's window only
+      (10L, 900L),   // inclusive lower bound of probe 1; also in probe 2
+      (10L, 999L),   // probe 1 only
+      (10L, 1000L),  // exclusive upper bound — never counted
+      (20L, 950L)
+    )).toDF("k", "t")
+    val got = RangeJoin.countInPrecedingRange(probes, counted,
+        idCol = "id", keyCol = "k", timeCol = "t", range = 100L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_in_range")).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
   }
 
   test("Similarity.lshTopK restricts candidates to the query's bucket") {

@@ -64,77 +64,92 @@ object Dedup {
 
   // -------------------------------------------------- n-gram Jaccard
 
-  /** Exact n-gram Jaccard near-dup pairs. Candidates = doc pairs sharing
-    * at least one shingle (equi-join on the shingle — never an all-pairs
-    * cross join); intersection counted on the join, union from per-doc
-    * shingle counts, pairs kept at `jaccard >= threshold`.
+  /** Exact n-gram Jaccard near-dup pairs via PPJoin-style prefix
+    * filtering — full recall, no heuristics:
     *
-    * `maxDf` prunes shingles appearing in more than that many documents
-    * BEFORE the self-join — a hot shingle with document frequency c
-    * contributes c² join rows while carrying no near-dup signal (the
-    * standard skew guard for this operator; duplicate pairs share
-    * predominantly rare shingles). Union sizes keep the FULL shingle
-    * counts, so pruning can only lower a pair's estimated jaccard,
-    * never inflate it.
+    *  1. order each doc's shingles canonically (global document
+    *     frequency asc, then shingle text — rarest first);
+    *  2. index only each doc's PREFIX of length |d| - ⌈t·|d|⌉ + 1: two
+    *     docs with J ≥ t MUST share a prefix shingle (pigeonhole on the
+    *     canonical order), so the candidate equi-join sees ~(1-t)·|d|
+    *     of the shingles and ~(1-t)² of the join volume;
+    *  3. verify candidates with the exact intersection over the full
+    *     distinct shingle sets.
+    *
+    * Candidate generation and verification are both equi-joins —
+    * linear shuffle volume at any corpus size.
     */
   def ngramJaccardPairs(docs: DataFrame, content: Column, id: Column,
-                        n: Int = 3, threshold: Double = 0.8,
-                        maxDf: Int = Int.MaxValue): DataFrame = {
-    val base = shingledDocs(docs, content, id, n, dropShort = false)
-    // the exploded shingle frame feeds the df-filter, both sides of the
-    // self-join, and (via base) the size lookup — persist it once
+                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // shared by df-count, prefix index, and verification — persist once
     // instead of re-running the tokenize+shingle pipeline per consumer
-    val exploded = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    val base = shingledDocs(docs, content, id, n, dropShort = false)
+      .withColumn("n_sh", size(col("sh")).cast(LongType))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept =
-      if (maxDf == Int.MaxValue) exploded
-      else {
-        val rare = exploded.groupBy("s")
-          .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf).select("s")
-        exploded.join(rare, "s")
-      }
-    val inter = kept.as("a")
-      .join(kept.as("b"),
+    val exploded = base.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    val withDf = exploded.join(
+      exploded.groupBy("s").agg(count(lit(1)).as("df")), "s")
+    // floor (not the textbook ceil): one-longer prefix costs a few
+    // extra candidates but is immune to IEEE t·|d| landing a hair above
+    // an integer, which would shorten the prefix below the recall bound
+    val prefixLen = (col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
+    val prefix = withDf
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .filter(col("rk") <= prefixLen)
+      .select("doc_id", "s")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = base.select(col("doc_id"), size(col("sh")).cast(LongType).as("n_sh"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = base.select(col("doc_id"), col("sh"), col("n_sh"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "jaccard")
   }
 
-  def ngramJaccardPairsOracle(n: Int, threshold: Double,
-                              maxDf: Int = Int.MaxValue): String = {
-    val keptCte =
-      if (maxDf == Int.MaxValue) "ex"
-      else s"""(SELECT ex.doc_id, ex.s FROM ex
-              | JOIN (SELECT s, COUNT(*) AS df FROM ex GROUP BY s) d
-              |   ON ex.s = d.s WHERE d.df <= $maxDf)""".stripMargin
+  def ngramJaccardPairsOracle(n: Int, threshold: Double): String =
     s"""WITH t AS (
        |  SELECT doc_id, ${shinglesSql(n)} AS sh
        |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks FROM documents)),
-       |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM t),
-       |kept AS (SELECT * FROM $keptCte),
-       |inter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-       |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, CAST(LEN(sh) AS BIGINT) AS n_sh FROM t)
-       |SELECT doc_a, doc_b, inter,
-       |  CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON doc_a = sa.doc_id
-       |JOIN sizes sb ON doc_b = sb.doc_id
-       |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= $threshold
+       |b AS (SELECT doc_id, sh, CAST(LEN(sh) AS BIGINT) AS n_sh FROM t),
+       |ex AS (SELECT doc_id, n_sh, UNNEST(sh) AS s FROM b),
+       |wdf AS (
+       |  SELECT ex.doc_id, ex.n_sh, ex.s, d.df
+       |  FROM ex JOIN (SELECT s, COUNT(*) AS df FROM ex GROUP BY s) d
+       |    ON ex.s = d.s),
+       |pfx AS (
+       |  SELECT doc_id, s FROM (
+       |    SELECT doc_id, s, n_sh,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, s) AS rk
+       |    FROM wdf)
+       |  WHERE rk <= n_sh - FLOOR($threshold * n_sh) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |v AS (
+       |  SELECT doc_a, doc_b, sa.sh AS sh_a, sb.sh AS sh_b,
+       |         sa.n_sh AS n_a, sb.n_sh AS n_b
+       |  FROM cand
+       |  JOIN b sa ON doc_a = sa.doc_id
+       |  JOIN b sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(LEN(LIST_INTERSECT(sh_a, sh_b)) AS BIGINT) AS inter,
+       |  CAST(LEN(LIST_INTERSECT(sh_a, sh_b)) AS DOUBLE)
+       |    / (n_a + n_b - LEN(LIST_INTERSECT(sh_a, sh_b))) AS jaccard
+       |FROM v
+       |WHERE CAST(LEN(LIST_INTERSECT(sh_a, sh_b)) AS DOUBLE)
+       |    / (n_a + n_b - LEN(LIST_INTERSECT(sh_a, sh_b))) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // ----------------------------------------------------- MinHash LSH
 

@@ -121,6 +121,77 @@ object Similarity {
        |SELECT vec_a, vec_b, score FROM scored
        |WHERE score >= $threshold ORDER BY vec_a, vec_b""".stripMargin
 
+  /** IVF-flat ANN: partition the corpus into Voronoi cells around a
+    * fixed set of centroid vectors (training-free seeding: the first
+    * `nCentroids` vectors serve as centroids — deterministic, no
+    * iterative k-means to keep the oracle replayable), assign queries
+    * and corpus to their nearest centroid by cosine, then search only
+    * within the query's cell (nprobe=1).
+    *
+    * At scale: centroids broadcast, assignment is a map-side cross join
+    * with `nCentroids` rows, and the search is an equi-join on cell id —
+    * the same linear-shuffle shape as the LSH variant, but with
+    * data-adaptive cells instead of fixed hyperplanes.
+    */
+  def ivfTopK(emb: DataFrame, nCentroids: Int, nQueries: Int, k: Int): DataFrame = {
+    val base = withNorm(emb)
+    val cents = base.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("e").as("cent_e"),
+        col("nrm").as("cent_nrm"))
+    def assign(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cscore").desc, col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("cscore",
+          dot(col("e"), col("cent_e")) / sqrt(col("nrm") * col("cent_nrm")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
+    }
+    val q = assign(base.filter(
+        col("vec_id") >= nCentroids && col("vec_id") < nCentroids + nQueries))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("cell"))
+    val c = assign(base.filter(col("vec_id") >= nCentroids + nQueries))
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+        col("nrm").as("cn"), col("cell"))
+    rankTopK(c.join(broadcast(q), Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"), pairScore), k)
+  }
+
+  def ivfTopKOracle(nCentroids: Int, nQueries: Int, k: Int): String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    ${dotSql("embedding", "embedding")} AS nrm
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_e, nrm AS cent_nrm
+       |  FROM base WHERE vec_id < $nCentroids),
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+       |    SELECT b.vec_id, b.embedding, b.nrm, c.cent_id,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+       |        ${dotSql("b.embedding", "c.cent_e")}
+       |          / SQRT(b.nrm * c.cent_nrm) DESC, c.cent_id) AS crk
+       |    FROM base b CROSS JOIN cents c
+       |    WHERE b.vec_id >= $nCentroids)
+       |  WHERE crk = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cell
+       |      FROM assigned WHERE vec_id < ${nCentroids + nQueries}),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, nrm AS cn, cell
+       |      FROM assigned WHERE vec_id >= ${nCentroids + nQueries}),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${dotSql("qe", "ce")} / SQRT(qn * cn) AS score
+       |  FROM c JOIN q USING (cell)),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, score, rnk FROM ranked
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
   /** Sign-LSH bucket id from the first `bits` dimensions: bit j set iff
     * embedding[j] > 0. Equal vectors land in equal buckets; at scale the
     * ANN search becomes an equi-join on this id.

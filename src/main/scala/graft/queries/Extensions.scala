@@ -76,9 +76,9 @@ object Extensions {
   /** n-gram Jaccard near-dup pairs — candidates via shingle equi-join. */
   private val q47 = Q("q47_dedup_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d),
-        col("text"), col("doc_id"), n = 3, threshold = 0.8, maxDf = 100)
+        col("text"), col("doc_id"), n = 3, threshold = 0.8)
       .orderBy("doc_a", "doc_b"),
-    Some(Dedup.ngramJaccardPairsOracle(n = 3, threshold = 0.8, maxDf = 100)))
+    Some(Dedup.ngramJaccardPairsOracle(n = 3, threshold = 0.8)))
 
   /** MinHash+LSH near-dup pairs — signature → bands → bucket join →
     * exact-Jaccard verify.
@@ -307,7 +307,16 @@ object Extensions {
             GROUP BY e.error_id, e.user_id, e.ts_us
             ORDER BY error_id"""))
 
+  /** IVF-flat ANN — data-adaptive cells (the companion scale path to
+    * q51's fixed-hyperplane LSH).
+    */
+  private val q60 = Q("q60_knn_ivf",
+    (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d),
+        nCentroids = 8, nQueries = 20, k = 3)
+      .orderBy("query_id", "rnk"),
+    Some(Similarity.ivfTopKOracle(nCentroids = 8, nQueries = 20, k = 3)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
 }

@@ -166,6 +166,31 @@ class PipelineSpec extends SparkSpec {
     assert(aliases.isEmpty)  // no driver maps to 2 numbers/teams in fixture
   }
 
+  test("QueryService: paceVsWeather joins race pace to weather aggregate") {
+    val r = QueryService.paceVsWeather(silverLaps, silverWeather).collect()
+    // race-session drivers with non-null laptime: VER, "", HAM (2024 R)
+    assert(r.length === 3)
+    val ver = r.find(_.getAs[String]("driver") == "VER").get
+    assert(ver.getAs[Double]("median_laptime") === 89e9)   // median(90e9, 88e9)
+    assert(ver.getAs[Double]("avg_tracktemp") === 41.0)
+    assert(ver.getAs[Int]("had_rain") === 1)
+  }
+
+  test("QueryService.chartHint mirrors the reference heuristic") {
+    val df = spark.range(5).selectExpr("cast(id as string) AS label", "id AS v")
+    assert(QueryService.chartHint(df, 5) === "line")
+    assert(QueryService.chartHint(df, 30) === "bar")
+    assert(QueryService.chartHint(df, 500) === "table")
+    val nonNumeric = spark.range(2).selectExpr("'a' AS x", "'b' AS y")
+    assert(QueryService.chartHint(nonNumeric, 5) === "table")
+  }
+
+  test("SafeSql.resolveSchema probes candidate databases in order") {
+    import graft.serving.SafeSql
+    assert(SafeSql.resolveSchema(spark, Seq("main_silver", "default")) === Some("default"))
+    assert(SafeSql.resolveSchema(spark, Seq("nope", "nada")) === None)
+  }
+
   test("idempotent-write guard detects existing leaves") {
     assert(Bronze.leafExists(spark, bronzeRoot, "laps", 2024, 1, "bahrain-grand-prix", "R"))
     assert(!Bronze.leafExists(spark, bronzeRoot, "laps", 2025, 1, "bahrain-grand-prix", "R"))

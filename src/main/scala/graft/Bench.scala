@@ -18,6 +18,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // 52 queries × (warmup + measured) plans exceed the default
+      // 100-entry codegen class cache → random mid-run janino
+      // recompiles that show up as roving multi-second outliers
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -28,7 +32,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // operators may persist self-join intermediates; drop them so each
+      // query is measured against a clean executor (no cross-query GC
+      // pressure from accumulated cached frames)
+      spark.catalog.clearCache()
+      t
     }
 
     // JVM/session warmup so the first measured query doesn't absorb

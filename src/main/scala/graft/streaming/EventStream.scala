@@ -45,6 +45,16 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same event id,
+    * with a watermark bounding how long ids are held in state (the
+    * streaming twin of `Dedup.exact` — at-least-once upstreams become
+    * effectively-once downstream, and state stays bounded).
+    */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts_utc", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Ev(event_id: Long, user_id: Long, ts_us: Long,
                       event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, session_start_us: Long,

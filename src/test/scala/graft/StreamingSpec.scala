@@ -34,6 +34,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("n")).sum > 0)
   }
 
+  test("dedupStream drops duplicate event ids within the watermark") {
+    // stage the events file twice → every event delivered twice
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dupDir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dupDir.resolve("b.parquet"))
+    val q = EventStream.dedupStream(
+        EventStream.readEvents(spark, dupDir.toString))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("dedup_stream").count()
+    val distinctIds = spark.read.parquet(s"$dupDir/a.parquet")
+      .select("event_id").distinct().count()
+    assert(n === distinctIds)
+  }
+
   test("sessionize splits on gaps and aggregates custom state") {
     import spark.implicits._
     val evs = Seq(

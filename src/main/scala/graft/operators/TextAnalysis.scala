@@ -128,6 +128,24 @@ object TextAnalysis {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ sampling
+
+  /** Deterministic stratified sample: the k rows per stratum with the
+    * smallest md5(id) — a reproducible uniform sample (hash order is
+    * fixed, so re-runs, retries, and different cluster sizes all pick
+    * the SAME rows; no RNG state to coordinate). The per-stratum top-k
+    * is one window over the stratum key — a single shuffle at any
+    * scale.
+    */
+  def stratifiedHashSample(df: DataFrame, stratum: Column, id: Column,
+                           k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratum).orderBy(md5(id.cast(StringType)), id)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   // -------------------------------------------------------- fingerprints
 
   /** Document fingerprinting: min-MD5 over 5-token shingles (the

@@ -316,7 +316,23 @@ object Extensions {
       .orderBy("query_id", "rnk"),
     Some(Similarity.ivfTopKOracle(nCentroids = 8, nQueries = 20, k = 3)))
 
+  /** Deterministic stratified sampling — 10 docs per language by
+    * smallest md5(doc_id): reproducible across runs and cluster sizes.
+    */
+  private val q61 = Q("q61_stratified_sample",
+    (s, d) => TextAnalysis.stratifiedHashSample(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        stratum = col("lang"), id = col("doc_id"), k = 10)
+      .orderBy("lang", "doc_id"),
+    Some("""SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 10
+            ORDER BY lang, doc_id"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
 }

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.types._
-import graft.pipeline.{Bronze, Gold, Silver}
+import graft.pipeline.{Bronze, Gold, Lakehouse, Silver}
 import graft.quality.Checks
 import graft.serving.QueryService
 
@@ -16,11 +16,15 @@ import graft.serving.QueryService
   */
 object F1Demo {
   def main(args: Array[String]): Unit = {
+    // keep catalog artifacts (warehouse + derby metastore) out of the repo
+    val scratch = Files.createTempDirectory("f1demo-warehouse").toString
+    System.setProperty("derby.system.home", scratch)
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -51,6 +55,16 @@ object F1Demo {
       Checks.notNull(dss, "gold.dss", Seq("season", "round", "grand_prix", "driver"))
     Checks.assertAll(contract)
     println(s"[f1demo] not_null contract: ${contract.size} checks passed")
+
+    // the dbt-build equivalent: catalog-backed full rebuild + contract
+    val built = Lakehouse.build(spark, root)
+    println(s"[f1demo] lakehouse build: silver=${built.silverRows}, " +
+      s"dss=${built.dssRows}, tes=${built.tesRows}")
+    built.contract.foreach(c =>
+      println(s"[f1demo]   contract ${c.table}.${c.column}: " +
+        (if (c.passed) "pass" else s"${c.failures} null(s)")))
+    println("[f1demo] catalog: " +
+      spark.catalog.listTables("gold").collect().map(_.name).sorted.mkString(", "))
     spark.stop()
   }
 

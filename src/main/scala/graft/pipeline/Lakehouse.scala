@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.quality.Checks
+
+/** The full lakehouse build — the engine's equivalent of `dbt build`
+  * (SURVEY §3.1): read bronze, promote the three silver entities,
+  * build both gold marts, materialize everything as catalog tables
+  * (S7 CTAS semantics into the S8 warehouse), and run the not-null
+  * contract as the post-build gate.
+  *
+  * The dbt DAG becomes plain dataflow: silver models are independent
+  * (Catalyst/Spark schedule their jobs separately), gold.tes is built
+  * FROM gold.dss (the J3 mart-over-mart edge), and the 17-test
+  * contract runs one scan per table instead of 17 probe queries.
+  */
+object Lakehouse {
+
+  final case class BuildResult(
+      silverRows: Map[String, Long],
+      dssRows: Long, tesRows: Long,
+      contract: Seq[Checks.CheckResult])
+
+  private val SilverEntities = Seq("laps", "weather", "results")
+
+  /** Full rebuild, mirroring the reference's `+materialized: table`
+    * semantics (no incrementality — SURVEY §4 row "Incrementality").
+    * Entities missing from bronze are skipped (the reference's
+    * ingestion writes whatever sessions exist).
+    */
+  def build(spark: SparkSession, bronzeRoot: String,
+            silverDb: String = "silver", goldDb: String = "gold"): BuildResult = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $silverDb")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $goldDb")
+
+    val silverRows = SilverEntities.flatMap { entity =>
+      val exists = new org.apache.hadoop.fs.Path(s"$bronzeRoot/$entity")
+      val fs = exists.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(exists)) None
+      else {
+        Silver.build(Bronze.read(spark, bronzeRoot, entity), s"$silverDb.$entity")
+        Some(entity -> spark.table(s"$silverDb.$entity").count())
+      }
+    }.toMap
+
+    val silverLaps = spark.table(s"$silverDb.laps")
+    Gold.driverSessionSummary(silverLaps)
+      .write.mode("overwrite").saveAsTable(s"$goldDb.driver_session_summary")
+    val dss = spark.table(s"$goldDb.driver_session_summary")
+    Gold.teamEventSummary(dss)
+      .write.mode("overwrite").saveAsTable(s"$goldDb.team_event_summary")
+    val tes = spark.table(s"$goldDb.team_event_summary")
+
+    val keyCols = Seq("season", "round", "grand_prix")
+    val contract =
+      silverRows.keys.toSeq.sorted.map(e =>
+        Checks.notNull(spark.table(s"$silverDb.$e"), s"$silverDb.$e", keyCols)) :+
+        Checks.notNull(dss, s"$goldDb.driver_session_summary", keyCols :+ "driver") :+
+        Checks.notNull(tes, s"$goldDb.team_event_summary", keyCols :+ "team")
+
+    BuildResult(silverRows, dss.count(), tes.count(), contract.flatten)
+  }
+}

@@ -191,6 +191,24 @@ class PipelineSpec extends SparkSpec {
     assert(SafeSql.resolveSchema(spark, Seq("nope", "nada")) === None)
   }
 
+  test("Lakehouse.build materializes catalog tables and runs the contract") {
+    import graft.pipeline.Lakehouse
+    val result = Lakehouse.build(spark, bronzeRoot,
+      silverDb = "t_silver", goldDb = "t_gold")
+    assert(result.silverRows === Map("laps" -> 8L, "weather" -> 2L))
+    assert(result.dssRows === 5L)
+    assert(result.tesRows === 5L)
+    // tables really live in the catalog (S7/S8)
+    assert(spark.catalog.tableExists("t_silver.laps"))
+    assert(spark.catalog.tableExists("t_gold.team_event_summary"))
+    assert(spark.table("t_gold.driver_session_summary").columns.length === 12)
+    // the contract catches the fixture's NULL-team group, everything else passes
+    val (bad, good) = result.contract.partition(c =>
+      c.table == "t_gold.team_event_summary" && c.column == "team")
+    assert(bad.map(_.failures) === Seq(1L))
+    assert(good.forall(_.passed))
+  }
+
   test("idempotent-write guard detects existing leaves") {
     assert(Bronze.leafExists(spark, bronzeRoot, "laps", 2024, 1, "bahrain-grand-prix", "R"))
     assert(!Bronze.leafExists(spark, bronzeRoot, "laps", 2025, 1, "bahrain-grand-prix", "R"))

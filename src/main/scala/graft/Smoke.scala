@@ -43,6 +43,26 @@ object Smoke {
     }
     val capped = SafeSql.run(spark, "SELECT l_orderkey FROM lineitem").count()
     println(s"[smoke] row cap: $capped (must be <= 200)")
+
+    // scale mechanisms: salted aggregation ≡ direct; resize stub budget
+    import org.apache.spark.sql.functions._
+    val li = graft.tables.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val salted = graft.operators.Skew.saltedAggregate(li,
+        keys = Seq("l_returnflag"), saltFrom = col("l_orderkey"),
+        saltBuckets = 16,
+        aggs = Seq(graft.operators.Skew.countAll("n"),
+          graft.operators.Skew.sumOf(col("l_quantity").cast("decimal(38,6)"), "q")))
+      .orderBy("l_returnflag").collect().toSeq
+    val direct = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("decimal(38,6)")).as("q"))
+      .orderBy("l_returnflag").collect().toSeq
+    println(s"[smoke] salted agg == direct agg: ${salted == direct}")
+
+    val assets = graft.operators.Multimodal.fromText(
+      graft.tables.Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+    val overBudget = graft.operators.Multimodal.resizeStub(assets, targetBytes = 64)
+      .filter(r => r.resized_bytes > 64).count()
+    println(s"[smoke] resize stub over-budget rows: $overBudget (must be 0)")
     spark.stop()
   }
 }

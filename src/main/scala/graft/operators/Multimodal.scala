@@ -79,6 +79,34 @@ object Multimodal {
       }
   }
 
+  /** Resize stub: deterministic byte-budget "re-encode" of each payload
+    * (every k-th byte up to `targetBytes`) with before/after metadata —
+    * the column shapes and partition behavior of a real thumbnailer,
+    * without the codec.
+    */
+  def resizeStub(assets: DataFrame, targetBytes: Int): Dataset[ResizedAsset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val bytes = Option(payload).getOrElse(Array.emptyByteArray)
+          val out =
+            if (bytes.length <= targetBytes) bytes
+            else {
+              val stride = math.max(1, bytes.length / targetBytes)
+              bytes.indices.collect { case i if i % stride == 0 => bytes(i) }
+                .take(targetBytes).toArray
+            }
+          ResizedAsset(id, bytes.length.toLong, out.length.toLong, out)
+        }
+      }
+  }
+
+  final case class ResizedAsset(asset_id: Long, orig_bytes: Long,
+                                resized_bytes: Long, payload: Array[Byte])
+
   /** Frame-sampling stub for video payloads: emits `n` (offset, slice)
     * pseudo-frames per asset — the explode/partition shape of real frame
     * extraction without the codec.

@@ -30,6 +30,18 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeStub enforces the byte budget deterministically") {
+    val resized = Multimodal.resizeStub(assets, targetBytes = 64)
+      .collect().sortBy(_.asset_id)
+    assert(resized.forall(r => r.resized_bytes <= 64))
+    assert(resized.forall(r => r.resized_bytes <= r.orig_bytes))
+    val again = Multimodal.resizeStub(assets.repartition(5), targetBytes = 64)
+      .collect().sortBy(_.asset_id)
+    resized.zip(again).foreach { case (a, b) =>
+      assert(a.payload.toSeq === b.payload.toSeq)
+    }
+  }
+
   test("frameSampleStub explodes n pseudo-frames per asset") {
     val frames = Multimodal.frameSampleStub(assets.limit(3), n = 4)
     assert(frames.count() === 12)

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.operators.Skew
+import graft.tables.Tables
+
+/** Scale-mechanism evidence: bucketed co-located joins and salted
+  * aggregation produce the plans/results the 100 TB design relies on.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt")
+    Tables.orders(spark, dir).write.mode("overwrite")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("bkt.orders_b")
+    Tables.customer(spark, dir).write.mode("overwrite")
+      .bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("bkt.customer_b")
+
+    val joined = spark.table("bkt.orders_b")
+      .join(spark.table("bkt.customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+
+    // co-located bucketed join: the join itself must not shuffle
+    // (the only exchange allowed is the post-join aggregation's)
+    joined.collect()
+    val finalPlan = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = finalPlan.collectWithSubqueries {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.size <= 1,
+      s"bucketed join should only shuffle for the aggregation, got ${shuffles.size}")
+
+    val direct = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+    assert(joined.orderBy("c_nationkey").collect().toSeq ===
+      direct.orderBy("c_nationkey").collect().toSeq)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, dir)
+    val salted = Skew.saltedAggregate(li,
+      keys = Seq("l_returnflag"),
+      saltFrom = col("l_orderkey"), saltBuckets = 16,
+      aggs = Seq(
+        Skew.countAll("n"),
+        Skew.sumOf(col("l_quantity").cast("decimal(38,6)"), "sum_qty"),
+        Skew.minOf(col("l_extendedprice"), "min_p"),
+        Skew.maxOf(col("l_extendedprice"), "max_p")))
+    val direct = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(38,6)")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_p"),
+        max(col("l_extendedprice")).as("max_p"))
+    assert(salted.orderBy("l_returnflag").collect().toSeq ===
+      direct.orderBy("l_returnflag").collect().toSeq)
+  }
+}

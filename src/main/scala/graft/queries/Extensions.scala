@@ -332,7 +332,24 @@ object Extensions {
             WHERE rk <= 10
             ORDER BY lang, doc_id"""))
 
+  /** HLL approximate distinct — the 100 TB substitute for exact
+    * COUNT(DISTINCT) (no global dedup shuffle; sketches merge
+    * associatively). Rows-only check: HLL implementations differ
+    * between engines, so exactness is asserted as a relative-error
+    * bound in the spec instead of an oracle hash.
+    */
+  private val q62 = Q("q62_approx_distinct",
+    (s, d) => Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_cust"),
+        count_distinct(col("o_custkey")).as("exact_cust"))
+      .withColumn("rel_err",
+        abs(col("approx_cust") - col("exact_cust")).cast("double") / col("exact_cust"))
+      .orderBy("o_orderpriority"),
+    None)
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
 }

@@ -559,8 +559,110 @@ object Parity {
                 CAST(FLOOR(dur_ns / 1000000) AS BIGINT) % 1000) AS dur_pretty
             FROM t ORDER BY dur_pretty, l_orderkey, l_linenumber LIMIT 50"""))
 
+  // ------------------------------------------- classic analytic shapes
+
+  /** TPC-H Q3 shape — shipping priority: 3-way join, filtered both
+    * sides, revenue aggregate, top-10. Customer is the broadcast side;
+    * orders⋈lineitem shuffles on the order key.
+    */
+  private val q32 = Q("q32_tpch_q3_shape",
+    (s, d) => {
+      val cutoff = lit("1996-03-15").cast(TimestampType)
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(Fns.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-03-15'
+              AND l_shipdate > TIMESTAMP '1996-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+    headline = true)
+
+  /** TPC-H Q5 shape — 6-way star join: big fact chain shuffles once on
+    * each key; all four dims broadcast.
+    */
+  private val q33 = Q("q33_tpch_q5_shape",
+    (s, d) => Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(Fns.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name")),
+    Some("""SELECT n_name,
+              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+    headline = true)
+
+  /** TPC-H Q10 shape — returned-item reporting: fact filter, join up the
+    * dimension chain, top-20 accounts by lost revenue.
+    */
+  private val q34 = Q("q34_tpch_q10_shape",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(
+        Fns.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("lost_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("lost_revenue").desc, col("c_custkey"))
+      .limit(20),
+    Some("""SELECT c_custkey, c_name, n_name,
+              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS lost_revenue,
+              COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY lost_revenue DESC, c_custkey LIMIT 20"""))
+
+  /** CUBE — all grouping-set combinations (completes q54's ROLLUP). */
+  private val q35 = Q("q35_cube",
+    (s, d) => Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), Fns.exactSum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first),
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+              SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus ASC NULLS FIRST,
+                     o_orderpriority ASC NULLS FIRST"""))
+
   val all: Vector[Q] = Vector(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+    q31, q32, q33, q34, q35)
 }

@@ -46,6 +46,14 @@ class ScaleSpec extends SparkSpec {
       direct.orderBy("c_nationkey").collect().toSeq)
   }
 
+  test("approx_count_distinct stays within 5% of exact") {
+    val r = SparkEntry.queries("q62_approx_distinct")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getAs[Double]("rel_err") < 0.05,
+      s"rel_err too high: $row"))
+  }
+
   test("salted aggregation equals direct aggregation") {
     val dir = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, dir)

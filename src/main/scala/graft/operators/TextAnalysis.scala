@@ -146,6 +146,54 @@ object TextAnalysis {
       .drop("__rk")
   }
 
+  // --------------------------------------------------------------- tfidf
+
+  /** Top-k characteristic terms per document by tf·idf. The idf is the
+    * BM25-style RATIONAL form (N - df + 0.5)/(df + 0.5) rather than a
+    * logarithm: ln() is libm-dependent and not bit-identical across
+    * engines, while division is IEEE-deterministic — same ranking
+    * behavior, oracle-replayable. Two aggregations (tf per doc·term, df
+    * per term) + one window; every step is a hash-shuffle on a bounded
+    * key, linear at corpus scale.
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), "\\s+")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("score", col("tf") * col("idf"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rk")
+  }
+
+  def tfIdfTopTermsOracle(k: Int): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       |    tf.tf * ((n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS score
+       |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+       |SELECT doc_id, term, tf, df, score, rk FROM (
+       |  SELECT doc_id, term, tf, df, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, term) AS BIGINT) AS rk
+       |  FROM scored)
+       |WHERE rk <= $k ORDER BY doc_id, rk""".stripMargin
+
   // -------------------------------------------------------- fingerprints
 
   /** Document fingerprinting: min-MD5 over 5-token shingles (the

@@ -349,7 +349,14 @@ object Extensions {
       .orderBy("o_orderpriority"),
     None)
 
+  /** TF-IDF top terms per document (rational idf — see operator doc). */
+  private val q63 = Q("q63_tfidf_top_terms",
+    (s, d) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), k = 5)
+      .orderBy("doc_id", "rk"),
+    Some(TextAnalysis.tfIdfTopTermsOracle(k = 5)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
+    q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
+    q60, q61, q62, q63)
 }

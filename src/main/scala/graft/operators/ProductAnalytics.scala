@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream product analytics: ordered funnels and retention
+  * cohorts. Time arithmetic is integer microseconds / epoch-days
+  * throughout — portable across engines (no timezone or calendar
+  * functions in the hot path) and exact.
+  */
+object ProductAnalytics {
+
+  /** Ordered funnel: how many users reach each stage IN ORDER (stage
+    * k's first event must be strictly after the user's stage k-1
+    * entry). One aggregation per stage, each joined on user — at scale,
+    * k small broadcast-or-shuffle joins over per-user aggregates, never
+    * over raw events twice.
+    *
+    * @param events (user_id, ts_us, event_type)
+    * @param stages event_type per funnel stage, in order
+    * @return (stage bigint 1-based, event_type, n_users)
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val first = events.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val perStage = stages.zipWithIndex.tail.scanLeft(first) {
+      case (prev, (stage, i)) =>
+        events.filter(col("event_type") === stage)
+          .join(prev.select(col("user_id"), col(s"t$i").as("t_prev")), "user_id")
+          .filter(col("ts_us") > col("t_prev"))
+          .groupBy("user_id").agg(min("ts_us").as(s"t${i + 1}"))
+    }
+    val counts = perStage.zip(stages).zipWithIndex.map {
+      case ((df, stage), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).cast("long").as("stage"),
+            lit(stage).as("event_type"), col("n_users"))
+    }
+    counts.reduce(_ unionByName _)
+  }
+
+  def funnelOracle(stages: Seq[String]): String = {
+    val ctes = stages.zipWithIndex.map {
+      case (stage, 0) =>
+        s"""s1 AS (
+           |  SELECT user_id, MIN(EPOCH_US(ts)) AS t1 FROM events
+           |  WHERE event_type = '$stage' GROUP BY user_id)""".stripMargin
+      case (stage, i) =>
+        s"""s${i + 1} AS (
+           |  SELECT e.user_id, MIN(EPOCH_US(e.ts)) AS t${i + 1}
+           |  FROM events e JOIN s$i ON e.user_id = s$i.user_id
+           |  WHERE e.event_type = '$stage' AND EPOCH_US(e.ts) > s$i.t$i
+           |  GROUP BY e.user_id)""".stripMargin
+    }
+    val selects = stages.zipWithIndex.map { case (stage, i) =>
+      s"SELECT CAST(${i + 1} AS BIGINT) AS stage, '$stage' AS event_type, " +
+        s"COUNT(*) AS n_users FROM s${i + 1}"
+    }
+    s"WITH ${ctes.mkString(",\n")}\n${selects.mkString("\nUNION ALL ")}\nORDER BY stage"
+  }
+
+  /** Retention cohorts: users grouped by their first active epoch-day;
+    * for each (cohort_day, day_offset) the count of distinct active
+    * users. Two aggregations (first-day per user, then cohort×offset) —
+    * both hash shuffles on bounded keys.
+    *
+    * @param events (user_id, ts_us, …)
+    * @return (cohort_day, day_offset, n_users) — epoch-day integers
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"),
+      expr("ts_us div 86400000000").as("day"))
+    val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
+  val retentionOracle: String =
+    """WITH d AS (
+      |  SELECT user_id, EPOCH_US(ts) // 86400000000 AS day FROM events),
+      |cohorts AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+      |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+      |  COUNT(DISTINCT d.user_id) AS n_users
+      |FROM d JOIN cohorts c ON d.user_id = c.user_id
+      |GROUP BY c.cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+}

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Fns
-import graft.operators.{AsOfJoin, Dedup, RangeJoin, Similarity, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import graft.operators.{AsOfJoin, Dedup, ProductAnalytics, RangeJoin, Similarity, TextAnalysis}
 import graft.serving.SafeSql
 import graft.queries.Parity.Q
 import graft.tables.Tables
@@ -355,8 +356,26 @@ object Extensions {
       .orderBy("doc_id", "rk"),
     Some(TextAnalysis.tfIdfTopTermsOracle(k = 5)))
 
+  private def eventsUs(s: SparkSession, d: String) =
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select("user_id", "ts_us", "event_type")
+
+  /** Ordered funnel over the event stream (signup → click → purchase). */
+  private val q64 = Q("q64_funnel",
+    (s, d) => ProductAnalytics.funnel(eventsUs(s, d),
+        stages = Seq("signup", "click", "purchase"))
+      .orderBy("stage"),
+    Some(ProductAnalytics.funnelOracle(Seq("signup", "click", "purchase"))))
+
+  /** Retention cohorts by first-active epoch-day. */
+  private val q65 = Q("q65_retention_cohorts",
+    (s, d) => ProductAnalytics.retention(eventsUs(s, d))
+      .orderBy("cohort_day", "day_offset"),
+    Some(ProductAnalytics.retentionOracle))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63)
+    q60, q61, q62, q63, q64, q65)
 }

@@ -374,8 +374,33 @@ object Extensions {
       .orderBy("cohort_day", "day_offset"),
     Some(ProductAnalytics.retentionOracle))
 
+  /** Interval pair join (clicks × same-user purchases within the
+    * preceding hour) — the batch twin of the stream-stream join in
+    * `streaming.EventStream.clickPurchaseJoin` (identical plan runs in
+    * both modes; StreamingSpec asserts stream ≡ batch, this asserts
+    * batch ≡ oracle).
+    */
+  private val q66 = Q("q66_interval_pair_join",
+    (s, d) => graft.streaming.EventStream.clickPurchaseJoin(
+        Tables.events(s, d), windowMinutes = 60)
+      .select(
+        col("click_id"), col("user_id"), col("purchase_id"),
+        col("purchase_value"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"))
+      .orderBy("click_id", "purchase_id"),
+    Some("""SELECT c.event_id AS click_id, c.user_id,
+              p.event_id AS purchase_id, p.value AS purchase_value,
+              EPOCH_US(c.ts) AS click_ts_us, EPOCH_US(p.ts) AS purchase_ts_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND EPOCH_US(p.ts) >= EPOCH_US(c.ts) - 3600000000
+             AND EPOCH_US(p.ts) <= EPOCH_US(c.ts)
+            ORDER BY click_id, purchase_id"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65)
+    q60, q61, q62, q63, q64, q65, q66)
 }

@@ -660,9 +660,81 @@ object Parity {
             ORDER BY o_orderstatus ASC NULLS FIRST,
                      o_orderpriority ASC NULLS FIRST"""))
 
+  // -------------------------------------------- subquery decorrelation
+
+  /** TPC-H Q17 shape — correlated scalar subquery (per-part average
+    * threshold), expressed as its decorrelated join form: the per-part
+    * aggregate is computed once and joined back, which is exactly the
+    * plan Catalyst's decorrelation produces from the subquery text the
+    * oracle runs.
+    */
+  private val q36 = Q("q36_scalar_subquery_shape",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(Fns.exactAvg(col("l_quantity")).as("avg_qty"))
+      li.join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(
+          Fns.exactSum(col("l_extendedprice")).as("total_price"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS total_price,
+              COUNT(*) AS n
+            FROM lineitem l1
+            WHERE l_quantity < 0.2 * (
+              SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                       / COUNT(l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)"""))
+
+  /** TPC-H Q4 shape — correlated EXISTS: orders with at least one line
+    * shipped after the order date, counted per priority (left-semi join
+    * = the decorrelated EXISTS).
+    */
+  private val q37 = Q("q37_exists_subquery_shape",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      o.join(l,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q18 shape — IN over an aggregated subquery: large-quantity
+    * orders (sum qty > threshold) joined back for reporting.
+    */
+  private val q38 = Q("q38_in_subquery_shape",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val big = l.groupBy("l_orderkey")
+        .agg(Fns.exactSum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+        .select(col("l_orderkey").as("big_ok"))
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("big_ok"), "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            FROM orders
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 150)
+            ORDER BY o_orderkey"""))
+
   val all: Vector[Q] = Vector(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35)
+    q31, q32, q33, q34, q35, q36, q37, q38)
 }

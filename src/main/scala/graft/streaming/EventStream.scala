@@ -55,6 +55,30 @@ object EventStream {
       .withWatermark("ts_utc", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each click paired with the same
+    * user's purchases from the preceding `windowMinutes`. Both sides
+    * carry watermarks so the join state is bounded (purchases older
+    * than the interval + watermark are evicted). The identical plan
+    * runs in batch mode — used as the correctness reference in tests.
+    */
+  def clickPurchaseJoin(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val base = withEventTime(events)
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_utc").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"), col("ts_utc").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select("click_id", "user_id", "click_ts", "purchase_id",
+        "purchase_value", "purchase_ts")
+  }
+
   final case class Ev(event_id: Long, user_id: Long, ts_us: Long,
                       event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, session_start_us: Long,

@@ -54,6 +54,22 @@ class StreamingSpec extends SparkSpec {
     assert(n === distinctIds)
   }
 
+  test("stream-stream interval join matches its batch twin") {
+    val streamed = EventStream.clickPurchaseJoin(
+      EventStream.readEvents(spark, eventsDir), windowMinutes = 60)
+    val q = streamed.writeStream
+      .format("memory").queryName("cpj_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("cpj_stream")
+      .orderBy("click_id", "purchase_id").collect()
+    val expected = EventStream.clickPurchaseJoin(
+        spark.read.parquet(s"$eventsDir/events.parquet"), windowMinutes = 60)
+      .orderBy("click_id", "purchase_id").collect()
+    assert(got.length === expected.length)
+    assert(got.length > 0, "interval join should match some click/purchase pairs")
+    assert(got.map(_.toString).toSeq === expected.map(_.toString).toSeq)
+  }
+
   test("sessionize splits on gaps and aggregates custom state") {
     import spark.implicits._
     val evs = Seq(

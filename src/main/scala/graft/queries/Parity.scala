@@ -732,9 +732,32 @@ object Parity {
               HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 150)
             ORDER BY o_orderkey"""))
 
+  /** Set operations beyond the implicit UNION ALL: INTERSECT and
+    * EXCEPT (both DISTINCT semantics — Spark `intersect`/`except` ≡ the
+    * SQL operators).
+    */
+  private val q39 = Q("q39_intersect_except",
+    (s, d) => {
+      val shipped = Tables.lineitem(s, d)
+        .filter(col("l_linestatus") === "O").select("l_orderkey")
+      val finished = Tables.lineitem(s, d)
+        .filter(col("l_linestatus") === "F").select("l_orderkey")
+      val both = shipped.intersect(finished)
+        .select(col("l_orderkey"), lit("both").as("src"))
+      val openOnly = shipped.except(finished)
+        .select(col("l_orderkey"), lit("open_only").as("src"))
+      both.unionByName(openOnly).orderBy("l_orderkey", "src")
+    },
+    Some("""WITH o AS (SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'O'),
+              f AS (SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F')
+            SELECT l_orderkey, 'both' AS src FROM (SELECT * FROM o INTERSECT SELECT * FROM f)
+            UNION ALL
+            SELECT l_orderkey, 'open_only' AS src FROM (SELECT * FROM o EXCEPT SELECT * FROM f)
+            ORDER BY l_orderkey, src"""))
+
   val all: Vector[Q] = Vector(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }

@@ -51,6 +51,19 @@ def main(sf_dir: str, out_dir: str) -> int:
             try:
                 pd.testing.assert_frame_equal(e, a, check_dtype=False,
                                               check_exact=True)
+                # driver-style stringify check: values can be equal while
+                # their string forms differ (Decimal('1.000000') vs 1.0)
+                # — the driver hashes strings, so that is still a FAIL.
+                es, as_ = e.astype(str), a.astype(str)
+                if not es.equals(as_):
+                    neq = es != as_
+                    rows = neq.any(axis=1)
+                    i = rows[rows].index[0]
+                    c = neq.columns[neq.loc[i]][0]
+                    print(f"FAIL {name}: stringify mismatch (driver hash) "
+                          f"row {i} col {c}: oracle={es.loc[i, c]!r} spark={as_.loc[i, c]!r}")
+                    n_fail += 1
+                    continue
                 print(f"PASS {name} ({len(e)} rows)")
                 n_pass += 1
             except AssertionError as ex:

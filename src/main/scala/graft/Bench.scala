@@ -11,13 +11,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+    val spark = Sessions.local("graft-bench", cpus)
       // 52 queries × (warmup + measured) plans exceed the default
       // 100-entry codegen class cache → random mid-run janino
       // recompiles that show up as roving multi-second outliers
@@ -25,7 +19,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String): Double = {
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -38,6 +32,14 @@ object Bench {
       // pressure from accumulated cached frames)
       spark.catalog.clearCache()
       t
+    }
+
+    // Median of 3 runs per query: a single noisy run (sandbox contention,
+    // stray GC) must not decide the round's perf record.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def materialize(name: String): Double = {
+      val ts = Seq.fill(runs)(once(name)).sorted
+      ts(ts.size / 2)
     }
 
     // JVM/session warmup so the first measured query doesn't absorb

@@ -19,11 +19,7 @@ object F1Demo {
     // keep catalog artifacts (warehouse + derby metastore) out of the repo
     val scratch = Files.createTempDirectory("f1demo-warehouse").toString
     System.setProperty("derby.system.home", scratch)
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = Sessions.local("graft-f1demo", "4")
       .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

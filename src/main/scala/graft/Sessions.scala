@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single construction point for every SparkSession in the library's
+  * mains and tests. All engine-wide knobs live HERE and only here —
+  * operators and readers must never mutate session config as a side
+  * effect (a `spark.conf.set` inside a read flips a global knob for every
+  * later query in the session).
+  */
+object Sessions {
+
+  /** Standard local builder: `local[cpus]`, shuffle partitions = cpus
+    * (local mode; a real cluster sizes this to executor count × cores),
+    * UTC, AQE on, ns-longs for TIMESTAMP(NANOS) parquet, partition-type
+    * inference off (bronze partition values stay strings; silver owns
+    * typing — SURVEY §7 hard part 2).
+    */
+  def local(appName: String, cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS): read as int64 ns (the
+      // engine's ns-longs duration/time convention, SURVEY §1.2)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+
+  /** The knob [[graft.pipeline.Bronze.read]] depends on; asserted there,
+    * set here.
+    */
+  def assertNoPartitionTypeInference(spark: SparkSession): Unit =
+    require(
+      spark.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled") == "false",
+      "session must be built with partitionColumnTypeInference disabled " +
+        "(use graft.Sessions.local) — bronze partition values must stay strings")
+}

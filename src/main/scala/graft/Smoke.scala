@@ -10,13 +10,7 @@ import graft.tables.Tables
   */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = Sessions.local("graft-smoke", "4").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val n = SparkEntry.entry(spark).count()

@@ -109,6 +109,18 @@ object Fns {
     */
   def exactSum(c: Column): Column = sum(c.cast(DecimalType(38, 6)))
 
+  /** `exactSum` with the final value cast back to DOUBLE. The accumulation
+    * stays decimal (order-independent, exact); only the OUTPUT type changes.
+    * Use this whenever the sum is a result column: a DECIMAL(38,6) output
+    * column stringifies differently across engines ("253942.000000" vs
+    * "253942.0") even when values are equal, so hash-parity requires the
+    * double representation on both sides — mirror with
+    * `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)` in oracle SQL.
+    * Keep plain `exactSum` for intermediates that are re-aggregated or
+    * only filtered on.
+    */
+  def exactSumD(c: Column): Column = exactSum(c).cast(DoubleType)
+
   /** Deterministic AVG built from the exact decimal SUM: the sum is exact,
     * the final decimal→double conversion and the IEEE division are
     * deterministic, so the result is bit-identical regardless of

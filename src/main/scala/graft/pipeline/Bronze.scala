@@ -53,10 +53,12 @@ object Bronze {
     * across files (DuckDB `read_parquet(..., hive_partitioning=1)`
     * semantics). Partition-type inference must be OFF so `round="01"`
     * stays a string and silver's try_cast is the single typing point
-    * (SURVEY §7 hard part 2) — enforced here per-session.
+    * (SURVEY §7 hard part 2) — set at session construction
+    * (graft.Sessions), asserted here so a mis-built session fails fast
+    * instead of silently typing `round=01` as an int.
     */
   def read(spark: SparkSession, root: String, table: String): DataFrame = {
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    graft.Sessions.assertNoPartitionTypeInference(spark)
     spark.read.option("mergeSchema", "true").parquet(s"$root/$table")
   }
 }

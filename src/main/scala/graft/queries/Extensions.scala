@@ -149,10 +149,10 @@ object Extensions {
   private val q54 = Q("q54_rollup",
     (s, d) => Tables.lineitem(s, d)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("cnt"), Fns.exactSum(col("l_quantity")).as("sum_qty"))
+      .agg(count(lit(1)).as("cnt"), Fns.exactSumD(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
     Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-              SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+              CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
             ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
 
@@ -172,16 +172,17 @@ object Extensions {
         lag(col("o_totalprice"), 1).over(byOrder).as("prev_price"),
         rank().over(byYear).cast(LongType).as("rnk_year"),
         dense_rank().over(byYear).cast(LongType).as("drnk_year"),
-        sum(col("o_totalprice").cast(DecimalType(38, 6))).over(running).as("running_total"))
+        sum(col("o_totalprice").cast(DecimalType(38, 6))).over(running)
+          .cast(DoubleType).as("running_total"))
         .orderBy("o_custkey", "o_orderkey")
     },
     Some("""SELECT o_custkey, o_orderkey,
               LAG(o_totalprice, 1) OVER w AS prev_price,
               CAST(RANK() OVER wy AS BIGINT) AS rnk_year,
               CAST(DENSE_RANK() OVER wy AS BIGINT) AS drnk_year,
-              SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER
                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
                    wy AS (PARTITION BY o_custkey ORDER BY STRFTIME(o_orderdate, '%Y'))
@@ -237,18 +238,29 @@ object Extensions {
             FROM idx GROUP BY user_id, session_idx
             ORDER BY user_id, session_idx"""))
 
-  /** F12 — catalog introspection in the reference's schema_overview
-    * shape ("table(col type, …)"); rows-only check (the oracle's
-    * information_schema depends on how the harness registers tables).
+  /** F12 — catalog introspection, emitted engine-neutrally so it is
+    * hash-checkable: (table_name, alphabetically-sorted column-name
+    * list). Both engines read the same parquet, so names are identical;
+    * type spellings (which differ) are asserted separately in
+    * SafeSqlSpec via the reference-shaped `schemaOverview`. The oracle
+    * aggregates DuckDB `DESCRIBE` output per table.
     */
   private val q57 = Q("q57_catalog_overview",
     (s, d) => {
       Tables.registerAll(s, d)
-      s.createDataFrame(SafeSql.schemaOverview(s, Tables.names))
-        .toDF("table_name", "schema_line")
+      s.createDataFrame(SafeSql.columnOverview(s, Tables.names))
+        .toDF("table_name", "columns")
         .orderBy("table_name")
     },
-    None)
+    Some {
+      val perTable = Tables.names.sorted.map { t =>
+        s"""SELECT '$t' AS table_name,
+           |  STRING_AGG(column_name, ', ' ORDER BY column_name) AS columns
+           |FROM (DESCRIBE SELECT * FROM $t)""".stripMargin
+      }
+      perTable.mkString("SELECT table_name, columns FROM (\n", "\nUNION ALL\n",
+        "\n) t ORDER BY table_name")
+    })
 
   /** As-of join: each click gets the user's latest preceding purchase.
     * Spark side is the union + running-last formulation (one shuffle);
@@ -335,20 +347,29 @@ object Extensions {
 
   /** HLL approximate distinct — the 100 TB substitute for exact
     * COUNT(DISTINCT) (no global dedup shuffle; sketches merge
-    * associatively). Rows-only check: HLL implementations differ
-    * between engines, so exactness is asserted as a relative-error
-    * bound in the spec instead of an oracle hash.
+    * associatively). HLL estimates are engine-specific, so the
+    * hash-checkable contract is: the exact count, plus a boolean
+    * asserting the sketch landed within 5× its configured rsd — the
+    * oracle emits the exact count and literal TRUE. A wildly-off
+    * estimate therefore fails the driver gate, while bit-level sketch
+    * differences do not.
     */
   private val q62 = Q("q62_approx_distinct",
     (s, d) => Tables.orders(s, d)
       .groupBy("o_orderpriority")
       .agg(
-        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_cust"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx"),
         count_distinct(col("o_custkey")).as("exact_cust"))
-      .withColumn("rel_err",
-        abs(col("approx_cust") - col("exact_cust")).cast("double") / col("exact_cust"))
+      .select(
+        col("o_orderpriority"),
+        col("exact_cust"),
+        (abs(col("approx") - col("exact_cust")).cast("double") / col("exact_cust")
+          <= lit(0.05)).as("within_bound"))
       .orderBy("o_orderpriority"),
-    None)
+    Some("""SELECT o_orderpriority,
+              COUNT(DISTINCT o_custkey) AS exact_cust,
+              TRUE AS within_bound
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
   /** TF-IDF top terms per document (rational idf — see operator doc). */
   private val q63 = Q("q63_tfidf_top_terms",

@@ -129,16 +129,16 @@ object Parity {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("cnt"),
-        Fns.exactSum(col("l_quantity")).as("sum_qty"),
-        Fns.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        Fns.exactSumD(col("l_quantity")).as("sum_qty"),
+        Fns.exactSumD(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
         min("l_extendedprice").as("min_price"),
         max("l_extendedprice").as("max_price"),
         sum(when(col("l_quantity") > 25, 1).otherwise(0)).as("big_qty_cnt"))
       .orderBy("l_returnflag", "l_linestatus"),
     Some("""SELECT l_returnflag, l_linestatus,
               COUNT(*) AS cnt,
-              SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
               MIN(l_extendedprice) AS min_price,
               MAX(l_extendedprice) AS max_price,
               CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty_cnt
@@ -261,7 +261,7 @@ object Parity {
       val o = Tables.orders(s, d)
       val agg = o.groupBy("o_custkey", "o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
-          Fns.exactSum(col("o_totalprice")).as("total_price"))
+          Fns.exactSumD(col("o_totalprice")).as("total_price"))
       val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
         .groupBy("o_custkey", "o_orderstatus")
         .agg(count(lit(1)).as("urgent_cnt"))
@@ -272,7 +272,7 @@ object Parity {
     },
     Some("""WITH agg AS (
               SELECT o_custkey, o_orderstatus, COUNT(*) AS n_orders,
-                     SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_price
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
               FROM orders GROUP BY o_custkey, o_orderstatus),
             urgent AS (
               SELECT o_custkey, o_orderstatus, COUNT(*) AS urgent_cnt
@@ -387,11 +387,11 @@ object Parity {
       .groupBy(
         date_format(date_trunc("day", col("ts_utc")), "yyyy-MM-dd").as("day"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), Fns.exactSum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Fns.exactSumD(col("value")).as("sum_value"))
       .orderBy("day", "event_type"),
     Some("""SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
               event_type, COUNT(*) AS n,
-              SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
 
   /** F4 — defensive parse: try_cast → coalesce fallback. */
@@ -457,7 +457,7 @@ object Parity {
         .groupBy("c_nationkey")
         .agg(
           sum(col("n_orders")).as("nation_orders"),
-          sum(col("total_price")).as("nation_total"),
+          sum(col("total_price")).cast(DoubleType).as("nation_total"),
           count(lit(1)).as("n_cust"))
         .orderBy("c_nationkey")
     },
@@ -467,7 +467,7 @@ object Parity {
               FROM orders GROUP BY o_custkey)
             SELECT c_nationkey,
               CAST(SUM(n_orders) AS BIGINT) AS nation_orders,
-              CAST(SUM(total_price) AS DECIMAL(38,6)) AS nation_total,
+              CAST(SUM(total_price) AS DOUBLE) AS nation_total,
               COUNT(*) AS n_cust
             FROM per_cust JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey ORDER BY c_nationkey"""),
@@ -574,13 +574,13 @@ object Parity {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(Fns.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .agg(Fns.exactSumD(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
     Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
-              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -605,11 +605,11 @@ object Parity {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
       .groupBy("n_name")
-      .agg(Fns.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .agg(Fns.exactSumD(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name")),
     Some("""SELECT n_name,
-              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -631,13 +631,13 @@ object Parity {
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
       .agg(
-        Fns.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        Fns.exactSumD(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("lost_revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("lost_revenue").desc, col("c_custkey"))
       .limit(20),
     Some("""SELECT c_custkey, c_name, n_name,
-              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS lost_revenue,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS lost_revenue,
               COUNT(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -651,11 +651,11 @@ object Parity {
   private val q35 = Q("q35_cube",
     (s, d) => Tables.orders(s, d)
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("cnt"), Fns.exactSum(col("o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("cnt"), Fns.exactSumD(col("o_totalprice")).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first),
     Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-              SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus ASC NULLS FIRST,
                      o_orderpriority ASC NULLS FIRST"""))
@@ -676,10 +676,10 @@ object Parity {
       li.join(perPart, col("l_partkey") === col("pk"))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
         .agg(
-          Fns.exactSum(col("l_extendedprice")).as("total_price"),
+          Fns.exactSumD(col("l_extendedprice")).as("total_price"),
           count(lit(1)).as("n"))
     },
-    Some("""SELECT SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS total_price,
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
               COUNT(*) AS n
             FROM lineitem l1
             WHERE l_quantity < 0.2 * (

@@ -28,8 +28,18 @@ object SafeSql {
     "truncate", "attach", "detach", "copy", "export", "import", "pragma",
     "call", "grant", "revoke", "vacuum", "merge", "set")
 
+  /** Blank out quoted regions before keyword-scanning so that a literal
+    * (`WHERE word = 'set'`) or a quoted identifier (`AS "copy"`) never
+    * trips the screen. SQL escapes a quote by doubling it, so `'it''s'`
+    * is two adjacent quoted segments — both removed by the non-greedy
+    * scan. The keyword screen is a parity-surface heuristic anyway; the
+    * sound gate is the Catalyst parse in `assertQueryPlan`.
+    */
+  private def stripQuoted(sql: String): String =
+    sql.replaceAll("'[^']*'", "''").replaceAll("\"[^\"]*\"", "\"\"")
+
   private def keywordScreen(sql: String): Unit = {
-    val lowered = sql.toLowerCase
+    val lowered = stripQuoted(sql).toLowerCase
     Forbidden.foreach { kw =>
       if (("""\b""" + kw + """\b""").r.findFirstIn(lowered).isDefined)
         throw RejectedSql(s"forbidden keyword: $kw")
@@ -71,6 +81,19 @@ object SafeSql {
       val cols = spark.catalog.listColumns(t).collect()
         .map(c => s"${c.name} ${c.dataType}").mkString(", ")
       (t, s"$t($cols)")
+    }
+
+  /** Engine-neutral variant of `schemaOverview` for cross-engine
+    * verification: (table, alphabetically-sorted column-name list). Type
+    * spellings differ between engines (`DOUBLE` vs `DoubleType`), names
+    * do not; alphabetical order makes the line independent of any
+    * engine's metadata ordering guarantees, so the result is
+    * hash-comparable against a DuckDB DESCRIBE aggregation.
+    */
+  def columnOverview(spark: SparkSession, tables: Seq[String]): Seq[(String, String)] =
+    tables.sorted.map { t =>
+      val cols = spark.table(t).schema.fieldNames.sorted.mkString(", ")
+      (t, cols)
     }
 
   /** F10 — schema-prefix rewrite (ai/rag_api/main.py:146-147). */

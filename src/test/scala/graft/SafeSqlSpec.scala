@@ -30,6 +30,20 @@ class SafeSqlSpec extends SparkSpec {
     }
   }
 
+  test("keyword screen ignores quoted literals and identifiers") {
+    viewReady()
+    // forbidden words inside literals / quoted aliases must NOT trip the
+    // screen (reference forbids statements, not data mentioning them)
+    assert(SafeSql.run(spark, "SELECT id FROM t WHERE 'set' = 'set'").count() === 10)
+    assert(SafeSql.run(spark, "SELECT id AS `x`, 'drop table users' AS msg FROM t").count() === 10)
+    assert(SafeSql.run(spark, "SELECT 'it''s a copy' AS s FROM t").count() === 10)
+    // ...while genuinely hostile statements still reject
+    assertThrows[SafeSql.RejectedSql](
+      SafeSql.run(spark, "SELECT 'x' AS s FROM t; DROP TABLE t"))
+    assertThrows[SafeSql.RejectedSql](
+      SafeSql.run(spark, "WITH c AS (SELECT 'set' AS s) INSERT INTO t SELECT 1, 1"))
+  }
+
   test("schema-prefix rewrite replaces only whole-word prefixes") {
     assert(SafeSql.rewriteSchemas("SELECT * FROM silver.laps",
       Map("silver" -> "main_silver")) === "SELECT * FROM main_silver.laps")

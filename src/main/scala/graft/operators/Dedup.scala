@@ -79,42 +79,63 @@ object Dedup {
     * Candidate generation and verification are both equi-joins —
     * linear shuffle volume at any corpus size.
     */
+  /** Pair operators are self-cleaning: the shared base is persisted for
+    * the duration of the computation, the (small) pair result is
+    * materialized via an eager localCheckpoint — which truncates lineage
+    * so it no longer references the cache — and the base is unpersisted
+    * before returning. No CacheManager entries survive the call.
+    */
+  private def selfCleaning(base: DataFrame)(build: => DataFrame): DataFrame =
+    try build.localCheckpoint(eager = true)
+    finally { base.unpersist(blocking = false); () }
+
   def ngramJaccardPairs(docs: DataFrame, content: Column, id: Column,
-                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.8,
+                        broadcastDf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // shared by df-count, prefix index, and verification — persist once
     // instead of re-running the tokenize+shingle pipeline per consumer
     val base = shingledDocs(docs, content, id, n, dropShort = false)
       .withColumn("n_sh", size(col("sh")).cast(LongType))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = base.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-    val withDf = exploded.join(
-      exploded.groupBy("s").agg(count(lit(1)).as("df")), "s")
-    // floor (not the textbook ceil): one-longer prefix costs a few
-    // extra candidates but is immune to IEEE t·|d| landing a hair above
-    // an integer, which would shorten the prefix below the recall bound
-    val prefixLen = (col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
-    val prefix = withDf
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
-      .filter(col("rk") <= prefixLen)
-      .select("doc_id", "s")
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sh = base.select(col("doc_id"), col("sh"), col("n_sh"))
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-        col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-        col("n_sh").as("n_b")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
-      .withColumn("jaccard",
-        col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "inter", "jaccard")
+    selfCleaning(base) {
+      val exploded = base.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+      // document-frequency table = the DISTINCT-shingle vocabulary with
+      // counts — orders of magnitude smaller than the exploded occurrence
+      // stream (map-side combine collapses repeats before the shuffle).
+      // Broadcasting it turns the df-attach into a map-side hash join, so
+      // the exploded stream is never shuffled on `s` for this step. At a
+      // corpus whose vocabulary exceeds the broadcast budget, pass
+      // broadcastDf=false and this degrades to the plain equi-join.
+      val dfTable = exploded.groupBy("s").agg(count(lit(1)).as("df"))
+      val withDf = exploded.join(
+        if (broadcastDf) broadcast(dfTable) else dfTable, "s")
+      // floor (not the textbook ceil): one-longer prefix costs a few
+      // extra candidates but is immune to IEEE t·|d| landing a hair above
+      // an integer, which would shorten the prefix below the recall bound
+      val prefixLen = (col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
+      val prefix = withDf
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+        .filter(col("rk") <= prefixLen)
+        .select("doc_id", "s")
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sh = base.select(col("doc_id"), col("sh"), col("n_sh"))
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+          col("n_sh").as("n_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+          col("n_sh").as("n_b")), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    }
   }
 
   def ngramJaccardPairsOracle(n: Int, threshold: Double): String =
@@ -174,31 +195,33 @@ object Dedup {
     // reused by both self-join sides and the candidate verification
     val base = shingledDocs(docs, content, id, n, dropShort = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = base.select(
-      col("doc_id"), col("sh"),
-      array((0 until k).map(i => minhashComponent(col("sh"), i)): _*).as("sig"))
-    // bands carry ids only — the distinct() below must never hash the
-    // full shingle arrays; shingles re-join for candidate verification
-    val banded = sig.select(
-      col("doc_id"),
-      posexplode(array((0 until bands).map { b =>
-        md5(concat_ws("|", (0 until r).map(j => col("sig")(b * r + j)): _*))
-      }: _*)).as(Seq("band", "bucket")))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sh = base.select(col("doc_id"), col("sh"))
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
-      .withColumn("jaccard", col("inter").cast(DoubleType) /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    selfCleaning(base) {
+      val sig = base.select(
+        col("doc_id"), col("sh"),
+        array((0 until k).map(i => minhashComponent(col("sh"), i)): _*).as("sig"))
+      // bands carry ids only — the distinct() below must never hash the
+      // full shingle arrays; shingles re-join for candidate verification
+      val banded = sig.select(
+        col("doc_id"),
+        posexplode(array((0 until bands).map { b =>
+          md5(concat_ws("|", (0 until r).map(j => col("sig")(b * r + j)): _*))
+        }: _*)).as(Seq("band", "bucket")))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sh = base.select(col("doc_id"), col("sh"))
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+        .withColumn("jaccard", col("inter").cast(DoubleType) /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    }
   }
 
   def minHashLshPairsOracle(n: Int, k: Int, bands: Int, threshold: Double): String = {

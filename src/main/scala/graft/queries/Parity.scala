@@ -486,9 +486,20 @@ object Parity {
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
   /** Flagship — the full [DSS] gold-mart shape mapped onto lineitem:
-    * filter → window rank → grouped agg → multi-key LEFT join of the two
-    * aggregates → COALESCE patch (P5+W1+A1-A5+J1+P8 in one plan).
+    * filter → window rank → grouped agg (P5+W1+A1-A5+P8 in one plan).
     * This is also `SparkEntry.entry`.
+    *
+    * The reference's dbt SQL aggregates the base twice and LEFT-joins the
+    * two aggregates back together ([DSS]:49-57; the oracle below keeps
+    * that formulation). That costs two full shuffles of the base on the
+    * SAME key. Here both aggregate branches are derived from the
+    * post-window `ranked` frame instead: the window's Exchange+Sort
+    * already hash-partitions on (l_orderkey, l_suppkey), so the groupBy
+    * on those keys reuses that partitioning and the whole mart runs with
+    * ONE shuffle of the base. The two-branch join then degenerates to a
+    * single aggregate (every group matches itself — the oracle's
+    * COALESCE never fires), so the values are identical row-for-row.
+    * At 100 TB this halves the dominant cost of the mart build.
     */
   private val q30 = Q("q30_flagship_dss_shape",
     (s, d) => {
@@ -497,19 +508,17 @@ object Parity {
       val w = Window.partitionBy(keys.map(col): _*)
         .orderBy(col("l_extendedprice").asc_nulls_last, col("l_linenumber"))
       val onTrack = when(col("l_returnflag") === "N" && col("l_linestatus") === "O", 1).otherwise(0)
-      val agg = li.groupBy(keys.map(col): _*)
+      li.withColumn("rn", row_number().over(w))
+        .groupBy(keys.map(col): _*)
         .agg(
           count(lit(1)).as("laps_total"),
           sum(onTrack).as("laps_on_track"),
           sum(lit(1) - onTrack).as("pitstops"),
-          min("l_extendedprice").as("best_price"))
-      val pb = li.withColumn("rn", row_number().over(w))
-        .groupBy(keys.map(col): _*)
-        .agg(sum(when(col("rn") === 1, 1).otherwise(0)).as("personal_best"))
-      agg.join(pb, keys, "left")
+          min("l_extendedprice").as("best_price"),
+          sum(when(col("rn") === 1, 1).otherwise(0)).as("personal_best"))
         .select(col("l_orderkey"), col("l_suppkey"), col("laps_total"),
           col("laps_on_track"), col("pitstops"), col("best_price"),
-          coalesce(col("personal_best"), lit(0L)).as("personal_best"))
+          col("personal_best"))
         .orderBy("l_orderkey", "l_suppkey")
     },
     Some("""WITH base AS (

@@ -121,24 +121,38 @@ object Similarity {
        |SELECT vec_a, vec_b, score FROM scored
        |WHERE score >= $threshold ORDER BY vec_a, vec_b""".stripMargin
 
-  /** IVF-flat ANN: partition the corpus into Voronoi cells around a
-    * fixed set of centroid vectors (training-free seeding: the first
-    * `nCentroids` vectors serve as centroids — deterministic, no
-    * iterative k-means to keep the oracle replayable), assign queries
-    * and corpus to their nearest centroid by cosine, then search only
-    * within the query's cell (nprobe=1).
+  /** IVF-flat ANN with deterministic Lloyd training: seed cells from the
+    * first `nCentroids` vectors, refine them with `iters` k-means rounds
+    * over the corpus, then assign queries and corpus to their nearest
+    * trained centroid by cosine and search only within the query's cell
+    * (nprobe=1).
+    *
+    * Training follows the classic Spark k-means loop: assignment is a
+    * map-side broadcast cross-join (centroids are tiny BY CONSTRUCTION —
+    * `nCentroids` × dim doubles — so collecting them to the driver each
+    * round is the scale-correct pattern, not a shortcut), and the M-step
+    * is one shuffle of (cell, dim) pairs. Every arithmetic step is
+    * order-independent — component sums go through DECIMAL(38,6), ties
+    * break on cent_id — so the oracle replays the identical iterations
+    * in SQL and the result is hash-stable across any partitioning.
     *
     * At scale: centroids broadcast, assignment is a map-side cross join
     * with `nCentroids` rows, and the search is an equi-join on cell id —
     * the same linear-shuffle shape as the LSH variant, but with
     * data-adaptive cells instead of fixed hyperplanes.
     */
-  def ivfTopK(emb: DataFrame, nCentroids: Int, nQueries: Int, k: Int): DataFrame = {
+  def ivfTopK(emb: DataFrame, nCentroids: Int, nQueries: Int, k: Int,
+              iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
     val base = withNorm(emb)
-    val cents = base.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("e").as("cent_e"),
-        col("nrm").as("cent_nrm"))
-    def assign(df: DataFrame): DataFrame = {
+    val corpus = base.filter(col("vec_id") >= nCentroids + nQueries)
+
+    def centsDf(cents: Seq[(Long, Seq[Double])]): DataFrame = {
+      import spark.implicits._
+      cents.toDF("cent_id", "cent_e")
+        .withColumn("cent_nrm", dot(col("cent_e"), col("cent_e")))
+    }
+    def assign(df: DataFrame, cents: DataFrame): DataFrame = {
       val w = Window.partitionBy("vec_id")
         .orderBy(col("cscore").desc, col("cent_id"))
       df.crossJoin(broadcast(cents))
@@ -148,38 +162,91 @@ object Similarity {
         .filter(col("crk") === 1)
         .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
     }
+
+    // E/M rounds: cells with no members keep their previous centroid.
+    var cents: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("e")).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    for (_ <- 1 to iters) {
+      val means = assign(corpus, centsDf(cents))
+        .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("x").cast(DecimalType(38, 6))).cast(DoubleType)
+          / count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (id, e) => (id, means.getOrElse(id, e)) }
+    }
+
+    val trained = centsDf(cents)
     val q = assign(base.filter(
-        col("vec_id") >= nCentroids && col("vec_id") < nCentroids + nQueries))
+        col("vec_id") >= nCentroids && col("vec_id") < nCentroids + nQueries), trained)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("cell"))
-    val c = assign(base.filter(col("vec_id") >= nCentroids + nQueries))
+    val c = assign(corpus, trained)
       .select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
         col("nrm").as("cn"), col("cell"))
     rankTopK(c.join(broadcast(q), Seq("cell"))
       .select(col("query_id"), col("neighbor_id"), pairScore), k)
   }
 
-  def ivfTopKOracle(nCentroids: Int, nQueries: Int, k: Int): String =
+  /** Oracle for [[ivfTopK]]: replays the seed + `iters` Lloyd rounds as
+    * chained CTEs — an independent SQL formulation of the identical
+    * deterministic arithmetic.
+    */
+  def ivfTopKOracle(nCentroids: Int, nQueries: Int, k: Int,
+                    iters: Int = 2): String = {
+    val searchFrom = nCentroids + nQueries
+    def assignCte(it: Int): String =
+      s"""a$it AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT b.vec_id, b.embedding, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+         |        ${dotSql("b.embedding", "c.cent_e")}
+         |          / SQRT(b.nrm * c.cent_nrm) DESC, c.cent_id) AS crk
+         |    FROM corpus b CROSS JOIN cent${it - 1} c)
+         |  WHERE crk = 1)""".stripMargin
+    def meanCte(it: Int): String =
+      s"""m$it AS (
+         |  SELECT cell, i,
+         |    CAST(SUM(CAST(embedding[i] AS DECIMAL(38,6))) AS DOUBLE)
+         |      / COUNT(*) AS m
+         |  FROM a$it, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)
+         |  GROUP BY cell, i),
+         |g$it AS (SELECT cell AS cent_id, LIST(m ORDER BY i) AS cent_e
+         |  FROM m$it GROUP BY cell),
+         |cent$it AS (
+         |  SELECT cent_id, cent_e, ${dotSql("cent_e", "cent_e")} AS cent_nrm
+         |  FROM (
+         |    SELECT p.cent_id, COALESCE(g.cent_e, p.cent_e) AS cent_e
+         |    FROM cent${it - 1} p LEFT JOIN g$it g ON p.cent_id = g.cent_id))""".stripMargin
+    val rounds = (1 to iters).map(it => s"${assignCte(it)},\n${meanCte(it)}")
+      .mkString(",\n")
     s"""WITH base AS (
        |  SELECT vec_id, embedding,
        |    ${dotSql("embedding", "embedding")} AS nrm
        |  FROM embeddings),
-       |cents AS (
+       |corpus AS (SELECT * FROM base WHERE vec_id >= $searchFrom),
+       |cent0 AS (
        |  SELECT vec_id AS cent_id, embedding AS cent_e, nrm AS cent_nrm
        |  FROM base WHERE vec_id < $nCentroids),
+       |$rounds,
        |assigned AS (
-       |  SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
-       |    SELECT b.vec_id, b.embedding, b.nrm, c.cent_id,
+       |  SELECT vec_id, embedding, nrm, cell FROM (
+       |    SELECT b.vec_id, b.embedding, b.nrm, c.cent_id AS cell,
        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
        |        ${dotSql("b.embedding", "c.cent_e")}
        |          / SQRT(b.nrm * c.cent_nrm) DESC, c.cent_id) AS crk
-       |    FROM base b CROSS JOIN cents c
+       |    FROM base b CROSS JOIN cent$iters c
        |    WHERE b.vec_id >= $nCentroids)
        |  WHERE crk = 1),
        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cell
-       |      FROM assigned WHERE vec_id < ${nCentroids + nQueries}),
+       |      FROM assigned WHERE vec_id < $searchFrom),
        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, nrm AS cn, cell
-       |      FROM assigned WHERE vec_id >= ${nCentroids + nQueries}),
+       |      FROM assigned WHERE vec_id >= $searchFrom),
        |scored AS (
        |  SELECT query_id, neighbor_id,
        |    ${dotSql("qe", "ce")} / SQRT(qn * cn) AS score
@@ -191,6 +258,7 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, neighbor_id, score, rnk FROM ranked
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** Sign-LSH bucket id from the first `bits` dimensions: bit j set iff
     * embedding[j] > 0. Equal vectors land in equal buckets; at scale the

@@ -23,6 +23,38 @@ object Lakehouse {
 
   private val SilverEntities = Seq("laps", "weather", "results")
 
+  /** Transactional CTAS: materialize `df` as `fqTable` by writing to
+    * `<table>__tmp` and swapping via catalog renames — the engine's
+    * equivalent of dbt's `CREATE … __dbt_tmp` + ALTER RENAME swap
+    * (transform/target/run/f1_transform/models/silver/laps.sql:6-20).
+    * The live table is touched only AFTER the tmp write fully succeeded,
+    * so a failure mid-build (bad data, executor loss, contract breach in
+    * the producing query) leaves the previous table intact; if the final
+    * rename itself fails, the backup is restored. The rename pair is the
+    * narrowest non-atomic window a plain-parquet catalog allows — full
+    * ACID swap is what a Delta/Iceberg table format would buy on top.
+    */
+  def ctasSwap(spark: SparkSession, df: DataFrame, fqTable: String,
+               partitionBy: Seq[String] = Nil): Unit = {
+    val tmp = s"${fqTable}__tmp"
+    val backup = s"${fqTable}__backup"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS $backup")
+    if (spark.catalog.tableExists(fqTable))
+      spark.sql(s"ALTER TABLE $fqTable RENAME TO $backup")
+    try spark.sql(s"ALTER TABLE $tmp RENAME TO $fqTable")
+    catch {
+      case e: Throwable =>
+        if (spark.catalog.tableExists(backup))
+          spark.sql(s"ALTER TABLE $backup RENAME TO $fqTable")
+        throw e
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $backup")
+  }
+
   /** Full rebuild, mirroring the reference's `+materialized: table`
     * semantics (no incrementality — SURVEY §4 row "Incrementality").
     * Entities missing from bronze are skipped (the reference's
@@ -44,11 +76,10 @@ object Lakehouse {
     }.toMap
 
     val silverLaps = spark.table(s"$silverDb.laps")
-    Gold.driverSessionSummary(silverLaps)
-      .write.mode("overwrite").saveAsTable(s"$goldDb.driver_session_summary")
+    ctasSwap(spark, Gold.driverSessionSummary(silverLaps),
+      s"$goldDb.driver_session_summary")
     val dss = spark.table(s"$goldDb.driver_session_summary")
-    Gold.teamEventSummary(dss)
-      .write.mode("overwrite").saveAsTable(s"$goldDb.team_event_summary")
+    ctasSwap(spark, Gold.teamEventSummary(dss), s"$goldDb.team_event_summary")
     val tes = spark.table(s"$goldDb.team_event_summary")
 
     val keyCols = Seq("season", "round", "grand_prix")

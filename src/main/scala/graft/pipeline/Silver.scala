@@ -34,16 +34,15 @@ object Silver {
     bronze.select(keyCols ++ passthrough: _*)
   }
 
-  /** S7 — CTAS materialization of one silver model. Partitioning the
-    * saved table by season keeps dashboard predicates prunable at scale
-    * (an improvement over the reference's unpartitioned DuckDB tables;
-    * SURVEY §4 row 1).
+  /** S7 — CTAS materialization of one silver model, via the
+    * transactional tmp-write + rename swap ([[Lakehouse.ctasSwap]]) so a
+    * failed promotion never leaves a half-overwritten table. Partitioning
+    * the saved table by season keeps dashboard predicates prunable at
+    * scale (an improvement over the reference's unpartitioned DuckDB
+    * tables; SURVEY §4 row 1).
     */
   def build(bronze: DataFrame, fqTableName: String,
-            partitionBySeason: Boolean = false): Unit = {
-    val silver = promoteKeys(bronze)
-    val writer = silver.write.mode("overwrite")
-    (if (partitionBySeason) writer.partitionBy("season") else writer)
-      .saveAsTable(fqTableName)
-  }
+            partitionBySeason: Boolean = false): Unit =
+    Lakehouse.ctasSwap(bronze.sparkSession, promoteKeys(bronze), fqTableName,
+      partitionBy = if (partitionBySeason) Seq("season") else Nil)
 }

@@ -30,6 +30,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeImages: real PNG decode via javax.imageio") {
+    import java.awt.image.BufferedImage
+    // synthesize two real PNGs (gradient + solid) and one corrupt payload
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      Multimodal.pngBytes(img)
+    }
+    val gradient = png(32, 20, (x, y) => (x * 8 << 16) | (y * 12 << 8) | 0x40)
+    val solid = png(16, 16, (_, _) => 0xffffff)
+    val rows = Seq(
+      (1L, "image", gradient, "png", "fixture"),
+      (2L, "image", solid, "png", "fixture"),
+      (3L, "image", Array[Byte](1, 2, 3), "raw", "fixture"))
+    import spark.implicits._
+    val assetsDf = rows.toDF("asset_id", "modality", "payload", "media_format", "source")
+
+    val decoded = Multimodal.decodeImages(assetsDf).collect().sortBy(_.asset_id)
+    assert(decoded.map(d => (d.asset_id, d.width, d.height, d.format)).toSeq ===
+      Seq((1L, 32, 20, "png"), (2L, 16, 16, "png"), (3L, -1, -1, null)))
+    // luma feature: real pixels — solid white decodes to all-ones
+    val white = decoded(1).luma
+    assert(white.length === 64 && white.forall(v => math.abs(v - 1.0f) < 1e-3))
+    assert(decoded(2).luma.isEmpty)
+    // deterministic under repartitioning (header+pixels, not task order)
+    val again = Multimodal.decodeImages(assetsDf.repartition(5)).collect().sortBy(_.asset_id)
+    decoded.zip(again).foreach { case (a, b) =>
+      assert(a.luma.toSeq === b.luma.toSeq && a.width === b.width)
+    }
+  }
+
   test("resizeStub enforces the byte budget deterministically") {
     val resized = Multimodal.resizeStub(assets, targetBytes = 64)
       .collect().sortBy(_.asset_id)

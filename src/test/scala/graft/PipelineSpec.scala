@@ -209,6 +209,31 @@ class PipelineSpec extends SparkSpec {
     assert(good.forall(_.passed))
   }
 
+  test("ctasSwap: a failed rebuild leaves the previous table intact") {
+    import graft.pipeline.Lakehouse
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE DATABASE IF NOT EXISTS t_swap")
+    val v1 = spark.range(5).select(col("id"), lit("v1").as("tag"))
+    Lakehouse.ctasSwap(spark, v1, "t_swap.t")
+    assert(spark.table("t_swap.t").count() === 5)
+
+    // rebuild whose WRITE fails at runtime (raise_error fires per row)
+    val poison = spark.range(3).select(
+      col("id"), raise_error(lit("boom")).as("tag"))
+    intercept[Exception] { Lakehouse.ctasSwap(spark, poison, "t_swap.t") }
+    // previous table untouched, no half-written state visible
+    val after = spark.table("t_swap.t")
+    assert(after.count() === 5)
+    assert(after.select("tag").distinct().collect().map(_.getString(0)).toSeq === Seq("v1"))
+
+    // a successful rebuild swaps cleanly and drops the scaffolding
+    val v2 = spark.range(7).select(col("id"), lit("v2").as("tag"))
+    Lakehouse.ctasSwap(spark, v2, "t_swap.t")
+    assert(spark.table("t_swap.t").count() === 7)
+    assert(!spark.catalog.tableExists("t_swap.t__tmp"))
+    assert(!spark.catalog.tableExists("t_swap.t__backup"))
+  }
+
   test("idempotent-write guard detects existing leaves") {
     assert(Bronze.leafExists(spark, bronzeRoot, "laps", 2024, 1, "bahrain-grand-prix", "R"))
     assert(!Bronze.leafExists(spark, bronzeRoot, "laps", 2025, 1, "bahrain-grand-prix", "R"))

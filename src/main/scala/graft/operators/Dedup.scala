@@ -366,6 +366,87 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // -------------------------------------------- cluster assignment (CC)
+
+  /** Undirected connected components by iterative min-label propagation:
+    * every vertex starts labeled with its own id; each round every
+    * vertex takes the minimum label among itself and its neighbors;
+    * converged when no label changes. The cluster id is therefore the
+    * smallest member id — deterministic, engine-replayable.
+    *
+    * Scale shape: each round is one equi-join of the (id, label) frame
+    * against the edge list plus a min-aggregate — linear shuffle volume,
+    * no all-pairs anything. Rounds needed = graph diameter; near-dup
+    * graphs are unions of tiny cliques (diameter ≤ 2-3 in practice), so
+    * the loop ends after a handful of rounds. (For adversarial
+    * long-chain graphs the large-star/small-star halving variant bounds
+    * rounds at O(log n); not needed for dedup workloads.) Each round is
+    * checkpointed so the plan stays O(1) deep instead of growing with
+    * the iteration count.
+    */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+                          edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIters: Int = 50): DataFrame = {
+    val und = edges.select(col(srcCol).as("dst_id"), col(dstCol).as("nb"))
+      .union(edges.select(col(dstCol).as("dst_id"), col(srcCol).as("nb")))
+      .localCheckpoint(eager = true)
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxIters) {
+      val nbMin = und
+        .join(labels.select(col("id").as("nb"), col("label").as("nl")), Seq("nb"))
+        .groupBy(col("dst_id").as("id")).agg(min("nl").as("nb_min"))
+      val step = labels.join(nbMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nb_min"), col("label"))).as("new_label"))
+        .localCheckpoint(eager = true)
+      changed = step.filter(col("new_label") < col("label")).count()
+      labels = step.select(col("id"), col("new_label").as("label"))
+      rounds += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster"))
+  }
+
+  /** Near-dup cluster assignment over the SimHash pair graph: every doc
+    * gets the smallest doc_id of its connected component plus the
+    * component size — the form a dedup policy consumes ("keep the
+    * cluster representative, drop the rest").
+    */
+  def simHashClusters(docs: DataFrame, content: Column, id: Column,
+                      maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = simHashPairs(docs, content, id, maxHamming)
+    val labels = connectedComponents(
+      docs.select(id.as("doc_id")), "doc_id", pairs, "doc_a", "doc_b")
+    labels.withColumn("cluster_size",
+      count(lit(1)).over(Window.partitionBy("cluster")))
+  }
+
+  /** Oracle for [[simHashClusters]]: the SimHash pair CTEs + a recursive
+    * transitive closure, MIN-label per reachable set — an independent
+    * SQL formulation of the same component semantics.
+    */
+  def simHashClustersOracle(maxHamming: Int): String = {
+    val pairSql = simHashPairsOracle(maxHamming)
+    // reuse the full pair query as a CTE body (strip its ORDER BY tail)
+    val pairBody = pairSql.substring(0, pairSql.lastIndexOf("ORDER BY"))
+    s"""WITH RECURSIVE pairs AS (
+       |$pairBody),
+       |e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+       |SELECT src AS doc_id, cluster,
+       |  COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+       |FROM (SELECT src, MIN(dst) AS cluster FROM reach GROUP BY src)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Exact content dedup: group by MD5(content), keep the minimum id.
     * Returns (fp, keep_id, copies).
     */

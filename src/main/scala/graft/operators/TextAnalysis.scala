@@ -194,6 +194,115 @@ object TextAnalysis {
        |  FROM scored)
        |WHERE rk <= $k ORDER BY doc_id, rk""".stripMargin
 
+  // ---------------------------------------------------------- repetition
+
+  /** Repetition-based quality signals (the Gopher-rules family adapted
+    * to whitespace corpora): duplicate-token fraction and the fraction
+    * of all 2-grams taken by the single most repeated 2-gram. High
+    * values flag boilerplate/spam documents that length and stopword
+    * filters miss. Per-doc distincts are pure array expressions (no
+    * shuffle); the top-2-gram pass is two hash aggregations keyed by
+    * doc — linear at corpus scale.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val staged = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val nTok = size(col("toks")).cast(LongType)
+    val perDoc = staged.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
+      (lit(1.0) - size(array_distinct(col("toks"))).cast(DoubleType) / nTok)
+        .as("dup_token_frac"))
+    val grams = staged.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => array_join(slice(col("toks"), i, lit(2)), " ")))
+        .otherwise(array().cast(ArrayType(StringType)))).as("g"))
+    val gramStats = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum(col("cnt")).as("n_grams"),
+        max(col("cnt")).as("top_gram_cnt"))
+    perDoc.join(gramStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"), col("dup_token_frac"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("top_gram_cnt"), lit(0L)).as("top_gram_cnt"),
+        when(col("n_grams").isNull, lit(0.0))
+          .otherwise(col("top_gram_cnt").cast(DoubleType) / col("n_grams"))
+          .as("top_gram_frac"))
+  }
+
+  val repetitionSignalsOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, STRING_SPLIT_REGEX(text, '\s+') AS toks FROM documents),
+      |per_doc AS (
+      |  SELECT doc_id,
+      |    CAST(LEN(toks) AS BIGINT) AS n_tokens,
+      |    CAST(LEN(LIST_DISTINCT(toks)) AS BIGINT) AS n_distinct,
+      |    1.0 - CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) AS dup_token_frac
+      |  FROM t),
+      |grams AS (
+      |  SELECT doc_id, UNNEST(
+      |    CASE WHEN LEN(toks) >= 2 THEN
+      |      LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - 1),
+      |        i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 1), ' '))
+      |    ELSE [] END) AS g
+      |  FROM t),
+      |gram_stats AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+      |         CAST(MAX(cnt) AS BIGINT) AS top_gram_cnt
+      |  FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g)
+      |  GROUP BY doc_id)
+      |SELECT p.doc_id, p.n_tokens, p.n_distinct, p.dup_token_frac,
+      |  COALESCE(s.n_grams, 0) AS n_grams,
+      |  COALESCE(s.top_gram_cnt, 0) AS top_gram_cnt,
+      |  CASE WHEN s.n_grams IS NULL THEN 0.0
+      |       ELSE CAST(s.top_gram_cnt AS DOUBLE) / s.n_grams END AS top_gram_frac
+      |FROM per_doc p LEFT JOIN gram_stats s ON p.doc_id = s.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+
+  // ----------------------------------------------------------- pii scrub
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+  private val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII scrubbing: redact emails, URLs, and phone-shaped number runs to
+    * typed placeholders, with per-category match counts. Pure
+    * regexp_replace/extract chains — codegen'd, embarrassingly parallel,
+    * the standard pre-training privacy pass. Replacement order is fixed
+    * (email → url → phone) so nested matches resolve identically on any
+    * engine; the digest column makes the FULL scrubbed text
+    * hash-verifiable without shipping it.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      PhoneRe, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast(LongType).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).cast(LongType).as("n_urls"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast(LongType).as("n_phones"),
+      md5(scrubbed.cast(BinaryType)).as("scrubbed_digest"))
+  }
+
+  val piiScrubOracle: String = {
+    // DuckDB string literals don't escape backslashes; only quotes need care
+    def esc(re: String) = re.replace("'", "''")
+    s"""SELECT doc_id,
+       |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '${esc(EmailRe)}')) AS BIGINT) AS n_emails,
+       |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '${esc(UrlRe)}')) AS BIGINT) AS n_urls,
+       |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '${esc(PhoneRe)}')) AS BIGINT) AS n_phones,
+       |  MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+       |    '${esc(EmailRe)}', '<EMAIL>', 'g'),
+       |    '${esc(UrlRe)}', '<URL>', 'g'),
+       |    '${esc(PhoneRe)}', '<PHONE>', 'g')) AS scrubbed_digest
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------- fingerprints
 
   /** Document fingerprinting: min-MD5 over 5-token shingles (the

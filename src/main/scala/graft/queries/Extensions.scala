@@ -420,8 +420,30 @@ object Extensions {
              AND EPOCH_US(p.ts) <= EPOCH_US(c.ts)
             ORDER BY click_id, purchase_id"""))
 
+  /** Near-dup cluster assignment: connected components over the SimHash
+    * pair graph (min-label propagation vs a recursive-CTE transitive
+    * closure in the oracle — two independent formulations).
+    */
+  private val q67 = Q("q67_neardup_clusters",
+    (s, d) => Dedup.simHashClusters(Tables.documents(s, d),
+        col("text"), col("doc_id"), maxHamming = 3)
+      .orderBy("doc_id"),
+    Some(Dedup.simHashClustersOracle(maxHamming = 3)))
+
+  /** Repetition-based quality signals (Gopher-rules family). */
+  private val q68 = Q("q68_repetition_signals",
+    (s, d) => TextAnalysis.repetitionSignals(Tables.documents(s, d))
+      .orderBy("doc_id"),
+    Some(TextAnalysis.repetitionSignalsOracle))
+
+  /** PII scrubbing with per-category counts + scrubbed-text digest. */
+  private val q69 = Q("q69_pii_scrub",
+    (s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))
+      .orderBy("doc_id"),
+    Some(TextAnalysis.piiScrubOracle))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65, q66)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
 }

@@ -160,4 +160,51 @@ class OperatorsSpec extends SparkSpec {
     val q1 = r.filter(_.getAs[Long]("query_id") == 1L).map(_.getAs[Long]("neighbor_id"))
     assert(q1.toSet === Set(6L))
   }
+
+  test("Dedup.connectedComponents: min-label over a path + isolated vertex") {
+    import spark.implicits._
+    // graph: 0-1, 1-2 (one component), 3-4 (second), 5 isolated
+    val vertices = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (2L, 1L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val r = Dedup.connectedComponents(vertices, "doc_id", edges, "doc_a", "doc_b")
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+  }
+
+  test("Dedup.simHashClusters groups the exact-dup pair with size 2") {
+    val r = Dedup.simHashClusters(docs, col("text"), col("doc_id"))
+      .collect().map(row => row.getAs[Long]("doc_id") ->
+        (row.getAs[Long]("cluster"), row.getAs[Long]("cluster_size"))).toMap
+    assert(r(0L) === (0L, 2L))   // docs 0 and 1 are identical
+    assert(r(1L) === (0L, 2L))
+    assert(r(2L)._2 === 1L)      // the rest are singletons
+  }
+
+  test("TextAnalysis.piiScrub redacts emails, urls, phones") {
+    import spark.implicits._
+    val pii = Seq(
+      (0L, "contact me at jane.doe@example.com or +1 (555) 123-4567 now"),
+      (1L, "see https://example.com/a?b=c and http://x.org for details"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(pii).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_emails") === 1L)
+    assert(r(0).getAs[Long]("n_phones") === 1L)
+    assert(r(1).getAs[Long]("n_urls") === 2L)
+    assert(r(2).getAs[Long]("n_emails") === 0L)
+    // untouched text keeps its raw digest (scrub is the identity on clean docs)
+    assert(r(2).getAs[String]("scrubbed_digest") ===
+      pii.filter(col("doc_id") === 2L)
+        .select(md5(col("text").cast("binary"))).head().getString(0))
+  }
+
+  test("TextAnalysis.repetitionSignals flags repeated-token docs") {
+    import spark.implicits._
+    val rep = Seq(
+      (0L, "spam spam spam spam spam spam"),
+      (1L, "all words here are fully distinct tokens")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(rep).orderBy("doc_id").collect()
+    assert(r(0).getAs[Double]("dup_token_frac") > 0.8)
+    assert(r(0).getAs[Double]("top_gram_frac") === 1.0)   // only one distinct 2-gram
+    assert(r(1).getAs[Double]("dup_token_frac") === 0.0)
+  }
 }

@@ -390,7 +390,13 @@ object Dedup {
     val und = edges.select(col(srcCol).as("dst_id"), col(dstCol).as("nb"))
       .union(edges.select(col(dstCol).as("dst_id"), col(srcCol).as("nb")))
       .localCheckpoint(eager = true)
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+    // Only vertices that occur in an edge can change label — everything
+    // else is a singleton by construction. Iterating over the edge
+    // subgraph keeps the per-round frame at |paired vertices| (tiny for
+    // dedup graphs) instead of |corpus|; isolated vertices are unioned
+    // back label=own-id at the end, costing zero propagation rounds.
+    var labels = und.select(col("dst_id").as("id")).distinct()
+      .withColumn("label", col("id"))
       .localCheckpoint(eager = true)
     var changed = 1L
     var rounds = 0
@@ -406,7 +412,11 @@ object Dedup {
       labels = step.select(col("id"), col("new_label").as("label"))
       rounds += 1
     }
-    labels.select(col("id").as(idCol), col("label").as("cluster"))
+    val isolated = vertices.select(col(idCol).as("id"))
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .withColumn("label", col("id"))
+    labels.unionByName(isolated)
+      .select(col("id").as(idCol), col("label").as("cluster"))
   }
 
   /** Near-dup cluster assignment over the SimHash pair graph: every doc

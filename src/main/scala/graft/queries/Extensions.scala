@@ -355,17 +355,28 @@ object Extensions {
     * differences do not.
     */
   private val q62 = Q("q62_approx_distinct",
-    (s, d) => Tables.orders(s, d)
-      .groupBy("o_orderpriority")
-      .agg(
-        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx"),
-        count_distinct(col("o_custkey")).as("exact_cust"))
-      .select(
-        col("o_orderpriority"),
-        col("exact_cust"),
-        (abs(col("approx") - col("exact_cust")).cast("double") / col("exact_cust")
-          <= lit(0.05)).as("within_bound"))
-      .orderBy("o_orderpriority"),
+    (s, d) => {
+      // The sketch and the exact count are SEPARATE aggregations joined
+      // at the end: co-locating approx_count_distinct with a DISTINCT
+      // aggregate makes Spark key the partial HLL by (group, custkey) —
+      // one multi-KB sketch per distinct pair through the shuffle
+      // (measured 5.4s vs 0.6s at sf0.1). Split, the sketch branch
+      // shuffles |groups| sketches and the exact branch is a plain
+      // two-phase distinct. (At 100 TB only the sketch branch exists —
+      // the exact count is here for the oracle contract.)
+      val o = Tables.orders(s, d)
+      val approx = o.groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx"))
+      val exact = o.groupBy("o_orderpriority")
+        .agg(count_distinct(col("o_custkey")).as("exact_cust"))
+      exact.join(approx, Seq("o_orderpriority"))
+        .select(
+          col("o_orderpriority"),
+          col("exact_cust"),
+          (abs(col("approx") - col("exact_cust")).cast("double") / col("exact_cust")
+            <= lit(0.05)).as("within_bound"))
+        .orderBy("o_orderpriority")
+    },
     Some("""SELECT o_orderpriority,
               COUNT(DISTINCT o_custkey) AS exact_cust,
               TRUE AS within_bound

@@ -146,6 +146,35 @@ object TextAnalysis {
       .drop("__rk")
   }
 
+  /** Deterministic Bernoulli sample: keep a row iff the top 60 bits of
+    * md5(id) fall below fraction·2^60. Like [[stratifiedHashSample]],
+    * reproducible across runs, retries, and cluster sizes — and unlike a
+    * row_number top-k, it needs NO shuffle at all (pure filter on a scan,
+    * the only sane way to sample 100 TB).
+    */
+  def bernoulliHashSample(df: DataFrame, id: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    val h = conv(substring(md5(id.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+    df.filter(h < lit((fraction * (1L << 60).toDouble).toLong))
+  }
+
+  /** Oracle for [[bernoulliHashSample]] over (doc_id, lang, n_chars):
+    * replays the 60-bit md5 prefix via nibble arithmetic.
+    */
+  def bernoulliHashSampleOracle(fraction: Double): String = {
+    def nib(i: Int) = s"(STRPOS('0123456789abcdef', hx[$i]) - 1)"
+    val hExpr = (1 to 15)
+      .map(i => s"${nib(i)} * ${math.pow(16, 15 - i).toLong}")
+      .mkString(" + ")
+    val threshold = (fraction * (1L << 60).toDouble).toLong
+    s"""WITH h AS (
+       |  SELECT doc_id, lang, n_chars, MD5(CAST(doc_id AS VARCHAR)) AS hx
+       |  FROM documents)
+       |SELECT doc_id, lang, n_chars FROM h
+       |WHERE $hExpr < $threshold
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- tfidf
 
   /** Top-k characteristic terms per document by tf·idf. The idf is the

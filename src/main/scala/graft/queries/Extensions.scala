@@ -453,8 +453,52 @@ object Extensions {
       .orderBy("doc_id"),
     Some(TextAnalysis.piiScrubOracle))
 
+  /** Batch MERGE upsert: deterministic update+insert batch derived from
+    * orders itself, merged on the order key — matched rows replaced,
+    * unseen keys appended (operators.Merge; at scale one anti-join
+    * shuffle, broadcast when the batch is small).
+    */
+  private val q70 = Q("q70_merge_upsert",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val updates = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      val inserts = o.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("o_orderstatus", lit("N"))
+      graft.operators.Merge.upsert(o, updates.unionByName(inserts), Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH upd AS (
+              SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                     o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 13 = 0)
+            SELECT * FROM (
+              SELECT o.* FROM orders o
+              LEFT JOIN upd u ON o.o_orderkey = u.o_orderkey
+              WHERE u.o_orderkey IS NULL
+              UNION ALL SELECT * FROM upd)
+            ORDER BY o_orderkey"""))
+
+  /** Deterministic Bernoulli hash sampling — shuffle-free fraction
+    * sampling (the 100 TB counterpart of the per-stratum top-k q61).
+    */
+  private val q71 = Q("q71_bernoulli_sample",
+    (s, d) => TextAnalysis.bernoulliHashSample(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        col("doc_id"), fraction = 0.2)
+      .orderBy("doc_id"),
+    Some(TextAnalysis.bernoulliHashSampleOracle(fraction = 0.2)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
+    q70, q71)
 }

@@ -79,6 +79,16 @@ object EventStream {
         "purchase_value", "purchase_ts")
   }
 
+  /** Stream-static enrichment: join the event stream to a static
+    * dimension frame (the standard "decorate facts with dims as they
+    * arrive" pattern). The static side is broadcast — no streaming
+    * state at all, unlike a stream-stream join — and the identical plan
+    * runs in batch mode. `dim` must carry `user_id` plus the decoration
+    * columns.
+    */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    withEventTime(events).join(broadcast(dim), Seq("user_id"), "left")
+
   final case class Ev(event_id: Long, user_id: Long, ts_us: Long,
                       event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, session_start_us: Long,

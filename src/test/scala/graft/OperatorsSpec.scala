@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.tables.Tables
 import graft.operators.{AsOfJoin, Dedup, RangeJoin, Similarity, TextAnalysis}
 
 class OperatorsSpec extends SparkSpec {
@@ -206,5 +207,36 @@ class OperatorsSpec extends SparkSpec {
     assert(r(0).getAs[Double]("dup_token_frac") > 0.8)
     assert(r(0).getAs[Double]("top_gram_frac") === 1.0)   // only one distinct 2-gram
     assert(r(1).getAs[Double]("dup_token_frac") === 0.0)
+  }
+
+  test("Merge.upsert replaces matched keys, appends new ones; delete wins") {
+    import spark.implicits._
+    import graft.operators.Merge
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "v", "x")
+    val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("k", "v", "x")
+    val merged = Merge.upsert(target, updates, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(merged === Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+
+    val deletes = Seq(Tuple1(3L), Tuple1(2L)).toDF("k")
+    val afterDel = Merge.upsertDelete(target, updates, deletes, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // 2 deleted (delete wins over its update), 3 deleted, 4 inserted
+    assert(afterDel === Seq((1L, "a"), (4L, "d")))
+  }
+
+  test("TextAnalysis.bernoulliHashSample is deterministic and fraction-shaped") {
+    val docs01 = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "lang", "n_chars")
+    val s1 = TextAnalysis.bernoulliHashSample(docs01, col("doc_id"), 0.2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = TextAnalysis.bernoulliHashSample(docs01.repartition(13), col("doc_id"), 0.2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 === s2)                         // partition-independent
+    assert(s1.nonEmpty && s1.size < 200)      // ~100 of 500 at f=0.2
+    val sub = TextAnalysis.bernoulliHashSample(docs01, col("doc_id"), 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(sub.subsetOf(s1.toSet))            // nested samples: f=0.1 ⊂ f=0.2
   }
 }

@@ -70,6 +70,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq === expected.map(_.toString).toSeq)
   }
 
+  test("stream-static enrichment matches its batch twin, dim broadcast") {
+    import spark.implicits._
+    val dim = (0L until 50L).map(u => (u, s"tier${u % 3}")).toDF("user_id", "tier")
+    val streamed = EventStream.enrich(
+      EventStream.readEvents(spark, eventsDir), dim)
+    val q = streamed.writeStream
+      .format("memory").queryName("enrich_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enrich_stream")
+      .orderBy("event_id").select("event_id", "user_id", "tier").collect()
+    val expected = EventStream.enrich(
+        spark.read.parquet(s"$eventsDir/events.parquet"), dim)
+      .orderBy("event_id").select("event_id", "user_id", "tier").collect()
+    assert(got.length === expected.length && got.length > 0)
+    assert(got.map(_.toString).toSeq === expected.map(_.toString).toSeq)
+    // every event with a known user is decorated
+    assert(got.count(_.getAs[String]("tier") != null) > 0)
+  }
+
   test("sessionize splits on gaps and aggregates custom state") {
     import spark.implicits._
     val evs = Seq(

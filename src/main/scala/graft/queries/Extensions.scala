@@ -496,9 +496,103 @@ object Extensions {
       .orderBy("doc_id"),
     Some(TextAnalysis.bernoulliHashSampleOracle(fraction = 0.2)))
 
+  /** Approximate percentile with the q62-style hash-checkable contract:
+    * exact median (oracle-equal) + a flag that the sketch landed within
+    * 5% of it. At 100 TB only the sketch runs (single-pass, mergeable
+    * KLL-style summaries — no full sort); the exact value exists for
+    * the gate.
+    */
+  private val q72 = Q("q72_approx_percentile",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val approx = o.groupBy("o_orderpriority")
+        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"))
+      val exact = o.groupBy("o_orderpriority")
+        .agg(median(col("o_totalprice")).as("p50_exact"))
+      exact.join(approx, Seq("o_orderpriority"))
+        .select(
+          col("o_orderpriority"), col("p50_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact")
+            <= lit(0.05)).as("within_bound"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+              MEDIAN(o_totalprice) AS p50_exact,
+              TRUE AS within_bound
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  private val EventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  /** PIVOT — event counts per user spread into one column per event
+    * type (explicit value list so the plan is a single aggregate with
+    * conditional counts, no extra value-discovery pass).
+    */
+  private val q73 = Q("q73_pivot",
+    (s, d) => Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy("user_id"),
+    Some {
+      val cols = EventTypes.map(t =>
+        s"""COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS "$t"""")
+        .mkString(",\n              ")
+      s"""SELECT user_id,
+         |              $cols
+         |            FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    })
+
+  /** Lateral explode with ordinality — the UNNEST/posexplode
+    * table-valued shape (first 5 tokens of each doc).
+    */
+  private val q74 = Q("q74_lateral_posexplode",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
+      .filter(col("pos") < 5)
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("token"))
+      .orderBy("doc_id", "pos"),
+    Some("""WITH t AS (
+              SELECT doc_id, STRING_SPLIT_REGEX(text, '\s+') AS toks FROM documents)
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+            FROM t, UNNEST(GENERATE_SERIES(1, LEN(toks))) AS u(i)
+            WHERE i <= 5
+            ORDER BY doc_id, pos"""))
+
+  /** Date-spine gap filling — generate the full daily range between the
+    * first and last order date and left-join the per-day counts, so
+    * missing days surface as explicit zeros (time-series hygiene; the
+    * spine is a broadcast of two scalars + a generator, not a shuffle).
+    */
+  private val q75 = Q("q75_date_spine",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("day", date_trunc("day", col("o_orderdate")))
+      val bounds = o.agg(min("day").as("lo"), max("day").as("hi"))
+      val spine = bounds.select(
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("day"))
+      val daily = o.groupBy("day").agg(count(lit(1)).as("n_orders"))
+      spine.join(daily, Seq("day"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("day")
+    },
+    Some("""WITH o AS (
+              SELECT DATE_TRUNC('day', o_orderdate) AS day FROM orders),
+            bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM o),
+            spine AS (
+              SELECT UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS day
+              FROM bounds),
+            daily AS (SELECT day, COUNT(*) AS n_orders FROM o GROUP BY day)
+            SELECT STRFTIME(s.day, '%Y-%m-%d') AS day,
+                   COALESCE(d.n_orders, 0) AS n_orders
+            FROM spine s LEFT JOIN daily d ON s.day = d.day
+            ORDER BY day"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71)
+    q70, q71, q72, q73, q74, q75)
 }

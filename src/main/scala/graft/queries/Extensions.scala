@@ -590,9 +590,88 @@ object Extensions {
             FROM spine s LEFT JOIN daily d ON s.day = d.day
             ORDER BY day"""))
 
+  /** JSONL source round-trip: write customer as line-delimited JSON,
+    * read it back with the declared schema, and hash-compare against
+    * the ORACLE READING THE ORIGINAL PARQUET — proving the format
+    * round-trips values (incl. shortest-repr doubles) bit-exactly.
+    */
+  private val q76 = Q("q76_jsonl_roundtrip",
+    (s, d) => {
+      val base = Tables.customer(s, d)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_customer"
+      graft.sources.Formats.writeJsonl(base, path)
+      graft.sources.Formats.readJsonl(s, path, base.schema)
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer ORDER BY c_custkey"""))
+
+  /** CSV source round-trip (header + standard quoting), same contract. */
+  private val q77 = Q("q77_csv_roundtrip",
+    (s, d) => {
+      val base = Tables.nation(s, d)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation"
+      graft.sources.Formats.writeCsv(base, path)
+      graft.sources.Formats.readCsv(s, path, base.schema)
+        .orderBy("n_nationkey")
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
+
+  /** SCD2 dimension maintenance: customer segments changed to BUILDING
+    * for every 5th key, effective at t=1000 — changed keys get a closed
+    * version + a new open one, already-BUILDING keys pass through
+    * unversioned (operators.Scd).
+    */
+  private val q78 = Q("q78_scd2",
+    (s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("bigint"))
+      val changes = Tables.customer(s, d)
+        .filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), lit("BUILDING").as("c_mktsegment"))
+      graft.operators.Scd.scd2(dim, changes, Seq("c_custkey"), effTs = 1000L)
+        .orderBy(col("c_custkey"), col("valid_from"), col("valid_to").asc_nulls_last)
+    },
+    Some("""WITH dim AS (
+              SELECT c_custkey, c_mktsegment,
+                     CAST(0 AS BIGINT) AS valid_from,
+                     CAST(NULL AS BIGINT) AS valid_to
+              FROM customer),
+            chg AS (
+              SELECT c_custkey, 'BUILDING' AS c_mktsegment
+              FROM customer WHERE c_custkey % 5 = 0),
+            changed AS (
+              SELECT d.c_custkey FROM dim d JOIN chg c USING (c_custkey)
+              WHERE d.c_mktsegment IS DISTINCT FROM c.c_mktsegment),
+            closed AS (
+              SELECT c_custkey, c_mktsegment, valid_from,
+                     CAST(1000 AS BIGINT) AS valid_to
+              FROM dim WHERE c_custkey IN (SELECT c_custkey FROM changed)),
+            still_open AS (
+              SELECT * FROM dim
+              WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)),
+            new_versions AS (
+              SELECT c_custkey, c_mktsegment,
+                     CAST(1000 AS BIGINT) AS valid_from,
+                     CAST(NULL AS BIGINT) AS valid_to
+              FROM chg WHERE c_custkey IN (SELECT c_custkey FROM changed)),
+            brand_new AS (
+              SELECT c_custkey, c_mktsegment,
+                     CAST(1000 AS BIGINT) AS valid_from,
+                     CAST(NULL AS BIGINT) AS valid_to
+              FROM chg WHERE c_custkey NOT IN (SELECT c_custkey FROM dim))
+            SELECT * FROM (
+              SELECT * FROM closed
+              UNION ALL SELECT * FROM still_open
+              UNION ALL SELECT * FROM new_versions
+              UNION ALL SELECT * FROM brand_new)
+            ORDER BY c_custkey, valid_from, valid_to ASC NULLS LAST"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78)
 }

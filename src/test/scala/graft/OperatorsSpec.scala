@@ -239,4 +239,35 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(sub.subsetOf(s1.toSet))            // nested samples: f=0.1 ⊂ f=0.2
   }
+
+  test("Scd.scd2: close-and-version, pass-through, brand-new, null transitions") {
+    import spark.implicits._
+    import graft.operators.Scd
+    val dim = Seq(
+      (1L, Some("gold"), 0L, Some(500L)),   // historical row, untouched
+      (1L, Some("plat"), 500L, None),       // open, will change
+      (2L, Some("gold"), 0L, None),         // open, unchanged
+      (3L, None: Option[String], 0L, None)  // open, NULL -> value transition
+    ).toDF("k", "tier", "valid_from", "valid_to")
+    val changes = Seq(
+      (1L, Some("diamond")),
+      (2L, Some("gold")),                   // identical: no new version
+      (3L, Some("silver")),                 // NULL -> silver counts as change
+      (9L, Some("new"))                     // brand-new key
+    ).toDF("k", "tier")
+    val out = Scd.scd2(dim, changes, Seq("k"), effTs = 1000L)
+      .orderBy(col("k"), col("valid_from"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[String]("tier"),
+        r.getLong(2), Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong)))
+      .toSeq
+    assert(out === Seq(
+      (1L, "gold", 0L, Some(500L)),         // history intact
+      (1L, "plat", 500L, Some(1000L)),      // closed at effTs
+      (1L, "diamond", 1000L, None),         // new open version
+      (2L, "gold", 0L, None),               // unchanged: single open row
+      (3L, null, 0L, Some(1000L)),          // NULL -> value closed
+      (3L, "silver", 1000L, None),
+      (9L, "new", 1000L, None)))            // brand-new open row
+  }
 }

@@ -45,6 +45,20 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Watermarked windowed approximate-distinct users per event type —
+    * the streaming twin of the batch HLL query: sketches merge
+    * incrementally in the window state, so distinct-user dashboards run
+    * at stream scale with bounded memory and no global dedup shuffle.
+    */
+  def hourlyUniqueUsers(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts_utc", "2 hours")
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("approx_users"))
+
   /** Streaming exact dedup: drop re-deliveries of the same event id,
     * with a watermark bounding how long ids are held in state (the
     * streaming twin of `Dedup.exact` — at-least-once upstreams become

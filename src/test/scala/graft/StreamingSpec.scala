@@ -70,6 +70,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq === expected.map(_.toString).toSeq)
   }
 
+  test("hourlyUniqueUsers: streaming HLL sketches equal the batch sketch") {
+    val streamed = EventStream.hourlyUniqueUsers(
+      EventStream.readEvents(spark, eventsDir))
+    val q = streamed.writeStream
+      .format("memory").queryName("uniq_stream").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("uniq_stream")
+      .orderBy("window_start", "event_type").collect()
+    val expected = EventStream.hourlyUniqueUsers(
+        spark.read.parquet(s"$eventsDir/events.parquet"))
+      .orderBy("window_start", "event_type").collect()
+    // identical data through identical sketches → identical estimates
+    assert(got.map(_.toString).toSeq === expected.map(_.toString).toSeq)
+    assert(got.map(_.getAs[Long]("approx_users")).sum > 0)
+  }
+
   test("stream-static enrichment matches its batch twin, dim broadcast") {
     import spark.implicits._
     val dim = (0L until 50L).map(u => (u, s"tier${u % 3}")).toDF("user_id", "tier")

@@ -45,16 +45,24 @@ object Gold {
     *    NULLS LAST) ([DSS]:18-32) — `asc_nulls_last` spelled explicitly:
     *    Spark's default asc is NULLS FIRST, DuckDB's is NULLS LAST
     *  - A1-A5: 7-key aggregate ([DSS]:32-42)
-    *  - J1: 7-key equi LEFT join agg←pb with plain `=` semantics (NULL
-    *    keys never match — never `<=>`), COALESCE(…,0) patch ([DSS]:49-57)
+    *  - J1: the reference's 7-key equi LEFT join agg←pb with plain `=`
+    *    semantics + COALESCE(…,0) ([DSS]:49-57), expressed in its
+    *    algebraically-equal single-aggregate form (see below)
     *
-    * Quirk preserved, not fixed (SURVEY §7.6): the window partition keys
-    * equal the grouping keys, so personal_best_laps ≡ 1 for every
-    * matched group; COALESCE(…,0) only fires for NULL join keys.
+    * Quirk preserved, not fixed (SURVEY §7.6): in the reference, NULL
+    * join keys never match (`=`, not `<=>`), so groups with any NULL
+    * key get personal_best_laps = 0 from the COALESCE patch; every
+    * other group trivially matches itself. The fused plan reproduces
+    * exactly that: one aggregate over the ranked frame, with the
+    * rn=1 count overridden to 0 when any grouping key is NULL.
+    * PipelineSpec's golden fixture (NULL-team driver) pins this.
     *
-    * Scale: both aggregates and the window shuffle on the same 7-key
-    * hash, so Catalyst reuses one exchange; the join of the two
-    * co-partitioned aggregates needs no further shuffle.
+    * Scale: the reference's two-branch shape shuffles the laps base
+    * TWICE on the same 7-key hash (the partial-agg exchange and the
+    * window exchange have different subtrees, so ReuseExchange cannot
+    * merge them). Fused, the window's Exchange+Sort is the ONLY
+    * shuffle — the groupBy reuses its partitioning — which halves the
+    * dominant cost of the mart build at any scale.
     */
   def driverSessionSummary(silverLaps: DataFrame): DataFrame = {
     val base = silverLaps
@@ -66,26 +74,24 @@ object Gold {
     val onTrack = when(col("pitintime").isNull && col("pitouttime").isNull, 1)
       .otherwise(0)
 
-    val agg = base.groupBy(DriverKeys.map(col): _*)
+    val w = Window.partitionBy(DriverKeys.map(col): _*)
+      .orderBy(col("laptime").asc_nulls_last)
+    val anyKeyNull = DriverKeys.map(col(_).isNull).reduce(_ || _)
+
+    base
+      .withColumn("rn", row_number().over(w))
+      .groupBy(DriverKeys.map(col): _*)
       .agg(
         count(lit(1)).as("laps_total"),
         sum(onTrack).as("laps_on_track"),
         sum(lit(1) - onTrack).as("pitstops"),
-        min("laptime").as("best_lap_time"))
-
-    val w = Window.partitionBy(DriverKeys.map(col): _*)
-      .orderBy(col("laptime").asc_nulls_last)
-    val pb = base
-      .withColumn("rn", row_number().over(w))
-      .groupBy(DriverKeys.map(col): _*)
-      .agg(sum(when(col("rn") === 1, 1).otherwise(0)).as("personal_best_laps"))
-
-    agg.join(pb, DriverKeys, "left")
+        min("laptime").as("best_lap_time"),
+        sum(when(col("rn") === 1, 1).otherwise(0)).as("pb_raw"))
       .select(
         (DriverKeys.map(col) :+
           col("laps_total") :+ col("laps_on_track") :+ col("pitstops") :+
           col("best_lap_time") :+
-          coalesce(col("personal_best_laps"), lit(0L)).as("personal_best_laps")): _*)
+          when(anyKeyNull, 0L).otherwise(col("pb_raw")).as("personal_best_laps")): _*)
   }
 
   /** [TES] — team_event_summary re-aggregates the DSS mart (J3: the

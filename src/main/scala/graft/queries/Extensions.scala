@@ -669,9 +669,89 @@ object Extensions {
               UNION ALL SELECT * FROM brand_new)
             ORDER BY c_custkey, valid_from, valid_to ASC NULLS LAST"""))
 
+  /** Explicit GROUPING SETS (the general form behind q54's ROLLUP and
+    * q35's CUBE): (status, priority), (status), () — one Expand +
+    * aggregate, no extra scans.
+    */
+  private val q79 = Q("q79_grouping_sets",
+    (s, d) => Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), Fns.exactSumD(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first),
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())
+            ORDER BY o_orderstatus ASC NULLS FIRST,
+                     o_orderpriority ASC NULLS FIRST"""))
+
+  /** Rank-family windows: ntile / percent_rank / cume_dist over a total
+    * order (tiebreak on the key keeps every rank engine-deterministic).
+    */
+  private val q80 = Q("q80_rank_windows",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d).select(
+        col("c_mktsegment"), col("c_custkey"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+    Some("""SELECT c_mktsegment, c_custkey,
+              CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+              PERCENT_RANK() OVER w AS pct_rank,
+              CUME_DIST() OVER w AS cume
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal, c_custkey)
+            ORDER BY c_mktsegment, c_custkey"""))
+
+  /** Value-family windows: first/last/nth value over an explicit
+    * whole-partition frame, plus lead with a default.
+    */
+  private val q81 = Q("q81_value_windows",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // (l_orderkey, l_linenumber) is NOT unique in the testdata — the
+      // window order must include the projected value column so peers
+      // carry equal values and every value-function is tie-proof.
+      val ord = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_extendedprice")
+      val whole = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        first(col("l_extendedprice")).over(whole).as("first_price"),
+        last(col("l_extendedprice")).over(whole).as("last_price"),
+        nth_value(col("l_extendedprice"), 2).over(whole).as("second_price"),
+        lead(col("l_extendedprice"), 2, -1.0).over(ord).as("lead2_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+              FIRST_VALUE(l_extendedprice) OVER wf AS first_price,
+              LAST_VALUE(l_extendedprice) OVER wf AS last_price,
+              NTH_VALUE(l_extendedprice, 2) OVER wf AS second_price,
+              LEAD(l_extendedprice, 2, -1.0) OVER wo AS lead2_price
+            FROM lineitem
+            WINDOW wo AS (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber, l_extendedprice),
+                   wf AS (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber, l_extendedprice
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+            ORDER BY l_orderkey, l_linenumber"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
+    q80, q81)
 }

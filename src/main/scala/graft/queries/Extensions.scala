@@ -748,10 +748,38 @@ object Extensions {
                                AND UNBOUNDED FOLLOWING)
             ORDER BY l_orderkey, l_linenumber"""))
 
+  /** FULL OUTER join — users with only clicks, only purchases, or both
+    * (completes the join-type surface: inner/left/semi/anti/full/cross).
+    */
+  private val q82 = Q("q82_full_outer_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+      clicks.join(purchases, Seq("user_id"), "full")
+        .select(col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy("user_id")
+    },
+    Some("""WITH c AS (
+              SELECT user_id, COUNT(*) AS n_clicks FROM events
+              WHERE event_type = 'click' GROUP BY user_id),
+            p AS (
+              SELECT user_id, COUNT(*) AS n_purchases FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id)
+            SELECT user_id,
+              COALESCE(n_clicks, 0) AS n_clicks,
+              COALESCE(n_purchases, 0) AS n_purchases
+            FROM c FULL OUTER JOIN p USING (user_id)
+            ORDER BY user_id"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81)
+    q80, q81, q82)
 }

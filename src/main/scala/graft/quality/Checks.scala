@@ -29,6 +29,32 @@ object Checks {
     }
   }
 
+  /** dbt's `unique` generic test: rows whose key (single or composite)
+    * occurs more than once. One hash aggregate on the key — failures =
+    * Σ(count−1) over duplicated groups, matching dbt's compiled
+    * `group by ... having count(*) > 1` probe.
+    */
+  def unique(df: DataFrame, table: String, columns: Seq[String]): CheckResult = {
+    val dupRows = df.groupBy(columns.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("f"))
+      .head().getLong(0)
+    CheckResult(table, columns.mkString("(", ",", ")"), dupRows)
+  }
+
+  /** dbt's `accepted_values` generic test: rows whose column value is
+    * outside the allowed set (NULLs pass, as in dbt — not_null is the
+    * separate probe for those).
+    */
+  def acceptedValues(df: DataFrame, table: String, column: String,
+                     allowed: Seq[String]): CheckResult = {
+    val failures = df
+      .filter(col(column).isNotNull && !col(column).isin(allowed: _*))
+      .count()
+    CheckResult(table, column, failures)
+  }
+
   /** The reference's full 17-test contract. */
   def contract(
       silverLaps: DataFrame, silverWeather: DataFrame, silverResults: DataFrame,

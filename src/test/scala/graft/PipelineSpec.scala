@@ -209,6 +209,20 @@ class PipelineSpec extends SparkSpec {
     assert(good.forall(_.passed))
   }
 
+  test("unique and accepted_values generic tests count failures") {
+    import spark.implicits._
+    import graft.quality.Checks
+    val df = Seq(
+      (1L, "R"), (1L, "Q"), (1L, "R"),     // key 1 × 3  → 2 extra rows
+      (2L, "S"), (3L, "X"), (4L, null)     // X not accepted; null passes
+    ).toDF("k", "code")
+    assert(Checks.unique(df, "t", Seq("k")).failures === 2L)
+    assert(Checks.unique(df, "t", Seq("k", "code")).failures === 1L)
+    assert(Checks.unique(df.filter(col("k") > 1), "t", Seq("k")).failures === 0L)
+    assert(Checks.acceptedValues(df, "t", "code", Seq("R", "Q", "S")).failures === 1L)
+    assert(Checks.acceptedValues(df, "t", "code", Seq("R", "Q", "S", "X")).passed)
+  }
+
   test("ctasSwap: a failed rebuild leaves the previous table intact") {
     import graft.pipeline.Lakehouse
     import org.apache.spark.sql.functions._

@@ -776,10 +776,36 @@ object Extensions {
             FROM c FULL OUTER JOIN p USING (user_id)
             ORDER BY user_id"""))
 
+  /** Array-function suite over the token arrays: sort, dedup, slice,
+    * membership, and a higher-order filter — the complex-type scalar
+    * surface (all codegen'd, embarrassingly parallel).
+    */
+  private val q83 = Q("q83_array_functions",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast(LongType).as("n"),
+        array_join(slice(array_sort(array_distinct(col("toks"))), 1, 3), ",")
+          .as("first3_sorted"),
+        array_contains(col("toks"), "spark").cast("int").as("has_spark"),
+        size(filter(col("toks"), t => length(t) > 5)).cast(LongType).as("n_long"))
+      .orderBy("doc_id"),
+    Some("""WITH t AS (
+              SELECT doc_id, STRING_SPLIT_REGEX(text, '\s+') AS toks
+              FROM documents)
+            SELECT doc_id,
+              CAST(LEN(toks) AS BIGINT) AS n,
+              ARRAY_TO_STRING(LIST_SLICE(LIST_SORT(LIST_DISTINCT(toks)), 1, 3), ',')
+                AS first3_sorted,
+              CAST(LIST_CONTAINS(toks, 'spark') AS INTEGER) AS has_spark,
+              CAST(LEN(LIST_FILTER(toks, t -> LENGTH(t) > 5)) AS BIGINT) AS n_long
+            FROM t ORDER BY doc_id"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82)
+    q80, q81, q82, q83)
 }

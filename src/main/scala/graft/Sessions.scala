@@ -26,7 +26,7 @@ object Sessions {
       // events.ts is parquet TIMESTAMP(NANOS): read as int64 ns (the
       // engine's ns-longs duration/time convention, SURVEY §1.2)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
 
   /** The knob [[graft.pipeline.Bronze.read]] depends on; asserted there,

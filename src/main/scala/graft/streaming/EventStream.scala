@@ -103,6 +103,35 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     withEventTime(events).join(broadcast(dim), Seq("user_id"), "left")
 
+  /** Streaming MERGE sink: each micro-batch upserts into a catalog
+    * table on `keys` via [[graft.operators.Merge.upsert]] and the
+    * transactional swap ([[graft.pipeline.Lakehouse.ctasSwap]]) — the
+    * incremental-maintenance pattern a Delta `MERGE INTO` streaming
+    * sink provides, on plain parquet. Re-delivered rows (at-least-once
+    * sources, micro-batch replays after failure) collapse onto their
+    * key instead of duplicating, so the sink is effectively idempotent;
+    * a crash mid-batch leaves the previous table version intact.
+    * Returns the started query; callers own awaitTermination/stop.
+    */
+  def mergeSink(stream: DataFrame, fqTable: String, keys: Seq[String],
+                checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        // re-deliveries can land in the SAME micro-batch — collapse the
+        // batch on its keys first (the precondition SQL MERGE puts on
+        // its source: at most one update row per target row)
+        val deduped = batch.toDF().dropDuplicates(keys)
+        if (spark.catalog.tableExists(fqTable))
+          graft.pipeline.Lakehouse.ctasSwap(spark,
+            graft.operators.Merge.upsert(spark.table(fqTable), deduped, keys),
+            fqTable)
+        else deduped.write.mode("overwrite").saveAsTable(fqTable)
+        ()
+      }
+      .start()
+
   final case class Ev(event_id: Long, user_id: Long, ts_us: Long,
                       event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, session_start_us: Long,

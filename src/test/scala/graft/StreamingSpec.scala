@@ -105,6 +105,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_.getAs[String]("tier") != null) > 0)
   }
 
+  test("mergeSink: streamed re-deliveries collapse into an idempotent table") {
+    // stage the events file twice → every event delivered twice
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-sink-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dupDir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dupDir.resolve("b.parquet"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sink-ckpt").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS t_sink")
+    val q = EventStream.mergeSink(
+      EventStream.readEvents(spark, dupDir.toString),
+      "t_sink.events_merged", Seq("event_id"), ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val table = spark.table("t_sink.events_merged")
+    val distinctIds = spark.read.parquet(s"$dupDir/a.parquet")
+      .select("event_id").distinct().count()
+    assert(table.count() === distinctIds)          // doubled input, single rows
+    assert(table.select("event_id").distinct().count() === distinctIds)
+    assert(!spark.catalog.tableExists("t_sink.events_merged__tmp"))
+  }
+
   test("sessionize splits on gaps and aggregates custom state") {
     import spark.implicits._
     val evs = Seq(

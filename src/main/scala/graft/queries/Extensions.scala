@@ -802,10 +802,87 @@ object Extensions {
               CAST(LEN(LIST_FILTER(toks, t -> LENGTH(t) > 5)) AS BIGINT) AS n_long
             FROM t ORDER BY doc_id"""))
 
+  /** TPC-H Q22 shape — "global sales opportunity": customers above the
+    * (scalar-subquery) average balance with no orders, grouped by a
+    * derived country code. Scalar average broadcast-joined; the
+    * no-orders probe is a left-anti join (the decorrelated NOT EXISTS).
+    */
+  private val q84 = Q("q84_tpch_q22_shape",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val avgRow = c.filter(col("c_acctbal") > 0)
+        .agg(Fns.exactAvg(col("c_acctbal")).as("avg_bal"))
+      c.crossJoin(broadcast(avgRow))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 10).as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          Fns.exactSumD(col("c_acctbal")).as("totacctbal"))
+        .orderBy("cntrycode")
+    },
+    Some("""WITH a AS (
+              SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                       / COUNT(c_acctbal) AS avg_bal
+              FROM customer WHERE c_acctbal > 0)
+            SELECT c_nationkey % 10 AS cntrycode,
+              COUNT(*) AS numcust,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+            FROM customer, a
+            WHERE c_acctbal > avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY 1 ORDER BY cntrycode"""))
+
+  /** TPC-H Q16 shape — supplier-count-per-part-class: exclusion filter,
+    * fact join, exact COUNT(DISTINCT) per group, count-desc ordering.
+    */
+  private val q85 = Q("q85_tpch_q16_shape",
+    (s, d) => Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#45")
+      .join(Tables.lineitem(s, d).select("l_partkey", "l_suppkey"),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size")),
+    Some("""SELECT p_brand, p_size,
+              COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#45'
+            GROUP BY p_brand, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_size"""))
+
+  /** TPC-H Q2 shape — min-per-group join-back: each part's
+    * minimum-price line(s), the decorrelated form of the correlated
+    * `= (SELECT MIN …)` subquery the oracle runs.
+    */
+  private val q86 = Q("q86_tpch_q2_shape",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+      val minCost = li.groupBy(col("l_partkey").as("pk"))
+        .agg(min("l_extendedprice").as("min_price"))
+      li.join(minCost,
+          col("l_partkey") === col("pk") &&
+            col("l_extendedprice") === col("min_price"))
+        .select("l_partkey", "l_suppkey", "min_price")
+        .distinct()
+        .orderBy("l_partkey", "l_suppkey")
+    },
+    Some("""SELECT DISTINCT l_partkey, l_suppkey,
+              l_extendedprice AS min_price
+            FROM lineitem l1
+            WHERE l_extendedprice = (
+              SELECT MIN(l_extendedprice) FROM lineitem l2
+              WHERE l2.l_partkey = l1.l_partkey)
+            ORDER BY l_partkey, l_suppkey"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83)
+    q80, q81, q82, q83, q84, q85, q86)
 }

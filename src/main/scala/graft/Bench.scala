@@ -12,10 +12,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local("graft-bench", cpus)
-      // 52 queries × (warmup + measured) plans exceed the default
-      // 100-entry codegen class cache → random mid-run janino
+      // 86 queries × 3 runs × (warmup + measured) plans far exceed the
+      // default 100-entry codegen class cache → random mid-run janino
       // recompiles that show up as roving multi-second outliers
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // (full-set total 88.5s at 2000 entries vs 66.5s at 10000)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -136,7 +136,61 @@ object EventStream {
                       event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, session_start_us: Long,
                               session_end_us: Long, n_events: Long)
-  private final case class SessState(start: Long, last: Long, n: Long)
+  /** Public: the streaming state encoder codegen needs constructor access. */
+  final case class SessState(start: Long, last: Long, n: Long)
+
+  /** True streaming sessionization: watermarked event-time state with
+    * timeout-driven session closure. Within a micro-batch a user's
+    * events are buffered and sorted; sessions that close INSIDE the
+    * batch (a gap between buffered events) emit immediately, the
+    * trailing open session parks in state with an event-time timeout at
+    * `last + gap`, and when the watermark passes that point the timeout
+    * invocation flushes it. State per user is one (start, last, n)
+    * triple — bounded regardless of stream length.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int,
+                       watermarkDelay: String = "1 hour"): Dataset[SessionAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    withEventTime(events)
+      .withWatermark("ts_utc", watermarkDelay)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"),
+        coalesce(col("value"), lit(0.0)).as("value"), col("ts_utc"))
+      .as[(Long, Long, Long, String, Double, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[SessState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, evs, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the parked session is final
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionAgg(userId, st.start, st.last, st.n))
+          } else {
+            val sorted = evs.map(e => e._3).toSeq.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+            var cur = state.getOption
+            sorted.foreach { ts =>
+              cur match {
+                case Some(st) if ts - st.last <= gapUs =>
+                  cur = Some(st.copy(last = ts, n = st.n + 1))
+                case Some(st) =>
+                  closed += SessionAgg(userId, st.start, st.last, st.n)
+                  cur = Some(SessState(ts, ts, 1))
+                case None =>
+                  cur = Some(SessState(ts, ts, 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp((st.last + gapUs) / 1000)  // µs → ms
+            }
+            closed.iterator
+          }
+      }
+  }
 
   /** Gap-based sessionization with custom state: events for a user more
     * than `gapMinutes` apart start a new session. Works in batch mode

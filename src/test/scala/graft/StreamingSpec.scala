@@ -129,6 +129,57 @@ class StreamingSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("t_sink.events_merged__tmp"))
   }
 
+  test("sessionizeStream: watermark timeout flushes parked sessions (≡ batch)") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sess-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      srcDir.resolve("a_events.parquet"))
+    val batchEvents = spark.read.parquet(s"$srcDir/a_events.parquet")
+    val maxTs = batchEvents.agg(max("ts")).head().getLong(0)
+    // two sentinel events 10h/20h in the future: timeouts in batch N use
+    // the watermark computed from batch N-1, so flushing EVERY real
+    // session (including ones ending near the stream tail) needs two
+    // extra triggers — the first advances the watermark, the second
+    // fires the timeouts it enabled
+    // the file stream source lists plain FILES, not write-output
+    // directories — stage each sentinel as a single parquet file
+    def sentinelFile(name: String, eventId: Long, ts: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sess-sent")
+      Seq((eventId, ts, 999999L, "flush", 0.0, null: String))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), srcDir.resolve(name))
+    }
+    sentinelFile("b_sentinel.parquet", 999999L, maxTs + 36000L * 1000000000L)
+    sentinelFile("c_sentinel.parquet", 999998L, maxTs + 72000L * 1000000000L)
+
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = EventStream.sessionizeStream(stream, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sess_stream")
+      .filter(col("user_id") =!= 999999L)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_start_us"), r.getAs[Long]("session_end_us"),
+        r.getAs[Long]("n_events")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val expected = EventStream.sessionize(
+        batchEvents.select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"),
+          coalesce(col("value"), lit(0.0)).as("value")).as[EventStream.Ev],
+        gapMinutes = 30)
+      .collect().map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
+
   test("sessionize splits on gaps and aggregates custom state") {
     import spark.implicits._
     val evs = Seq(

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the operators composed the way a
+  * training-data pipeline actually runs them:
+  *
+  *   1. exact dedup (keep the min-id copy of byte-identical text);
+  *   2. near-dup clustering (SimHash + connected components) and keep
+  *      only each cluster's representative (= its min doc_id, which is
+  *      the cluster label by construction);
+  *   3. quality filter (token-count bounds + stopword ratio);
+  *   4. deterministic Bernoulli hash sample down to `fraction`.
+  *
+  * Every stage is deterministic and shuffle-bounded, so the curated set
+  * is reproducible run-over-run and cluster-size-independent — and the
+  * whole chain is replayable in SQL for the oracle gate.
+  */
+object Curate {
+
+  def corpus(docs: DataFrame, content: Column, id: Column,
+             maxHamming: Int = 3, fraction: Double = 0.5): DataFrame = {
+    val survivors = Dedup.dropExactDuplicates(docs, content, id)
+    val reps = Dedup.simHashClusters(survivors, content, id, maxHamming)
+      .filter(col("doc_id") === col("cluster"))
+      .select("doc_id")
+    val kept = survivors.join(reps, Seq("doc_id"), "left_semi")
+    val quality = TextAnalysis.qualityScore(kept)
+      .filter(col("keep") === 1)
+      .select("doc_id")
+    TextAnalysis.bernoulliHashSample(
+      kept.join(quality, Seq("doc_id"), "left_semi")
+        .select("doc_id", "lang", "n_chars"),
+      col("doc_id"), fraction)
+  }
+
+  /** SQL replay of [[corpus]] for the oracle gate: the exact-dedup CTE
+    * feeds the spliced SimHash/closure CTEs, reps/quality/sample filters
+    * mirror the Spark stages one-to-one.
+    */
+  def corpusOracle(maxHamming: Int = 3, fraction: Double = 0.5): String = {
+    val clusterSql = Dedup.simHashClustersOracle(maxHamming, source = "surv")
+    // keep only the CTE definitions (everything before the final SELECT)
+    val clusterCtes = clusterSql
+      .substring("WITH RECURSIVE ".length,
+        clusterSql.lastIndexOf("SELECT src AS doc_id"))
+      .trim.stripSuffix(",")
+    def nib(i: Int) = s"(STRPOS('0123456789abcdef', hx[$i]) - 1)"
+    val hExpr = (1 to 15)
+      .map(i => s"${nib(i)} * ${math.pow(16, 15 - i).toLong}")
+      .mkString(" + ")
+    val threshold = (fraction * (1L << 60).toDouble).toLong
+    s"""WITH RECURSIVE surv AS (
+       |  SELECT doc_id, text, lang, n_chars FROM (
+       |    SELECT doc_id, text, lang, n_chars,
+       |      ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn
+       |    FROM documents)
+       |  WHERE rn = 1),
+       |$clusterCtes,
+       |reps AS (
+       |  SELECT s.doc_id, s.text, s.lang, s.n_chars
+       |  FROM surv s JOIN (
+       |    SELECT src AS doc_id FROM (
+       |      SELECT src, MIN(dst) AS cluster FROM reach GROUP BY src)
+       |    WHERE src = cluster) r ON s.doc_id = r.doc_id),
+       |q AS (
+       |  SELECT doc_id, lang, n_chars FROM (
+       |    SELECT doc_id, lang, n_chars,
+       |      STRING_SPLIT_REGEX(text, '\\s+') AS toks
+       |    FROM reps)
+       |  WHERE LEN(toks) >= 5 AND LEN(toks) <= 10000
+       |    AND CAST(LEN(LIST_FILTER(toks,
+       |          t -> t IN ${TextAnalysis.sqlList(TextAnalysis.Stopwords)})) AS DOUBLE)
+       |          / LEN(toks) < 0.5)
+       |SELECT doc_id, lang, n_chars FROM (
+       |  SELECT doc_id, lang, n_chars, MD5(CAST(doc_id AS VARCHAR)) AS hx
+       |  FROM q)
+       |WHERE $hExpr < $threshold
+       |ORDER BY doc_id""".stripMargin
+  }
+}

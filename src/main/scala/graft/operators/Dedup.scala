@@ -324,7 +324,7 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  def simHashPairsOracle(maxHamming: Int): String = {
+  def simHashPairsOracle(maxHamming: Int, source: String = "documents"): String = {
     def nib(i: Int) = s"(STRPOS('0123456789abcdef', h[$i]) - 1)"
     val vExpr = (1 to 15)
       .map(i => s"${nib(i)} * ${math.pow(16, 15 - i).toLong}")
@@ -341,7 +341,7 @@ object Dedup {
     }.mkString("\n  UNION ALL ")
     s"""WITH tok AS (
        |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS t
-       |  FROM documents),
+       |  FROM $source),
        |hashed AS (
        |  SELECT doc_id, $vExpr AS v
        |  FROM (SELECT doc_id, MD5(t) AS h FROM tok)),
@@ -438,8 +438,8 @@ object Dedup {
     * transitive closure, MIN-label per reachable set — an independent
     * SQL formulation of the same component semantics.
     */
-  def simHashClustersOracle(maxHamming: Int): String = {
-    val pairSql = simHashPairsOracle(maxHamming)
+  def simHashClustersOracle(maxHamming: Int, source: String = "documents"): String = {
+    val pairSql = simHashPairsOracle(maxHamming, source)
     // reuse the full pair query as a CTE body (strip its ORDER BY tail)
     val pairBody = pairSql.substring(0, pairSql.lastIndexOf("ORDER BY"))
     s"""WITH RECURSIVE pairs AS (
@@ -448,7 +448,7 @@ object Dedup {
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach(src, dst) AS (
-       |  SELECT doc_id, doc_id FROM documents
+       |  SELECT doc_id, doc_id FROM $source
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
        |SELECT src AS doc_id, cluster,

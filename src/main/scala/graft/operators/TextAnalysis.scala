@@ -16,8 +16,8 @@ object TextAnalysis {
 
   private def tokens(c: Column): Column = split(c, "\\s+")
 
-  private val Stopwords = Seq("the", "a", "and", "of", "to")
-  private def sqlList(xs: Seq[String]): String =
+  private[operators] val Stopwords = Seq("the", "a", "and", "of", "to")
+  private[operators] def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
   // ------------------------------------------------------------- quality

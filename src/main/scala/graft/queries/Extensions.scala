@@ -879,10 +879,20 @@ object Extensions {
               WHERE l2.l_partkey = l1.l_partkey)
             ORDER BY l_partkey, l_suppkey"""))
 
+  /** Capstone: the full corpus-curation chain (exact dedup → near-dup
+    * cluster representatives → quality filter → deterministic sample)
+    * as ONE composed, oracle-replayed pipeline (operators.Curate).
+    */
+  private val q87 = Q("q87_corpus_curation",
+    (s, d) => graft.operators.Curate.corpus(
+        Tables.documents(s, d), col("text"), col("doc_id"))
+      .orderBy("doc_id"),
+    Some(graft.operators.Curate.corpusOracle()))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86)
+    q80, q81, q82, q83, q84, q85, q86, q87)
 }

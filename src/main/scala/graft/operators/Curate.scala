@@ -21,18 +21,23 @@ object Curate {
 
   def corpus(docs: DataFrame, content: Column, id: Column,
              maxHamming: Int = 3, fraction: Double = 0.5): DataFrame = {
+    // survivors feed BOTH the cluster computation and the final
+    // projection — persist for the call, clean up before returning
+    // (the pair-operator lifecycle discipline)
     val survivors = Dedup.dropExactDuplicates(docs, content, id)
-    val reps = Dedup.simHashClusters(survivors, content, id, maxHamming)
-      .filter(col("doc_id") === col("cluster"))
-      .select("doc_id")
-    val kept = survivors.join(reps, Seq("doc_id"), "left_semi")
-    val quality = TextAnalysis.qualityScore(kept)
-      .filter(col("keep") === 1)
-      .select("doc_id")
-    TextAnalysis.bernoulliHashSample(
-      kept.join(quality, Seq("doc_id"), "left_semi")
-        .select("doc_id", "lang", "n_chars"),
-      col("doc_id"), fraction)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.selfCleaning(survivors) {
+      val reps = Dedup.simHashClusters(survivors, content, id, maxHamming)
+        .filter(col("doc_id") === col("cluster"))
+        .select("doc_id")
+      // quality keep is a pure per-row predicate — filter inline, no
+      // self-join back onto the kept frame
+      TextAnalysis.bernoulliHashSample(
+        survivors.join(reps, Seq("doc_id"), "left_semi")
+          .filter(TextAnalysis.keepCol(content))
+          .select("doc_id", "lang", "n_chars"),
+        id, fraction)
+    }
   }
 
   /** SQL replay of [[corpus]] for the oracle gate: the exact-dedup CTE
@@ -46,11 +51,6 @@ object Curate {
       .substring("WITH RECURSIVE ".length,
         clusterSql.lastIndexOf("SELECT src AS doc_id"))
       .trim.stripSuffix(",")
-    def nib(i: Int) = s"(STRPOS('0123456789abcdef', hx[$i]) - 1)"
-    val hExpr = (1 to 15)
-      .map(i => s"${nib(i)} * ${math.pow(16, 15 - i).toLong}")
-      .mkString(" + ")
-    val threshold = (fraction * (1L << 60).toDouble).toLong
     s"""WITH RECURSIVE surv AS (
        |  SELECT doc_id, text, lang, n_chars FROM (
        |    SELECT doc_id, text, lang, n_chars,
@@ -69,14 +69,11 @@ object Curate {
        |    SELECT doc_id, lang, n_chars,
        |      STRING_SPLIT_REGEX(text, '\\s+') AS toks
        |    FROM reps)
-       |  WHERE LEN(toks) >= 5 AND LEN(toks) <= 10000
-       |    AND CAST(LEN(LIST_FILTER(toks,
-       |          t -> t IN ${TextAnalysis.sqlList(TextAnalysis.Stopwords)})) AS DOUBLE)
-       |          / LEN(toks) < 0.5)
+       |  WHERE ${TextAnalysis.keepSql("toks")})
        |SELECT doc_id, lang, n_chars FROM (
        |  SELECT doc_id, lang, n_chars, MD5(CAST(doc_id AS VARCHAR)) AS hx
        |  FROM q)
-       |WHERE $hExpr < $threshold
+       |WHERE ${TextAnalysis.hash60Sql("hx")} < ${TextAnalysis.sampleThreshold(fraction)}
        |ORDER BY doc_id""".stripMargin
   }
 }

@@ -85,7 +85,7 @@ object Dedup {
     * so it no longer references the cache — and the base is unpersisted
     * before returning. No CacheManager entries survive the call.
     */
-  private def selfCleaning(base: DataFrame)(build: => DataFrame): DataFrame =
+  private[operators] def selfCleaning(base: DataFrame)(build: => DataFrame): DataFrame =
     try build.localCheckpoint(eager = true)
     finally { base.unpersist(blocking = false); () }
 

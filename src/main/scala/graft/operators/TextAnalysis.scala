@@ -22,6 +22,24 @@ object TextAnalysis {
 
   // ------------------------------------------------------------- quality
 
+  /** The keep/drop predicate of [[qualityScore]] as a standalone Column
+    * — shared with the curation pipeline so the two can never drift.
+    */
+  private[operators] def keepCol(text: Column): Column = {
+    val toks = tokens(text)
+    val nTokens = size(toks).cast(LongType)
+    val stopRatio =
+      size(filter(toks, t => t.isInCollection(Stopwords))).cast(DoubleType) / nTokens
+    nTokens >= 5 && nTokens <= 10000 && stopRatio < lit(0.5)
+  }
+
+  /** SQL twin of [[keepCol]] over a token-list column (oracle reuse). */
+  private[operators] def keepSql(toksCol: String): String =
+    s"""LEN($toksCol) >= 5 AND LEN($toksCol) <= 10000
+       |    AND CAST(LEN(LIST_FILTER($toksCol,
+       |          t -> t IN ${sqlList(Stopwords)})) AS DOUBLE)
+       |          / LEN($toksCol) < 0.5""".stripMargin
+
   /** Quality scoring: char/token counts, stopword ratio, punctuation
     * count, and a keep/drop flag — the usual first-pass corpus filter.
     */
@@ -38,8 +56,7 @@ object TextAnalysis {
       nStop.as("n_stop"),
       stopRatio.as("stop_ratio"),
       nPunct.as("n_punct"),
-      when(nTokens >= 5 && nTokens <= 10000 && stopRatio < lit(0.5), 1)
-        .otherwise(0).as("keep"))
+      when(keepCol(col("text")), 1).otherwise(0).as("keep"))
   }
 
   val qualityScoreOracle: String =
@@ -155,25 +172,28 @@ object TextAnalysis {
   def bernoulliHashSample(df: DataFrame, id: Column, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
     val h = conv(substring(md5(id.cast(StringType)), 1, 15), 16, 10).cast(LongType)
-    df.filter(h < lit((fraction * (1L << 60).toDouble).toLong))
+    df.filter(h < lit(sampleThreshold(fraction)))
   }
 
-  /** Oracle for [[bernoulliHashSample]] over (doc_id, lang, n_chars):
-    * replays the 60-bit md5 prefix via nibble arithmetic.
+  private[operators] def sampleThreshold(fraction: Double): Long =
+    (fraction * (1L << 60).toDouble).toLong
+
+  /** 60-bit md5-prefix hash of an md5-hex column, via nibble arithmetic
+    * (oracle twin of the conv/substring expression above).
     */
-  def bernoulliHashSampleOracle(fraction: Double): String = {
-    def nib(i: Int) = s"(STRPOS('0123456789abcdef', hx[$i]) - 1)"
-    val hExpr = (1 to 15)
-      .map(i => s"${nib(i)} * ${math.pow(16, 15 - i).toLong}")
+  private[operators] def hash60Sql(hxCol: String): String =
+    (1 to 15)
+      .map(i => s"(STRPOS('0123456789abcdef', $hxCol[$i]) - 1) * ${math.pow(16, 15 - i).toLong}")
       .mkString(" + ")
-    val threshold = (fraction * (1L << 60).toDouble).toLong
+
+  /** Oracle for [[bernoulliHashSample]] over (doc_id, lang, n_chars). */
+  def bernoulliHashSampleOracle(fraction: Double): String =
     s"""WITH h AS (
        |  SELECT doc_id, lang, n_chars, MD5(CAST(doc_id AS VARCHAR)) AS hx
        |  FROM documents)
        |SELECT doc_id, lang, n_chars FROM h
-       |WHERE $hExpr < $threshold
+       |WHERE ${hash60Sql("hx")} < ${sampleThreshold(fraction)}
        |ORDER BY doc_id""".stripMargin
-  }
 
   // --------------------------------------------------------------- tfidf
 
@@ -185,18 +205,19 @@ object TextAnalysis {
     * per term) + one window; every step is a hash-shuffle on a bounded
     * key, linear at corpus scale.
     */
-  def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+  def tfIdfTopTerms(docs: DataFrame, k: Int,
+                    broadcastDf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), "\\s+")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     // df table = the distinct-term vocabulary — broadcast it so tf is
     // never re-shuffled from its (doc,term) partitioning onto term
-    // (the q47 vocabulary-broadcast pattern; drop the hint if the
-    // vocabulary outgrows the broadcast budget)
+    // (the q47 vocabulary-broadcast pattern; pass broadcastDf=false
+    // when the vocabulary outgrows the broadcast budget)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
-    val scored = tf.join(broadcast(dfreq), "term")
+    val scored = tf.join(if (broadcastDf) broadcast(dfreq) else dfreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("idf",
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

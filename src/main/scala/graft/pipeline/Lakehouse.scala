@@ -34,10 +34,23 @@ object Lakehouse {
     * narrowest non-atomic window a plain-parquet catalog allows — full
     * ACID swap is what a Delta/Iceberg table format would buy on top.
     */
+  /** Crash recovery for [[ctasSwap]]'s rename window: a process killed
+    * between `target → backup` and `tmp → target` leaves the live name
+    * missing with the previous version intact under `__backup`. Restore
+    * it before reading or rebuilding — callers that check
+    * `tableExists(fqTable)` (e.g. the streaming merge sink) must call
+    * this first or they would silently rebuild from scratch.
+    */
+  def recoverSwap(spark: SparkSession, fqTable: String): Unit =
+    if (!spark.catalog.tableExists(fqTable) &&
+        spark.catalog.tableExists(s"${fqTable}__backup"))
+      spark.sql(s"ALTER TABLE ${fqTable}__backup RENAME TO $fqTable")
+
   def ctasSwap(spark: SparkSession, df: DataFrame, fqTable: String,
                partitionBy: Seq[String] = Nil): Unit = {
     val tmp = s"${fqTable}__tmp"
     val backup = s"${fqTable}__backup"
+    recoverSwap(spark, fqTable)
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)

@@ -29,18 +29,20 @@ object Checks {
     }
   }
 
-  /** dbt's `unique` generic test: rows whose key (single or composite)
-    * occurs more than once. One hash aggregate on the key — failures =
-    * Σ(count−1) over duplicated groups, matching dbt's compiled
-    * `group by ... having count(*) > 1` probe.
+  /** dbt's `unique` generic test, semantics matched exactly: NULL keys
+    * are excluded before grouping (dbt compiles `where field is not
+    * null` — two NULL-keyed rows do NOT fail), and failures = the
+    * number of DUPLICATED VALUES (one failure row per `group by …
+    * having count(*) > 1` result), not the extra-row count.
     */
   def unique(df: DataFrame, table: String, columns: Seq[String]): CheckResult = {
-    val dupRows = df.groupBy(columns.map(col): _*)
+    val nonNullKeys = columns.map(col(_).isNotNull).reduce(_ && _)
+    val dupValues = df.filter(nonNullKeys)
+      .groupBy(columns.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
-      .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("f"))
-      .head().getLong(0)
-    CheckResult(table, columns.mkString("(", ",", ")"), dupRows)
+      .count()
+    CheckResult(table, columns.mkString("(", ",", ")"), dupValues)
   }
 
   /** dbt's `accepted_values` generic test: rows whose column value is

@@ -75,31 +75,11 @@ object EventStream {
     * than the interval + watermark are evicted). The identical plan
     * runs in batch mode — used as the correctness reference in tests.
     */
-  def clickPurchaseJoin(events: DataFrame, windowMinutes: Int): DataFrame = {
-    val base = withEventTime(events)
-    val clicks = base.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"),
-        col("ts_utc").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
-    val purchases = base.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("value").as("purchase_value"), col("ts_utc").as("purchase_ts"))
-      .withWatermark("purchase_ts", "1 hour")
-    clicks.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
-        col("purchase_ts") <= col("click_ts"))
-      .select("click_id", "user_id", "click_ts", "purchase_id",
-        "purchase_value", "purchase_ts")
-  }
+  def clickPurchaseJoin(events: DataFrame, windowMinutes: Int): DataFrame =
+    intervalJoin(events, windowMinutes, "inner")
 
-  /** Stream-stream LEFT OUTER interval join: like
-    * [[clickPurchaseJoin]], but clicks with NO purchase in the interval
-    * are still emitted (null purchase columns) once the watermark
-    * proves no match can arrive — the outer-join state semantics only a
-    * watermark makes safe in streaming.
-    */
-  def clickPurchaseLeftJoin(events: DataFrame, windowMinutes: Int): DataFrame = {
+  private def intervalJoin(events: DataFrame, windowMinutes: Int,
+                           joinType: String): DataFrame = {
     val base = withEventTime(events)
     val clicks = base.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
@@ -113,10 +93,19 @@ object EventStream {
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
         col("purchase_ts") <= col("click_ts"),
-      "leftOuter")
+      joinType)
       .select("click_id", "user_id", "click_ts", "purchase_id",
         "purchase_value", "purchase_ts")
   }
+
+  /** Stream-stream LEFT OUTER interval join: like
+    * [[clickPurchaseJoin]], but clicks with NO purchase in the interval
+    * are still emitted (null purchase columns) once the watermark
+    * proves no match can arrive — the outer-join state semantics only a
+    * watermark makes safe in streaming.
+    */
+  def clickPurchaseLeftJoin(events: DataFrame, windowMinutes: Int): DataFrame =
+    intervalJoin(events, windowMinutes, "leftOuter")
 
   /** Stream-static enrichment: join the event stream to a static
     * dimension frame (the standard "decorate facts with dims as they
@@ -139,15 +128,30 @@ object EventStream {
     * Returns the started query; callers own awaitTermination/stop.
     */
   def mergeSink(stream: DataFrame, fqTable: String, keys: Seq[String],
-                checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                checkpointDir: String, orderCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         // re-deliveries can land in the SAME micro-batch — collapse the
         // batch on its keys first (the precondition SQL MERGE puts on
-        // its source: at most one update row per target row)
-        val deduped = batch.toDF().dropDuplicates(keys)
+        // its source: at most one update row per target row). With
+        // `orderCol` the largest value wins (latest-wins, deterministic
+        // under replay); without it the survivor is arbitrary — only
+        // safe when re-deliveries are byte-identical.
+        val deduped = orderCol match {
+          case Some(oc) =>
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy(keys.map(col): _*).orderBy(col(oc).desc)
+            batch.toDF().withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn")
+          case None => batch.toDF().dropDuplicates(keys)
+        }
+        // a previous run killed inside the swap's rename window leaves
+        // the live name missing — restore from __backup BEFORE the
+        // exists check, or this batch would rebuild from scratch
+        graft.pipeline.Lakehouse.recoverSwap(spark, fqTable)
         if (spark.catalog.tableExists(fqTable))
           graft.pipeline.Lakehouse.ctasSwap(spark,
             graft.operators.Merge.upsert(spark.table(fqTable), deduped, keys),
@@ -194,25 +198,38 @@ object EventStream {
             state.remove()
             Iterator.single(SessionAgg(userId, st.start, st.last, st.n))
           } else {
-            val sorted = evs.map(e => e._3).toSeq.sorted
-            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
-            var cur = state.getOption
-            sorted.foreach { ts =>
-              cur match {
+            // INTERVAL-MERGE, not a forward fold: events may arrive out
+            // of order across micro-batches (late but inside the
+            // watermark). A naive `ts - last <= gap` fold merges any
+            // late ts (the difference is negative) and rewinds `last`
+            // backward — sessions with end < start. Instead: build
+            // sessions among the sorted new events, then merge the
+            // parked state interval in by start-time with min/max
+            // bounds, so time never runs backward.
+            val newIntervals = scala.collection.mutable.ArrayBuffer.empty[SessState]
+            evs.map(_._3).toSeq.sorted.foreach { ts =>
+              newIntervals.lastOption match {
                 case Some(st) if ts - st.last <= gapUs =>
-                  cur = Some(st.copy(last = ts, n = st.n + 1))
-                case Some(st) =>
-                  closed += SessionAgg(userId, st.start, st.last, st.n)
-                  cur = Some(SessState(ts, ts, 1))
-                case None =>
-                  cur = Some(SessState(ts, ts, 1))
+                  newIntervals(newIntervals.size - 1) =
+                    SessState(st.start, ts, st.n + 1)
+                case _ => newIntervals += SessState(ts, ts, 1)
               }
             }
-            cur.foreach { st =>
-              state.update(st)
-              state.setTimeoutTimestamp((st.last + gapUs) / 1000)  // µs → ms
+            val merged = scala.collection.mutable.ArrayBuffer.empty[SessState]
+            (state.getOption.toSeq ++ newIntervals).sortBy(_.start).foreach { st =>
+              merged.lastOption match {
+                case Some(p) if st.start - p.last <= gapUs =>
+                  merged(merged.size - 1) = SessState(
+                    p.start, math.max(p.last, st.last), p.n + st.n)
+                case _ => merged += st
+              }
             }
-            closed.iterator
+            // all but the newest interval are closed; the newest parks
+            val open = merged.last
+            state.update(open)
+            state.setTimeoutTimestamp((open.last + gapUs) / 1000)  // µs → ms
+            merged.init.map(st => SessionAgg(userId, st.start, st.last, st.n))
+              .iterator
           }
       }
   }

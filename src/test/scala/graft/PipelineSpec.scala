@@ -213,12 +213,16 @@ class PipelineSpec extends SparkSpec {
     import spark.implicits._
     import graft.quality.Checks
     val df = Seq(
-      (1L, "R"), (1L, "Q"), (1L, "R"),     // key 1 × 3  → 2 extra rows
+      (1L, "R"), (1L, "Q"), (1L, "R"),     // key 1 duplicated (one value)
       (2L, "S"), (3L, "X"), (4L, null)     // X not accepted; null passes
     ).toDF("k", "code")
-    assert(Checks.unique(df, "t", Seq("k")).failures === 2L)
+    // dbt semantics: one failure per DUPLICATED VALUE
+    assert(Checks.unique(df, "t", Seq("k")).failures === 1L)
     assert(Checks.unique(df, "t", Seq("k", "code")).failures === 1L)
     assert(Checks.unique(df.filter(col("k") > 1), "t", Seq("k")).failures === 0L)
+    // dbt excludes NULL keys before grouping: two NULL-code rows pass
+    assert(Checks.unique(df.filter(col("code").isNull)
+      .unionByName(df.filter(col("code").isNull)), "t", Seq("code")).failures === 0L)
     assert(Checks.acceptedValues(df, "t", "code", Seq("R", "Q", "S")).failures === 1L)
     assert(Checks.acceptedValues(df, "t", "code", Seq("R", "Q", "S", "X")).passed)
   }

@@ -152,6 +152,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_._2.nonEmpty) > 0)
   }
 
+  test("sessionizeStream: late cross-batch events never rewind sessions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-late-src")
+    val base = 1704067200L * 1000000000L  // 2024-01-01 in ns
+    def min(m: Long) = base + m * 60L * 1000000000L
+    def stage(name: String, rows: Seq[(Long, Long, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-late-tmp")
+      rows.map { case (eid, ts, uid) => (eid, ts, uid, "click", 1.0, null: String) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
+    }
+    // batch 1: user 10 at +100min, +105min
+    stage("a.parquet", Seq((1L, min(100), 10L), (2L, min(105), 10L)))
+    // batch 2 (LATE, inside watermark): +30min (own session) and +103min
+    // (merges into the parked [100,105] interval — must not rewind it)
+    stage("b.parquet", Seq((3L, min(30), 10L), (4L, min(103), 10L)))
+    // sentinels advance the watermark then fire the parked timeout
+    stage("c.parquet", Seq((5L, min(100000), 999L)))
+    stage("d.parquet", Seq((6L, min(200000), 999L)))
+
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = EventStream.sessionizeStream(stream, gapMinutes = 30)
+      .writeStream.format("memory").queryName("late_sess")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("late_sess").filter(col("user_id") === 10L)
+      .collect().map(r => (r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events")))
+      .sorted.toSeq
+    // batch ground truth over the same 4 events: [30] and [100..105]×3
+    assert(got === Seq(
+      (min(30) / 1000, min(30) / 1000, 1L),
+      (min(100) / 1000, min(105) / 1000, 3L)))
+    // in particular: end >= start everywhere (the rewind bug inverted them)
+    got.foreach { case (s, e, _) => assert(e >= s) }
+  }
+
   test("mergeSink: streamed re-deliveries collapse into an idempotent table") {
     // stage the events file twice → every event delivered twice
     val dupDir = java.nio.file.Files.createTempDirectory("graft-sink-src")

@@ -224,7 +224,12 @@ object EventStream {
                 case _ => merged += st
               }
             }
-            // all but the newest interval are closed; the newest parks
+            // All but the newest interval close NOW. For intervals that
+            // precede the parked one this is eager (a later late event
+            // inside the watermark could in principle still have joined
+            // them); exact semantics would need per-user multi-interval
+            // state. Bounded single-interval state is the standard
+            // trade-off, and in-order streams are unaffected.
             val open = merged.last
             state.update(open)
             state.setTimeoutTimestamp((open.last + gapUs) / 1000)  // µs → ms

@@ -10,6 +10,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
+  /** Default parallelism for the heavy mains (Verify/Bench): all the
+    * machine's cores, capped at 32 (the target local[32] shape). The
+    * baseline comparator runs DuckDB with 32 threads on this box —
+    * defaulting to 4 would measure a quarter of the machine.
+    */
+  def defaultCpus: String =
+    math.min(32, Runtime.getRuntime.availableProcessors()).toString
+
   /** Standard local builder: `local[cpus]`, shuffle partitions = cpus
     * (local mode; a real cluster sizes this to executor count × cores),
     * UTC, AQE on, ns-longs for TIMESTAMP(NANOS) parquet, partition-type

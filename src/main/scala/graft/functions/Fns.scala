@@ -135,6 +135,39 @@ object Fns {
     */
   def exactSumD(c: Column): Column = exactSum(c).cast(DoubleType)
 
+  /** Exact, order-independent SUM for a double column whose values are
+    * known to live on a FIXED decimal scale (money at scale 2, a product
+    * of two scale-2 columns at scale 4, integral quantities at scale 0).
+    * Each value is scaled to an int64 (`round` clears the ~1 ulp of double
+    * representation noise), summed in LongType — associative, exact, and
+    * codegen-cheap (no BigDecimal in the inner loop, unlike `exactSum`'s
+    * DECIMAL(38,6) accumulator) — and descaled to DOUBLE at output.
+    *
+    * Oracle mirror: `CAST(SUM(CAST(FLOOR(x * 10^s + 0.5) AS BIGINT)) AS
+    * DOUBLE) / 10^s` — both engines compute the identical IEEE product,
+    * snap it to the same integer, sum exactly, and perform the same
+    * final division, so results are bit-identical. `floor(v + 0.5)`
+    * rather than `round(v)` because Spark's Round on doubles detours
+    * through BigDecimal per row while floor stays in codegen'd double
+    * arithmetic; the two differ only on exact .5 ties, which cannot
+    * occur here (the scaled value sits within ~1e-7 of an integer).
+    *
+    * Preconditions the caller owns: values exactly representable at
+    * `scale` (else this computes a round-at-scale sum, still
+    * deterministic but not the true sum), and |sum of scaled values| <
+    * 2^63 (at scale 4 that allows ~9·10^14 absolute sum — far beyond any
+    * per-group money total; for unbounded global sums keep `exactSumD`,
+    * which is the general path).
+    */
+  def exactSumScaled(c: Column, scale: Int): Column = {
+    require(scale >= 0 && scale <= 9, s"scale $scale out of supported range")
+    val factor = math.pow(10, scale) // exact double for scale <= 15
+    val scaled =
+      if (scale == 0) floor(c + lit(0.5)) else floor(c * lit(factor) + lit(0.5))
+    val total = sum(scaled.cast(LongType)).cast(DoubleType)
+    if (scale == 0) total else total / lit(factor)
+  }
+
   /** Deterministic AVG built from the exact decimal SUM: the sum is exact,
     * the final decimal→double conversion and the IEEE division are
     * deterministic, so the result is bit-identical regardless of

@@ -442,6 +442,15 @@ object Dedup {
       labels = step.select(col("id"), col("new_label").as("label"))
       rounds += 1
     }
+    // Exiting on the round cap with labels still moving means the graph
+    // diameter exceeds maxIters and the labels are NOT components yet —
+    // returning them silently would hand the caller wrong clusters.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing); the graph diameter exceeds " +
+          "the round cap — raise maxIters (or switch to a large-star/" +
+          "small-star variant for adversarially deep graphs)")
     val isolated = vertices.select(col(idCol).as("id"))
       .join(labels.select("id"), Seq("id"), "left_anti")
       .withColumn("label", col("id"))

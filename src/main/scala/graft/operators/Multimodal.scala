@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * payloads plus typed metadata, with decode / feature-extraction /
   * resize / frame-sampling as partition-batched transforms.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * container — see `decodeStub`): it produces a deterministic fake
-  * feature vector from the payload bytes. Everything around it — the
-  * asset schema, the binary column handling, the per-partition batch
-  * shape (the Scala analogue of `mapInPandas` batches), partitioning by
-  * asset id — is real and tested.
+  * Image decode ([[decodeImages]], `javax.imageio`) and audio decode
+  * ([[decodeAudio]], `javax.sound.sampled`) are REAL — both pure-JDK.
+  * Only video decode is stubbed (`decodeStub`: the JDK has no video
+  * codec and this container has no media libraries); the stub produces
+  * a deterministic fake feature from the payload bytes so everything
+  * around it — the asset schema, the binary column handling, the
+  * per-partition batch shape (the Scala analogue of `mapInPandas`
+  * batches), partitioning by asset id — stays real and tested.
   */
 object Multimodal {
 
@@ -96,8 +98,9 @@ object Multimodal {
     *
     * Undecodable payloads yield (-1, -1, null, n_bytes, empty) rather
     * than failing the task — at 100 TB some fraction of any corpus is
-    * corrupt, and a poison record must not kill the job. Audio/video
-    * stay on [[decodeStub]] (no JDK codec exists for them).
+    * corrupt, and a poison record must not kill the job. Audio has its
+    * own real decoder ([[decodeAudio]]); only video stays on
+    * [[decodeStub]].
     */
   def decodeImages(assets: DataFrame, grid: Int = 8): Dataset[DecodedImage] = {
     val spark = assets.sparkSession
@@ -136,6 +139,134 @@ object Multimodal {
           }
         }
       }
+  }
+
+  final case class DecodedAudio(asset_id: Long, sample_rate: Double,
+                                channels: Int, frames: Long,
+                                duration_ns: Long, n_bytes: Long,
+                                rms: Array[Float])
+
+  /** REAL audio decode for the `audio` modality — pure-JVM
+    * `javax.sound.sampled` (the WAV/AIFF/AU PCM codecs ship with the
+    * JDK, no external library). Same two-phase shape as [[decodeImages]]:
+    *
+    *  1. header probe via `AudioSystem.getAudioFileFormat` — sample
+    *     rate, channels, and frame count come from the RIFF header, so
+    *     metadata extraction never touches the sample data (duration_ns
+    *     = frames / frame_rate, the reference's nanosecond convention);
+    *  2. a `grid`-segment RMS-loudness feature via full PCM decode —
+    *     fixed-order double accumulation over 8/16-bit samples, so the
+    *     value is bit-reproducible across JVMs and partitionings.
+    *
+    * Undecodable payloads (wrong container, compressed encodings the JDK
+    * lacks, truncated bytes) yield (-1, …, empty) rather than failing
+    * the task — the same poison-record contract as [[decodeImages]].
+    * Only VIDEO remains on [[decodeStub]] (the JDK genuinely has no
+    * video codec).
+    */
+  def decodeAudio(assets: DataFrame, grid: Int = 8): Dataset[DecodedAudio] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val bytes = Option(payload).getOrElse(Array.emptyByteArray)
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              val frames = ais.getFrameLength
+              val durationNs =
+                if (fmt.getFrameRate > 0 && frames >= 0)
+                  math.round(frames * (1e9 / fmt.getFrameRate))
+                else -1L
+              val pcm = ais.readAllBytes()
+              DecodedAudio(id, fmt.getSampleRate.toDouble, fmt.getChannels,
+                frames, durationNs, bytes.length.toLong,
+                rmsGrid(pcm, fmt, grid))
+            } finally ais.close()
+          } catch {
+            case _: Exception =>
+              DecodedAudio(id, -1.0, -1, -1L, -1L, bytes.length.toLong,
+                Array.emptyFloatArray)
+          }
+        }
+      }
+  }
+
+  /** Per-segment RMS loudness over raw PCM bytes: the frame range is
+    * split into `grid` equal segments; each segment's value is
+    * sqrt(mean(sample²)) over every channel sample in [-1, 1].
+    * Supports the PCM widths the JDK WAV reader emits (16-bit signed
+    * either endianness, 8-bit signed/unsigned); other widths contribute
+    * silence rather than throwing — feature degradation, not job death.
+    */
+  private def rmsGrid(pcm: Array[Byte],
+                      fmt: javax.sound.sampled.AudioFormat,
+                      grid: Int): Array[Float] = {
+    val bytesPerSample = fmt.getSampleSizeInBits / 8
+    val frameSize = fmt.getFrameSize
+    val nFrames = if (frameSize > 0) pcm.length / frameSize else 0
+    if (nFrames == 0 || bytesPerSample == 0) return Array.emptyFloatArray
+    val unsigned8 =
+      fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+    Array.tabulate(grid) { g =>
+      val lo = g.toLong * nFrames / grid
+      val hi = (g + 1).toLong * nFrames / grid
+      if (hi <= lo) 0f
+      else {
+        var acc = 0.0
+        var n = 0L
+        var f = lo
+        while (f < hi) {
+          var c = 0
+          while (c < fmt.getChannels) {
+            val off = (f * frameSize + c.toLong * bytesPerSample).toInt
+            val s = fmt.getSampleSizeInBits match {
+              case 16 =>
+                val v =
+                  if (fmt.isBigEndian) (pcm(off) << 8) | (pcm(off + 1) & 0xff)
+                  else (pcm(off + 1) << 8) | (pcm(off) & 0xff)
+                v / 32768.0
+              case 8 =>
+                if (unsigned8) ((pcm(off) & 0xff) - 128) / 128.0
+                else pcm(off) / 128.0
+              case _ => 0.0
+            }
+            acc += s * s
+            n += 1
+            c += 1
+          }
+          f += 1
+        }
+        math.sqrt(acc / n).toFloat
+      }
+    }
+  }
+
+  /** Encode PCM float samples ([-1,1], interleaved channels) as a WAV
+    * byte payload (test-fixture helper, the audio twin of [[pngBytes]]).
+    */
+  def wavBytes(samples: Array[Float], sampleRate: Float = 16000f,
+               channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val v = math.max(-32768, math.min(32767, math.round(samples(i) * 32767f)))
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt,
+      samples.length.toLong / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** Encode a BufferedImage to PNG bytes (test-fixture helper — lets

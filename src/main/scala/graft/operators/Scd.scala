@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   * batch is small, so the dimension is never shuffled. Null-safe
   * comparison (`<=>`) makes NULL→value and value→NULL transitions
   * count as changes, as SCD2 requires.
+  *
+  * Precondition (same contract as [[Merge.upsert]]): `changes` must be
+  * unique on `keys` — a batch carrying two rows for one key would append
+  * two open versions and break the one-open-row-per-key invariant.
+  * Upstream must collapse multi-event batches to latest-wins first
+  * (the `orderCol` dedup in `EventStream.mergeSink` is the reusable
+  * shape); this is a per-batch contract the engine cannot check without
+  * forcing an extra aggregate over every batch.
   */
 object Scd {
 

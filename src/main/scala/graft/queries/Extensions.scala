@@ -598,7 +598,10 @@ object Extensions {
   private val q76 = Q("q76_jsonl_roundtrip",
     (s, d) => {
       val base = Tables.customer(s, d)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_customer"
+      // pid suffix: two concurrent Verify/Bench processes on one machine
+      // must not race on the same staging dir (stable within a process so
+      // bench re-runs reuse rather than leak)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_customer_${ProcessHandle.current().pid()}"
       graft.sources.Formats.writeJsonl(base, path)
       graft.sources.Formats.readJsonl(s, path, base.schema)
         .orderBy("c_custkey")
@@ -610,7 +613,7 @@ object Extensions {
   private val q77 = Q("q77_csv_roundtrip",
     (s, d) => {
       val base = Tables.nation(s, d)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation_${ProcessHandle.current().pid()}"
       graft.sources.Formats.writeCsv(base, path)
       graft.sources.Formats.readCsv(s, path, base.schema)
         .orderBy("n_nationkey")
@@ -721,32 +724,35 @@ object Extensions {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       // (l_orderkey, l_linenumber) is NOT unique in the testdata — the
-      // window order must include the projected value column so peers
-      // carry equal values and every value-function is tie-proof.
+      // window order carries (l_partkey, l_suppkey, l_extendedprice) as
+      // tiebreakers, which IS a unique key of lineitem, so every
+      // value-function sees one deterministic total order and the
+      // projected (l_partkey, l_suppkey) disambiguate tied rows in the
+      // presentation order too (no engine-dependent row order remains).
       val ord = Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber", "l_extendedprice")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
       val whole = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Tables.lineitem(s, d).select(
-        col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         first(col("l_extendedprice")).over(whole).as("first_price"),
         last(col("l_extendedprice")).over(whole).as("last_price"),
         nth_value(col("l_extendedprice"), 2).over(whole).as("second_price"),
         lead(col("l_extendedprice"), 2, -1.0).over(ord).as("lead2_price"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     },
-    Some("""SELECT l_orderkey, l_linenumber,
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
               FIRST_VALUE(l_extendedprice) OVER wf AS first_price,
               LAST_VALUE(l_extendedprice) OVER wf AS last_price,
               NTH_VALUE(l_extendedprice, 2) OVER wf AS second_price,
               LEAD(l_extendedprice, 2, -1.0) OVER wo AS lead2_price
             FROM lineitem
             WINDOW wo AS (PARTITION BY l_orderkey
-                          ORDER BY l_linenumber, l_extendedprice),
+                          ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice),
                    wf AS (PARTITION BY l_orderkey
-                          ORDER BY l_linenumber, l_extendedprice
+                          ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
                           ROWS BETWEEN UNBOUNDED PRECEDING
                                AND UNBOUNDED FOLLOWING)
-            ORDER BY l_orderkey, l_linenumber"""))
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""))
 
   /** FULL OUTER join — users with only clicks, only purchases, or both
     * (completes the join-type surface: inner/left/semi/anti/full/cross).

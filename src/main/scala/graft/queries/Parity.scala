@@ -129,16 +129,16 @@ object Parity {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("cnt"),
-        Fns.exactSumD(col("l_quantity")).as("sum_qty"),
-        Fns.exactSumD(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        Fns.exactSumScaled(col("l_quantity"), 0).as("sum_qty"),
+        Fns.exactSumScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
         min("l_extendedprice").as("min_price"),
         max("l_extendedprice").as("max_price"),
         sum(when(col("l_quantity") > 25, 1).otherwise(0)).as("big_qty_cnt"))
       .orderBy("l_returnflag", "l_linestatus"),
     Some("""SELECT l_returnflag, l_linestatus,
               COUNT(*) AS cnt,
-              CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
               MIN(l_extendedprice) AS min_price,
               MAX(l_extendedprice) AS max_price,
               CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty_cnt
@@ -583,13 +583,13 @@ object Parity {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(Fns.exactSumD(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .agg(Fns.exactSumScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
     Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
-              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+              CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -614,11 +614,11 @@ object Parity {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
       .groupBy("n_name")
-      .agg(Fns.exactSumD(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .agg(Fns.exactSumScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name")),
     Some("""SELECT n_name,
-              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+              CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -640,13 +640,13 @@ object Parity {
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
       .agg(
-        Fns.exactSumD(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        Fns.exactSumScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
           .as("lost_revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("lost_revenue").desc, col("c_custkey"))
       .limit(20),
     Some("""SELECT c_custkey, c_name, n_name,
-              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS lost_revenue,
+              CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS lost_revenue,
               COUNT(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey

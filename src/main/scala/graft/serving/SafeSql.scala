@@ -30,13 +30,17 @@ object SafeSql {
 
   /** Blank out quoted regions before keyword-scanning so that a literal
     * (`WHERE word = 'set'`) or a quoted identifier (`AS "copy"`) never
-    * trips the screen. SQL escapes a quote by doubling it, so `'it''s'`
-    * is two adjacent quoted segments — both removed by the non-greedy
-    * scan. The keyword screen is a parity-surface heuristic anyway; the
+    * trips the screen. Handles BOTH quote-escape conventions Spark's
+    * parser accepts: ''-doubling (`'it''s'` is two adjacent quoted
+    * segments, each removed) and backslash escapes (`'it\'s'`,
+    * `'a\\'` — the `\\.` alternative consumes the escaped character so
+    * the scan cannot desync and leave literal text outside quotes).
+    * The keyword screen is a parity-surface heuristic anyway; the
     * sound gate is the Catalyst parse in `assertQueryPlan`.
     */
   private def stripQuoted(sql: String): String =
-    sql.replaceAll("'[^']*'", "''").replaceAll("\"[^\"]*\"", "\"\"")
+    sql.replaceAll("""(?s)'(?:[^'\\]|\\.)*'""", "''")
+      .replaceAll("""(?s)"(?:[^"\\]|\\.)*"""", "\"\"")
 
   private def keywordScreen(sql: String): Unit = {
     val lowered = stripQuoted(sql).toLowerCase

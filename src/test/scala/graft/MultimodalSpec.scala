@@ -61,6 +61,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeAudio: real WAV decode via javax.sound.sampled") {
+    // synthesize real WAV payloads: a full-scale 440 Hz tone, a
+    // quiet-then-loud two-half signal, digital silence, and one corrupt
+    // payload — 1 s at 16 kHz mono, 16-bit signed little-endian PCM
+    val sr = 16000
+    val tone = Array.tabulate(sr)(i =>
+      (0.5 * math.sin(2 * math.Pi * 440 * i / sr)).toFloat)
+    val twoHalf = Array.tabulate(sr)(i => if (i < sr / 2) 0.1f else 0.8f)
+    val silence = Array.fill(sr)(0f)
+    val rows = Seq(
+      (1L, "audio", Multimodal.wavBytes(tone), "wav", "fixture"),
+      (2L, "audio", Multimodal.wavBytes(twoHalf), "wav", "fixture"),
+      (3L, "audio", Multimodal.wavBytes(silence), "wav", "fixture"),
+      (4L, "audio", Array[Byte](9, 9, 9), "raw", "fixture"))
+    import spark.implicits._
+    val assetsDf = rows.toDF("asset_id", "modality", "payload", "media_format", "source")
+
+    val decoded = Multimodal.decodeAudio(assetsDf, grid = 8).collect().sortBy(_.asset_id)
+    // header metadata: rate/channels/frames from the RIFF header,
+    // duration in the reference's nanosecond convention
+    assert(decoded.map(d => (d.asset_id, d.sample_rate, d.channels, d.frames)).toSeq ===
+      Seq((1L, 16000.0, 1, 16000L), (2L, 16000.0, 1, 16000L),
+        (3L, 16000.0, 1, 16000L), (4L, -1.0, -1, -1L)))
+    assert(decoded.take(3).forall(_.duration_ns === 1000000000L))
+    // RMS grid: sine at amplitude .5 → rms ≈ .5/√2 in every segment
+    val sine = decoded(0).rms
+    assert(sine.length === 8 && sine.forall(v => math.abs(v - 0.3536f) < 0.01f))
+    // quiet first half, loud second half — the grid localizes loudness
+    val halves = decoded(1).rms
+    assert(halves.take(4).forall(v => math.abs(v - 0.1f) < 0.01f))
+    assert(halves.drop(4).forall(v => math.abs(v - 0.8f) < 0.01f))
+    assert(decoded(2).rms.forall(_ === 0f))
+    assert(decoded(3).rms.isEmpty)
+    // deterministic under repartitioning
+    val again = Multimodal.decodeAudio(assetsDf.repartition(5), grid = 8)
+      .collect().sortBy(_.asset_id)
+    decoded.zip(again).foreach { case (a, b) =>
+      assert(a.rms.toSeq === b.rms.toSeq && a.duration_ns === b.duration_ns)
+    }
+  }
+
   test("resizeStub enforces the byte budget deterministically") {
     val resized = Multimodal.resizeStub(assets, targetBytes = 64)
       .collect().sortBy(_.asset_id)

@@ -37,6 +37,12 @@ class SafeSqlSpec extends SparkSpec {
     assert(SafeSql.run(spark, "SELECT id FROM t WHERE 'set' = 'set'").count() === 10)
     assert(SafeSql.run(spark, "SELECT id AS `x`, 'drop table users' AS msg FROM t").count() === 10)
     assert(SafeSql.run(spark, "SELECT 'it''s a copy' AS s FROM t").count() === 10)
+    // backslash-escaped quotes (Spark's default parser accepts both
+    // conventions) must not desync the stripper: if `\'` were read as a
+    // terminator, ` merge ` below would sit outside quotes and be
+    // falsely rejected
+    assert(SafeSql.run(spark, """SELECT 'it\'s a merge case' AS s FROM t""").count() === 10)
+    assert(SafeSql.run(spark, """SELECT 'trailing backslash \\' AS s, 'drop' AS d FROM t""").count() === 10)
     // ...while genuinely hostile statements still reject
     assertThrows[SafeSql.RejectedSql](
       SafeSql.run(spark, "SELECT 'x' AS s FROM t; DROP TABLE t"))

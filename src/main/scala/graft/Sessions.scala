@@ -36,6 +36,17 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      // trust the sort order of bucketed tables at scan time (off by
+      // default since 3.0). Safe: Spark only attaches the ordering when
+      // a bucket is a SINGLE file, and Skew.bucketed guarantees that by
+      // pre-repartitioning on the bucket keys — this is what removes
+      // the per-query Sort from sorted-bucketed merge joins
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // catalog tables (bucketed join tables, lakehouse builds) land in
+      // a per-process temp warehouse, not ./spark-warehouse — keeps the
+      // repo clean and two concurrent mains from racing on one dir
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
 
   /** The knob [[graft.pipeline.Bronze.read]] depends on; asserted there,
     * set here.

@@ -141,8 +141,14 @@ object Similarity {
     * the same linear-shuffle shape as the LSH variant, but with
     * data-adaptive cells instead of fixed hyperplanes.
     */
+  /** `nProbe` — the IVF quality lever: each query searches its `nProbe`
+    * nearest cells instead of one (corpus vectors still live in exactly
+    * one cell, so candidate pairs never duplicate). Cost scales
+    * linearly with `nProbe`, recall rises toward brute-force; the
+    * recall contract is measured in OperatorsSpec.
+    */
   def ivfTopK(emb: DataFrame, nCentroids: Int, nQueries: Int, k: Int,
-              iters: Int = 2): DataFrame = {
+              iters: Int = 2, nProbe: Int = 1): DataFrame = {
     val spark = emb.sparkSession
     val base = withNorm(emb)
     val corpus = base.filter(col("vec_id") >= nCentroids + nQueries)
@@ -152,14 +158,14 @@ object Similarity {
       cents.toDF("cent_id", "cent_e")
         .withColumn("cent_nrm", dot(col("cent_e"), col("cent_e")))
     }
-    def assign(df: DataFrame, cents: DataFrame): DataFrame = {
+    def assign(df: DataFrame, cents: DataFrame, probes: Int = 1): DataFrame = {
       val w = Window.partitionBy("vec_id")
         .orderBy(col("cscore").desc, col("cent_id"))
       df.crossJoin(broadcast(cents))
         .withColumn("cscore",
           dot(col("e"), col("cent_e")) / sqrt(col("nrm") * col("cent_nrm")))
         .withColumn("crk", row_number().over(w))
-        .filter(col("crk") === 1)
+        .filter(col("crk") <= probes)
         .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
     }
 
@@ -183,7 +189,8 @@ object Similarity {
 
     val trained = centsDf(cents)
     val q = assign(base.filter(
-        col("vec_id") >= nCentroids && col("vec_id") < nCentroids + nQueries), trained)
+        col("vec_id") >= nCentroids && col("vec_id") < nCentroids + nQueries),
+        trained, probes = nProbe)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("cell"))
     val c = assign(corpus, trained)
@@ -264,25 +271,51 @@ object Similarity {
     * embedding[j] > 0. Equal vectors land in equal buckets; at scale the
     * ANN search becomes an equi-join on this id.
     */
-  def lshBucket(emb: Column, bits: Int): Column =
+  def lshBucket(emb: Column, bits: Int): Column = lshBucketAt(emb, bits, 0)
+
+  /** Sign-LSH bucket over `bits` dimensions starting at `offset`: each
+    * table of a multi-table LSH index reads a disjoint dimension slice,
+    * so the tables are independent partitions of the space.
+    */
+  def lshBucketAt(emb: Column, bits: Int, offset: Int): Column =
     (0 until bits).map { j =>
-      when(element_at(emb, j + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
+      when(element_at(emb, offset + j + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Bucketed ANN: same contract as bruteForceTopK but candidates are
     * restricted to the query's sign-LSH bucket (recall < 1, cost ≫ lower).
+    *
+    * `tables` — the LSH quality lever: candidates are unioned across
+    * `tables` independent bucketings (disjoint dimension slices;
+    * requires `tables * bits` ≤ embedding dim). A true neighbor is
+    * found if it collides in ANY table, so recall rises with each
+    * table at linearly more candidate pairs; the recall contract is
+    * measured in OperatorsSpec. Default 1 keeps the single-table shape.
     */
-  def lshTopK(emb: DataFrame, nQueries: Int, k: Int, bits: Int): DataFrame = {
+  def lshTopK(emb: DataFrame, nQueries: Int, k: Int, bits: Int,
+              tables: Int = 1): DataFrame = {
     val base = withNorm(emb)
-      .withColumn("bucket", lshBucket(col("embedding").cast(ArrayType(FloatType)), bits))
-    val q = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"),
-        col("nrm").as("qn"), col("bucket"))
-    val c = base.filter(col("vec_id") >= nQueries)
-      .select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
-        col("nrm").as("cn"), col("bucket"))
-    rankTopK(c.join(broadcast(q), Seq("bucket"))
-      .select(col("query_id"), col("neighbor_id"), pairScore), k)
+    def bucketed(t: Int): DataFrame = base.withColumn("bucket",
+      lshBucketAt(col("embedding").cast(ArrayType(FloatType)), bits, t * bits)
+        + lit(t.toLong << 32)) // disjoint bucket space per table
+    def pairsOf(tagged: DataFrame): DataFrame = {
+      val q = tagged.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("nrm").as("qn"), col("bucket"))
+      val c = tagged.filter(col("vec_id") >= nQueries)
+        .select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+          col("nrm").as("cn"), col("bucket"))
+      c.join(broadcast(q), Seq("bucket"))
+        .select(col("query_id"), col("neighbor_id"), pairScore)
+    }
+    val scored =
+      if (tables == 1) pairsOf(bucketed(0))
+      else (0 until tables).map(t => pairsOf(bucketed(t)))
+        .reduce(_ unionByName _)
+        // a pair colliding in several tables must rank once, not `tables`
+        // times (score is identical on every copy)
+        .dropDuplicates("query_id", "neighbor_id")
+    rankTopK(scored, k)
   }
 
   def lshTopKOracle(nQueries: Int, k: Int, bits: Int): String = {

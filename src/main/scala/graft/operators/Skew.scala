@@ -18,6 +18,33 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Materialize `df` as a sorted-bucketed catalog table and return it.
+    * Both sides of a repeated equi-join bucketed (same bucket count) and
+    * sorted on their join keys join WITHOUT a shuffle or sort — the
+    * bucket files ARE the co-located partitions, so at 100 TB a fact
+    * table joined every hour against another bucketed fact pays its
+    * shuffle ONCE at write time instead of per query (the plan-level
+    * zero-Exchange proof lives in ScaleSpec).
+    *
+    * Spark bucketing requires a catalog table (`saveAsTable`) — plain
+    * `parquet(path)` writes cannot carry the bucket spec.
+    */
+  def bucketed(df: DataFrame, fqTable: String, nBuckets: Int,
+               keys: String*): DataFrame = {
+    val spark = df.sparkSession
+    // repartition on the bucket keys first so every task holds exactly
+    // one bucket → ONE file per bucket. That is what lets the sorted
+    // bucket files be consumed as-is downstream: with multiple files
+    // per bucket Spark must re-sort each bucket at read time, and the
+    // no-Sort half of the co-located join guarantee is lost.
+    df.repartition(nBuckets, keys.map(col): _*)
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(fqTable)
+    spark.table(fqTable)
+  }
+
   final case class Partial(name: String, phase1: Column, phase2: Column => Column)
 
   /** Algebraic partial specs for the common aggregates. */

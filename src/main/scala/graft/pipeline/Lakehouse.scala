@@ -23,68 +23,126 @@ object Lakehouse {
 
   private val SilverEntities = Seq("laps", "weather", "results")
 
-  /** Transactional CTAS: materialize `df` as `fqTable` by writing to
-    * `<table>__tmp` and swapping via catalog renames — the engine's
-    * equivalent of dbt's `CREATE … __dbt_tmp` + ALTER RENAME swap
-    * (transform/target/run/f1_transform/models/silver/laps.sql:6-20).
-    * The live table is touched only AFTER the tmp write fully succeeded,
-    * so a failure mid-build (bad data, executor loss, contract breach in
-    * the producing query) leaves the previous table intact; if the final
-    * rename itself fails, the backup is restored. The rename pair is the
-    * narrowest non-atomic window a plain-parquet catalog allows — full
-    * ACID swap is what a Delta/Iceberg table format would buy on top.
-    */
-  /** Crash recovery for [[ctasSwap]]'s rename window: a process killed
-    * between `target → backup` and `tmp → target` leaves the live name
-    * missing with the previous version intact under `__backup`. Restore
-    * it before reading or rebuilding — callers that check
-    * `tableExists(fqTable)` (e.g. the streaming merge sink) must call
-    * this first or they would silently rebuild from scratch.
-    */
-  def recoverSwap(spark: SparkSession, fqTable: String): Unit =
-    if (!spark.catalog.tableExists(fqTable) &&
-        spark.catalog.tableExists(s"${fqTable}__backup"))
-      spark.sql(s"ALTER TABLE ${fqTable}__backup RENAME TO $fqTable")
+  private def dbAndName(spark: SparkSession, fqTable: String): (String, String) =
+    fqTable.split('.') match {
+      case Array(db, n) => (db, n)
+      case _            => (spark.catalog.currentDatabase, fqTable)
+    }
 
+  /** Version numbers of the physical tables backing `fqTable`
+    * (`<table>__v<N>` naming). Catalog-metadata-only — no data scan.
+    */
+  private def versions(spark: SparkSession, fqTable: String): Seq[Int] = {
+    val (db, name) = dbAndName(spark, fqTable)
+    val re = (java.util.regex.Pattern.quote(name) + "__v(\\d+)").r
+    if (!spark.catalog.databaseExists(db)) Nil
+    else spark.catalog.listTables(db).collect().toSeq
+      .flatMap(t => re.unapplySeq(t.name).flatMap(_.headOption))
+      .map(_.toInt)
+  }
+
+  /** Point the `fqTable` view at version `v`. `cols` (when known)
+    * pins the view's column order to the producing frame's: a
+    * partitioned `saveAsTable` physically moves partition columns to
+    * the end of the stored schema, and the view projection is what
+    * restores the declared order (silver's keys-first contract) on the
+    * read surface.
+    */
+  private def publish(spark: SparkSession, fqTable: String, v: Int,
+                      cols: Seq[String] = Nil): Unit = {
+    val projection =
+      if (cols.isEmpty) "*" else cols.map(c => s"`$c`").mkString(", ")
+    spark.sql(
+      s"CREATE OR REPLACE VIEW $fqTable AS SELECT $projection FROM ${fqTable}__v$v")
+  }
+
+  /** Transactional CTAS: materialize `df` as version table
+    * `<table>__v<N>` and publish it by repointing the `fqTable` VIEW at
+    * it — the engine's equivalent of dbt's `CREATE … __dbt_tmp` + swap
+    * (transform/target/run/f1_transform/models/silver/laps.sql:6-20),
+    * but with a SINGLE catalog operation as the commit point instead of
+    * the reference's (and our previous) rename pair. `CREATE OR REPLACE
+    * VIEW` is one atomic metastore mutation, so there is NO window in
+    * which the live name is missing: readers planning before the
+    * publish resolve the old version, readers planning after resolve
+    * the new one, and a crash at any point leaves the pointer on the
+    * last fully-written version. A failure while writing the new
+    * version (bad data, executor loss, contract breach) never touches
+    * the pointer at all.
+    *
+    * Old version tables are dropped right after the publish. On a
+    * multi-tenant warehouse, queries still EXECUTING against the old
+    * version at that moment would lose their files — at production
+    * scale keep a retention window (drop versions older than the
+    * longest-running query) instead; the pointer flip itself needs no
+    * change.
+    */
   def ctasSwap(spark: SparkSession, df: DataFrame, fqTable: String,
                partitionBy: Seq[String] = Nil): Unit = {
-    val tmp = s"${fqTable}__tmp"
-    val backup = s"${fqTable}__backup"
     recoverSwap(spark, fqTable)
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // one-time migration of a pre-view layout: a physical table holding
+    // the live name moves into the version chain, then the view takes
+    // the name (the only path with a non-atomic window, and it is never
+    // re-entered once the layout is views-over-versions)
+    if (spark.catalog.tableExists(fqTable) &&
+        spark.catalog.getTable(fqTable).tableType != "VIEW") {
+      spark.sql(s"ALTER TABLE $fqTable RENAME TO ${fqTable}__v0")
+      publish(spark, fqTable, 0)
+    }
+    val next = versions(spark, fqTable).maxOption.getOrElse(-1) + 1
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .saveAsTable(tmp)
-    spark.sql(s"DROP TABLE IF EXISTS $backup")
-    if (spark.catalog.tableExists(fqTable))
-      spark.sql(s"ALTER TABLE $fqTable RENAME TO $backup")
-    try spark.sql(s"ALTER TABLE $tmp RENAME TO $fqTable")
-    catch {
-      case e: Throwable =>
-        if (spark.catalog.tableExists(backup))
-          spark.sql(s"ALTER TABLE $backup RENAME TO $fqTable")
-        throw e
-    }
-    spark.sql(s"DROP TABLE IF EXISTS $backup")
+      .saveAsTable(s"${fqTable}__v$next")
+    publish(spark, fqTable, next, df.columns.toSeq)    // the commit point
+    versions(spark, fqTable).filter(_ != next)         // GC superseded + stray
+      .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${fqTable}__v$v"))
+    spark.sql(s"DROP TABLE IF EXISTS ${fqTable}__tmp") // legacy scaffolding
   }
+
+  /** Recovery for interrupted swaps. With the view-pointer layout the
+    * publish is atomic, so the only states needing repair are (a) the
+    * legacy rename-pair layout's mid-rename crash (live name missing,
+    * previous version stranded under `__backup`) and (b) a crash between
+    * the legacy-migration rename and its publish (live name missing,
+    * version tables present) — both restored here with one catalog op.
+    * Callers that check `tableExists(fqTable)` before rebuilding (e.g.
+    * the streaming merge sink) still call this first; on a healthy
+    * layout it is a metadata no-op.
+    */
+  def recoverSwap(spark: SparkSession, fqTable: String): Unit =
+    if (!spark.catalog.tableExists(fqTable)) {
+      if (spark.catalog.tableExists(s"${fqTable}__backup"))
+        spark.sql(s"ALTER TABLE ${fqTable}__backup RENAME TO $fqTable")
+      else versions(spark, fqTable).maxOption
+        .foreach(v => publish(spark, fqTable, v))
+    }
 
   /** Full rebuild, mirroring the reference's `+materialized: table`
     * semantics (no incrementality — SURVEY §4 row "Incrementality").
     * Entities missing from bronze are skipped (the reference's
-    * ingestion writes whatever sessions exist).
+    * ingestion writes whatever sessions exist). Silver tables are
+    * partitioned by `season` so serving predicates prune at the file
+    * level (SURVEY §4 row 1 — the reference's DuckDB tables are
+    * unpartitioned; at 100 TB a full-table scan per dashboard query is
+    * not viable). `countRows = false` skips the per-table count()
+    * actions (three extra full scans — at scale take row counts from
+    * the write's committed task metrics instead); counts then report -1.
     */
   def build(spark: SparkSession, bronzeRoot: String,
-            silverDb: String = "silver", goldDb: String = "gold"): BuildResult = {
+            silverDb: String = "silver", goldDb: String = "gold",
+            countRows: Boolean = true): BuildResult = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $silverDb")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $goldDb")
+    def rows(df: DataFrame): Long = if (countRows) df.count() else -1L
 
     val silverRows = SilverEntities.flatMap { entity =>
       val exists = new org.apache.hadoop.fs.Path(s"$bronzeRoot/$entity")
       val fs = exists.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(exists)) None
       else {
-        Silver.build(Bronze.read(spark, bronzeRoot, entity), s"$silverDb.$entity")
-        Some(entity -> spark.table(s"$silverDb.$entity").count())
+        Silver.build(Bronze.read(spark, bronzeRoot, entity), s"$silverDb.$entity",
+          partitionBySeason = true)
+        Some(entity -> rows(spark.table(s"$silverDb.$entity")))
       }
     }.toMap
 
@@ -102,6 +160,6 @@ object Lakehouse {
         Checks.notNull(dss, s"$goldDb.driver_session_summary", keyCols :+ "driver") :+
         Checks.notNull(tes, s"$goldDb.team_event_summary", keyCols :+ "team")
 
-    BuildResult(silverRows, dss.count(), tes.count(), contract.flatten)
+    BuildResult(silverRows, rows(dss), rows(tes), contract.flatten)
   }
 }

@@ -955,10 +955,43 @@ object Extensions {
             SELECT src, COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS n_keys
             FROM u GROUP BY src ORDER BY src"""))
 
+  /** Sorted-bucketed fact⋈fact join ([[graft.operators.Skew.bucketed]]
+    * productized): lineitem and orders are materialized bucketed+sorted
+    * on the order key, then joined — the join runs with ZERO Exchange
+    * and zero Sort (plan-asserted in ScaleSpec over this same builder
+    * via [[bucketedJoinFrame]]); the only shuffle in the query is the
+    * small post-join aggregation. Bucketing is purely physical, so the
+    * values are oracled against the plain DuckDB join.
+    */
+  def bucketedJoinFrame(s: SparkSession, d: String):
+      org.apache.spark.sql.DataFrame = {
+    import graft.operators.Skew
+    s.sql("CREATE DATABASE IF NOT EXISTS bkt_q90")
+    val li = Skew.bucketed(Tables.lineitem(s, d), "bkt_q90.lineitem_b", 8,
+      "l_orderkey")
+    val ord = Skew.bucketed(Tables.orders(s, d), "bkt_q90.orders_b", 8,
+      "o_orderkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+  }
+
+  private val q90 = Q("q90_bucketed_join",
+    (s, d) => bucketedJoinFrame(s, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        Fns.exactSumScaled(col("l_quantity"), 0).as("sum_qty"),
+        Fns.exactSumScaled(col("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+              CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
+    q90)
 }

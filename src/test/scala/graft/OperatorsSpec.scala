@@ -109,6 +109,40 @@ class OperatorsSpec extends SparkSpec {
     assert(r((1L, 1L))._1 === 6L)
   }
 
+  test("ANN recall contract: measured floor vs brute force; levers raise it") {
+    // the embeddings fixture is near-random — the HARDEST case for ANN
+    // (true neighbors are barely closer than the bulk), so these bounds
+    // are honest floors for adversarial data, not showcase numbers
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(got: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
+      (got & truth).size.toDouble / truth.size
+
+    // LSH split: queries = vec_id < 20, corpus = the rest (same as q51)
+    val bfLsh = pairs(Similarity.bruteForceTopK(emb, nQueries = 20, k = 3))
+    val lsh1 = recall(pairs(Similarity.lshTopK(emb, 20, 3, bits = 4)), bfLsh)
+    val lsh4 = recall(pairs(Similarity.lshTopK(emb, 20, 3, bits = 4, tables = 4)), bfLsh)
+    info(f"recall@3 lsh tables=1: $lsh1%.3f  tables=4: $lsh4%.3f")
+    assert(lsh1 >= 0.15, f"single-table LSH recall $lsh1%.3f below floor")
+    assert(lsh4 >= lsh1, "adding LSH tables must not lose recall")
+    assert(lsh4 >= 0.40, f"4-table LSH recall $lsh4%.3f below floor")
+
+    // IVF split: queries = vec_id in [8, 28), corpus >= 28 (same as
+    // q60) — ground truth from brute force over the id-shifted frame
+    val shifted = emb.filter(col("vec_id") >= 8)
+      .withColumn("vec_id", col("vec_id") - 8)
+    val bfIvf = pairs(Similarity.bruteForceTopK(shifted, nQueries = 20, k = 3))
+      .map { case (q, n) => (q + 8, n + 8) }
+    val ivf1 = recall(pairs(Similarity.ivfTopK(emb, 8, 20, 3)), bfIvf)
+    val ivf4 = recall(pairs(Similarity.ivfTopK(emb, 8, 20, 3, nProbe = 4)), bfIvf)
+    info(f"recall@3 ivf nProbe=1: $ivf1%.3f  nProbe=4: $ivf4%.3f")
+    assert(ivf1 >= 0.10, f"nProbe=1 IVF recall $ivf1%.3f below floor")
+    assert(ivf4 >= ivf1, "raising nProbe must not lose recall")
+    assert(ivf4 >= 0.50, f"nProbe=4 IVF recall $ivf4%.3f below floor")
+  }
+
   test("AsOfJoin: latest preceding right row, equal timestamps included") {
     val clicks = spark.createDataFrame(Seq(
       (1L, 10L, 100L),   // click at t=100

@@ -202,6 +202,19 @@ class PipelineSpec extends SparkSpec {
     assert(spark.catalog.tableExists("t_silver.laps"))
     assert(spark.catalog.tableExists("t_gold.team_event_summary"))
     assert(spark.table("t_gold.driver_session_summary").columns.length === 12)
+    // silver keeps the keys-first contract on the read surface even
+    // though the physical table is partitioned (partition columns move
+    // to the end of the stored schema; the view projection restores it)
+    assert(spark.table("t_silver.laps").columns.take(4).toSeq ===
+      Seq("season", "round", "grand_prix", "session_code"))
+    // silver is partitioned by season: a season predicate must prune at
+    // the partition level (PartitionFilters on the scan), not post-scan
+    val pruned = spark.table("t_silver.laps").filter(col("season") === 2024)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      "season#\\d+ = 2024".r.findFirstIn(scan).isDefined,
+      s"expected season partition filter on the scan, got:\n$scan")
+    assert(pruned.count() === 7)
     // the contract catches the fixture's NULL-team group, everything else passes
     val (bad, good) = result.contract.partition(c =>
       c.table == "t_gold.team_event_summary" && c.column == "team")
@@ -234,6 +247,9 @@ class PipelineSpec extends SparkSpec {
     val v1 = spark.range(5).select(col("id"), lit("v1").as("tag"))
     Lakehouse.ctasSwap(spark, v1, "t_swap.t")
     assert(spark.table("t_swap.t").count() === 5)
+    // no-window layout: the live name is a VIEW pointer; the publish is
+    // ONE catalog op, so there is no state in which the name is missing
+    assert(spark.catalog.getTable("t_swap.t").tableType === "VIEW")
 
     // rebuild whose WRITE fails at runtime (raise_error fires per row)
     val poison = spark.range(3).select(
@@ -244,12 +260,24 @@ class PipelineSpec extends SparkSpec {
     assert(after.count() === 5)
     assert(after.select("tag").distinct().collect().map(_.getString(0)).toSeq === Seq("v1"))
 
-    // a successful rebuild swaps cleanly and drops the scaffolding
+    // a successful rebuild swaps cleanly and drops the scaffolding:
+    // exactly one version table remains behind the pointer
     val v2 = spark.range(7).select(col("id"), lit("v2").as("tag"))
     Lakehouse.ctasSwap(spark, v2, "t_swap.t")
     assert(spark.table("t_swap.t").count() === 7)
     assert(!spark.catalog.tableExists("t_swap.t__tmp"))
     assert(!spark.catalog.tableExists("t_swap.t__backup"))
+    val versionTables = spark.catalog.listTables("t_swap").collect()
+      .map(_.name).filter(_.matches("t__v\\d+")).toSeq
+    assert(versionTables.length === 1)
+
+    // recovery: a lost pointer (crash before the first publish, or a
+    // dropped view) republishes the newest surviving version — one
+    // catalog op, no renames
+    spark.sql("DROP VIEW t_swap.t")
+    Lakehouse.recoverSwap(spark, "t_swap.t")
+    assert(spark.table("t_swap.t").count() === 7)
+    assert(spark.catalog.getTable("t_swap.t").tableType === "VIEW")
   }
 
   test("idempotent-write guard detects existing leaves") {

@@ -54,6 +54,35 @@ class ScaleSpec extends SparkSpec {
       s"HLL estimate out of bound: $row"))
   }
 
+  test("q90 bucketed fact join: zero Exchange and zero Sort on the join") {
+    import org.apache.spark.sql.execution.SortExec
+    // same builder the graded q90 query uses; the merge hint pins the
+    // sort-merge strategy (at fixture scale AQE would otherwise
+    // broadcast the small side — at 100 TB fact⋈fact sizes, sort-merge
+    // is what Catalyst picks unhinted, which is exactly the case the
+    // bucket layout exists for)
+    val joined = graft.queries.Extensions
+      .bucketedJoinFrame(spark, "/root/testdata/sf0.001")
+    val smj = spark.table("bkt_q90.lineitem_b").hint("merge")
+      .join(spark.table("bkt_q90.orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+    smj.write.format("noop").mode("overwrite").save()
+    val finalPlan = smj.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(finalPlan.collectWithSubqueries {
+      case s: ShuffleExchangeExec => s }.isEmpty,
+      s"bucketed join must not shuffle:\n$finalPlan")
+    assert(finalPlan.collectWithSubqueries { case s: SortExec => s }.isEmpty,
+      s"single sorted file per bucket must not re-sort:\n$finalPlan")
+    // and the values equal the plain (unbucketed) join
+    assert(joined.count() ===
+      Tables.lineitem(spark, "/root/testdata/sf0.001")
+        .join(Tables.orders(spark, "/root/testdata/sf0.001"),
+          col("l_orderkey") === col("o_orderkey")).count())
+  }
+
   test("salted aggregation equals direct aggregation") {
     val dir = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, dir)

@@ -269,6 +269,71 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("sessionizeStream: restart from a durable checkpoint is exactly-once (≡ batch)") {
+    import spark.implicits._
+    // durable locations shared by BOTH query incarnations
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-restart-src")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-restart-out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-restart-ckpt").toString
+
+    val all = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val midTs = all.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
+    val maxTs = all.agg(max("ts")).head().getLong(0)
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-restart-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), srcDir.resolve(name))
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema(EventStream.eventsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = EventStream.sessionizeStream(stream, gapMinutes = 30)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // phase 1: only the early half of the stream exists; stop mid-stream
+    // (open sessions — including every one spanning the split point —
+    // are parked in checkpointed state, and the sink has committed
+    // whatever closed early)
+    stage("a_first.parquet", all.filter(col("ts") <= midTs))
+    run()
+    // phase 2: a NEW query incarnation on the same checkpoint sees the
+    // late half plus two watermark sentinels (timeouts in batch N use
+    // the watermark from batch N-1 — two extra triggers flush the tail)
+    stage("b_second.parquet", all.filter(col("ts") > midTs))
+    stage("c_sentinel.parquet", Seq(
+      (999999L, maxTs + 36000L * 1000000000L, 999999L, "flush", 0.0, null: String))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    stage("d_sentinel.parquet", Seq(
+      (999998L, maxTs + 72000L * 1000000000L, 999999L, "flush", 0.0, null: String))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    run()
+
+    // exactly-once: the recovered run must neither drop nor duplicate a
+    // session, and sessions spanning the restart must merge — byte-equal
+    // to the batch twin over the union of both halves
+    val got = spark.read.parquet(outDir)
+      .filter(col("user_id") =!= 999999L)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("session_start_us"), r.getAs[Long]("session_end_us"),
+        r.getAs[Long]("n_events")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val expected = EventStream.sessionize(
+        all.select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"),
+          coalesce(col("value"), lit(0.0)).as("value")).as[EventStream.Ev],
+        gapMinutes = 30)
+      .collect().map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
+
   test("sessionize splits on gaps and aggregates custom state") {
     import spark.implicits._
     val evs = Seq(

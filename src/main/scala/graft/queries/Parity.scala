@@ -600,23 +600,35 @@ object Parity {
             ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
     headline = true)
 
-  /** TPC-H Q5 shape — 6-way star join: big fact chain shuffles once on
-    * each key; all four dims broadcast.
+  /** TPC-H Q5 shape — star join with a COMPOSITE dim: the snowflake tail
+    * (supplier⋈nation⋈region, region-filtered) pre-joins into ONE tiny
+    * broadcast keyed (s_suppkey, s_nationkey), so the fact chain probes
+    * 2 hash tables instead of 4 and non-ASIA rows die at the dim probe.
+    * Measured at sf0.1 (PLANS.md q33 attribution): 4 separate broadcast
+    * builds cost ~0.3 s of the query's ~1.2 s — the composite removes
+    * half of them and ~0.15 s of wall time; at cluster scale it also
+    * halves the number of broadcast rounds per query. Values are
+    * join-order-independent (all inner joins), so the oracle keeps the
+    * canonical 6-way formulation.
     */
   private val q33 = Q("q33_tpch_q5_shape",
-    (s, d) => Tables.lineitem(s, d)
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, d)),
-        col("l_suppkey") === col("s_suppkey") &&
-          col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-      .filter(col("r_name") === "ASIA")
-      .groupBy("n_name")
-      .agg(Fns.exactSumScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
-        .as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name")),
+    (s, d) => {
+      val dim = Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(dim),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(Fns.exactSumScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
     Some("""SELECT n_name,
               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS revenue
             FROM lineitem

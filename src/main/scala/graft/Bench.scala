@@ -35,9 +35,12 @@ object Bench {
       t
     }
 
-    // Median of 3 runs per query: a single noisy run (sandbox contention,
-    // stray GC) must not decide the round's perf record.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Median of N runs per query: a single noisy run (sandbox contention,
+    // stray GC) must not decide the round's perf record. The headline set
+    // is small enough to afford 5; the full inventory stays at 3.
+    val defaultRuns =
+      if (args.nonEmpty || sys.env.contains("SPARK_GRAFT_BENCH_ALL")) "3" else "5"
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", defaultRuns).toInt
     def materialize(name: String): Double = {
       val ts = Seq.fill(runs)(once(name)).sorted
       ts(ts.size / 2)

@@ -987,11 +987,178 @@ object Extensions {
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** TPC-H Q7 shape — two-nation trade volume: the snowflake tails
+    * (supplier⋈nation, customer-side nation) pre-join into composite
+    * broadcasts (the q33 idiom), revenue per (supp_nation, cust_nation,
+    * year). Year cast to BIGINT on both engines (Spark `year` is int32,
+    * DuckDB EXTRACT is int64 — dtype parity).
+    */
+  private val q91 = Q("q91_tpch_q7_shape",
+    (s, d) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val supp = Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast(LongType).as("l_year"))
+        .agg(Fns.exactSumScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+              CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+              AND cn.n_name IN ('NATION_1', 'NATION_2')
+              AND sn.n_name <> cn.n_name
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** TPC-H Q12 shape — priority-class conditional counts per line
+    * status over a ship-date year (the two-branch CASE count idiom).
+    */
+  private val q92 = Q("q92_tpch_q12_shape",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .otherwise(0)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+          .otherwise(1)).as("low_line_count"))
+      .orderBy("l_linestatus"),
+    Some("""SELECT l_linestatus,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** TPC-H Q14 shape — promo revenue share: a ratio of two exact
+    * scaled-long sums (the division of two bit-identical doubles is
+    * itself bit-identical, so the ratio is oracle-hashable).
+    */
+  private val q93 = Q("q93_tpch_q14_shape",
+    (s, d) => {
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(((lit(100.0) *
+          Fns.exactSumScaled(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0)), 4))
+          / Fns.exactSumScaled(disc, 4)).as("promo_revenue"))
+    },
+    Some("""SELECT (100.0 *
+              (CAST(SUM(CAST(FLOOR(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000))
+              / (CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000)
+              AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'"""))
+
+  /** TPC-H Q18 shape — large-volume orders: HAVING on a grouped sum,
+    * semi-joined back through orders⋈customer, top-k by total price.
+    * The big-order key set is tiny (top ~0.5%), so everything after the
+    * one lineitem aggregation broadcasts.
+    */
+  private val q94 = Q("q94_tpch_q18_shape",
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(Fns.exactSumScaled(col("l_quantity"), 0).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      Tables.orders(s, d)
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some("""WITH big AS (
+              SELECT l_orderkey,
+                CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) > 300)
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""))
+
+  /** Window FRAME suite — the frame kinds q55/q80/q81 don't cover:
+    * running ROWS-frame sum, sliding 3-row sum, and a time-RANGE frame
+    * (30 days preceding on the epoch-numeric order key). All three sums
+    * go through scaled int64 INSIDE the window so frame totals are exact
+    * on both engines regardless of accumulation order.
+    */
+  private val q95 = Q("q95_window_frames",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = floor(col("o_totalprice") * lit(100) + lit(0.5)).cast(LongType)
+      // NTZ has no direct long cast; via TimestampType under the UTC
+      // session it yields the same epoch seconds DuckDB's EPOCH() does
+      val epoch = col("o_orderdate").cast(TimestampType).cast(LongType)
+      val ord = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val running = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sliding = ord.rowsBetween(-2, Window.currentRow)
+      val ranged = Window.partitionBy("o_custkey").orderBy(epoch)
+        .rangeBetween(-30L * 86400, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        (sum(cents).over(running).cast(DoubleType) / 100).as("running_total"),
+        (sum(cents).over(sliding).cast(DoubleType) / 100).as("last3_total"),
+        (sum(cents).over(ranged).cast(DoubleType) / 100).as("days30_total"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+                AS running_total,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+                AS last3_total,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY EPOCH(o_orderdate)
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+                AS days30_total
+            FROM orders
+            ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90)
+    q90, q91, q92, q93, q94, q95)
 }

@@ -70,15 +70,15 @@ object Lakehouse {
     * version (bad data, executor loss, contract breach) never touches
     * the pointer at all.
     *
-    * Old version tables are dropped right after the publish. On a
-    * multi-tenant warehouse, queries still EXECUTING against the old
-    * version at that moment would lose their files — at production
-    * scale keep a retention window (drop versions older than the
-    * longest-running query) instead; the pointer flip itself needs no
-    * change.
+    * Superseded version tables are garbage-collected after the publish,
+    * keeping the `retainVersions` most recent ones (default 0: drop all
+    * but the live version). On a multi-tenant warehouse, a query still
+    * EXECUTING against the old version when it is dropped would lose its
+    * files — size `retainVersions` to cover the longest-running reader;
+    * the pointer flip itself needs no change.
     */
   def ctasSwap(spark: SparkSession, df: DataFrame, fqTable: String,
-               partitionBy: Seq[String] = Nil): Unit = {
+               partitionBy: Seq[String] = Nil, retainVersions: Int = 0): Unit = {
     recoverSwap(spark, fqTable)
     // one-time migration of a pre-view layout: a physical table holding
     // the live name moves into the version chain, then the view takes
@@ -95,6 +95,7 @@ object Lakehouse {
       .saveAsTable(s"${fqTable}__v$next")
     publish(spark, fqTable, next, df.columns.toSeq)    // the commit point
     versions(spark, fqTable).filter(_ != next)         // GC superseded + stray
+      .sorted.dropRight(retainVersions)
       .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${fqTable}__v$v"))
     spark.sql(s"DROP TABLE IF EXISTS ${fqTable}__tmp") // legacy scaffolding
   }

@@ -57,6 +57,21 @@ object Checks {
     CheckResult(table, column, failures)
   }
 
+  /** dbt's `relationships` generic test: every non-NULL foreign-key
+    * value in `df.column` must exist in `to.toColumn` (dbt compiles a
+    * `left join … where parent is null` probe; the anti-join is the
+    * same plan with the child side streamed and the parent key set
+    * broadcast when small — the dimension is never shuffled).
+    * NULL children pass, as in dbt.
+    */
+  def relationships(df: DataFrame, table: String, column: String,
+                    to: DataFrame, toColumn: String): CheckResult = {
+    val failures = df.filter(col(column).isNotNull)
+      .join(to.select(col(toColumn).as(column)).distinct(), Seq(column), "left_anti")
+      .count()
+    CheckResult(table, column, failures)
+  }
+
   /** The reference's full 17-test contract. */
   def contract(
       silverLaps: DataFrame, silverWeather: DataFrame, silverResults: DataFrame,

@@ -35,6 +35,27 @@ class FnsSpec extends SparkSpec {
     }
   }
 
+  test("exactSumScaled equals the BigDecimal sum and ignores partitioning (property)") {
+    import spark.implicits._
+    // fixed-scale money values (scale 2, mixed sign, up to ~1e7) — the
+    // exact sum must equal the BigDecimal reference and be identical
+    // under any repartitioning (the order-independence contract)
+    val centsGen = Gen.chooseNum(-999999999L, 999999999L)
+    val cents = samples(centsGen, 2000)
+    val expected = (BigDecimal(cents.sum) / 100).toDouble
+    val df = cents.map(_ / 100.0).toDF("v")
+    def sumOf(d: org.apache.spark.sql.DataFrame): Double =
+      d.agg(Fns.exactSumScaled(col("v"), 2).as("s")).head().getDouble(0)
+    assert(sumOf(df) === expected)
+    assert(sumOf(df.repartition(17)) === expected)
+    assert(sumOf(df.repartition(1)) === expected)
+    // scale 0 on integral values
+    val ints = cents.map(c => math.abs(c) % 1000)
+    val dfi = ints.map(_.toDouble).toDF("v")
+    assert(dfi.agg(Fns.exactSumScaled(col("v"), 0).as("s")).head().getDouble(0)
+      === ints.sum.toDouble)
+  }
+
   test("slugify matches python-slugify on F1 event names") {
     val df = spark.createDataFrame(Seq(
       ("Bahrain Grand Prix", "bahrain-grand-prix"),

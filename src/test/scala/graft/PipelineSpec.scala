@@ -238,6 +238,12 @@ class PipelineSpec extends SparkSpec {
       .unionByName(df.filter(col("code").isNull)), "t", Seq("code")).failures === 0L)
     assert(Checks.acceptedValues(df, "t", "code", Seq("R", "Q", "S")).failures === 1L)
     assert(Checks.acceptedValues(df, "t", "code", Seq("R", "Q", "S", "X")).passed)
+    // relationships: child keys must exist in the parent; NULLs pass
+    val parent = Seq(1L, 2L, 3L).toDF("id")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("k")
+    assert(Checks.relationships(child, "t", "k", parent, "id").failures === 1L)
+    assert(Checks.relationships(child.filter(col("k") =!= 9L), "t", "k",
+      parent, "id").passed)
   }
 
   test("ctasSwap: a failed rebuild leaves the previous table intact") {
@@ -278,6 +284,15 @@ class PipelineSpec extends SparkSpec {
     Lakehouse.recoverSwap(spark, "t_swap.t")
     assert(spark.table("t_swap.t").count() === 7)
     assert(spark.catalog.getTable("t_swap.t").tableType === "VIEW")
+
+    // retention window: long-running readers of the previous version
+    // keep their files while the pointer serves the new one
+    val v3 = spark.range(9).select(col("id"), lit("v3").as("tag"))
+    Lakehouse.ctasSwap(spark, v3, "t_swap.t", retainVersions = 1)
+    assert(spark.table("t_swap.t").count() === 9)
+    val kept = spark.catalog.listTables("t_swap").collect()
+      .map(_.name).filter(_.matches("t__v\\d+")).toSeq
+    assert(kept.length === 2, s"expected live + 1 retained, got $kept")
   }
 
   test("idempotent-write guard detects existing leaves") {

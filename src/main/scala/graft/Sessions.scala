@@ -36,6 +36,15 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      // streaming state store: RocksDB (spillable, incremental
+      // checkpoints) is the 100 TB-state choice; the in-memory default
+      // stays for local tests unless opted in — state here is tiny and
+      // HDFSBackedStateStore avoids the native-lib setup cost
+      .config("spark.sql.streaming.stateStore.providerClass",
+        if (sys.env.get("SPARK_GRAFT_ROCKSDB").contains("1"))
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       // trust the sort order of bucketed tables at scan time (off by
       // default since 3.0). Safe: Spark only attaches the ordering when
       // a bucket is a SINGLE file, and Skew.bucketed guarantees that by

@@ -109,6 +109,13 @@ object Lakehouse {
     * Callers that check `tableExists(fqTable)` before rebuilding (e.g.
     * the streaming merge sink) still call this first; on a healthy
     * layout it is a metadata no-op.
+    *
+    * A pointer recovered here projects `SELECT *`, so a PARTITIONED
+    * version table surfaces its partition columns last until the next
+    * `ctasSwap` republishes with the declared order — data is intact,
+    * only column order differs in that window. (The producing frame's
+    * order isn't recorded anywhere the recovery path can read; the next
+    * build restores it.)
     */
   def recoverSwap(spark: SparkSession, fqTable: String): Unit =
     if (!spark.catalog.tableExists(fqTable)) {

@@ -175,4 +175,13 @@ object Fns {
     */
   def exactAvg(c: Column): Column =
     exactSum(c).cast(DoubleType) / count(c)
+
+  /** [[exactAvg]] on the [[exactSumScaled]] accumulator — for fixed-scale
+    * inputs the average inherits the scaled sum's codegen-cheap exactness.
+    * Oracle mirror: `(CAST(SUM(CAST(FLOOR(x*10^s+0.5) AS BIGINT)) AS
+    * DOUBLE) / 10^s) / COUNT(x)` — the division chain must match
+    * parenthesis-for-parenthesis (two IEEE divisions, same order).
+    */
+  def exactAvgScaled(c: Column, scale: Int): Column =
+    exactSumScaled(c, scale) / count(c)
 }

@@ -172,6 +172,54 @@ object Dedup {
        |    / (n_a + n_b - LEN(LIST_INTERSECT(sh_a, sh_b))) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Benchmark decontamination — the training-data counterpart of
+    * dedup: for each corpus document, how many PROBE documents (an eval
+    * set that must not leak into training) share at least one word
+    * `n`-gram, and how many distinct n-grams collide. Downstream policy
+    * drops or flags any corpus doc with `n_probes > 0`.
+    *
+    * Scale shape: both sides shingle + explode to (doc, gram) pairs and
+    * meet in an equi-join on the gram. The probe side is an eval set —
+    * tiny by construction — so its distinct (gram, probe) pairs
+    * broadcast and the corpus stream is never shuffled for the join;
+    * the only shuffle is the final per-doc aggregation. Corpus explode
+    * volume is linear in corpus tokens.
+    */
+  def contamination(corpus: DataFrame, probes: DataFrame,
+                    content: Column, id: Column, n: Int = 3): DataFrame = {
+    val c = shingledDocs(corpus, content, id, n, dropShort = false)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val p = shingledDocs(probes, content, id, n, dropShort = false)
+      .select(col("doc_id").as("probe_id"), explode(col("sh")).as("g"))
+      .distinct()
+    c.join(broadcast(p), Seq("g"))
+      .groupBy("doc_id")
+      .agg(
+        count_distinct(col("probe_id")).as("n_probes"),
+        count_distinct(col("g")).as("n_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[contamination]] with corpus/probe split expressed as
+    * WHERE clauses over the `documents` table.
+    */
+  def contaminationOracle(n: Int, corpusWhere: String,
+                          probeWhere: String): String =
+    s"""WITH csh AS (
+       |  SELECT doc_id, UNNEST(${shinglesSql(n)}) AS g
+       |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks
+       |        FROM documents WHERE $corpusWhere)),
+       |psh AS (
+       |  SELECT DISTINCT doc_id AS probe_id, g FROM (
+       |    SELECT doc_id, UNNEST(${shinglesSql(n)}) AS g
+       |    FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks
+       |          FROM documents WHERE $probeWhere)))
+       |SELECT doc_id,
+       |  COUNT(DISTINCT probe_id) AS n_probes,
+       |  COUNT(DISTINCT g) AS n_grams
+       |FROM csh JOIN psh USING (g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------- MinHash LSH
 
   /** 32-bit shingle hash (first 8 hex chars of MD5 — portable across

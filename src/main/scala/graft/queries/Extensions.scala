@@ -1154,11 +1154,25 @@ object Extensions {
             FROM orders
             ORDER BY o_custkey, o_orderdate, o_orderkey"""))
 
+  /** Benchmark decontamination: corpus docs sharing any 3-gram with the
+    * probe (eval) set — probes = every 10th doc, corpus = the rest.
+    */
+  private val q96 = Q("q96_decontamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        col("text"), col("doc_id"), n = 3)
+    },
+    Some(Dedup.contaminationOracle(3,
+      corpusWhere = "doc_id % 10 <> 0", probeWhere = "doc_id % 10 = 0")))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, q92, q93, q94, q95)
+    q90, q91, q92, q93, q94, q95, q96)
 }

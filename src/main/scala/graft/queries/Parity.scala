@@ -158,18 +158,20 @@ object Parity {
               COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  /** A7 — AVG, made order-independent via exact decimal sum / count. */
+  /** A7 — AVG, made order-independent via the exact scaled-long sum
+    * (acctbal is a fixed scale-2 money column) / count.
+    */
   private val q10 = Q("q10_a7_avg",
     (s, d) => Tables.customer(s, d)
       .groupBy("c_nationkey")
       .agg(
-        Fns.exactAvg(col("c_acctbal")).as("avg_bal"),
+        Fns.exactAvgScaled(col("c_acctbal"), 2).as("avg_bal"),
         min("c_acctbal").as("min_bal"),
         max("c_acctbal").as("max_bal"),
         count(lit(1)).as("n"))
       .orderBy("c_nationkey"),
     Some("""SELECT c_nationkey,
-              CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal,
+              (CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100) / COUNT(c_acctbal) AS avg_bal,
               MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal, COUNT(*) AS n
             FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""))
 

@@ -380,6 +380,116 @@ object TextAnalysis {
       md5(col("text").cast("binary")).as("fp_full"))
   }
 
+  /** Token-bounded document chunking with overlap — the context-window
+    * prep step of a training/RAG pipeline: each document becomes
+    * `n_chunks = 1 + ceil(max(0, n_tok - chunkTokens) / stride)` chunks
+    * of ≤ `chunkTokens` whitespace tokens, consecutive chunks sharing
+    * `overlap` tokens (stride = chunkTokens − overlap).
+    *
+    * Scale shape: pure per-row expressions + one explode — no shuffle
+    * at all until a consumer aggregates; chunk volume is linear in
+    * corpus tokens. Deterministic chunk ids make the output stable
+    * under any partitioning.
+    */
+  def chunkDocuments(docs: DataFrame, content: Column, id: Column,
+                     chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    docs.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .withColumn("n_chunks", (lit(1) + floor(
+        (greatest(col("n_tok") - chunkTokens, lit(0L)) + lit(stride - 1))
+          / lit(stride))).cast(LongType))
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        array_join(slice(col("toks"),
+          (col("chunk_id") * stride + 1).cast(IntegerType), lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens.toLong), col("n_tok") - col("chunk_id") * stride)
+          .as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  def chunkDocumentsOracle(chunkTokens: Int = 64, overlap: Int = 16): String = {
+    val stride = chunkTokens - overlap
+    s"""WITH t AS (
+       |  SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks
+       |  FROM documents),
+       |n AS (SELECT doc_id, toks, CAST(LEN(toks) AS BIGINT) AS n_tok FROM t),
+       |c AS (SELECT doc_id, toks, n_tok,
+       |  CAST(1 + FLOOR((GREATEST(n_tok - $chunkTokens, 0) + ${stride - 1})
+       |    / $stride) AS BIGINT) AS n_chunks FROM n)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       |  ARRAY_TO_STRING(LIST_SLICE(toks, i * $stride + 1,
+       |    i * $stride + $chunkTokens), ' ') AS chunk_text,
+       |  CAST(LEAST($chunkTokens, n_tok - i * $stride) AS BIGINT)
+       |    AS n_chunk_tokens
+       |FROM c, UNNEST(GENERATE_SERIES(0, n_chunks - 1)) AS u(i)
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  /** Sequence packing (first-order approximation): assign documents to
+    * fixed-token-budget bins — the "pack short documents into one
+    * context window" step before training. Exact first-fit packing is
+    * inherently sequential; the scalable deterministic approximation:
+    *
+    *  1. spread docs over 16 partitions by an md5 nibble (unbiased,
+    *     portable);
+    *  2. within each partition, a running token cumsum over the
+    *     hash-determined order;
+    *  3. bin = partition · 10^6 + floor((cumsum − n_tok) / budget) —
+    *     each bin holds consecutive docs whose cumulative size spans
+    *     one budget (a doc may straddle two budgets; the policy
+    *     downstream truncates or carries over, as packing always must).
+    *
+    * Scale shape: the window runs per-PARTITION (16-way parallel, never
+    * a global single-partition sort), then one aggregation on bin id.
+    * Everything is md5-derived → identical on any engine/cluster size.
+    */
+  def packSequences(docs: DataFrame, content: Column, id: Column,
+                    budgetTokens: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+      id.as("doc_id"),
+      size(split(content, "\\s+")).cast(LongType).as("n_tok"),
+      md5(id.cast(StringType)).as("hx"))
+      .withColumn("part", conv(substring(col("hx"), 1, 1), 16, 10).cast(LongType))
+    val w = Window.partitionBy("part").orderBy("hx", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin_id", col("part") * 1000000 +
+        floor((col("cum") - col("n_tok")) / lit(budgetTokens)).cast(LongType))
+      .groupBy("bin_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("bin_id")
+  }
+
+  def packSequencesOracle(budgetTokens: Int = 2048): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS BIGINT) AS n_tok,
+       |    MD5(CAST(doc_id AS VARCHAR)) AS hx
+       |  FROM documents),
+       |p AS (SELECT doc_id, n_tok, hx,
+       |  CAST(STRPOS('0123456789abcdef', hx[1]) - 1 AS BIGINT) AS part FROM t),
+       |c AS (SELECT doc_id, n_tok, part,
+       |  SUM(n_tok) OVER (PARTITION BY part ORDER BY hx, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM p),
+       |b AS (SELECT doc_id, n_tok,
+       |  part * 1000000 + CAST(FLOOR((cum - n_tok) / $budgetTokens) AS BIGINT)
+       |    AS bin_id FROM c)
+       |SELECT bin_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM b GROUP BY bin_id ORDER BY bin_id""".stripMargin
+
   val fingerprintOracle: String =
     """WITH t AS (
       |  SELECT doc_id, text, STRING_SPLIT_REGEX(text, '\s+') AS toks

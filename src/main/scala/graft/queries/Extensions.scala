@@ -1168,11 +1168,25 @@ object Extensions {
     Some(Dedup.contaminationOracle(3,
       corpusWhere = "doc_id % 10 <> 0", probeWhere = "doc_id % 10 = 0")))
 
+  /** Token-bounded chunking with overlap (context-window prep). */
+  private val q97 = Q("q97_doc_chunking",
+    (s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d),
+      col("text"), col("doc_id"), chunkTokens = 64, overlap = 16),
+    Some(TextAnalysis.chunkDocumentsOracle(chunkTokens = 64, overlap = 16)))
+
+  /** Sequence packing into fixed token budgets (partition-parallel
+    * deterministic approximation of first-fit).
+    */
+  private val q98 = Q("q98_sequence_packing",
+    (s, d) => TextAnalysis.packSequences(Tables.documents(s, d),
+      col("text"), col("doc_id"), budgetTokens = 2048),
+    Some(TextAnalysis.packSequencesOracle(budgetTokens = 2048)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, q92, q93, q94, q95, q96)
+    q90, q91, q92, q93, q94, q95, q96, q97, q98)
 }

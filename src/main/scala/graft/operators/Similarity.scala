@@ -205,8 +205,14 @@ object Similarity {
     * deterministic arithmetic.
     */
   def ivfTopKOracle(nCentroids: Int, nQueries: Int, k: Int,
-                    iters: Int = 2): String = {
+                    iters: Int = 2, nProbe: Int = 1): String = {
     val searchFrom = nCentroids + nQueries
+    // corpus vectors always live in exactly 1 cell; queries probe their
+    // nProbe nearest cells (identical text to the original at nProbe=1)
+    val assignedFilter =
+      if (nProbe == 1) "WHERE crk = 1"
+      else s"WHERE (vec_id >= $searchFrom AND crk = 1) OR " +
+        s"(vec_id < $searchFrom AND crk <= $nProbe)"
     def assignCte(it: Int): String =
       s"""a$it AS (
          |  SELECT vec_id, embedding, cell FROM (
@@ -249,7 +255,7 @@ object Similarity {
        |          / SQRT(b.nrm * c.cent_nrm) DESC, c.cent_id) AS crk
        |    FROM base b CROSS JOIN cent$iters c
        |    WHERE b.vec_id >= $nCentroids)
-       |  WHERE crk = 1),
+       |  $assignedFilter),
        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cell
        |      FROM assigned WHERE vec_id < $searchFrom),
        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, nrm AS cn, cell
@@ -316,6 +322,50 @@ object Similarity {
         // times (score is identical on every copy)
         .dropDuplicates("query_id", "neighbor_id")
     rankTopK(scored, k)
+  }
+
+  /** Oracle for multi-table [[lshTopK]]: each table's bucket reads its
+    * dimension slice (offset `t*bits`), the per-table tagged frames
+    * UNION ALL, candidate pairs DISTINCT across tables, then score+rank
+    * from the base vectors — the same dedup-then-rank the Spark side
+    * runs.
+    */
+  def lshTopKMultiOracle(nQueries: Int, k: Int, bits: Int,
+                         tables: Int): String = {
+    def bucketSqlAt(t: Int): String = (0 until bits).map { j =>
+      s"CASE WHEN embedding[${t * bits + j + 1}] > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    val tagged = (0 until tables).map { t =>
+      s"""SELECT vec_id, ${t.toLong << 32} + ${bucketSqlAt(t)} AS bucket
+         |FROM base""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    ${dotSql("embedding", "embedding")} AS nrm
+       |  FROM embeddings),
+       |tagged AS (
+       |$tagged),
+       |q AS (SELECT vec_id AS query_id, bucket FROM tagged
+       |      WHERE vec_id < $nQueries),
+       |c AS (SELECT vec_id AS neighbor_id, bucket FROM tagged
+       |      WHERE vec_id >= $nQueries),
+       |pairs AS (
+       |  SELECT DISTINCT query_id, neighbor_id
+       |  FROM c JOIN q USING (bucket)),
+       |scored AS (
+       |  SELECT p.query_id, p.neighbor_id,
+       |    ${dotSql("qb.embedding", "cb.embedding")} / SQRT(qb.nrm * cb.nrm)
+       |      AS score
+       |  FROM pairs p
+       |  JOIN base qb ON qb.vec_id = p.query_id
+       |  JOIN base cb ON cb.vec_id = p.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, score, rnk FROM ranked
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
   def lshTopKOracle(nQueries: Int, k: Int, bits: Int): String = {

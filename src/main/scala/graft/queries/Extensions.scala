@@ -1182,11 +1182,34 @@ object Extensions {
       col("text"), col("doc_id"), budgetTokens = 2048),
     Some(TextAnalysis.packSequencesOracle(budgetTokens = 2048)))
 
+  /** Multi-table sign-LSH ANN — q51's quality lever under the oracle
+    * gate: 4 tables over disjoint dimension slices, candidates unioned
+    * and deduped (recall 0.20 → 0.43 on this fixture; OperatorsSpec
+    * carries the measured contract).
+    */
+  private val q99 = Q("q99_knn_lsh_multitable",
+    (s, d) => Similarity.lshTopK(Tables.embeddings(s, d),
+      nQueries = 20, k = 3, bits = 4, tables = 4)
+      .orderBy("query_id", "rnk"),
+    Some(Similarity.lshTopKMultiOracle(nQueries = 20, k = 3, bits = 4,
+      tables = 4)))
+
+  /** Multi-probe IVF ANN — q60's quality lever under the oracle gate:
+    * each query searches its 4 nearest cells (recall 0.32 → 0.75).
+    */
+  private val q100 = Q("q100_knn_ivf_multiprobe",
+    (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d),
+      nCentroids = 8, nQueries = 20, k = 3, nProbe = 4)
+      .orderBy("query_id", "rnk"),
+    Some(Similarity.ivfTopKOracle(nCentroids = 8, nQueries = 20, k = 3,
+      nProbe = 4)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, q92, q93, q94, q95, q96, q97, q98)
+    q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
+    q100)
 }

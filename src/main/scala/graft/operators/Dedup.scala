@@ -51,10 +51,40 @@ object Dedup {
     */
   private def shingledDocs(docs: DataFrame, content: Column, id: Column,
                            n: Int, dropShort: Boolean): DataFrame = {
-    val tokenized = docs.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
+    // The shingle chain is built from higher-order functions
+    // (transform/array_distinct lambdas), which Spark evaluates on the
+    // INTERPRETED path — no whole-stage codegen — at ~0.1 ms/row. A
+    // small corpus parquet arrives as one input split, so without a
+    // spread the whole corpus shingles on ONE core (measured 5.8 s for
+    // 45k docs at sf0.1). Repartition up to the session's parallelism
+    // first; at real scale the scan already has ≥ that many splits and
+    // this branch is a no-op.
+    val tokenized = tokenizedDocs(docs, content, id)
     val kept = if (dropShort) tokenized.filter(size(col("toks")) >= n) else tokenized
     kept.select(col("doc_id"), shingles(col("toks"), n).as("sh"))
   }
+
+  private def tokenizedDocs(docs: DataFrame, content: Column,
+                            id: Column): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+    spread.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
+  }
+
+  /** (doc_id, g) exploded shingle pairs with the generator FUSED onto
+    * the shingle expression. Consumers that explode [[shingledDocs]]'s
+    * staged `sh` attribute directly re-evaluate the interpreted
+    * higher-order chain once per OUTPUT row (measured 23× at sf0.1) —
+    * the staged form is only safe when the array is materialized first
+    * (persisted, like the Jaccard base). `toks` stays a real attribute
+    * so the regex split is not inlined into the lambda (the O(tokens²)
+    * trap documented at [[shingles]]).
+    */
+  private def shingledPairs(docs: DataFrame, content: Column, id: Column,
+                            n: Int): DataFrame =
+    tokenizedDocs(docs, content, id)
+      .select(col("doc_id"), explode(shingles(col("toks"), n)).as("g"))
 
   private def shinglesSql(n: Int): String =
     s"""CASE WHEN LEN(toks) >= $n THEN
@@ -187,17 +217,32 @@ object Dedup {
     */
   def contamination(corpus: DataFrame, probes: DataFrame,
                     content: Column, id: Column, n: Int = 3): DataFrame = {
-    val c = shingledDocs(corpus, content, id, n, dropShort = false)
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-    val p = shingledDocs(probes, content, id, n, dropShort = false)
-      .select(col("doc_id").as("probe_id"), explode(col("sh")).as("g"))
-      .distinct()
-    c.join(broadcast(p), Seq("g"))
-      .groupBy("doc_id")
-      .agg(
-        count_distinct(col("probe_id")).as("n_probes"),
-        count_distinct(col("g")).as("n_grams"))
-      .orderBy("doc_id")
+    // grams travel as 60-bit md5-prefix int64s, never as strings: the
+    // broadcast shrinks ~4×, the join probes long keys, and the two
+    // COUNT(DISTINCT)s aggregate longs. Collisions are ~(grams)²/2^61 —
+    // negligible AND engine-identical (both sides hash the same way),
+    // so the oracle gate is unaffected even when one occurs.
+    def hashed(df: DataFrame, idAs: String): DataFrame =
+      shingledPairs(df, content, id, n)
+        .select(col("doc_id").as(idAs),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast(LongType).as("gh"))
+    val c = hashed(corpus, "doc_id")
+    val p = hashed(probes, "probe_id").distinct()
+    // TWO different COUNT(DISTINCT) keys in one aggregate would Expand
+    // the matched stream ×2 before the shuffle (the same plan trap as
+    // co-aggregated sketches) — instead each distinct count runs as its
+    // own partial-deduped branch over the persisted match stream, and
+    // the two tiny per-doc results join at the end.
+    val matches = c.join(broadcast(p), Seq("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    selfCleaning(matches) {
+      val nProbes = matches.select("doc_id", "probe_id").distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_probes"))
+      val nGrams = matches.select("doc_id", "gh").distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      nProbes.join(nGrams, Seq("doc_id"))
+        .orderBy("doc_id")
+    }
   }
 
   /** Oracle for [[contamination]] with corpus/probe split expressed as
@@ -206,18 +251,20 @@ object Dedup {
   def contaminationOracle(n: Int, corpusWhere: String,
                           probeWhere: String): String =
     s"""WITH csh AS (
-       |  SELECT doc_id, UNNEST(${shinglesSql(n)}) AS g
-       |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks
-       |        FROM documents WHERE $corpusWhere)),
-       |psh AS (
-       |  SELECT DISTINCT doc_id AS probe_id, g FROM (
+       |  SELECT doc_id, ${TextAnalysis.hash60Sql("MD5(g)")} AS gh FROM (
        |    SELECT doc_id, UNNEST(${shinglesSql(n)}) AS g
        |    FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks
-       |          FROM documents WHERE $probeWhere)))
+       |          FROM documents WHERE $corpusWhere))),
+       |psh AS (
+       |  SELECT DISTINCT doc_id AS probe_id, gh FROM (
+       |    SELECT doc_id, ${TextAnalysis.hash60Sql("MD5(g)")} AS gh FROM (
+       |      SELECT doc_id, UNNEST(${shinglesSql(n)}) AS g
+       |      FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks
+       |            FROM documents WHERE $probeWhere))))
        |SELECT doc_id,
        |  COUNT(DISTINCT probe_id) AS n_probes,
-       |  COUNT(DISTINCT g) AS n_grams
-       |FROM csh JOIN psh USING (g)
+       |  COUNT(DISTINCT gh) AS n_grams
+       |FROM csh JOIN psh USING (gh)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------- MinHash LSH

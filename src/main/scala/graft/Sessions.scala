@@ -10,6 +10,26 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
+  private val warehouseDir =
+    s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}"
+
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** The per-process temp warehouse would otherwise leak (q90's bucketed
+    * fact copies are the big offenders) — one JVM shutdown hook removes
+    * it. Runs after Spark's own hooks have quiesced writes; a temp
+    * warehouse holds nothing durable by definition.
+    */
+  private def registerWarehouseCleanup(): Unit =
+    if (cleanupRegistered.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(warehouseDir))
+      }))
+
   /** Default parallelism for the heavy mains (Verify/Bench): all the
     * machine's cores, capped at 32 (the target local[32] shape). The
     * baseline comparator runs DuckDB with 32 threads on this box —
@@ -24,7 +44,8 @@ object Sessions {
     * inference off (bronze partition values stay strings; silver owns
     * typing — SURVEY §7 hard part 2).
     */
-  def local(appName: String, cpus: String): SparkSession.Builder =
+  def local(appName: String, cpus: String): SparkSession.Builder = {
+    registerWarehouseCleanup()
     SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
@@ -53,9 +74,10 @@ object Sessions {
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // catalog tables (bucketed join tables, lakehouse builds) land in
       // a per-process temp warehouse, not ./spark-warehouse — keeps the
-      // repo clean and two concurrent mains from racing on one dir
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
+      // repo clean and two concurrent mains from racing on one dir;
+      // removed by a shutdown hook so repeated runs don't fill /tmp
+      .config("spark.sql.warehouse.dir", warehouseDir)
+  }
 
   /** The knob [[graft.pipeline.Bronze.read]] depends on; asserted there,
     * set here.

@@ -66,9 +66,25 @@ object Dedup {
 
   private def tokenizedDocs(docs: DataFrame, content: Column,
                             id: Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical
     val target = docs.sparkSession.sparkContext.defaultParallelism
+    // Probe the partition count only for scan-shaped inputs: on a frame
+    // with shuffle stages, `.rdd` under AQE materializes every upstream
+    // exchange just to read a count (the pipeline would run TWICE) —
+    // and such a frame already carries shuffle-partition parallelism,
+    // so the spread is unnecessary there anyway.
+    val scanShaped = docs.queryExecution.analyzed.collectFirst {
+      case _: logical.Aggregate          => ()
+      case _: logical.Join               => ()
+      case _: logical.Window             => ()
+      case _: logical.Distinct           => ()
+      case _: logical.RepartitionOperation => ()
+      case _: logical.Sort               => ()
+    }.isEmpty
     val spread =
-      if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+      if (scanShaped && docs.rdd.getNumPartitions < target)
+        docs.repartition(target)
+      else docs
     spread.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
   }
 
@@ -215,8 +231,14 @@ object Dedup {
     * the only shuffle is the final per-doc aggregation. Corpus explode
     * volume is linear in corpus tokens.
     */
+  /** `broadcastProbes = false` is the escape hatch for a probe set too
+    * large for the broadcast budget (the default assumes an eval set,
+    * small by construction): the join falls back to a shuffle on the
+    * gram hash — still linear volume, same values.
+    */
   def contamination(corpus: DataFrame, probes: DataFrame,
-                    content: Column, id: Column, n: Int = 3): DataFrame = {
+                    content: Column, id: Column, n: Int = 3,
+                    broadcastProbes: Boolean = true): DataFrame = {
     // grams travel as 60-bit md5-prefix int64s, never as strings: the
     // broadcast shrinks ~4×, the join probes long keys, and the two
     // COUNT(DISTINCT)s aggregate longs. Collisions are ~(grams)²/2^61 —
@@ -233,7 +255,7 @@ object Dedup {
     // co-aggregated sketches) — instead each distinct count runs as its
     // own partial-deduped branch over the persisted match stream, and
     // the two tiny per-doc results join at the end.
-    val matches = c.join(broadcast(p), Seq("gh"))
+    val matches = c.join(if (broadcastProbes) broadcast(p) else p, Seq("gh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     selfCleaning(matches) {
       val nProbes = matches.select("doc_id", "probe_id").distinct()

@@ -300,6 +300,15 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int, bits: Int,
               tables: Int = 1): DataFrame = {
+    require(tables >= 1 && bits >= 1, "need tables >= 1 and bits >= 1")
+    // enforce the dimension precondition eagerly: an out-of-range
+    // element_at returns null and the bit silently contributes 0, so
+    // an over-wide layout would degenerate whole tables into ONE
+    // bucket (a full cross join) with no error. One head() row is
+    // enough — scans stop after the first record.
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(tables * bits <= dim,
+      s"tables ($tables) * bits ($bits) must be <= embedding dim ($dim)")
     val base = withNorm(emb)
     def bucketed(t: Int): DataFrame = base.withColumn("bucket",
       lshBucketAt(col("embedding").cast(ArrayType(FloatType)), bits, t * bits)

@@ -439,9 +439,10 @@ object TextAnalysis {
     *     portable);
     *  2. within each partition, a running token cumsum over the
     *     hash-determined order;
-    *  3. bin = partition · 10^6 + floor((cumsum − n_tok) / budget) —
-    *     each bin holds consecutive docs whose cumulative size spans
-    *     one budget (a doc may straddle two budgets; the policy
+    *  3. bin = floor((cumsum − n_tok) / budget) · 16 + partition
+    *     (bin-major, so ids never collide across partitions at any
+    *     scale) — each bin holds consecutive docs whose cumulative size
+    *     spans one budget (a doc may straddle two budgets; the policy
     *     downstream truncates or carries over, as packing always must).
     *
     * Scale shape: the window runs per-PARTITION (16-way parallel, never
@@ -460,8 +461,13 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
       .withColumn("cum", sum(col("n_tok")).over(w))
-      .withColumn("bin_id", col("part") * 1000000 +
-        floor((col("cum") - col("n_tok")) / lit(budgetTokens)).cast(LongType))
+      // bin-major composition (bin·16 + part) is INJECTIVE for any bin
+      // magnitude — a part-major namespace (part·K + bin) would silently
+      // collide across partitions once a partition accumulates more
+      // than K budgets of tokens
+      .withColumn("bin_id",
+        floor((col("cum") - col("n_tok")) / lit(budgetTokens)).cast(LongType)
+          * 16 + col("part"))
       .groupBy("bin_id")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -483,7 +489,7 @@ object TextAnalysis {
        |  SUM(n_tok) OVER (PARTITION BY part ORDER BY hx, doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM p),
        |b AS (SELECT doc_id, n_tok,
-       |  part * 1000000 + CAST(FLOOR((cum - n_tok) / $budgetTokens) AS BIGINT)
+       |  CAST(FLOOR((cum - n_tok) / $budgetTokens) AS BIGINT) * 16 + part
        |    AS bin_id FROM c)
        |SELECT bin_id, COUNT(*) AS n_docs,
        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,

@@ -126,9 +126,17 @@ object EventStream {
     * key instead of duplicating, so the sink is effectively idempotent;
     * a crash mid-batch leaves the previous table version intact.
     * Returns the started query; callers own awaitTermination/stop.
+    *
+    * `retainVersions` (default 1) keeps that many superseded version
+    * tables behind the view pointer: a continuous writer is exactly the
+    * case where a serving query may still be SCANNING the previous
+    * version when the next micro-batch publishes — retaining one
+    * version gives readers a full swap interval to finish. Raise it if
+    * serving queries can outlive a micro-batch interval.
     */
   def mergeSink(stream: DataFrame, fqTable: String, keys: Seq[String],
-                checkpointDir: String, orderCol: Option[String] = None)
+                checkpointDir: String, orderCol: Option[String] = None,
+                retainVersions: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -155,7 +163,7 @@ object EventStream {
         if (spark.catalog.tableExists(fqTable))
           graft.pipeline.Lakehouse.ctasSwap(spark,
             graft.operators.Merge.upsert(spark.table(fqTable), deduped, keys),
-            fqTable)
+            fqTable, retainVersions = retainVersions)
         else deduped.write.mode("overwrite").saveAsTable(fqTable)
         ()
       }

@@ -66,7 +66,10 @@ class ScaleSpec extends SparkSpec {
     val smj = spark.table("bkt_q90.lineitem_b").hint("merge")
       .join(spark.table("bkt_q90.orders_b"),
         col("l_orderkey") === col("o_orderkey"))
-    smj.write.format("noop").mode("overwrite").save()
+    // execute THIS DataFrame's own QueryExecution (a noop write would
+    // run a different one and the AQE-final plan below would be the
+    // never-executed initial plan)
+    smj.collect()
     val finalPlan = smj.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p

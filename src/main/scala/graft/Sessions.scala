@@ -16,19 +16,40 @@ object Sessions {
   private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** The per-process temp warehouse would otherwise leak (q90's bucketed
-    * fact copies are the big offenders) — one JVM shutdown hook removes
-    * it. Runs after Spark's own hooks have quiesced writes; a temp
-    * warehouse holds nothing durable by definition.
+    * fact copies are the big offenders) — one shutdown hook removes it.
+    *
+    * Ordering matters: raw `Runtime.addShutdownHook` threads run
+    * CONCURRENTLY with Spark's teardown, so the recursive delete could
+    * race a streaming query's final checkpoint/commit into a warehouse
+    * table. Spark runs all of its own hooks through Hadoop's
+    * single-threaded ShutdownHookManager at priority
+    * `FileSystem.SHUTDOWN_HOOK_PRIORITY + 30` (= 40, descending order),
+    * so registering this delete there at a LOWER priority guarantees it
+    * starts only after every Spark hook (SparkContext stop, streaming
+    * commits) has finished. 25 also keeps it ahead of Hadoop's
+    * FileSystem-cache close (priority 10).
     */
   private def registerWarehouseCleanup(): Unit =
     if (cleanupRegistered.compareAndSet(false, true))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(new java.io.File(warehouseDir))
-      }))
+      org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+        new Runnable {
+          override def run(): Unit = {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+              f.delete(); ()
+            }
+            rm(new java.io.File(warehouseDir))
+          }
+        }, 25)
+
+  /** Per-process scratch dir for queries that stage data on local disk
+    * (format round-trips, fixtures). Lives INSIDE the per-process
+    * warehouse dir so the same shutdown hook removes it — repeated
+    * Verify/Bench runs must not accrete staging dirs in /tmp. (Catalog
+    * databases materialize as `<db>.db/` under the warehouse root, so a
+    * bare `staging/` never collides with one.)
+    */
+  def stagingDir(name: String): String = s"$warehouseDir/staging/$name"
 
   /** Default parallelism for the heavy mains (Verify/Bench): all the
     * machine's cores, capped at 32 (the target local[32] shape). The

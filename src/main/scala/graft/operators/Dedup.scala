@@ -78,6 +78,10 @@ object Dedup {
       case _: logical.Join               => ()
       case _: logical.Window             => ()
       case _: logical.Distinct           => ()
+      // Dataset.distinct()/dropDuplicates() plan as Deduplicate (not
+      // Distinct) — they shuffle just the same
+      case _: logical.Deduplicate        => ()
+      case _: logical.DeduplicateWithinWatermark => ()
       case _: logical.RepartitionOperation => ()
       case _: logical.Sort               => ()
     }.isEmpty

@@ -301,12 +301,19 @@ object Similarity {
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int, bits: Int,
               tables: Int = 1): DataFrame = {
     require(tables >= 1 && bits >= 1, "need tables >= 1 and bits >= 1")
+    // bits beyond 32 would carry the bucket sum into the per-table tag
+    // namespace (t.toLong << 32), silently merging buckets ACROSS tables
+    require(bits <= 32, s"bits ($bits) must be <= 32 (per-table tag uses bits 32+)")
     // enforce the dimension precondition eagerly: an out-of-range
     // element_at returns null and the bit silently contributes 0, so
     // an over-wide layout would degenerate whole tables into ONE
-    // bucket (a full cross join) with no error. One head() row is
-    // enough — scans stop after the first record.
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    // bucket (a full cross join) with no error. One head(1) row is
+    // enough — scans stop after the first record — and uniform width
+    // is the embeddings-table contract (ragged rows would need a full
+    // min(size) pass, a whole extra scan, to detect).
+    val probe = emb.select(size(col("embedding"))).head(1)
+    require(probe.nonEmpty, "lshTopK: embeddings input is empty")
+    val dim = probe(0).getInt(0)
     require(tables * bits <= dim,
       s"tables ($tables) * bits ($bits) must be <= embedding dim ($dim)")
     val base = withNorm(emb)

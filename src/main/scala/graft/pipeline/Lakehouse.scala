@@ -71,14 +71,17 @@ object Lakehouse {
     * the pointer at all.
     *
     * Superseded version tables are garbage-collected after the publish,
-    * keeping the `retainVersions` most recent ones (default 0: drop all
-    * but the live version). On a multi-tenant warehouse, a query still
-    * EXECUTING against the old version when it is dropped would lose its
-    * files — size `retainVersions` to cover the longest-running reader;
-    * the pointer flip itself needs no change.
+    * keeping the `retainVersions` most recent ones. The pointer flip is
+    * atomic only for queries PLANNED after it — a query still executing
+    * against the old version when it is dropped would lose its files
+    * mid-scan, so the default is 1: the N-1 version survives until the
+    * NEXT publish, giving concurrent readers a full swap interval to
+    * drain. Pass 0 only for strictly single-reader builds (tests do,
+    * to assert the GC itself); size it larger to cover readers that
+    * outlive a whole publish cycle.
     */
   def ctasSwap(spark: SparkSession, df: DataFrame, fqTable: String,
-               partitionBy: Seq[String] = Nil, retainVersions: Int = 0): Unit = {
+               partitionBy: Seq[String] = Nil, retainVersions: Int = 1): Unit = {
     recoverSwap(spark, fqTable)
     // one-time migration of a pre-view layout: a physical table holding
     // the live name moves into the version chain, then the view takes

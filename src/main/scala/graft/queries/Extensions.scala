@@ -598,10 +598,10 @@ object Extensions {
   private val q76 = Q("q76_jsonl_roundtrip",
     (s, d) => {
       val base = Tables.customer(s, d)
-      // pid suffix: two concurrent Verify/Bench processes on one machine
-      // must not race on the same staging dir (stable within a process so
-      // bench re-runs reuse rather than leak)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_customer_${ProcessHandle.current().pid()}"
+      // per-process staging (under the session warehouse dir): concurrent
+      // Verify/Bench processes can't race on one dir, bench re-runs within
+      // a process reuse it, and the Sessions shutdown hook removes it
+      val path = graft.Sessions.stagingDir("jsonl_customer")
       graft.sources.Formats.writeJsonl(base, path)
       graft.sources.Formats.readJsonl(s, path, base.schema)
         .orderBy("c_custkey")
@@ -613,7 +613,7 @@ object Extensions {
   private val q77 = Q("q77_csv_roundtrip",
     (s, d) => {
       val base = Tables.nation(s, d)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation_${ProcessHandle.current().pid()}"
+      val path = graft.Sessions.stagingDir("csv_nation")
       graft.sources.Formats.writeCsv(base, path)
       graft.sources.Formats.readCsv(s, path, base.schema)
         .orderBy("n_nationkey")

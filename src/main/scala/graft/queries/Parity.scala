@@ -602,33 +602,46 @@ object Parity {
             ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
     headline = true)
 
-  /** TPC-H Q5 shape — star join with a COMPOSITE dim: the snowflake tail
-    * (supplier⋈nation⋈region, region-filtered) pre-joins into ONE tiny
-    * broadcast keyed (s_suppkey, s_nationkey), so the fact chain probes
-    * 2 hash tables instead of 4 and non-ASIA rows die at the dim probe.
-    * Measured at sf0.1 (PLANS.md q33 attribution): 4 separate broadcast
-    * builds cost ~0.3 s of the query's ~1.2 s — the composite removes
-    * half of them and ~0.15 s of wall time; at cluster scale it also
-    * halves the number of broadcast rounds per query. Values are
+  /** TPC-H Q5 shape — star join with the snowflake tail moved OFF the
+    * critical path. The fact chain probes only LEAF broadcasts (orders
+    * auto-bcast, customer, bare supplier dim) and aggregates on
+    * `s_nationkey` (the nation PK, so grouping is ≡ grouping by
+    * n_name); the constant-size nation⋈region tail (25 + 5 rows at ANY
+    * scale factor, region-filtered) joins AFTER the aggregation, over
+    * ≤25 groups, dropping non-ASIA groups at that inner join.
+    *
+    * Why post-agg (vs the round-3 composite dim): a broadcast dim built
+    * from supplier⋈nation⋈region makes the dim's BroadcastExchange WAIT
+    * on two inner broadcast-build jobs — three serialized broadcast
+    * waves gating the fact scan. Under a contended box each wave's
+    * scheduling tail stacks (driver r03 bench: q33 4.08 s vs 0.85 s
+    * uncontended). Post-agg, every broadcast the fact stage needs is a
+    * leaf build (one parallel wave), and the tiny nested nation⋈region
+    * build overlaps the fact stage instead of gating it — Spark kicks
+    * off all BroadcastExchange futures at query start. The extra agg
+    * input (non-ASIA groups, pruned post-agg instead of at the dim
+    * probe) is bounded by the c_nationkey = s_nationkey match — ≤25
+    * groups either way, map-side combined. Values are
     * join-order-independent (all inner joins), so the oracle keeps the
     * canonical 6-way formulation.
     */
   private val q33 = Q("q33_tpch_q5_shape",
     (s, d) => {
-      val dim = Tables.supplier(s, d)
-        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
-        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
-        .filter(col("r_name") === "ASIA")
-        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(dim),
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
-        .groupBy("n_name")
+        .groupBy("s_nationkey")
         .agg(Fns.exactSumScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
           .as("revenue"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select("n_name", "revenue")
         .orderBy(col("revenue").desc, col("n_name"))
     },
     Some("""SELECT n_name,

@@ -251,7 +251,9 @@ class PipelineSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     spark.sql("CREATE DATABASE IF NOT EXISTS t_swap")
     val v1 = spark.range(5).select(col("id"), lit("v1").as("tag"))
-    Lakehouse.ctasSwap(spark, v1, "t_swap.t")
+    // retainVersions = 0 (single-reader opt-in) so the GC assertions
+    // below can pin "exactly one version behind the pointer"
+    Lakehouse.ctasSwap(spark, v1, "t_swap.t", retainVersions = 0)
     assert(spark.table("t_swap.t").count() === 5)
     // no-window layout: the live name is a VIEW pointer; the publish is
     // ONE catalog op, so there is no state in which the name is missing
@@ -269,7 +271,7 @@ class PipelineSpec extends SparkSpec {
     // a successful rebuild swaps cleanly and drops the scaffolding:
     // exactly one version table remains behind the pointer
     val v2 = spark.range(7).select(col("id"), lit("v2").as("tag"))
-    Lakehouse.ctasSwap(spark, v2, "t_swap.t")
+    Lakehouse.ctasSwap(spark, v2, "t_swap.t", retainVersions = 0)
     assert(spark.table("t_swap.t").count() === 7)
     assert(!spark.catalog.tableExists("t_swap.t__tmp"))
     assert(!spark.catalog.tableExists("t_swap.t__backup"))

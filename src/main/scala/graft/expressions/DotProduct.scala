@@ -76,21 +76,34 @@ case class DotProduct(left: Expression, right: Expression)
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.dotProductDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
-  private[graft] val dotProductDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("dot_product"),
-    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-    (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+  private[graft] val descriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("z_value"),
+      new ExpressionInfo(classOf[ZValue].getName, "z_value"),
+      (children: Seq[Expression]) => ZValue(children)),
+    (FunctionIdentifier("search_sorted"),
+      new ExpressionInfo(classOf[SearchSorted].getName, "search_sorted"),
+      (children: Seq[Expression]) => SearchSorted(children(0), children(1))),
+    (FunctionIdentifier("quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeI8].getName, "quantize_i8"),
+      (children: Seq[Expression]) => QuantizeI8(children(0), children(1))),
+    (FunctionIdentifier("dot_product_i8"),
+      new ExpressionInfo(classOf[DotProductI8].getName, "dot_product_i8"),
+      (children: Seq[Expression]) => DotProductI8(children(0), children(1))))
 
-  /** Idempotent per-session registration of `dot_product`. */
+  /** Idempotent per-session registration of the native functions. */
   def ensureRegistered(spark: SparkSession): Unit = {
-    val (ident, info, builder) = dotProductDescriptor
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(ident))
-      registry.registerFunction(ident, info, builder)
+    descriptors.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident))
+        registry.registerFunction(ident, info, builder)
+    }
   }
 }

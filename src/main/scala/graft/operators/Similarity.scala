@@ -408,4 +408,107 @@ object Similarity {
        |SELECT query_id, neighbor_id, score, rnk FROM ranked
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** Two-stage quantized ANN: coarse scoring on int8-quantized vectors,
+    * then EXACT re-rank of each query's top `k * rerankFactor` coarse
+    * candidates on the float vectors.
+    *
+    * The 100 TB rationale: the coarse pass streams a corpus that is 4×
+    * smaller than float32 in every cache/broadcast/shuffle and scores
+    * with integer multiplies (codegen'd `dot_product_i8`); the float
+    * corpus is touched only for the ~k·rerankFactor survivors per query
+    * — the standard quantized-scan → re-rank retrieval design. Here the
+    * quantized index is built inline from the same scan; a production
+    * deployment materializes it once and amortizes it over every query.
+    *
+    * Determinism for the oracle gate: quantized codes are INTEGERS
+    * produced by the engine's one rounding convention
+    * (`floor(x/scale + 0.5)`, clamped ±127 — see
+    * [[graft.expressions.QuantizeI8]]), the coarse dot product is an
+    * exact long, and candidate cuts tie-break on neighbor_id — so the
+    * candidate set, and therefore the exactly-rescored result, is
+    * engine-identical.
+    */
+  def quantizedTopK(emb: DataFrame, nQueries: Int, k: Int,
+                    rerankFactor: Int = 4): DataFrame = {
+    require(rerankFactor >= 1, "rerankFactor must be >= 1")
+    val base = withNorm(emb)
+      .withColumn("mx", greatest(abs(array_max(col("e"))), abs(array_min(col("e")))))
+      .withColumn("scale", when(col("mx") > 0, col("mx") / lit(127)).otherwise(lit(0.0)))
+      .withColumn("qv", call_function("quantize_i8", col("e"), col("scale")))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("scale").as("qscale"), col("nrm").as("qn"))
+    val c = base.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("cqv"),
+        col("scale").as("cscale"), col("nrm").as("cn"))
+    val coarse = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        (call_function("dot_product_i8", col("qqv"), col("cqv")).cast(DoubleType)
+          * col("qscale") * col("cscale") / sqrt(col("qn") * col("cn")))
+          .as("cscore"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("neighbor_id"))
+    val cand = coarse.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= k * rerankFactor)
+      .select("query_id", "neighbor_id")
+    // exact re-rank: only candidate ids touch the float vectors again;
+    // both join sides carrying floats are bounded (queries; candidates)
+    val qf = withNorm(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val candQ = cand.join(broadcast(qf), Seq("query_id"))
+    val cf = withNorm(emb).filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ce"), col("nrm").as("cn"))
+    rankTopK(cf.join(broadcast(candQ), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), pairScore), k)
+  }
+
+  /** Oracle for [[quantizedTopK]]: replays quantization (same
+    * floor(x/scale + 0.5) clamp), the integer coarse dot product, the
+    * candidate cut, and the exact re-rank.
+    */
+  def quantizedTopKOracle(nQueries: Int, k: Int,
+                          rerankFactor: Int = 4): String =
+    s"""WITH de AS (
+       |  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |base AS (
+       |  SELECT vec_id, e, ${dotSql("e", "e")} AS nrm,
+       |    GREATEST(ABS(LIST_MAX(e)), ABS(LIST_MIN(e))) AS mx
+       |  FROM de),
+       |quant AS (
+       |  SELECT vec_id, e, nrm,
+       |    CASE WHEN mx > 0 THEN mx / 127 ELSE 0 END AS scale,
+       |    LIST_TRANSFORM(e, x -> CASE WHEN mx > 0 THEN
+       |      LEAST(GREATEST(CAST(FLOOR(x / (mx / 127) + 0.5) AS BIGINT), -127), 127)
+       |      ELSE 0 END) AS qv
+       |  FROM base),
+       |q AS (SELECT vec_id AS query_id, qv AS qqv, scale AS qscale, nrm AS qn, e AS qe
+       |      FROM quant WHERE vec_id < $nQueries),
+       |c AS (SELECT vec_id AS neighbor_id, qv AS cqv, scale AS cscale, nrm AS cn, e AS ce
+       |      FROM quant WHERE vec_id >= $nQueries),
+       |coarse AS (
+       |  SELECT query_id, neighbor_id, qe, qn, ce, cn,
+       |    CAST(LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qqv)),
+       |        i -> qqv[i] * cqv[i]), (u, v) -> u + v) AS DOUBLE)
+       |      * qscale * cscale / SQRT(qn * cn) AS cscore
+       |  FROM c CROSS JOIN q),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, qe, qn, ce, cn FROM (
+       |    SELECT query_id, neighbor_id, qe, qn, ce, cn,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cscore DESC, neighbor_id) AS crn
+       |    FROM coarse)
+       |  WHERE crn <= ${k * rerankFactor}),
+       |exact AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${dotSql("qe", "ce")} / SQRT(qn * cn) AS score
+       |  FROM cand),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM exact)
+       |SELECT query_id, neighbor_id, score, rnk FROM ranked
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 }

@@ -1204,6 +1204,62 @@ object Extensions {
     Some(Similarity.ivfTopKOracle(nCentroids = 8, nQueries = 20, k = 3,
       nProbe = 4)))
 
+  /** Z-order clustering round-trip: events rewritten clustered on
+    * (user_id, ts), read back through a user_id predicate. Clustering
+    * is PHYSICAL — values must be identical to reading the original
+    * table, which is exactly what the oracle checks; the scan-pruning
+    * property (fewer rows off disk on both clustered dimensions) is
+    * machine-asserted in LayoutSpec.
+    */
+  private val q101 = Q("q101_zorder_clustering",
+    (s, d) => {
+      val path = graft.Sessions.stagingDir("zorder_events")
+      graft.operators.Layout.zorderWrite(
+        Tables.events(s, d)
+          .select("event_id", "user_id", "ts", "event_type", "value"),
+        Seq("user_id", "ts"), path, files = 8, bins = 64)
+      s.read.parquet(path)
+        .filter(col("user_id").between(100, 199))
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, EPOCH_US(ts) AS ts_us, event_type, value
+            FROM events WHERE user_id BETWEEN 100 AND 199
+            ORDER BY event_id"""))
+
+  /** Small-file compaction round-trip: customer fragmented into 64 tiny
+    * files, compacted shuffle-free (coalesce over the reader's
+    * bin-packed splits), hashed against the untouched source — byte
+    * content must survive any file-boundary rewrite.
+    */
+  private val q102 = Q("q102_compaction",
+    (s, d) => {
+      val frag = graft.Sessions.stagingDir("compact_in")
+      val out = graft.Sessions.stagingDir("compact_out")
+      Tables.customer(s, d).repartition(64).write.mode("overwrite").parquet(frag)
+      graft.operators.Layout.compact(s, frag, out)
+      s.read.parquet(out)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer ORDER BY c_custkey"""))
+
+  /** Two-stage quantized ANN: int8 coarse scan (4× smaller data,
+    * integer dot products) → exact float re-rank of the coarse top-12
+    * per query. Same query split as q99 (vec_id < 20). The coarse
+    * candidate set is engine-identical (integer codes + long dot
+    * products), so the exact-rescored result hashes against the oracle;
+    * the recall contract vs brute force is asserted in OperatorsSpec.
+    */
+  private val q103 = Q("q103_knn_quantized",
+    (s, d) => Similarity.quantizedTopK(Tables.embeddings(s, d),
+      nQueries = 20, k = 3, rerankFactor = 4)
+      .orderBy("query_id", "rnk"),
+    Some(Similarity.quantizedTopKOracle(nQueries = 20, k = 3,
+      rerankFactor = 4)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -1211,5 +1267,5 @@ object Extensions {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100)
+    q100, q101, q102, q103)
 }

@@ -141,6 +141,18 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf1 >= 0.10, f"nProbe=1 IVF recall $ivf1%.3f below floor")
     assert(ivf4 >= ivf1, "raising nProbe must not lose recall")
     assert(ivf4 >= 0.50, f"nProbe=4 IVF recall $ivf4%.3f below floor")
+
+    // int8 two-stage (same split as LSH): quantization error only
+    // perturbs the COARSE ordering, the exact re-rank over 4k
+    // candidates recovers nearly everything — the floor is far above
+    // the bucketed methods' because no candidates are structurally
+    // excluded, and rerankFactor is the lever
+    val qz4 = recall(pairs(Similarity.quantizedTopK(emb, 20, 3)), bfLsh)
+    val qz8 = recall(pairs(Similarity.quantizedTopK(emb, 20, 3,
+      rerankFactor = 8)), bfLsh)
+    info(f"recall@3 quantized rerank=4: $qz4%.3f  rerank=8: $qz8%.3f")
+    assert(qz4 >= 0.85, f"quantized rerank=4 recall $qz4%.3f below floor")
+    assert(qz8 >= qz4, "raising rerankFactor must not lose recall")
   }
 
   test("Near-dup recall contract: MinHash-LSH and SimHash vs exact Jaccard") {

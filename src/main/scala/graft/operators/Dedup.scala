@@ -538,9 +538,16 @@ object Dedup {
   def connectedComponents(vertices: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 50): DataFrame = {
-    val und = edges.select(col(srcCol).as("dst_id"), col(dstCol).as("nb"))
-      .union(edges.select(col(dstCol).as("dst_id"), col(srcCol).as("nb")))
+    // checkpoint the DIRECTED edges first, then derive both directions
+    // from the checkpoint: union(edges, edges.swapped) over the raw
+    // frame would re-evaluate the (uncached, typically expensive —
+    // SimHash/Jaccard candidate generation) edge pipeline once per
+    // union branch; over the checkpoint both branches are narrow reads
+    // of cached blocks
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(eager = true)
+    val und = e0.select(col("src").as("dst_id"), col("dst").as("nb"))
+      .union(e0.select(col("dst").as("dst_id"), col("src").as("nb")))
     // Only vertices that occur in an edge can change label — everything
     // else is a singleton by construction. Iterating over the edge
     // subgraph keeps the per-round frame at |paired vertices| (tiny for

@@ -96,7 +96,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => QuantizeI8(children(0), children(1))),
     (FunctionIdentifier("dot_product_i8"),
       new ExpressionInfo(classOf[DotProductI8].getName, "dot_product_i8"),
-      (children: Seq[Expression]) => DotProductI8(children(0), children(1))))
+      (children: Seq[Expression]) => DotProductI8(children(0), children(1))),
+    (FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (children: Seq[Expression]) => CmsEstimate(children(0), children(1))))
 
   /** Idempotent per-session registration of the native functions. */
   def ensureRegistered(spark: SparkSession): Unit = {

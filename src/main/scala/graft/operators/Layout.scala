@@ -42,10 +42,18 @@ object Layout {
     * standard way (Delta OPTIMIZE ZORDER, Iceberg rewrite) to amortize
     * many future scans into one rewrite.
     */
-  def zorderWrite(df: DataFrame, zcols: Seq[String], path: String,
-                  files: Int, bins: Int = 256): Unit = {
+  /** The clustering TRANSFORM behind [[zorderWrite]]: returns `df`
+    * range-partitioned into `files` partitions and sorted by z-value
+    * within each, helper column dropped — one output file per partition
+    * when written. Exposed separately so table-managed rewrites
+    * ([[graft.pipeline.Lakehouse.optimize]]) can publish the clustered
+    * frame through the transactional view-pointer swap instead of a
+    * bare path write.
+    */
+  def zorderFrame(df: DataFrame, zcols: Seq[String], files: Int,
+                  bins: Int = 256): DataFrame = {
     require(zcols.size >= 2 && zcols.size <= 4,
-      s"zorderWrite clusters on 2-4 columns, got ${zcols.size} " +
+      s"z-order clusters on 2-4 columns, got ${zcols.size} " +
         "(for 1 column use a plain sorted write)")
     require(files >= 1 && bins >= 2, "need files >= 1 and bins >= 2")
     GraftFunctions.ensureRegistered(df.sparkSession)
@@ -63,8 +71,12 @@ object Layout {
       .repartitionByRange(files, col("__graft_z"))
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")
-      .write.mode("overwrite").parquet(path)
   }
+
+  def zorderWrite(df: DataFrame, zcols: Seq[String], path: String,
+                  files: Int, bins: Int = 256): Unit =
+    zorderFrame(df, zcols, files, bins)
+      .write.mode("overwrite").parquet(path)
 
   final case class CompactionStats(filesBefore: Int, bytesTotal: Long,
                                    filesAfter: Int)

@@ -128,6 +128,23 @@ object Lakehouse {
         .foreach(v => publish(spark, fqTable, v))
     }
 
+  /** Table-managed clustering rewrite — the engine's `OPTIMIZE …
+    * ZORDER BY`: rewrite the live version of `fqTable` clustered on
+    * `zcols` ([[graft.operators.Layout.zorderFrame]]) and publish it
+    * through the SAME transactional view-pointer swap as any rebuild,
+    * so readers never observe a half-clustered table and the previous
+    * version survives per `retainVersions`. Content is untouched —
+    * only file layout changes (min/max pruning on every clustered
+    * column); MaintenanceLawsSpec asserts the law.
+    */
+  def optimize(spark: SparkSession, fqTable: String, zcols: Seq[String],
+               files: Int, bins: Int = 256,
+               retainVersions: Int = 1): Unit =
+    ctasSwap(spark,
+      graft.operators.Layout.zorderFrame(spark.table(fqTable), zcols,
+        files, bins),
+      fqTable, retainVersions = retainVersions)
+
   /** Full rebuild, mirroring the reference's `+materialized: table`
     * semantics (no incrementality — SURVEY §4 row "Incrementality").
     * Entities missing from bronze are skipped (the reference's

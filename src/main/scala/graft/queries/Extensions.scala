@@ -1260,6 +1260,45 @@ object Extensions {
     Some(Similarity.quantizedTopKOracle(nQueries = 20, k = 3,
       rerankFactor = 4)))
 
+  /** Heavy hitters via count-min sketch, q62-style contract: the sketch
+    * side is Spark's built-in mergeable `count_min_sketch` (exact long
+    * counter additions — partition-order-independent, so the serialized
+    * sketch is deterministic for a given seed); the probe side is the
+    * engine's `cms_estimate` expression. The top-10 exact hitters are
+    * computed alongside (they ARE the oracle surface) and each carries
+    * the CMS guarantee flags: estimate never undercounts, and
+    * overcounts by at most eps·N (eps = 0.001, N = |events| — the
+    * margin is ~40× the expected collision mass, so the flag is
+    * deterministically TRUE on this data, not probabilistically). At
+    * 100 TB only the sketch branch runs (one pass, k·depth longs of
+    * state); the exact branch exists for the gate.
+    */
+  private val q104 = Q("q104_heavy_hitters_cms",
+    (s, d) => {
+      graft.expressions.GraftFunctions.ensureRegistered(s)
+      val e = Tables.events(s, d)
+      val sketch = e.agg(
+        expr("count_min_sketch(user_id, 0.001d, 0.999d, 42)").as("sk"),
+        count(lit(1)).as("n"))
+      val top = e.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
+      top.crossJoin(broadcast(sketch))
+        .select(col("user_id"), col("exact_cnt"),
+          (call_function("cms_estimate", col("sk"), col("user_id"))
+            >= col("exact_cnt")).as("never_undercounts"),
+          ((call_function("cms_estimate", col("sk"), col("user_id"))
+            - col("exact_cnt")).cast("double")
+            <= col("n") * lit(0.001)).as("within_bound"))
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+    },
+    Some("""SELECT user_id, exact_cnt,
+              TRUE AS never_undercounts, TRUE AS within_bound
+            FROM (
+              SELECT user_id, COUNT(*) AS exact_cnt
+              FROM events GROUP BY user_id
+              ORDER BY exact_cnt DESC, user_id LIMIT 10)
+            ORDER BY exact_cnt DESC, user_id"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -1267,5 +1306,5 @@ object Extensions {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103)
+    q100, q101, q102, q103, q104)
 }

@@ -338,4 +338,29 @@ class OperatorsSpec extends SparkSpec {
       (3L, "silver", 1000L, None),
       (9L, "new", 1000L, None)))            // brand-new open row
   }
+
+  test("count-min sketch: partition-order-independent, bounded probe error") {
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    val df = spark.range(5000).select((col("id") % 97).as("k"))
+    def sketchOf(d: org.apache.spark.sql.DataFrame): Array[Byte] =
+      d.agg(expr("count_min_sketch(k, 0.001d, 0.999d, 42)"))
+        .head().getAs[Array[Byte]](0)
+    // counter merges are exact long additions — the serialized sketch
+    // must be byte-identical however the input was partitioned
+    assert(java.util.Arrays.equals(
+      sketchOf(df.repartition(1)), sketchOf(df.repartition(32))))
+
+    // every key: estimate >= exact and <= exact + eps*N
+    val sk = df.agg(expr("count_min_sketch(k, 0.001d, 0.999d, 42)").as("sk"))
+    val checked = df.groupBy("k").agg(count(lit(1)).as("exact"))
+      .crossJoin(broadcast(sk))
+      .select(
+        (call_function("cms_estimate", col("sk"), col("k")) >= col("exact"))
+          .as("lo"),
+        ((call_function("cms_estimate", col("sk"), col("k")) - col("exact"))
+          <= lit((0.001 * 5000).toLong max 1L)).as("hi"))
+      .collect()
+    assert(checked.length === 97)
+    assert(checked.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+  }
 }

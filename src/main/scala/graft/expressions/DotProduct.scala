@@ -99,7 +99,25 @@ object GraftFunctions {
       (children: Seq[Expression]) => DotProductI8(children(0), children(1))),
     (FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
-      (children: Seq[Expression]) => CmsEstimate(children(0), children(1))))
+      (children: Seq[Expression]) => CmsEstimate(children(0), children(1))),
+    // Spark ships these two for its runtime-bloom-filter rewrite but
+    // keeps them off the public registry; surfacing them (unchanged)
+    // gives user-level queries the same no-false-negative prefilter
+    // primitive the optimizer uses internally (q105)
+    (FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))),
+    (FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
 
   /** Idempotent per-session registration of the native functions. */
   def ensureRegistered(spark: SparkSession): Unit = {

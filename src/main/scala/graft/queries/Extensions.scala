@@ -1299,6 +1299,50 @@ object Extensions {
               ORDER BY exact_cnt DESC, user_id LIMIT 10)
             ORDER BY exact_cnt DESC, user_id"""))
 
+  /** Exclusion-list filtering with a bloom prefilter — the 100 TB shape
+    * for "drop every fact row whose key is on a list" when the list is
+    * too big to broadcast as a hash relation but its BLOOM BITS are not
+    * (8M bits here ≈ 1 MB for 1M keys): rows the bloom rejects are
+    * DEFINITELY clean and skip the join entirely (no false negatives by
+    * construction); only the `might_contain` survivors — list hits plus
+    * the ε false-positive mass — reach the exact anti-join. The result
+    * is therefore IDENTICAL to the plain anti-join, which is exactly
+    * what the oracle checks; the bloom only moves rows between the
+    * join-free and join paths. Sketch determinism mirrors q104: bitset
+    * merges are ORs. Spark's own runtime bloom-filter rule applies the
+    * same trick inside shuffle joins; this operator makes it available
+    * ABOVE the engine, against any materialized list.
+    */
+  private val q105 = Q("q105_bloom_prefilter",
+    (s, d) => {
+      graft.expressions.GraftFunctions.ensureRegistered(s)
+      val ordersCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      val excl = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+      // one driver-side scalar, bounded by construction at numBits/8
+      // bytes (100 KB here) — might_contain requires a CONSTANT bloom
+      // side, and a literal is also how a cluster ships it (task binary)
+      val bfBytes = excl.agg(
+        expr("bloom_filter_agg(xxhash64(c_custkey), 100000L, 800000L)"))
+        .head().getAs[Array[Byte]](0)
+      val flagged = Tables.orders(s, d).select(ordersCols.map(col): _*)
+        .withColumn("maybe",
+          call_function("might_contain", lit(bfBytes),
+            xxhash64(col("o_custkey"))))
+      val clean = flagged.filter(!col("maybe"))
+        .select(ordersCols.map(col): _*)
+      val verified = flagged.filter(col("maybe"))
+        .join(broadcast(excl), col("o_custkey") === col("c_custkey"),
+          "left_anti")
+        .select(ordersCols.map(col): _*)
+      clean.unionByName(verified).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_custkey NOT IN (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+            ORDER BY o_orderkey"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -1306,5 +1350,5 @@ object Extensions {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104)
+    q100, q101, q102, q103, q104, q105)
 }

@@ -86,6 +86,31 @@ class ScaleSpec extends SparkSpec {
           col("l_orderkey") === col("o_orderkey")).count())
   }
 
+  test("top-k-per-group rank filters run through WindowGroupLimit") {
+    import org.apache.spark.sql.expressions.Window
+    // the W1/T2 shape every mart uses (row_number + rank<=k filter):
+    // Catalyst must insert WindowGroupLimit so each partition keeps a
+    // bounded per-group heap BEFORE the window shuffle — without it,
+    // ranking shuffles and sorts EVERY group's full row set at 100 TB.
+    // String-matched (the pruning-assert pattern): under AQE the node
+    // lives inside materialized QueryStages, which node-collect does
+    // not traverse. Both the Partial (pre-shuffle) and Final instances
+    // must be present.
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_quantity").desc, col("l_linenumber"))
+    val topk = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    topk.collect()
+    val finalPlan = (topk.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(finalPlan.contains("WindowGroupLimit") &&
+      finalPlan.contains("Partial") && finalPlan.contains("Final"),
+      s"rank filter should plan partial+final WindowGroupLimit:\n$finalPlan")
+  }
+
   test("salted aggregation equals direct aggregation") {
     val dir = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, dir)

@@ -37,16 +37,24 @@ case class CmsEstimate(left: Expression, right: Expression)
           s"(${l.simpleString}, ${r.simpleString})")
     }
 
-  @transient private var lastBytes: Array[Byte] = _
-  @transient private var lastSketch: CountMinSketch = _
+  // single-reference cache (bytes, parsed): expression instances are
+  // per-task after closure deserialization, but if one were ever shared
+  // a torn two-field cache could pair bytes with the WRONG sketch — one
+  // immutable tuple can at worst be recomputed, never mismatched
+  @transient private var cache: (Array[Byte], CountMinSketch) = _
 
   override def nullSafeEval(sk: Any, key: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
-    if (!(bytes eq lastBytes)) {
-      lastSketch = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-      lastBytes = bytes
-    }
-    lastSketch.estimateCount(key.asInstanceOf[Long])
+    val c = cache
+    val sketch =
+      if (c != null && (c._1 eq bytes)) c._2
+      else {
+        val parsed =
+          CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+        cache = (bytes, parsed)
+        parsed
+      }
+    sketch.estimateCount(key.asInstanceOf[Long])
   }
 
   override protected def withNewChildrenInternal(

@@ -112,6 +112,12 @@ object Layout {
       f.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
     val before = dataFiles(in)
+    // a hive-partitioned table surfaces DIRECTORIES here, not files —
+    // flattening it through a single read would silently drop the
+    // partition layout; compact each leaf instead
+    require(before.nonEmpty,
+      s"compact expects a flat directory of data files at $inPath " +
+        "(partitioned tables: compact each partition leaf)")
     val total = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath).coalesce(n)

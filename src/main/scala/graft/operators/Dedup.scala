@@ -562,10 +562,14 @@ object Dedup {
       val nbMin = und
         .join(labels.select(col("id").as("nb"), col("label").as("nl")), Seq("nb"))
         .groupBy(col("dst_id").as("id")).agg(min("nl").as("nb_min"))
+      // LAZY checkpoint: the convergence count below is this round's
+      // first action, so it materializes (and lineage-truncates) the
+      // checkpoint in the SAME job — eager + count would schedule two
+      // jobs per round for identical work
       val step = labels.join(nbMin, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nb_min"), col("label"))).as("new_label"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       changed = step.filter(col("new_label") < col("label")).count()
       labels = step.select(col("id"), col("new_label").as("label"))
       rounds += 1

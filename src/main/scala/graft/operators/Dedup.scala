@@ -326,29 +326,43 @@ object Dedup {
     * `threshold`. The verification join re-derives shingle sets only for
     * candidate pairs — at scale, a tiny fraction of the corpus.
     */
+  /** Shingled + hash-prepared base frame: (doc_id, sh, shh). Shingles
+    * are hashed ONCE — the k signature components are arithmetic
+    * permutations of `shh`, not k separate string hashes.
+    */
+  private def minhashBase(docs: DataFrame, content: Column, id: Column,
+                          n: Int): DataFrame =
+    shingledDocs(docs, content, id, n, dropShort = true)
+      .withColumn("shh", transform(col("sh"), s => shingleHash32(s)))
+
+  /** (doc_id, band, bucket) LSH index rows from a [[minhashBase]] frame
+    * — the materializable form of the index (ids and band hashes only;
+    * the full shingle arrays never travel with it).
+    */
+  private def minhashBanded(base: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val sig = base.select(
+      col("doc_id"),
+      array((0 until k).map(i => minhashComponent(col("shh"), i)): _*).as("sig"))
+    sig.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        md5(concat_ws("|",
+          (0 until r).map(j => col("sig")(b * r + j).cast(StringType)): _*))
+      }: _*)).as(Seq("band", "bucket")))
+  }
+
   def minHashLshPairs(docs: DataFrame, content: Column, id: Column,
                       n: Int = 3, k: Int = 8, bands: Int = 4,
                       threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
-    val r = k / bands
-    // reused by both self-join sides and the candidate verification;
-    // shingles are hashed ONCE here — the k components are arithmetic
-    // permutations of shh, not k separate string hashes
-    val base = shingledDocs(docs, content, id, n, dropShort = true)
-      .withColumn("shh", transform(col("sh"), s => shingleHash32(s)))
+    // reused by both self-join sides and the candidate verification
+    val base = minhashBase(docs, content, id, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     selfCleaning(base) {
-      val sig = base.select(
-        col("doc_id"), col("sh"),
-        array((0 until k).map(i => minhashComponent(col("shh"), i)): _*).as("sig"))
       // bands carry ids only — the distinct() below must never hash the
       // full shingle arrays; shingles re-join for candidate verification
-      val banded = sig.select(
-        col("doc_id"),
-        posexplode(array((0 until bands).map { b =>
-          md5(concat_ws("|",
-            (0 until r).map(j => col("sig")(b * r + j).cast(StringType)): _*))
-        }: _*)).as(Seq("band", "bucket")))
+      val banded = minhashBanded(base, k, bands)
       val cand = banded.as("a")
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -407,6 +421,99 @@ object Dedup {
        |WHERE CAST(LEN(LIST_INTERSECT(sh_a, sh_b)) AS DOUBLE)
        |    / (LEN(sh_a) + LEN(sh_b) - LEN(LIST_INTERSECT(sh_a, sh_b))) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Incremental near-duplicate lookup — dedup a NEW batch against an
+    * EXISTING corpus, the shape a continuously-fed training pipeline
+    * actually runs (full self-join dedup of corpus+batch re-pays the
+    * whole corpus on every increment): flag each batch document whose
+    * n-gram Jaccard with some corpus document reaches `threshold`,
+    * candidates from the MinHash-LSH band index.
+    *
+    * Scale shape: the corpus side computes — in production, READS as a
+    * materialized table — its band index ([[minhashBanded]]: ids and
+    * band hashes only) in one scan with no self-join anywhere; the
+    * batch side is small by definition, so its band table and its
+    * shingle sets BROADCAST — candidate generation and verification
+    * never shuffle the corpus. Full recall relative to a fresh
+    * corpus∪batch LSH run restricted to (corpus, batch) pairs: the
+    * band hashes are data-independent functions of each document alone.
+    */
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
+                          content: Column, id: Column,
+                          n: Int = 3, k: Int = 8, bands: Int = 4,
+                          threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cBase = minhashBase(corpus, content, id, n).persist(mem)
+    val bBase = minhashBase(batch, content, id, n).persist(mem)
+    try {
+      val cand = minhashBanded(cBase, k, bands)
+        .join(broadcast(minhashBanded(bBase, k, bands)
+          .withColumnRenamed("doc_id", "new_id")), Seq("band", "bucket"))
+        .select(col("new_id"), col("doc_id").as("dup_of"))
+        .distinct()
+      cand
+        .join(cBase.select(col("doc_id").as("dup_of"), col("sh").as("sh_c")),
+          Seq("dup_of"))
+        .join(broadcast(bBase.select(col("doc_id").as("new_id"),
+          col("sh").as("sh_n"))), Seq("new_id"))
+        .withColumn("inter",
+          size(array_intersect(col("sh_n"), col("sh_c"))).cast(LongType))
+        .withColumn("jaccard", col("inter").cast(DoubleType) /
+          (size(col("sh_n")) + size(col("sh_c")) - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select("new_id", "dup_of", "jaccard")
+        .localCheckpoint(eager = true)
+    } finally { cBase.unpersist(blocking = false); bBase.unpersist(blocking = false); () }
+  }
+
+  /** Oracle for [[incrementalNearDups]] with the corpus/batch split
+    * expressed as WHERE predicates over `documents`.
+    */
+  def incrementalNearDupsOracle(n: Int, k: Int, bands: Int,
+                                threshold: Double, corpusWhere: String,
+                                batchWhere: String): String = {
+    val r = k / bands
+    val h32 = (1 to 8)
+      .map(i => s"(STRPOS('0123456789abcdef', MD5(s)[$i]) - 1) * ${math.pow(16, 8 - i).toLong}")
+      .mkString(" + ")
+    val sigExprs = (0 until k)
+      .map(i => s"LIST_MIN(LIST_TRANSFORM(shh, h -> (${minhashA(i)} * h + ${minhashB(i)}) % $MinHashP))")
+      .mkString("[", ",\n    ", "]")
+    val bandSelects = (0 until bands).map { b =>
+      val parts = (0 until r)
+        .map(j => s"CAST(sig[${b * r + j + 1}] AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, MD5($parts) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (
+       |  SELECT doc_id, ${shinglesSql(n)} AS sh
+       |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks FROM documents)),
+       |nz AS (SELECT doc_id, sh,
+       |         LIST_TRANSFORM(sh, s -> $h32) AS shh
+       |       FROM t WHERE LEN(sh) > 0),
+       |sig AS (SELECT doc_id, sh, $sigExprs AS sig FROM nz),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS dup_of
+       |  FROM banded c JOIN banded b
+       |    ON c.band = b.band AND c.bucket = b.bucket
+       |  WHERE c.doc_id IN (SELECT doc_id FROM documents WHERE $corpusWhere)
+       |    AND b.doc_id IN (SELECT doc_id FROM documents WHERE $batchWhere)),
+       |verified AS (
+       |  SELECT new_id, dup_of, sn.sh AS sh_n, sc.sh AS sh_c
+       |  FROM cand
+       |  JOIN nz sn ON cand.new_id = sn.doc_id
+       |  JOIN nz sc ON cand.dup_of = sc.doc_id)
+       |SELECT new_id, dup_of,
+       |  CAST(LEN(LIST_INTERSECT(sh_n, sh_c)) AS DOUBLE)
+       |    / (LEN(sh_n) + LEN(sh_c) - LEN(LIST_INTERSECT(sh_n, sh_c))) AS jaccard
+       |FROM verified
+       |WHERE CAST(LEN(LIST_INTERSECT(sh_n, sh_c)) AS DOUBLE)
+       |    / (LEN(sh_n) + LEN(sh_c) - LEN(LIST_INTERSECT(sh_n, sh_c))) >= $threshold
+       |ORDER BY new_id, dup_of""".stripMargin
   }
 
   // --------------------------------------------------------- SimHash

@@ -1343,6 +1343,26 @@ object Extensions {
               SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
             ORDER BY o_orderkey"""))
 
+  /** Incremental near-dup: the 80%-of-ids corpus is the standing index,
+    * the 20% batch is "today's crawl" (modulo split, so the ratio holds
+    * at every scale factor). Each batch doc near-duplicating a corpus
+    * doc is flagged with its match and the exact verified Jaccard. The
+    * corpus never self-joins and the batch side broadcasts — the shape
+    * that makes continuous dedup affordable at 100 TB.
+    */
+  private val q106 = Q("q106_incremental_neardup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 8),
+        col("text"), col("doc_id"))
+        .orderBy("new_id", "dup_of")
+    },
+    Some(Dedup.incrementalNearDupsOracle(n = 3, k = 8, bands = 4,
+      threshold = 0.8, corpusWhere = "doc_id % 10 < 8",
+      batchWhere = "doc_id % 10 >= 8")))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -1350,5 +1370,5 @@ object Extensions {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105)
+    q100, q101, q102, q103, q104, q105, q106)
 }

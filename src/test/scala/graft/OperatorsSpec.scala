@@ -339,6 +339,29 @@ class OperatorsSpec extends SparkSpec {
       (9L, "new", 1000L, None)))            // brand-new open row
   }
 
+  test("incremental near-dup == full LSH run restricted to cross-set pairs") {
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    def isCorpus(id: Long) = id % 10 < 8
+    val inc = Dedup.incrementalNearDups(
+      docs.filter(col("doc_id") % 10 < 8),
+      docs.filter(col("doc_id") % 10 >= 8),
+      col("text"), col("doc_id"))
+      .select("new_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the law: band hashes are per-document functions, so splitting the
+    // input must not change which (corpus, batch) pairs collide
+    val cross = Dedup.minHashLshPairs(docs, col("text"), col("doc_id"))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .collect {
+        case (a, b) if isCorpus(a) && !isCorpus(b) => (b, a)
+        case (a, b) if !isCorpus(a) && isCorpus(b) => (a, b)
+      }.toSet
+    assert(inc === cross)
+    assert(inc.nonEmpty, "fixture should produce at least one cross-set near-dup")
+  }
+
   test("count-min sketch: partition-order-independent, bounded probe error") {
     graft.expressions.GraftFunctions.ensureRegistered(spark)
     val df = spark.range(5000).select((col("id") % 97).as("k"))

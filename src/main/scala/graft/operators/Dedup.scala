@@ -642,9 +642,22 @@ object Dedup {
     * checkpointed so the plan stays O(1) deep instead of growing with
     * the iteration count.
     */
+  /** `pointerDoubling` — the adversarial-diameter lever: after each
+    * propagation round, also shortcut `label(v) ← min(label(v),
+    * label(label(v)))` (one extra join of the tiny label frame against
+    * itself), which bounds rounds at O(log diameter) instead of
+    * O(diameter) — a 300-hop chain converges in ~8 rounds instead of
+    * 300. Off by default: near-dup graphs are unions of shallow
+    * cliques, where the shortcut join costs more than the round it
+    * saves. Correctness is unaffected either way — the exit condition
+    * (no label adopted a smaller neighbor label) implies labels are
+    * equal across every edge, hence constant-per-component, and the
+    * component min always keeps its own label.
+    */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIters: Int = 50): DataFrame = {
+                          maxIters: Int = 50,
+                          pointerDoubling: Boolean = false): DataFrame = {
     // checkpoint the DIRECTED edges first, then derive both directions
     // from the checkpoint: union(edges, edges.swapped) over the raw
     // frame would re-evaluate the (uncached, typically expensive —
@@ -679,6 +692,14 @@ object Dedup {
         .localCheckpoint(eager = false)
       changed = step.filter(col("new_label") < col("label")).count()
       labels = step.select(col("id"), col("new_label").as("label"))
+      if (pointerDoubling && changed > 0) {
+        val parents = labels
+          .select(col("id").as("label"), col("label").as("ll"))
+        labels = labels.join(parents, Seq("label"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+          .localCheckpoint(eager = true)
+      }
       rounds += 1
     }
     // Exiting on the round cap with labels still moving means the graph
@@ -688,8 +709,8 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           s"($changed labels still changing); the graph diameter exceeds " +
-          "the round cap — raise maxIters (or switch to a large-star/" +
-          "small-star variant for adversarially deep graphs)")
+          "the round cap — pass pointerDoubling = true (O(log diameter) " +
+          "rounds) or raise maxIters")
     val isolated = vertices.select(col(idCol).as("id"))
       .join(labels.select("id"), Seq("id"), "left_anti")
       .withColumn("label", col("id"))

@@ -339,6 +339,37 @@ class OperatorsSpec extends SparkSpec {
       (9L, "new", 1000L, None)))            // brand-new open row
   }
 
+  test("connectedComponents pointer doubling: log-round chains, same labels") {
+    import spark.implicits._
+    // a 301-vertex path — diameter 300, the adversarial case for plain
+    // min-propagation (O(diameter) rounds)
+    val chainE = (0L until 300L).map(i => (i, i + 1)).toDF("src", "dst")
+    val chainV = (0L to 300L).toDF("v")
+    // plain propagation at a tight cap must refuse (wrong labels would
+    // otherwise escape silently)...
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chainV, "v", chainE, "src", "dst",
+        maxIters = 20)
+    }
+    // ...while doubling converges well inside it, to the single component
+    val labels = Dedup.connectedComponents(chainV, "v", chainE, "src", "dst",
+      maxIters = 20, pointerDoubling = true)
+    assert(labels.select("cluster").distinct().as[Long].collect().toSeq === Seq(0L))
+
+    // equality law on a mixed random graph (cliques + a chain + isolates)
+    val rnd = new scala.util.Random(7)
+    val edges = (
+      (0 until 40).map(_ => { val a = rnd.nextInt(30); (a.toLong, (a + 1 + rnd.nextInt(5)).toLong) }) ++
+      (50L until 70L).map(i => (i, i + 1))
+    ).toDF("src", "dst")
+    val verts = (0L to 80L).toDF("v")
+    def run(pd: Boolean) =
+      Dedup.connectedComponents(verts, "v", edges, "src", "dst",
+        pointerDoubling = pd)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(true) === run(false))
+  }
+
   test("incremental near-dup == full LSH run restricted to cross-set pairs") {
     val d = "/root/testdata/sf0.01"
     val docs = Tables.documents(spark, d)

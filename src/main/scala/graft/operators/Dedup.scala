@@ -439,22 +439,41 @@ object Dedup {
     * corpus∪batch LSH run restricted to (corpus, batch) pairs: the
     * band hashes are data-independent functions of each document alone.
     */
-  def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
-                          content: Column, id: Column,
-                          n: Int = 3, k: Int = 8, bands: Int = 4,
-                          threshold: Double = 0.8): DataFrame = {
+  /** A standing MinHash-LSH index over a corpus: the shingled base
+    * (for candidate verification) and the band table (for candidate
+    * generation). LIFECYCLE IS THE CALLER'S: persist (or save as
+    * tables) both frames when the index serves repeated lookups — a
+    * streaming sink doing one lookup per micro-batch must not recompute
+    * the corpus every batch.
+    */
+  final case class MinHashIndex(base: DataFrame, banded: DataFrame,
+                                n: Int, k: Int, bands: Int)
+
+  def minHashIndex(corpus: DataFrame, content: Column, id: Column,
+                   n: Int = 3, k: Int = 8, bands: Int = 4): MinHashIndex = {
     require(k % bands == 0, "k must divide into bands")
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val cBase = minhashBase(corpus, content, id, n).persist(mem)
-    val bBase = minhashBase(batch, content, id, n).persist(mem)
+    val base = minhashBase(corpus, content, id, n)
+    MinHashIndex(base, minhashBanded(base, k, bands), n, k, bands)
+  }
+
+  /** One batch-vs-index lookup (see [[incrementalNearDups]] for the
+    * end-to-end contract). The batch side is persisted for the call
+    * (it feeds both candidate generation and verification); the INDEX
+    * side's caching is the caller's concern.
+    */
+  def lookupNearDups(index: MinHashIndex, batch: DataFrame,
+                     content: Column, id: Column,
+                     threshold: Double = 0.8): DataFrame = {
+    val bBase = minhashBase(batch, content, id, index.n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cand = minhashBanded(cBase, k, bands)
-        .join(broadcast(minhashBanded(bBase, k, bands)
+      val cand = index.banded
+        .join(broadcast(minhashBanded(bBase, index.k, index.bands)
           .withColumnRenamed("doc_id", "new_id")), Seq("band", "bucket"))
         .select(col("new_id"), col("doc_id").as("dup_of"))
         .distinct()
       cand
-        .join(cBase.select(col("doc_id").as("dup_of"), col("sh").as("sh_c")),
+        .join(index.base.select(col("doc_id").as("dup_of"), col("sh").as("sh_c")),
           Seq("dup_of"))
         .join(broadcast(bBase.select(col("doc_id").as("new_id"),
           col("sh").as("sh_n"))), Seq("new_id"))
@@ -465,7 +484,19 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select("new_id", "dup_of", "jaccard")
         .localCheckpoint(eager = true)
-    } finally { cBase.unpersist(blocking = false); bBase.unpersist(blocking = false); () }
+    } finally { bBase.unpersist(blocking = false); () }
+  }
+
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
+                          content: Column, id: Column,
+                          n: Int = 3, k: Int = 8, bands: Int = 4,
+                          threshold: Double = 0.8): DataFrame = {
+    val idx = minHashIndex(corpus, content, id, n, k, bands)
+    val cBase = idx.base
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try lookupNearDups(idx.copy(base = cBase,
+      banded = minhashBanded(cBase, k, bands)), batch, content, id, threshold)
+    finally { cBase.unpersist(blocking = false); () }
   }
 
   /** Oracle for [[incrementalNearDups]] with the corpus/batch split

@@ -169,6 +169,32 @@ object EventStream {
       }
       .start()
 
+  /** Online near-duplicate screening: a document stream looked up per
+    * micro-batch against a STANDING MinHash-LSH corpus index
+    * ([[graft.operators.Dedup.minHashIndex]] — persist its frames
+    * before starting the query; the corpus must not recompute per
+    * batch). Emits (new_id, dup_of, jaccard) rows append-only; a batch
+    * with no near-dups appends nothing. foreachBatch reuses the BATCH
+    * lookup operator verbatim, so stream output ≡ the batch operator
+    * over the same files (StreamingSpec asserts it) — the standard way
+    * to keep one tested implementation across both execution modes.
+    * Returns the started query; callers own awaitTermination/stop.
+    */
+  def nearDupSink(docsStream: DataFrame,
+                  index: graft.operators.Dedup.MinHashIndex,
+                  content: String, id: String, outDir: String,
+                  checkpointDir: String, threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.lookupNearDups(index, batch.toDF(),
+            col(content), col(id), threshold)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   final case class Ev(event_id: Long, user_id: Long, ts_us: Long,
                       event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, session_start_us: Long,

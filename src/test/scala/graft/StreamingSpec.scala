@@ -349,4 +349,46 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(1).n_events === 1L)
     assert(sessions(2).user_id === 20L)
   }
+
+  test("nearDupSink: per-micro-batch lookups equal the batch operator") {
+    import graft.operators.Dedup
+    import graft.tables.Tables
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    val corpus = docs.filter(col("doc_id") % 10 < 8)
+    val batchDocs = docs.filter(col("doc_id") % 10 >= 8)
+
+    // standing index: caller persists both frames (the contract)
+    val raw = Dedup.minHashIndex(corpus, col("text"), col("doc_id"))
+    val base = raw.base.persist()
+    val banded = raw.banded.persist()
+    banded.count() // materialize once, before any micro-batch runs
+    val index = raw.copy(base = base, banded = banded)
+
+    // "today's crawl" arrives as two file chunks → two micro-batches
+    val inDir = java.nio.file.Files.createTempDirectory("graft-docs-in")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-docs-out").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-docs-ck").toString
+    batchDocs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(inDir.toString + "/c0")
+    batchDocs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(inDir.toString + "/c1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString + "/c*")
+    val q = graft.streaming.EventStream.nearDupSink(
+      stream, index, "text", "doc_id", outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    base.unpersist(); banded.unpersist()
+
+    val got = spark.read.parquet(outDir)
+      .select("new_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Dedup.incrementalNearDups(corpus, batchDocs,
+        col("text"), col("doc_id"))
+      .select("new_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture should produce at least one near-dup")
+  }
 }

@@ -56,6 +56,16 @@ object Layout {
       s"z-order clusters on 2-4 columns, got ${zcols.size} " +
         "(for 1 column use a plain sorted write)")
     require(files >= 1 && bins >= 2, "need files >= 1 and bins >= 2")
+    // numeric-only: a string column would CAST to null doubles silently
+    // — every row lands in bucket 0 and the "clustered" table degrades
+    // to one giant z-run with no pruning and skewed files. (Cluster on
+    // a string by adding a numeric surrogate — e.g. a dictionary code —
+    // and z-ordering on that.)
+    zcols.foreach { c =>
+      val f = df.schema(c)
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"zorderFrame needs numeric columns, got $c: ${f.dataType.simpleString}")
+    }
     GraftFunctions.ensureRegistered(df.sparkSession)
     val bits = 32 - Integer.numberOfLeadingZeros(bins - 1)
     val probs = (1 until bins).map(_.toDouble / bins).toArray

@@ -1363,6 +1363,66 @@ object Extensions {
       threshold = 0.8, corpusWhere = "doc_id % 10 < 8",
       batchWhere = "doc_id % 10 >= 8")))
 
+  /** Per-group Pearson correlation with EXACT accumulation: built-in
+    * `corr` folds doubles in partition order, so its last bits differ
+    * run-to-run and engine-to-engine — unusable under a hash gate and
+    * unreproducible in production. Instead all five sufficient
+    * statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate as integers (cents
+    * via the engine's floor(x·100+0.5) convention; the product sums in
+    * decimal(38) / HUGEINT — cents² terms overflow int64 at sf≥1), and
+    * only the FINAL formula touches doubles, in a fixed expression
+    * shape on both engines. Same single-pass, map-side-combinable
+    * aggregate as the naive version — determinism costs no extra
+    * shuffle or pass.
+    */
+  private val q107 = Q("q107_exact_corr",
+    (s, d) => {
+      val dec19 = DecimalType(19, 0)
+      val dec38 = DecimalType(38, 0)
+      def cents(c: org.apache.spark.sql.Column) =
+        floor(c * 100 + lit(0.5)).cast(LongType)
+      val x = cents(col("c_acctbal"))
+      val y = cents(col("o_totalprice"))
+      val a = Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x.cast(dec19) * y.cast(dec19)).as("sxy"),
+          sum(x.cast(dec19) * x.cast(dec19)).as("sxx"),
+          sum(y.cast(dec19) * y.cast(dec19)).as("syy"))
+      val nD = col("n").cast(dec38)
+      val num = nD * col("sxy") - col("sx").cast(dec38) * col("sy").cast(dec38)
+      val d1 = nD * col("sxx") - col("sx").cast(dec38) * col("sx").cast(dec38)
+      val d2 = nD * col("syy") - col("sy").cast(dec38) * col("sy").cast(dec38)
+      a.select(col("seg"), col("n"),
+          when(d1 === 0 || d2 === 0, lit(null).cast(DoubleType))
+            .otherwise(num.cast(DoubleType) /
+              sqrt(d1.cast(DoubleType) * d2.cast(DoubleType)))
+            .as("corr_xy"))
+        .orderBy("seg")
+    },
+    Some("""WITH j AS (
+              SELECT c_mktsegment AS seg,
+                CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+                CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+              FROM customer JOIN orders ON c_custkey = o_custkey),
+            a AS (
+              SELECT seg, COUNT(*) AS n,
+                SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+              FROM j GROUP BY seg)
+            SELECT seg, n,
+              CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN NULL
+                   ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                        / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                               * CAST(n*syy - sy*sy AS DOUBLE))
+              END AS corr_xy
+            FROM a ORDER BY seg"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -1370,5 +1430,5 @@ object Extensions {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106)
+    q100, q101, q102, q103, q104, q105, q106, q107)
 }

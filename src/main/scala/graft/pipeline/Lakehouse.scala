@@ -41,6 +41,54 @@ object Lakehouse {
       .map(_.toInt)
   }
 
+  /** Retained version numbers of `fqTable`, ascending — what
+    * [[readVersion]] accepts. How many exist is governed by
+    * `ctasSwap(retainVersions = …)`.
+    */
+  def listVersions(spark: SparkSession, fqTable: String): Seq[Int] =
+    versions(spark, fqTable).sorted
+
+  /** Time travel: read a specific retained version of a
+    * versioned-swap table — the escape hatch when a publish has to be
+    * audited or rolled back ("what did the mart serve yesterday?").
+    * Fails with the available versions listed if `version` has been
+    * GC'd (or never existed).
+    */
+  def readVersion(spark: SparkSession, fqTable: String,
+                  version: Int): DataFrame = {
+    val have = listVersions(spark, fqTable)
+    require(have.contains(version),
+      s"$fqTable has no retained version $version (available: " +
+        s"${have.mkString(", ")}) — raise ctasSwap(retainVersions) to " +
+        "keep more history")
+    spark.table(s"${fqTable}__v$version")
+  }
+
+  /** Roll the live view pointer back to a retained version — ONE
+    * catalog op, same atomicity as a publish. The rolled-back-from
+    * version stays retained until the next publish GCs it.
+    */
+  def rollbackTo(spark: SparkSession, fqTable: String, version: Int): Unit = {
+    require(listVersions(spark, fqTable).contains(version),
+      s"$fqTable has no retained version $version")
+    publish(spark, fqTable, version)
+  }
+
+  /** Collect table + column statistics for the LIVE version of a
+    * versioned-swap table so Catalyst's cost-based features (join
+    * reorder, broadcast-by-rowcount rather than file size) see real
+    * numbers. One scan; run it after a publish, on the tables that
+    * serve ad-hoc joins.
+    */
+  def analyze(spark: SparkSession, fqTable: String,
+              columns: Seq[String] = Nil): Unit = {
+    val live = s"${fqTable}__v" + listVersions(spark, fqTable).max
+    val forCols =
+      if (columns.isEmpty) ""
+      else columns.map(c => s"`$c`").mkString(" FOR COLUMNS ", ", ", "")
+    spark.sql(s"ANALYZE TABLE $live COMPUTE STATISTICS$forCols")
+  }
+
   /** Point the `fqTable` view at version `v`. `cols` (when known)
     * pins the view's column order to the producing frame's: a
     * partitioned `saveAsTable` physically moves partition columns to

@@ -101,4 +101,31 @@ class MaintenanceLawsSpec extends SparkSpec {
     val pred = spark.table("t_opt.t").filter(col("a") === 3)
     assert(pred.count() === 200L)
   }
+
+  test("time travel: read retained versions, atomic rollback, GC refusal") {
+    import graft.pipeline.Lakehouse
+    spark.sql("CREATE DATABASE IF NOT EXISTS t_tt")
+    val v0 = spark.range(5).select(col("id"), lit("v0").as("tag"))
+    val v1 = spark.range(9).select(col("id"), lit("v1").as("tag"))
+    Lakehouse.ctasSwap(spark, v0, "t_tt.t", retainVersions = 1)
+    Lakehouse.ctasSwap(spark, v1, "t_tt.t", retainVersions = 1)
+    assert(Lakehouse.listVersions(spark, "t_tt.t") === Seq(0, 1))
+    // live = v1; time travel reads the superseded v0 unchanged
+    assert(spark.table("t_tt.t").count() === 9)
+    assert(Lakehouse.readVersion(spark, "t_tt.t", 0).count() === 5)
+    // rollback repoints the live view in one catalog op
+    Lakehouse.rollbackTo(spark, "t_tt.t", 0)
+    assert(spark.table("t_tt.t")
+      .select("tag").distinct().collect().map(_.getString(0)).toSeq === Seq("v0"))
+    // a GC'd version is refused with the available set listed
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.readVersion(spark, "t_tt.t", 7)
+    }
+    assert(e.getMessage.contains("available: 0, 1"))
+    // stats for the live version feed the catalog (CBO inputs)
+    Lakehouse.analyze(spark, "t_tt.t", Seq("id"))
+    val desc = spark.sql("DESCRIBE EXTENDED t_tt.t__v1").collect()
+      .map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("Statistics"), s"expected table statistics:\n$desc")
+  }
 }

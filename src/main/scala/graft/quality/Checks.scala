@@ -91,4 +91,28 @@ object Checks {
     require(failed.isEmpty,
       s"not_null contract violated: ${failed.map(r => s"${r.table}.${r.column}=${r.failures}").mkString(", ")}")
   }
+
+  /** Publish-gate for versioned-swap tables: the live version's row
+    * count must be within `shrinkTolerance` of the previous retained
+    * version's (a silently-truncated upstream is the classic way a
+    * mart loses most of its rows without any check failing — every row
+    * that REMAINS is perfectly valid). GROWTH is never flagged; with
+    * fewer than two retained versions there is nothing to compare and
+    * the check passes. Two count() scans — run it right after a
+    * publish, before the old version is GC'd.
+    */
+  def versionDrift(spark: org.apache.spark.sql.SparkSession,
+                   fqTable: String,
+                   shrinkTolerance: Double = 0.5): CheckResult = {
+    import graft.pipeline.Lakehouse
+    val vs = Lakehouse.listVersions(spark, fqTable)
+    if (vs.size < 2) CheckResult(fqTable, "__row_count_drift", 0L)
+    else {
+      val prev = Lakehouse.readVersion(spark, fqTable, vs(vs.size - 2)).count()
+      val live = Lakehouse.readVersion(spark, fqTable, vs.last).count()
+      val floor = (prev * (1.0 - shrinkTolerance)).toLong
+      CheckResult(fqTable, "__row_count_drift",
+        if (live >= floor) 0L else floor - live)
+    }
+  }
 }

@@ -128,4 +128,24 @@ class MaintenanceLawsSpec extends SparkSpec {
       .map(_.mkString("|")).mkString("\n")
     assert(desc.contains("Statistics"), s"expected table statistics:\n$desc")
   }
+
+  test("versionDrift: silent shrink is flagged, growth and first publish pass") {
+    import graft.pipeline.Lakehouse
+    import graft.quality.Checks
+    spark.sql("CREATE DATABASE IF NOT EXISTS t_drift")
+    Lakehouse.ctasSwap(spark, spark.range(1000).toDF("id"), "t_drift.t",
+      retainVersions = 1)
+    // single version: nothing to compare
+    assert(Checks.versionDrift(spark, "t_drift.t").passed)
+    // growth passes
+    Lakehouse.ctasSwap(spark, spark.range(1500).toDF("id"), "t_drift.t",
+      retainVersions = 1)
+    assert(Checks.versionDrift(spark, "t_drift.t").passed)
+    // a publish that silently lost 80% of its rows is flagged
+    Lakehouse.ctasSwap(spark, spark.range(300).toDF("id"), "t_drift.t",
+      retainVersions = 1)
+    val drift = Checks.versionDrift(spark, "t_drift.t", shrinkTolerance = 0.5)
+    assert(!drift.passed)
+    assert(drift.failures === 450L) // floor 750 - live 300
+  }
 }

@@ -40,7 +40,11 @@ object Sessions {
             }
             rm(new java.io.File(warehouseDir))
           }
-        }, 25)
+          // explicit timeout: the no-timeout overload applies Hadoop's
+          // 30 s default, which a large warehouse (bucketed fact copies
+          // = thousands of files at high SF) can exceed — a cancelled
+          // delete is exactly the leak this hook exists to prevent
+        }, 25, 10, java.util.concurrent.TimeUnit.MINUTES)
 
   /** Per-process scratch dir for queries that stage data on local disk
     * (format round-trips, fixtures). Lives INSIDE the per-process

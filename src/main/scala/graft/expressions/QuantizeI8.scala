@@ -12,10 +12,14 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, 
   * clamp(round(arr[i] / scale), -127, 127); `scale <= 0` (the all-zero
   * vector) yields all-zero bytes.
   *
-  * Rounding is `Math.round` = `floor(x + 0.5)` — the engine's one
+  * Rounding is literally `floor(x/scale + 0.5)` — the engine's one
   * portable rounding convention (same as `Fns.exactSumScaled`), so a
   * SQL oracle replays it exactly with `FLOOR(x/scale + 0.5)` and the
-  * quantized codes are INTEGER-identical across engines.
+  * quantized codes are INTEGER-identical across engines. NOT
+  * `Math.round`: the JDK special-cases boundary doubles (e.g.
+  * `Math.round(0.49999999999999994) == 0` while
+  * `floor(x + 0.5) == 1` there), which would open a one-code gap
+  * between the engine and any SQL replay.
   *
   * Why int8 at 100 TB: the quantized corpus is 4× smaller than float32
   * in every broadcast, shuffle, and cache, and the coarse scoring pass
@@ -45,7 +49,7 @@ case class QuantizeI8(left: Expression, right: Expression)
     if (scale > 0) {
       var i = 0
       while (i < n) {
-        var r = Math.round(arr.getDouble(i) / scale)
+        var r = Math.floor(arr.getDouble(i) / scale + 0.5).toLong
         if (r > 127L) r = 127L
         if (r < -127L) r = -127L
         out(i) = r.toByte
@@ -66,7 +70,7 @@ case class QuantizeI8(left: Expression, right: Expression)
          |final byte[] $out = new byte[$n];
          |if ($s > 0) {
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $r = java.lang.Math.round($a.getDouble($i) / $s);
+         |    long $r = (long) java.lang.Math.floor($a.getDouble($i) / $s + 0.5);
          |    if ($r > 127L) $r = 127L;
          |    if ($r < -127L) $r = -127L;
          |    $out[$i] = (byte) $r;

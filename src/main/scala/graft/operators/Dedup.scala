@@ -381,21 +381,33 @@ object Dedup {
     }
   }
 
-  def minHashLshPairsOracle(n: Int, k: Int, bands: Int, threshold: Double): String = {
+  // Shared SQL builders for every MinHash oracle — the portability
+  // arithmetic (nibble hash, universal-hash signature, band hashing)
+  // must exist in exactly ONE place or a parameter change silently
+  // breaks whichever oracle wasn't updated.
+  /** 32-bit md5-prefix shingle hash via nibble arithmetic (8 hex chars). */
+  private def h32Sql: String = (1 to 8)
+    .map(i => s"(STRPOS('0123456789abcdef', MD5(s)[$i]) - 1) * ${math.pow(16, 8 - i).toLong}")
+    .mkString(" + ")
+
+  private def minhashSigSql(k: Int): String = (0 until k)
+    .map(i => s"LIST_MIN(LIST_TRANSFORM(shh, h -> (${minhashA(i)} * h + ${minhashB(i)}) % $MinHashP))")
+    .mkString("[", ",\n    ", "]")
+
+  private def minhashBandSelectsSql(k: Int, bands: Int): String = {
     val r = k / bands
-    // 32-bit md5-prefix shingle hash via nibble arithmetic (8 hex chars)
-    val h32 = (1 to 8)
-      .map(i => s"(STRPOS('0123456789abcdef', MD5(s)[$i]) - 1) * ${math.pow(16, 8 - i).toLong}")
-      .mkString(" + ")
-    val sigExprs = (0 until k)
-      .map(i => s"LIST_MIN(LIST_TRANSFORM(shh, h -> (${minhashA(i)} * h + ${minhashB(i)}) % $MinHashP))")
-      .mkString("[", ",\n    ", "]")
-    val bandSelects = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val parts = (0 until r)
         .map(j => s"CAST(sig[${b * r + j + 1}] AS VARCHAR)")
         .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, MD5($parts) AS bucket FROM sig"
     }.mkString("\n  UNION ALL ")
+  }
+
+  def minHashLshPairsOracle(n: Int, k: Int, bands: Int, threshold: Double): String = {
+    val h32 = h32Sql
+    val sigExprs = minhashSigSql(k)
+    val bandSelects = minhashBandSelectsSql(k, bands)
     s"""WITH t AS (
        |  SELECT doc_id, ${shinglesSql(n)} AS sh
        |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks FROM documents)),
@@ -505,19 +517,9 @@ object Dedup {
   def incrementalNearDupsOracle(n: Int, k: Int, bands: Int,
                                 threshold: Double, corpusWhere: String,
                                 batchWhere: String): String = {
-    val r = k / bands
-    val h32 = (1 to 8)
-      .map(i => s"(STRPOS('0123456789abcdef', MD5(s)[$i]) - 1) * ${math.pow(16, 8 - i).toLong}")
-      .mkString(" + ")
-    val sigExprs = (0 until k)
-      .map(i => s"LIST_MIN(LIST_TRANSFORM(shh, h -> (${minhashA(i)} * h + ${minhashB(i)}) % $MinHashP))")
-      .mkString("[", ",\n    ", "]")
-    val bandSelects = (0 until bands).map { b =>
-      val parts = (0 until r)
-        .map(j => s"CAST(sig[${b * r + j + 1}] AS VARCHAR)")
-        .mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, MD5($parts) AS bucket FROM sig"
-    }.mkString("\n  UNION ALL ")
+    val h32 = h32Sql
+    val sigExprs = minhashSigSql(k)
+    val bandSelects = minhashBandSelectsSql(k, bands)
     s"""WITH t AS (
        |  SELECT doc_id, ${shinglesSql(n)} AS sh
        |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks FROM documents)),

@@ -113,10 +113,17 @@ object Layout {
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetBytes: Long = 128L << 20): CompactionStats = {
-    require(new Path(inPath) != new Path(outPath),
-      "compact cannot run in place — write to a scratch path and swap")
+    val conf = spark.sessionState.newHadoopConf()
     val in = new Path(inPath)
-    val fs = in.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = in.getFileSystem(conf)
+    // compare FULLY-QUALIFIED paths: a relative/absolute alias of the
+    // same directory must not slip past the guard — the overwrite write
+    // would delete the input before the lazy read runs
+    val qIn = fs.makeQualified(in)
+    val qOut = new Path(outPath).getFileSystem(conf)
+      .makeQualified(new Path(outPath))
+    require(qIn != qOut,
+      "compact cannot run in place — write to a scratch path and swap")
     def dataFiles(p: Path) = fs.listStatus(p).filter { f =>
       val n = f.getPath.getName
       f.isFile && !n.startsWith("_") && !n.startsWith(".")

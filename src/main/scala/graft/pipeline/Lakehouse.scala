@@ -82,11 +82,14 @@ object Lakehouse {
     */
   def analyze(spark: SparkSession, fqTable: String,
               columns: Seq[String] = Nil): Unit = {
-    val live = s"${fqTable}__v" + listVersions(spark, fqTable).max
+    // resolve the version the view actually SERVES (after a rollback
+    // the live version is not the numerically-highest one)
+    val v = liveVersion(spark, fqTable).getOrElse(
+      throw new IllegalArgumentException(s"$fqTable has no versions"))
     val forCols =
       if (columns.isEmpty) ""
       else columns.map(c => s"`$c`").mkString(" FOR COLUMNS ", ", ", "")
-    spark.sql(s"ANALYZE TABLE $live COMPUTE STATISTICS$forCols")
+    spark.sql(s"ANALYZE TABLE ${fqTable}__v$v COMPUTE STATISTICS$forCols")
   }
 
   /** Point the `fqTable` view at version `v`. `cols` (when known)
@@ -100,9 +103,44 @@ object Lakehouse {
                       cols: Seq[String] = Nil): Unit = {
     val projection =
       if (cols.isEmpty) "*" else cols.map(c => s"`$c`").mkString(", ")
+    // the view records which version is live and which one it
+    // superseded — the same single atomic catalog op carries the
+    // metadata, so rollbacks don't desynchronize it. prev is what GC
+    // must protect and what versionDrift compares against; after a
+    // ROLLBACK the numerically-highest version is NOT the
+    // previously-serving one, so "max version" is not derivable.
+    val prev = liveVersion(spark, fqTable)
+    val props = (Seq(s"'graft.live_version' = '$v'") ++
+      prev.filter(_ != v).map(p => s"'graft.prev_version' = '$p'"))
+      .mkString(", ")
     spark.sql(
-      s"CREATE OR REPLACE VIEW $fqTable AS SELECT $projection FROM ${fqTable}__v$v")
+      s"CREATE OR REPLACE VIEW $fqTable TBLPROPERTIES ($props) " +
+        s"AS SELECT $projection FROM ${fqTable}__v$v")
   }
+
+  private def viewProp(spark: SparkSession, fqTable: String,
+                       key: String): Option[Int] =
+    if (!spark.catalog.tableExists(fqTable)) None
+    else scala.util.Try {
+      spark.sql(s"SHOW TBLPROPERTIES $fqTable").collect()
+        .collectFirst { case r if r.getString(0) == key =>
+          r.getString(1).toInt }
+    }.toOption.flatten
+
+  /** The version the live view currently serves. Falls back to the
+    * highest version for pointers published before the property existed
+    * (or recovered via `SELECT *`).
+    */
+  def liveVersion(spark: SparkSession, fqTable: String): Option[Int] =
+    viewProp(spark, fqTable, "graft.live_version")
+      .orElse(versions(spark, fqTable).maxOption)
+
+  /** The version the live pointer superseded (what was serving before
+    * the last publish/rollback) — the comparison base for
+    * [[graft.quality.Checks.versionDrift]].
+    */
+  def prevVersion(spark: SparkSession, fqTable: String): Option[Int] =
+    viewProp(spark, fqTable, "graft.prev_version")
 
   /** Transactional CTAS: materialize `df` as version table
     * `<table>__v<N>` and publish it by repointing the `fqTable` VIEW at
@@ -145,8 +183,17 @@ object Lakehouse {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .saveAsTable(s"${fqTable}__v$next")
     publish(spark, fqTable, next, df.columns.toSeq)    // the commit point
-    versions(spark, fqTable).filter(_ != next)         // GC superseded + stray
-      .sorted.dropRight(retainVersions)
+    // GC superseded + stray versions. The retention window protects the
+    // PREVIOUSLY-LIVE version first (recorded by publish — after a
+    // rollback it is not the numerically-highest one, and it is exactly
+    // the version concurrent readers may still be scanning), then the
+    // most recent others up to retainVersions total.
+    val protect = prevVersion(spark, fqTable).toSeq
+    val others = versions(spark, fqTable)
+      .filter(v => v != next && !protect.contains(v)).sorted
+    val keepOthers = math.max(0, retainVersions - protect.size)
+    (others.dropRight(keepOthers) ++
+        (if (retainVersions == 0) protect else Nil))
       .foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${fqTable}__v$v"))
     spark.sql(s"DROP TABLE IF EXISTS ${fqTable}__tmp") // legacy scaffolding
   }
@@ -187,11 +234,16 @@ object Lakehouse {
     */
   def optimize(spark: SparkSession, fqTable: String, zcols: Seq[String],
                files: Int, bins: Int = 256,
-               retainVersions: Int = 1): Unit =
+               retainVersions: Int = 1): Unit = {
+    // self-heal a crashed-swap layout BEFORE reading the live name —
+    // zorderFrame touches spark.table(fqTable) eagerly (approxQuantile),
+    // ahead of ctasSwap's own recovery call
+    recoverSwap(spark, fqTable)
     ctasSwap(spark,
       graft.operators.Layout.zorderFrame(spark.table(fqTable), zcols,
         files, bins),
       fqTable, retainVersions = retainVersions)
+  }
 
   /** Full rebuild, mirroring the reference's `+materialized: table`
     * semantics (no incrementality — SURVEY §4 row "Incrementality").

@@ -105,14 +105,21 @@ object Checks {
                    fqTable: String,
                    shrinkTolerance: Double = 0.5): CheckResult = {
     import graft.pipeline.Lakehouse
-    val vs = Lakehouse.listVersions(spark, fqTable)
-    if (vs.size < 2) CheckResult(fqTable, "__row_count_drift", 0L)
-    else {
-      val prev = Lakehouse.readVersion(spark, fqTable, vs(vs.size - 2)).count()
-      val live = Lakehouse.readVersion(spark, fqTable, vs.last).count()
-      val floor = (prev * (1.0 - shrinkTolerance)).toLong
-      CheckResult(fqTable, "__row_count_drift",
-        if (live >= floor) 0L else floor - live)
+    // compare against what was actually SERVING before the last publish
+    // (recorded by the publish itself) — after a rollback the
+    // numerically-previous version is the rolled-back-FROM bad build,
+    // and comparing against it would wave the next shrink through
+    val retained = Lakehouse.listVersions(spark, fqTable)
+    (Lakehouse.liveVersion(spark, fqTable),
+        Lakehouse.prevVersion(spark, fqTable).filter(retained.contains)) match {
+      case (Some(live), Some(prev)) if live != prev =>
+        val prevN = Lakehouse.readVersion(spark, fqTable, prev).count()
+        val liveN = Lakehouse.readVersion(spark, fqTable, live).count()
+        val floor = (prevN * (1.0 - shrinkTolerance)).toLong
+        CheckResult(fqTable, "__row_count_drift",
+          if (liveN >= floor) 0L else floor - liveN)
+      case _ => // first publish, or history GC'd: nothing to compare
+        CheckResult(fqTable, "__row_count_drift", 0L)
     }
   }
 }

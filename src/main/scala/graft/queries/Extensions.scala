@@ -976,7 +976,10 @@ object Extensions {
       org.apache.spark.sql.DataFrame = {
     import graft.operators.Skew
     s.sql("CREATE DATABASE IF NOT EXISTS bkt_q90")
-    if (bucketedBuiltFor.get != d) {
+    // the dir cache alone is not enough: the tables live in a SESSION's
+    // catalog/warehouse, so a fresh session in the same JVM must rebuild
+    if (bucketedBuiltFor.get != d ||
+        !s.catalog.tableExists("bkt_q90.lineitem_b")) {
       Skew.bucketed(Tables.lineitem(s, d), "bkt_q90.lineitem_b", 8,
         "l_orderkey")
       Skew.bucketed(Tables.orders(s, d), "bkt_q90.orders_b", 8,
@@ -1316,7 +1319,8 @@ object Extensions {
   /** Exclusion-list filtering with a bloom prefilter — the 100 TB shape
     * for "drop every fact row whose key is on a list" when the list is
     * too big to broadcast as a hash relation but its BLOOM BITS are not
-    * (8M bits here ≈ 1 MB for 1M keys): rows the bloom rejects are
+    * (800k bits ≈ 100 KB here; scale numBits with the list): rows the
+    * bloom rejects are
     * DEFINITELY clean and skip the join entirely (no false negatives by
     * construction); only the `might_contain` survivors — list hits plus
     * the ε false-positive mass — reach the exact anti-join. The result

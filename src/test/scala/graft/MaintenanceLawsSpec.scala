@@ -122,9 +122,11 @@ class MaintenanceLawsSpec extends SparkSpec {
       Lakehouse.readVersion(spark, "t_tt.t", 7)
     }
     assert(e.getMessage.contains("available: 0, 1"))
-    // stats for the live version feed the catalog (CBO inputs)
+    // stats target the version the view SERVES — after the rollback
+    // that is v0, not the numerically-highest v1
+    assert(Lakehouse.liveVersion(spark, "t_tt.t") === Some(0))
     Lakehouse.analyze(spark, "t_tt.t", Seq("id"))
-    val desc = spark.sql("DESCRIBE EXTENDED t_tt.t__v1").collect()
+    val desc = spark.sql("DESCRIBE EXTENDED t_tt.t__v0").collect()
       .map(_.mkString("|")).mkString("\n")
     assert(desc.contains("Statistics"), s"expected table statistics:\n$desc")
   }

@@ -97,6 +97,40 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-order keeps null rows and refuses non-numeric columns") {
+    import spark.implicits._
+    val out = tmp("nulls")
+    // every 7th row has a NULL z-column — clustering must move it, not
+    // lose it (null z-values sort into the first range partition)
+    val data = spark.range(5000).select(
+      col("id"),
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("id") % 50).as("a"),
+      (col("id") % 13).as("b"))
+    Layout.zorderWrite(data, Seq("a", "b"), out, files = 4, bins = 16)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 5000L)
+    assert(back.filter(col("a").isNull).count() === math.ceil(5000.0 / 7).toLong)
+    assert(back.agg(sum("id")).as[Long].head() ===
+      data.agg(sum("id")).as[Long].head())
+    // a string z-column is refused (it would silently cast to null)
+    val strs = spark.range(10).select(col("id"), col("id").cast("string").as("s"))
+    val e = intercept[IllegalArgumentException] {
+      Layout.zorderFrame(strs, Seq("id", "s"), files = 2)
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
+
+  test("compact refuses hive-partitioned input instead of flattening it") {
+    import spark.implicits._
+    val part = tmp("part")
+    spark.range(100).select(col("id"), (col("id") % 3).as("p"))
+      .write.partitionBy("p").parquet(part)
+    val e = intercept[IllegalArgumentException] {
+      Layout.compact(spark, part, tmp("part-out"))
+    }
+    assert(e.getMessage.contains("partition"))
+  }
+
   test("compact bin-packs small files shuffle-free and preserves content") {
     import spark.implicits._
     val frag = tmp("frag")

@@ -131,6 +131,34 @@ class MaintenanceLawsSpec extends SparkSpec {
     assert(desc.contains("Statistics"), s"expected table statistics:\n$desc")
   }
 
+  test("concurrent reader never fails across repeated publishes (retention window)") {
+    import graft.pipeline.Lakehouse
+    spark.sql("CREATE DATABASE IF NOT EXISTS t_conc")
+    Lakehouse.ctasSwap(spark,
+      spark.range(1000).select(col("id"), lit(0).as("ver")), "t_conc.t")
+    val failures = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          // plan + execute against whatever version is live; with
+          // retainVersions=1 (default) the superseded version's files
+          // survive a full publish interval, so a scan planned just
+          // before a publish still completes
+          val n = spark.table("t_conc.t").count()
+          assert(n === 1000L, s"reader saw $n rows")
+        }
+      } catch { case t: Throwable => failures.set(t) }
+    })
+    reader.start()
+    try (1 to 5).foreach { v =>
+      Lakehouse.ctasSwap(spark,
+        spark.range(1000).select(col("id"), lit(v).as("ver")), "t_conc.t")
+    } finally { stop.set(true); reader.join(30000) }
+    assert(failures.get() == null,
+      s"concurrent reader failed: ${failures.get()}")
+  }
+
   test("versionDrift: silent shrink is flagged, growth and first publish pass") {
     import graft.pipeline.Lakehouse
     import graft.quality.Checks

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -147,34 +147,45 @@ object Similarity {
     * linearly with `nProbe`, recall rises toward brute-force; the
     * recall contract is measured in OperatorsSpec.
     */
-  def ivfTopK(emb: DataFrame, nCentroids: Int, nQueries: Int, k: Int,
-              iters: Int = 2, nProbe: Int = 1): DataFrame = {
-    val spark = emb.sparkSession
-    val base = withNorm(emb)
-    val corpus = base.filter(col("vec_id") >= nCentroids + nQueries)
+  private def centsDf(spark: SparkSession,
+                      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cent_id", "cent_e")
+      .withColumn("cent_nrm", dot(col("cent_e"), col("cent_e")))
+  }
 
-    def centsDf(cents: Seq[(Long, Seq[Double])]): DataFrame = {
-      import spark.implicits._
-      cents.toDF("cent_id", "cent_e")
-        .withColumn("cent_nrm", dot(col("cent_e"), col("cent_e")))
-    }
-    def assign(df: DataFrame, cents: DataFrame, probes: Int = 1): DataFrame = {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("cscore").desc, col("cent_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("cscore",
-          dot(col("e"), col("cent_e")) / sqrt(col("nrm") * col("cent_nrm")))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= probes)
-        .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
-    }
+  /** Nearest-centroid(s) by cosine over a normed frame (`vec_id, e,
+    * nrm`): map-side broadcast cross-join, deterministic tie-break on
+    * cent_id.
+    */
+  private def assignCells(df: DataFrame, cents: DataFrame,
+                          probes: Int = 1): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cscore").desc, col("cent_id"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("cscore",
+        dot(col("e"), col("cent_e")) / sqrt(col("nrm") * col("cent_nrm")))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= probes)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cent_id").as("cell"))
+  }
 
-    // E/M rounds: cells with no members keep their previous centroid.
+  /** Deterministic Lloyd training: seed cells from the first
+    * `nCentroids` vectors of `base`, refine with `iters` E/M rounds
+    * over `trainOn`. Cells with no members keep their previous
+    * centroid; component sums accumulate in DECIMAL(38,6) so the means
+    * are order-independent and the oracle can replay the iterations.
+    * The per-round `collect()`s are centroid sets, bounded by
+    * construction (`nCentroids` × dim doubles).
+    */
+  private def lloydTrain(spark: SparkSession, base: DataFrame,
+                         trainOn: DataFrame, nCentroids: Int,
+                         iters: Int): DataFrame = {
     var cents: Seq[(Long, Seq[Double])] = base.filter(col("vec_id") < nCentroids)
       .select(col("vec_id"), col("e")).orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     for (_ <- 1 to iters) {
-      val means = assign(corpus, centsDf(cents))
+      val means = assignCells(trainOn, centsDf(spark, cents))
         .select(col("cell"), posexplode(col("e")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg((sum(col("x").cast(DecimalType(38, 6))).cast(DoubleType)
@@ -186,14 +197,21 @@ object Similarity {
         }
       cents = cents.map { case (id, e) => (id, means.getOrElse(id, e)) }
     }
+    centsDf(spark, cents)
+  }
 
-    val trained = centsDf(cents)
-    val q = assign(base.filter(
+  def ivfTopK(emb: DataFrame, nCentroids: Int, nQueries: Int, k: Int,
+              iters: Int = 2, nProbe: Int = 1): DataFrame = {
+    val spark = emb.sparkSession
+    val base = withNorm(emb)
+    val corpus = base.filter(col("vec_id") >= nCentroids + nQueries)
+    val trained = lloydTrain(spark, base, corpus, nCentroids, iters)
+    val q = assignCells(base.filter(
         col("vec_id") >= nCentroids && col("vec_id") < nCentroids + nQueries),
         trained, probes = nProbe)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("cell"))
-    val c = assign(corpus, trained)
+    val c = assignCells(corpus, trained)
       .select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
         col("nrm").as("cn"), col("cell"))
     rankTopK(c.join(broadcast(q), Seq("cell"))
@@ -271,6 +289,107 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, neighbor_id, score, rnk FROM ranked
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Semantic deduplication (SemDeDup shape): k-means-cluster the
+    * embedding space with the same deterministic Lloyd trainer as
+    * [[ivfTopK]] (trained over ALL vectors — there is no query/corpus
+    * split here), then prune within each cluster: a vector is dropped
+    * iff some LOWER-id vector in its cluster has cosine ≥ `threshold`
+    * to it (one-hop min-id rule — the same deterministic keep
+    * convention as the near-dup families, so the result is identical
+    * under any partitioning). Returns every vector with its cluster,
+    * keep flag, and the id it duplicates.
+    *
+    * Scale shape: candidate pairs come from an equi-join on cluster id
+    * — never a global all-pairs. Within-cluster comparison is
+    * quadratic in cluster size (inherent to SemDeDup); `nCentroids`
+    * is the lever that bounds expected cluster size (pick ~N/1k cells
+    * so clusters stay broadcast-joinable). The invariant the spec
+    * asserts: any two KEPT vectors sharing a cluster have
+    * cosine < `threshold`.
+    */
+  def semanticDedup(emb: DataFrame, nCentroids: Int, iters: Int = 2,
+                    threshold: Double = 0.9): DataFrame = {
+    val spark = emb.sparkSession
+    val base = withNorm(emb)
+    val trained = lloydTrain(spark, base, base, nCentroids, iters)
+    val assigned = assignCells(base, trained)
+    val a = assigned.select(col("vec_id").as("a_id"), col("e").as("qe"),
+      col("nrm").as("qn"), col("cell"))
+    val b = assigned.select(col("vec_id").as("b_id"), col("e").as("ce"),
+      col("nrm").as("cn"), col("cell"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), pairScore)
+      .filter(col("score") >= threshold)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle for [[semanticDedup]]: replays the seed + `iters` Lloyd
+    * rounds (training over ALL vectors) and the within-cluster min-id
+    * prune as chained CTEs.
+    */
+  def semanticDedupOracle(nCentroids: Int, iters: Int = 2,
+                          threshold: Double = 0.9): String = {
+    def assignCte(it: Int): String =
+      s"""a$it AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT b.vec_id, b.embedding, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+         |        ${dotSql("b.embedding", "c.cent_e")}
+         |          / SQRT(b.nrm * c.cent_nrm) DESC, c.cent_id) AS crk
+         |    FROM base b CROSS JOIN cent${it - 1} c)
+         |  WHERE crk = 1)""".stripMargin
+    def meanCte(it: Int): String =
+      s"""m$it AS (
+         |  SELECT cell, i,
+         |    CAST(SUM(CAST(embedding[i] AS DECIMAL(38,6))) AS DOUBLE)
+         |      / COUNT(*) AS m
+         |  FROM a$it, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)
+         |  GROUP BY cell, i),
+         |g$it AS (SELECT cell AS cent_id, LIST(m ORDER BY i) AS cent_e
+         |  FROM m$it GROUP BY cell),
+         |cent$it AS (
+         |  SELECT cent_id, cent_e, ${dotSql("cent_e", "cent_e")} AS cent_nrm
+         |  FROM (
+         |    SELECT p.cent_id, COALESCE(g.cent_e, p.cent_e) AS cent_e
+         |    FROM cent${it - 1} p LEFT JOIN g$it g ON p.cent_id = g.cent_id))""".stripMargin
+    val rounds = (1 to iters).map(it => s"${assignCte(it)},\n${meanCte(it)}")
+      .mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    ${dotSql("embedding", "embedding")} AS nrm
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_e, nrm AS cent_nrm
+       |  FROM base WHERE vec_id < $nCentroids),
+       |$rounds,
+       |assigned AS (
+       |  SELECT vec_id, embedding, nrm, cell FROM (
+       |    SELECT b.vec_id, b.embedding, b.nrm, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+       |        ${dotSql("b.embedding", "c.cent_e")}
+       |          / SQRT(b.nrm * c.cent_nrm) DESC, c.cent_id) AS crk
+       |    FROM base b CROSS JOIN cent$iters c)
+       |  WHERE crk = 1),
+       |dups AS (
+       |  SELECT b_id AS vec_id, MIN(a_id) AS dup_of FROM (
+       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |      ${dotSql("a.embedding", "b.embedding")}
+       |        / SQRT(a.nrm * b.nrm) AS score
+       |    FROM assigned a JOIN assigned b USING (cell)
+       |    WHERE a.vec_id < b.vec_id)
+       |  WHERE score >= $threshold GROUP BY b_id)
+       |SELECT s.vec_id, s.cell, d.dup_of, d.dup_of IS NULL AS kept
+       |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+       |ORDER BY s.vec_id""".stripMargin
   }
 
   /** Sign-LSH bucket id from the first `bits` dimensions: bit j set iff

@@ -392,7 +392,16 @@ object TextAnalysis {
     * under any partitioning.
     */
   def chunkDocuments(docs: DataFrame, content: Column, id: Column,
-                     chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+                     chunkTokens: Int = 64, overlap: Int = 16): DataFrame =
+    chunkedCore(docs, content, id, chunkTokens, overlap)
+      .orderBy("doc_id", "chunk_id")
+
+  /** [[chunkDocuments]] without the presentation sort — consumers that
+    * aggregate or window over the chunks (chunkDedup) skip the wasted
+    * sort stage.
+    */
+  private def chunkedCore(docs: DataFrame, content: Column, id: Column,
+                          chunkTokens: Int, overlap: Int): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
     val stride = chunkTokens - overlap
     docs.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
@@ -409,7 +418,6 @@ object TextAnalysis {
           .as("chunk_text"),
         least(lit(chunkTokens.toLong), col("n_tok") - col("chunk_id") * stride)
           .as("n_chunk_tokens"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   def chunkDocumentsOracle(chunkTokens: Int = 64, overlap: Int = 16): String = {
@@ -429,6 +437,65 @@ object TextAnalysis {
        |FROM c, UNNEST(GENERATE_SERIES(0, n_chunks - 1)) AS u(i)
        |ORDER BY doc_id, chunk_id""".stripMargin
   }
+
+  /** Corpus-level exact duplicate-passage removal — the C4/Dolma "line
+    * dedup" step, adapted to fixed non-overlapping `chunkTokens`-token
+    * windows because this corpus carries no line structure: every
+    * distinct window survives only at its globally FIRST occurrence
+    * (ordered by doc_id, then position); each document is reassembled
+    * from its surviving windows.
+    *
+    * Scale shape: two shuffles, both on bounded keys — one window
+    * function partitioned on the 128-bit chunk digest (the digest, not
+    * the chunk text, is what the first-occurrence vote hashes on) and
+    * one aggregation on doc_id to reassemble. No self-join, no
+    * all-pairs; chunk volume is linear in corpus tokens. The keep rule
+    * is a total order (digest, doc_id, chunk_id), so the output is
+    * identical under any partitioning or cluster size.
+    */
+  def chunkDedup(docs: DataFrame, content: Column, id: Column,
+                 chunkTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("chunk_text")))
+      .orderBy("doc_id", "chunk_id")
+    chunkedCore(docs, content, id, chunkTokens, overlap = 0)
+      .withColumn("kept", row_number().over(w) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("kept").cast(LongType)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("chunk_id"), col("chunk_text"))))),
+            s => s.getField("chunk_text")), " ").as("dedup_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[chunkDedup]] over `documents(doc_id, text)`. */
+  def chunkDedupOracle(chunkTokens: Int = 8): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks
+       |  FROM documents),
+       |n AS (SELECT doc_id, toks, CAST(LEN(toks) AS BIGINT) AS n_tok FROM t),
+       |c AS (SELECT doc_id, toks, n_tok,
+       |  CAST(1 + FLOOR((GREATEST(n_tok - $chunkTokens, 0) + ${chunkTokens - 1})
+       |    / $chunkTokens) AS BIGINT) AS n_chunks FROM n),
+       |ch AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       |    ARRAY_TO_STRING(LIST_SLICE(toks, i * $chunkTokens + 1,
+       |      i * $chunkTokens + $chunkTokens), ' ') AS chunk_text
+       |  FROM c, UNNEST(GENERATE_SERIES(0, n_chunks - 1)) AS u(i)),
+       |k AS (
+       |  SELECT doc_id, chunk_id, chunk_text,
+       |    ROW_NUMBER() OVER (PARTITION BY MD5(chunk_text)
+       |      ORDER BY doc_id, chunk_id) = 1 AS kept
+       |  FROM ch)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CAST(kept AS BIGINT)) AS BIGINT) AS n_kept,
+       |  COALESCE(STRING_AGG(chunk_text, ' ' ORDER BY chunk_id)
+       |    FILTER (WHERE kept), '') AS dedup_text
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Sequence packing (first-order approximation): assign documents to
     * fixed-token-budget bins — the "pack short documents into one
@@ -509,4 +576,98 @@ object TextAnalysis {
       |       ELSE 0 END AS n_shingles,
       |  MD5(text) AS fp_full
       |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------- domain mixture
+
+  /** Domain-mixture resampling: hit a target per-domain token mixture
+    * with deterministic document sampling. Given target weights per
+    * stratum and a token budget expressed as a FRACTION of the corpus
+    * (so the contract is scale-invariant), the per-stratum sampling
+    * rate is `min(1, budget·w_s / avail_s)` — over-represented domains
+    * are down-sampled toward their target share, under-represented ones
+    * keep everything (rate capped at 1; re-weighting them UP is the
+    * trainer's job, not the sampler's). Selection reuses the
+    * [[bernoulliHashSample]] gate (top 60 bits of md5(doc_id) under
+    * rate·2^60): reproducible across runs, retries, and cluster sizes,
+    * and a pure per-row filter — no shuffle touches the corpus beyond
+    * the two tiny per-stratum aggregations.
+    *
+    * All rate arithmetic is fixed-shape IEEE double (multiply, divide,
+    * min, floor — no libm), so the oracle replays it bit-identically.
+    */
+  def domainMixture(docs: DataFrame, stratum: Column, id: Column,
+                    content: Column, weights: Seq[(String, Double)],
+                    budgetFraction: Double = 0.5): DataFrame = {
+    require(budgetFraction > 0 && budgetFraction <= 1, "budgetFraction in (0,1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(
+      stratum.as("stratum"),
+      size(split(content, "\\s+")).cast(LongType).as("n_tok"),
+      conv(substring(md5(id.cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType).as("h60"))
+    val avail = base.groupBy("stratum").agg(
+      count(lit(1)).as("avail_docs"),
+      sum("n_tok").as("avail_tokens"))
+    val total = avail.agg(sum("avail_tokens").as("total_tokens"))
+    val rates = avail
+      .crossJoin(broadcast(total))
+      .join(broadcast(weights.toDF("stratum", "w")), Seq("stratum"), "left")
+      .select(col("stratum"), coalesce(col("w"), lit(0.0)).as("w"),
+        col("avail_docs"), col("avail_tokens"),
+        least(lit(1.0),
+          lit(budgetFraction) * col("total_tokens") * coalesce(col("w"), lit(0.0))
+            / col("avail_tokens")).as("rate"))
+    val picked = base
+      .join(broadcast(rates.select(col("stratum"),
+        floor(col("rate") * lit((1L << 60).toDouble)).cast(LongType).as("thr"))),
+        Seq("stratum"))
+      .filter(col("h60") < col("thr"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("picked_docs"), sum("n_tok").as("picked_tokens"))
+    rates.join(picked, Seq("stratum"), "left")
+      .select(col("stratum"), col("w"), col("avail_docs"), col("avail_tokens"),
+        col("rate"),
+        coalesce(col("picked_docs"), lit(0L)).as("picked_docs"),
+        coalesce(col("picked_tokens"), lit(0L)).as("picked_tokens"))
+      .orderBy("stratum")
+  }
+
+  /** Oracle for [[domainMixture]] over `documents(doc_id, lang, text)`
+    * with `lang` as the stratum.
+    */
+  def domainMixtureOracle(weights: Seq[(String, Double)],
+                          budgetFraction: Double = 0.5): String = {
+    val values = weights
+      .map { case (s, w) => s"('${s.replace("'", "''")}', CAST($w AS DOUBLE))" }
+      .mkString(", ")
+    s"""WITH w(stratum, w) AS (VALUES $values),
+       |t AS (
+       |  SELECT lang AS stratum,
+       |    CAST(LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS BIGINT) AS n_tok,
+       |    MD5(CAST(doc_id AS VARCHAR)) AS hx
+       |  FROM documents),
+       |b AS (SELECT stratum, n_tok, ${hash60Sql("hx")} AS h60 FROM t),
+       |a AS (SELECT stratum, COUNT(*) AS avail_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS avail_tokens FROM b GROUP BY stratum),
+       |tot AS (SELECT CAST(SUM(avail_tokens) AS BIGINT) AS total_tokens FROM a),
+       |r AS (
+       |  SELECT a.stratum, COALESCE(w.w, CAST(0.0 AS DOUBLE)) AS w,
+       |    avail_docs, avail_tokens,
+       |    LEAST(CAST(1.0 AS DOUBLE),
+       |      CAST($budgetFraction AS DOUBLE) * total_tokens
+       |        * COALESCE(w.w, CAST(0.0 AS DOUBLE)) / avail_tokens) AS rate
+       |  FROM a CROSS JOIN tot LEFT JOIN w ON a.stratum = w.stratum),
+       |p AS (
+       |  SELECT b.stratum, COUNT(*) AS picked_docs,
+       |    CAST(SUM(b.n_tok) AS BIGINT) AS picked_tokens
+       |  FROM b JOIN r ON b.stratum = r.stratum
+       |  WHERE b.h60 < CAST(FLOOR(r.rate * 1152921504606846976) AS BIGINT)
+       |  GROUP BY b.stratum)
+       |SELECT r.stratum, r.w, r.avail_docs, r.avail_tokens, r.rate,
+       |  COALESCE(p.picked_docs, 0) AS picked_docs,
+       |  COALESCE(p.picked_tokens, 0) AS picked_tokens
+       |FROM r LEFT JOIN p ON r.stratum = p.stratum
+       |ORDER BY r.stratum""".stripMargin
+  }
 }

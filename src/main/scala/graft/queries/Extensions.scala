@@ -1441,6 +1441,49 @@ object Extensions {
               END AS corr_xy
             FROM a ORDER BY seg"""))
 
+  /** Exact duplicate-passage removal (C4/Dolma line dedup adapted to
+    * token windows): first global occurrence of each 8-token window
+    * wins; documents are reassembled from their surviving windows. Two
+    * bounded-key shuffles (chunk digest, then doc_id) — linear at
+    * corpus scale.
+    */
+  private val q108 = Q("q108_chunk_dedup",
+    (s, d) => TextAnalysis.chunkDedup(Tables.documents(s, d),
+      col("text"), col("doc_id"), chunkTokens = 8),
+    Some(TextAnalysis.chunkDedupOracle(chunkTokens = 8)))
+
+  /** Semantic dedup (SemDeDup shape): deterministic k-means over the
+    * embedding space, then a within-cluster min-id cosine prune —
+    * candidate pairs via equi-join on cluster id, never global
+    * all-pairs. The oracle replays the Lloyd rounds and the prune.
+    * Threshold 0.45 matches q50's near-dup bar for this fixture's
+    * similarity structure (real embeddings would sit near 0.9+).
+    */
+  private val q109 = Q("q109_semantic_dedup",
+    (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d),
+      nCentroids = 8, iters = 2, threshold = 0.45),
+    Some(Similarity.semanticDedupOracle(nCentroids = 8, iters = 2,
+      threshold = 0.45)))
+
+  /** q110's target mixture: zh deliberately over-weighted past its
+    * corpus share so the rate-cap path (rate = 1) is exercised in the
+    * graded run at every scale factor.
+    */
+  private val MixtureWeights: Seq[(String, Double)] = Seq(
+    "en" -> 0.10, "fr" -> 0.15, "es" -> 0.15, "zh" -> 0.50, "de" -> 0.10)
+
+  /** Domain-mixture resampling: per-language deterministic sampling
+    * rates hitting a target token mixture at half the corpus budget —
+    * the rate arithmetic is fixed-shape IEEE double, selection is the
+    * shuffle-free md5 Bernoulli gate.
+    */
+  private val q110 = Q("q110_domain_mixture",
+    (s, d) => TextAnalysis.domainMixture(Tables.documents(s, d),
+      col("lang"), col("doc_id"), col("text"), MixtureWeights,
+      budgetFraction = 0.5),
+    Some(TextAnalysis.domainMixtureOracle(MixtureWeights,
+      budgetFraction = 0.5)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -1448,5 +1491,5 @@ object Extensions {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106, q107)
+    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110)
 }

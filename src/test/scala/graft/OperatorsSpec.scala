@@ -417,4 +417,84 @@ class OperatorsSpec extends SparkSpec {
     assert(checked.length === 97)
     assert(checked.forall(r => r.getBoolean(0) && r.getBoolean(1)))
   }
+
+  test("chunkDedup: copies vanish, originals round-trip, shared windows drop once") {
+    val w = (0 until 16).map(i => s"w$i")
+    val fresh = (0 until 8).map(i => s"f$i")
+    val corpus = spark.createDataFrame(Seq(
+      (0L, w.mkString(" ")),                                   // 2 chunks
+      (10L, w.mkString(" ")),                                  // exact copy of 0
+      (20L, (w.take(8) ++ fresh).mkString(" "))                // shares chunk 0
+    )).toDF("doc_id", "text")
+    val r = TextAnalysis.chunkDedup(corpus, col("text"), col("doc_id"),
+        chunkTokens = 8).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // first occurrence keeps everything and reassembles byte-identically
+    assert(r(0L).getAs[Long]("n_kept") === 2L)
+    assert(r(0L).getAs[String]("dedup_text") === w.mkString(" "))
+    // the exact copy loses every window
+    assert(r(10L).getAs[Long]("n_chunks") === 2L)
+    assert(r(10L).getAs[Long]("n_kept") === 0L)
+    assert(r(10L).getAs[String]("dedup_text") === "")
+    // the partial overlap loses exactly the shared window
+    assert(r(20L).getAs[Long]("n_kept") === 1L)
+    assert(r(20L).getAs[String]("dedup_text") === fresh.mkString(" "))
+  }
+
+  test("semanticDedup: exact dup dropped; kept same-cell pairs are below threshold") {
+    val emb = spark.createDataFrame(Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),          // seed/centroid A
+      (1L, Array(0f, 1f, 0f, 0f)),          // seed/centroid B
+      (2L, Array(0.95f, 0.05f, 0f, 0f)),    // cluster A, near-dup of 0
+      (3L, Array(0.05f, 0.95f, 0f, 0f)),    // cluster B, near-dup of 1
+      (4L, Array(1f, 0f, 0f, 0f)),          // exact copy of 0
+      (5L, Array(0f, 0f, 1f, 0f))           // orthogonal — no dup anywhere
+    )).toDF("vec_id", "embedding")
+    val tau = 0.9
+    val r = Similarity.semanticDedup(emb, nCentroids = 2, iters = 1,
+      threshold = tau)
+    val rows = r.collect().map(x => x.getAs[Long]("vec_id") -> x).toMap
+    // the exact copy is dropped against the min id in its cluster
+    assert(!rows(4L).getAs[Boolean]("kept"))
+    assert(rows(4L).getAs[Long]("dup_of") === 0L)
+    assert(rows(0L).getAs[Boolean]("kept"))
+    assert(rows(5L).getAs[Boolean]("kept"))
+    // invariant: any two KEPT vectors sharing a cell have cosine < tau
+    val kept = r.filter(col("kept"))
+      .select(col("vec_id").as("a_id"), col("cell")).as("a")
+      .join(r.filter(col("kept"))
+        .select(col("vec_id").as("b_id"), col("cell")).as("b"), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+    val scored = kept
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ea")), Seq("a_id"))
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
+      .select(Similarity.cosine(
+        col("ea").cast("array<double>"), col("eb").cast("array<double>")).as("s"))
+      .collect()
+    assert(scored.forall(_.getDouble(0) < tau))
+  }
+
+  test("domainMixture: rates capped at 1, zero-weight strata empty, deterministic") {
+    val corpus = spark.createDataFrame(
+      (0 until 40).map(i => (i.toLong, Seq.fill(10)(s"t$i").mkString(" "),
+        if (i < 10) "en" else "de"))
+    ).toDF("doc_id", "text", "lang")
+    val weights = Seq("en" -> 1.0, "de" -> 0.0)
+    def run() = TextAnalysis.domainMixture(corpus, col("lang"), col("doc_id"),
+      col("text"), weights, budgetFraction = 0.5).collect()
+    val r = run().map(x => x.getAs[String]("stratum") -> x).toMap
+    // en: budget 0.5·400 = 200 tokens ≥ its 100 available → rate caps at
+    // 1 and everything is picked
+    assert(r("en").getAs[Double]("rate") === 1.0)
+    assert(r("en").getAs[Long]("picked_docs") === 10L)
+    assert(r("en").getAs[Long]("picked_tokens") ===
+      r("en").getAs[Long]("avail_tokens"))
+    // de: weight 0 → rate 0 → nothing picked, but the stratum still reports
+    assert(r("de").getAs[Double]("rate") === 0.0)
+    assert(r("de").getAs[Long]("picked_docs") === 0L)
+    assert(r("de").getAs[Long]("avail_docs") === 30L)
+    // deterministic under re-execution
+    assert(run().map(_.toString).sorted.sameElements(
+      run().map(_.toString).sorted))
+  }
 }

@@ -577,6 +577,62 @@ object TextAnalysis {
       |  MD5(text) AS fp_full
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- vocab / OOV
+
+  /** Tokenizer-vocabulary induction + out-of-vocabulary profiling: build
+    * the top-`vocabSize` corpus vocabulary by token frequency
+    * (deterministic tie-break on the token itself), then report each
+    * document's token count, OOV count, and OOV rate against it — the
+    * "how much of my corpus does a V-token vocab cover" question asked
+    * before every tokenizer training run.
+    *
+    * Scale shape: one map-side-combined shuffle on token for the
+    * frequency table; the vocab is bounded by construction
+    * (`vocabSize` rows) so the membership probe is a broadcast join;
+    * one aggregation on doc_id. Linear in corpus tokens, no all-pairs,
+    * no driver-side data.
+    */
+  def vocabOov(docs: DataFrame, content: Column, id: Column,
+               vocabSize: Int = 100): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(tokens(content)).as("tok"))
+    // (count desc, tok) is a total order, so the top-V boundary is
+    // deterministic; sort+limit plans as TakeOrderedAndProject — a
+    // distributed per-partition top-V + merge, never a global sort
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(true).as("iv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        (col("n_oov").cast(DoubleType) / col("n_tok")).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[vocabOov]] over `documents(doc_id, text)`. */
+  def vocabOovOracle(vocabSize: Int = 100): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS tok
+       |  FROM documents),
+       |cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+       |vocab AS (SELECT tok, TRUE AS iv FROM cnt
+       |  ORDER BY c DESC, tok LIMIT $vocabSize),
+       |j AS (
+       |  SELECT t.doc_id, v.iv FROM toks t
+       |  LEFT JOIN vocab v ON t.tok = v.tok),
+       |a AS (
+       |  SELECT doc_id, COUNT(*) AS n_tok,
+       |    CAST(SUM(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_oov
+       |  FROM j GROUP BY doc_id)
+       |SELECT doc_id, n_tok, n_oov,
+       |  CAST(n_oov AS DOUBLE) / n_tok AS oov_rate
+       |FROM a ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------- domain mixture
 
   /** Domain-mixture resampling: hit a target per-domain token mixture

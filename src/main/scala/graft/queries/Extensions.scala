@@ -1484,6 +1484,16 @@ object Extensions {
     Some(TextAnalysis.domainMixtureOracle(MixtureWeights,
       budgetFraction = 0.5)))
 
+  /** Tokenizer-vocabulary induction + OOV profiling: top-100 corpus
+    * vocab by frequency (deterministic boundary), per-document OOV
+    * rate against it. One combined shuffle on token, bounded-size
+    * vocab broadcast, one agg on doc_id.
+    */
+  private val q111 = Q("q111_vocab_oov",
+    (s, d) => TextAnalysis.vocabOov(Tables.documents(s, d),
+      col("text"), col("doc_id"), vocabSize = 100),
+    Some(TextAnalysis.vocabOovOracle(vocabSize = 100)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -1491,5 +1501,6 @@ object Extensions {
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110)
+    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
+    q111)
 }

@@ -474,6 +474,24 @@ class OperatorsSpec extends SparkSpec {
     assert(scored.forall(_.getDouble(0) < tau))
   }
 
+  test("vocabOov: boundary deterministic, oov counts exact") {
+    // 6 tokens: a×4, b×3, c×2, then x/y/z once each — vocab of 4 must
+    // take (a, b, c, x): the count-1 tie at the boundary breaks on the
+    // token itself, never on partitioning
+    val corpus = spark.createDataFrame(Seq(
+      (0L, "a a a a b b"),
+      (1L, "b c c x"),
+      (2L, "y z a"))).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabOov(corpus, col("text"), col("doc_id"),
+        vocabSize = 4).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("n_oov") === 0L)              // a, b in vocab
+    assert(r(1L).getAs[Long]("n_oov") === 0L)              // b, c, x in vocab
+    assert(r(2L).getAs[Long]("n_tok") === 3L)
+    assert(r(2L).getAs[Long]("n_oov") === 2L)              // y, z out
+    assert(r(2L).getAs[Double]("oov_rate") === 2.0 / 3.0)
+  }
+
   test("domainMixture: rates capped at 1, zero-weight strata empty, deterministic") {
     val corpus = spark.createDataFrame(
       (0 until 40).map(i => (i.toLong, Seq.fill(10)(s"t$i").mkString(" "),

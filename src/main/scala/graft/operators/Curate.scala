@@ -27,7 +27,12 @@ object Curate {
     val survivors = Dedup.dropExactDuplicates(docs, content, id)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.selfCleaning(survivors) {
-      val reps = Dedup.simHashClusters(survivors, content, id, maxHamming)
+      // pointerDoubling: the SimHash near-dup graph measures diameter
+      // ~14 at sf0.1 (chained near-dups) — the shortcut join drops the
+      // propagation from 8 to 6 materialized rounds (see q67 in
+      // PLANS.md round-4)
+      val reps = Dedup.simHashClusters(survivors, content, id, maxHamming,
+        pointerDoubling = true)
         .filter(col("doc_id") === col("cluster"))
         .select("doc_id")
       // quality keep is a pure per-row predicate — filter inline, no

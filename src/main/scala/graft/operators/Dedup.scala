@@ -744,6 +744,9 @@ object Dedup {
       if (pointerDoubling && changed > 0) {
         val parents = labels
           .select(col("id").as("label"), col("label").as("ll"))
+        // EAGER on purpose (measured): lazy here defers the shortcut
+        // into the next round's convergence job, whose deeper plan
+        // costs more than the one extra tiny materialization saves
         labels = labels.join(parents, Seq("label"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
@@ -773,11 +776,13 @@ object Dedup {
     * cluster representative, drop the rest").
     */
   def simHashClusters(docs: DataFrame, content: Column, id: Column,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      pointerDoubling: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = simHashPairs(docs, content, id, maxHamming)
     val labels = connectedComponents(
-      docs.select(id.as("doc_id")), "doc_id", pairs, "doc_a", "doc_b")
+      docs.select(id.as("doc_id")), "doc_id", pairs, "doc_a", "doc_b",
+      pointerDoubling = pointerDoubling)
     labels.withColumn("cluster_size",
       count(lit(1)).over(Window.partitionBy("cluster")))
   }

@@ -437,7 +437,7 @@ object Extensions {
     */
   private val q67 = Q("q67_neardup_clusters",
     (s, d) => Dedup.simHashClusters(Tables.documents(s, d),
-        col("text"), col("doc_id"), maxHamming = 3)
+        col("text"), col("doc_id"), maxHamming = 3, pointerDoubling = true)
       .orderBy("doc_id"),
     Some(Dedup.simHashClustersOracle(maxHamming = 3)))
 

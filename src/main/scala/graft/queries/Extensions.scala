@@ -1494,6 +1494,116 @@ object Extensions {
       col("text"), col("doc_id"), vocabSize = 100),
     Some(TextAnalysis.vocabOovOracle(vocabSize = 100)))
 
+  /** TPC-H Q13 shape — customer order-count distribution: LEFT join
+    * with an ON-clause predicate on the right side (filter-before-join,
+    * the equivalent better plan), COUNT of the nullable key, then the
+    * re-aggregation into a histogram. The only large shuffle is the
+    * custkey join; the histogram aggregates ≤ |customers| rows.
+    */
+  private val q112 = Q("q112_tpch_q13_shape",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
+
+  /** TPC-H Q17 shape — correlated per-group scalar: lineitems below
+    * 0.2× their part's average quantity, for one brand's parts. The
+    * brand part list broadcasts; the per-part average joins back to the
+    * same (persist-free — the filtered lineitem frame is recomputed
+    * once per branch, both branches sharing the broadcast filter) and
+    * every aggregate runs in the exact scaled-int64 domain so the
+    * threshold comparison is engine-deterministic.
+    */
+  private val q113 = Q("q113_tpch_q17_shape",
+    (s, d) => {
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#12").select("p_partkey")
+      val lb = Tables.lineitem(s, d)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val thr = lb.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(((Fns.exactSumScaled(col("l_quantity"), 0)
+          / count(col("l_quantity"))) * lit(0.2)).as("thr"))
+      lb.join(broadcast(thr), col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("thr"))
+        .agg((Fns.exactSumScaled(col("l_extendedprice"), 2) / lit(7.0))
+          .as("avg_yearly"))
+    },
+    Some("""WITH lb AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#12'),
+            thr AS (
+              SELECT l_partkey AS t_partkey,
+                (CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS DOUBLE)
+                  / COUNT(l_quantity)) * CAST(0.2 AS DOUBLE) AS thr
+              FROM lb GROUP BY l_partkey)
+            SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                     AS DOUBLE) / 100 / CAST(7.0 AS DOUBLE) AS avg_yearly
+            FROM lb JOIN thr ON l_partkey = t_partkey
+            WHERE l_quantity < thr"""))
+
+  /** TPC-H Q21 shape — sole-failing-supplier: suppliers with a returned
+    * line in a multi-supplier order where NO other supplier's line was
+    * returned (semi + anti self-join on the order key; `l_returnflag =
+    * 'R'` stands in for the late-delivery predicate — the fixture
+    * carries no commit/receipt dates). Both probes are equi-joins on
+    * l_orderkey with a residual supplier-inequality filter — the shape
+    * that scales; supplier names broadcast at the end.
+    */
+  private val q114 = Q("q114_tpch_q21_shape",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val l1 = l.filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey").distinct()
+      val others = l.select(col("l_orderkey").as("o2_orderkey"),
+        col("l_suppkey").as("o2_suppkey")).distinct()
+      val othersR = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3_orderkey"),
+          col("l_suppkey").as("o3_suppkey")).distinct()
+      l1
+        .join(others, col("l_orderkey") === col("o2_orderkey")
+          && col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+        .join(othersR, col("l_orderkey") === col("o3_orderkey")
+          && col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    },
+    Some("""WITH l1 AS (
+              SELECT DISTINCT l_orderkey, l_suppkey
+              FROM lineitem WHERE l_returnflag = 'R')
+            SELECT s_name, COUNT(*) AS numwait
+            FROM l1 JOIN supplier ON s_suppkey = l_suppkey
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_returnflag = 'R')
+            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -1502,5 +1612,5 @@ object Extensions {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111)
+    q111, q112, q113, q114)
 }

@@ -1604,6 +1604,72 @@ object Extensions {
                   AND l3.l_returnflag = 'R')
             GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"""))
 
+  /** Per-group distribution moments with EXACT accumulation — the
+    * deterministic `describe()`: like q107, the sufficient statistics
+    * (Σx, Σx², Σx³ over whole-dollar integers) accumulate exactly
+    * (decimal(38) / HUGEINT — Σx³ fits through ~10¹² rows at these
+    * magnitudes), and only the FINAL mean/std/skewness formula touches
+    * doubles, in one fixed expression shape on both engines. Built-in
+    * stddev/skewness fold doubles in partition order and are
+    * unusable under a hash gate; this is the reproducible form. One
+    * map-side-combinable aggregate — determinism costs no extra pass.
+    */
+  private val q115 = Q("q115_exact_moments",
+    (s, d) => {
+      val dec = DecimalType(38, 0)
+      val x = floor(col("l_extendedprice") + lit(0.5)).cast(LongType)
+      val a = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("grp"), x.as("x"))
+        .groupBy("grp")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+          sum(col("x").cast(dec) * col("x").cast(dec) * col("x").cast(dec))
+            .as("sxxx"),
+          min(col("x")).as("min_usd"),
+          max(col("x")).as("max_usd"))
+      val nD = col("n").cast(DoubleType)
+      val mu = col("sx").cast(DoubleType) / nD
+      val varPop = col("sxx").cast(DoubleType) / nD - mu * mu
+      val sd = sqrt(varPop)
+      val skew = (col("sxxx").cast(DoubleType) / nD
+        - lit(3.0) * mu * (col("sxx").cast(DoubleType) / nD)
+        + lit(2.0) * mu * mu * mu) / (sd * sd * sd)
+      a.select(col("grp"), col("n"), mu.as("mean_usd"), sd.as("std_usd"),
+          when(varPop === 0, lit(null).cast(DoubleType)).otherwise(skew)
+            .as("skew"),
+          col("min_usd"), col("max_usd"))
+        .orderBy("grp")
+    },
+    Some("""WITH j AS (
+              SELECT l_returnflag AS grp,
+                CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS x
+              FROM lineitem),
+            a AS (
+              SELECT grp, COUNT(*) AS n,
+                SUM(CAST(x AS HUGEINT)) AS sx,
+                SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+                    * CAST(x AS HUGEINT)) AS sxxx,
+                MIN(x) AS min_usd, MAX(x) AS max_usd
+              FROM j GROUP BY grp),
+            f AS (
+              SELECT grp, n, min_usd, max_usd,
+                CAST(sx AS DOUBLE) / n AS mu,
+                CAST(sxx AS DOUBLE) / n AS m2,
+                CAST(sxxx AS DOUBLE) / n AS m3
+              FROM a)
+            SELECT grp, n, mu AS mean_usd,
+              SQRT(m2 - mu * mu) AS std_usd,
+              CASE WHEN m2 - mu * mu = 0 THEN NULL
+                   ELSE (m3 - 3.0 * mu * m2 + 2.0 * mu * mu * mu)
+                        / (SQRT(m2 - mu * mu) * SQRT(m2 - mu * mu)
+                           * SQRT(m2 - mu * mu))
+              END AS skew
+              , min_usd, max_usd
+            FROM f ORDER BY grp"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -1612,5 +1678,5 @@ object Extensions {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114)
+    q111, q112, q113, q114, q115)
 }

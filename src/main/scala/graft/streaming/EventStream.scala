@@ -306,4 +306,75 @@ object EventStream {
           sessions.iterator
       }
   }
+
+  // ------------------------------------------------------ per-key quota
+
+  final case class Admitted(user_id: Long, win_start_us: Long,
+                            ts_us: Long, event_id: Long)
+  final case class QuotaState(keep: Seq[(Long, Long)]) // (ts_us, event_id)
+
+  /** Per-user ingestion quota: admit at most `maxPerWindow` events per
+    * user per tumbling `windowHours` window, chosen deterministically as the FIRST by
+    * (event time, event_id) — the rate-limiting step in front of a
+    * training-data firehose. Admissions are emitted when the watermark
+    * closes the window, so late-but-in-watermark events compete fairly
+    * and the result equals the batch twin [[quota]] regardless of
+    * arrival order.
+    *
+    * State is BOUNDED BY CONSTRUCTION: per (user, hour) the state
+    * holds only the `maxPerWindow` smallest (ts, id) keys seen — a
+    * running top-N, never the window's event buffer. At 100 TB the
+    * state size is `users·windows·N` keys, independent of event
+    * volume, and the event-time timeout GCs each window at watermark.
+    */
+  def quotaStream(events: DataFrame, maxPerWindow: Int,
+                  windowHours: Int = 1,
+                  watermarkDelay: String = "1 hour"): Dataset[Admitted] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winUs = windowHours * 3600L * 1000000
+    withEventTime(events)
+      .withWatermark("ts_utc", watermarkDelay)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("ts_utc"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(e => (e._2, e._3 / winUs))
+      .flatMapGroupsWithState[QuotaState, Admitted](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((user, win), evs, state) =>
+          if (state.hasTimedOut) {
+            val keep = state.get.keep
+            state.remove()
+            keep.iterator.map { case (ts, id) =>
+              Admitted(user, win * winUs, ts, id) }
+          } else {
+            val keep = (state.getOption.map(_.keep).getOrElse(Seq.empty)
+              ++ evs.map(e => (e._3, e._1)))
+              .sorted.take(maxPerWindow)
+            state.update(QuotaState(keep))
+            // fires once the watermark passes the window end
+            state.setTimeoutTimestamp(((win + 1) * winUs) / 1000)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Batch twin of [[quotaStream]]: rank by (ts, id) within
+    * (user, hour), keep the first `maxPerWindow`.
+    */
+  def quota(events: DataFrame, maxPerWindow: Int,
+            windowHours: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val winUs = windowHours * 3600L * 1000000
+    val w = Window.partitionBy("user_id", "win_start_us")
+      .orderBy("ts_us", "event_id")
+    events
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("win_start_us",
+        (col("ts_us") - pmod(col("ts_us"), lit(winUs))).cast(LongType))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxPerWindow)
+      .select("user_id", "win_start_us", "ts_us", "event_id")
+  }
 }

@@ -269,6 +269,52 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("quotaStream: windowed per-user admissions equal the batch twin") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-quota-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      srcDir.resolve("a_events.parquet"))
+    val batchEvents = spark.read.parquet(s"$srcDir/a_events.parquet")
+    val maxTs = batchEvents.agg(max("ts")).head().getLong(0)
+    // same two-sentinel pattern as the sessionize timeout spec: the
+    // first advances the watermark past every real window end, the
+    // second triggers the timeouts that advance enabled
+    def sentinelFile(name: String, eventId: Long, ts: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-quota-sent")
+      Seq((eventId, ts, 999999L, "flush", 0.0, null: String))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), srcDir.resolve(name))
+    }
+    sentinelFile("b_sentinel.parquet", 999999L, maxTs + 36000L * 1000000000L)
+    sentinelFile("c_sentinel.parquet", 999998L, maxTs + 72000L * 1000000000L)
+
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = EventStream.quotaStream(stream, maxPerWindow = 2,
+        windowHours = 24)
+      .writeStream.format("memory").queryName("quota_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("user_id"),
+      r.getAs[Long]("win_start_us"), r.getAs[Long]("ts_us"),
+      r.getAs[Long]("event_id"))
+    val got = spark.table("quota_stream")
+      .filter(col("user_id") =!= 999999L)
+      .collect().map(key).sorted.toSeq
+    val expected = EventStream.quota(batchEvents, maxPerWindow = 2,
+        windowHours = 24)
+      .collect().map(key).sorted.toSeq
+    assert(got.nonEmpty)
+    // quota actually bites: fewer admissions than raw events
+    assert(got.length < batchEvents.count())
+    assert(got === expected)
+  }
+
   test("sessionizeStream: restart from a durable checkpoint is exactly-once (≡ batch)") {
     import spark.implicits._
     // durable locations shared by BOTH query incarnations

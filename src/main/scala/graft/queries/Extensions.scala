@@ -1567,15 +1567,22 @@ object Extensions {
     */
   private val q114 = Q("q114_tpch_q21_shape",
     (s, d) => {
-      val l = Tables.lineitem(s, d)
-        .select("l_orderkey", "l_suppkey", "l_returnflag")
-      val l1 = l.filter(col("l_returnflag") === "R")
-        .select("l_orderkey", "l_suppkey").distinct()
-      val others = l.select(col("l_orderkey").as("o2_orderkey"),
-        col("l_suppkey").as("o2_suppkey")).distinct()
-      val othersR = l.filter(col("l_returnflag") === "R")
+      // ONE (orderkey, suppkey) aggregation carrying a has-returned
+      // flag; all three probe sides (returned pairs, all pairs,
+      // returned pairs again) derive from it, so the lineitem shuffle
+      // happens once and Spark's ReuseExchange serves the other two
+      // branches from the same exchange output
+      val pairsAgg = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
+          .as("has_r"))
+      val l1 = pairsAgg.filter(col("has_r") === 1)
+        .select("l_orderkey", "l_suppkey")
+      val others = pairsAgg.select(col("l_orderkey").as("o2_orderkey"),
+        col("l_suppkey").as("o2_suppkey"))
+      val othersR = pairsAgg.filter(col("has_r") === 1)
         .select(col("l_orderkey").as("o3_orderkey"),
-          col("l_suppkey").as("o3_suppkey")).distinct()
+          col("l_suppkey").as("o3_suppkey"))
       l1
         .join(others, col("l_orderkey") === col("o2_orderkey")
           && col("l_suppkey") =!= col("o2_suppkey"), "left_semi")

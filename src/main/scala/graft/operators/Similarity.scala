@@ -222,6 +222,40 @@ object Similarity {
     * chained CTEs — an independent SQL formulation of the identical
     * deterministic arithmetic.
     */
+  /** Shared CTE builders for the Lloyd-training oracle replays
+    * ([[ivfTopKOracle]], [[semanticDedupOracle]]): one E-round
+    * assignment over `trainFrom` plus the decimal-exact M-step. Any
+    * change to [[lloydTrain]]'s arithmetic must land HERE, once.
+    */
+  private def lloydAssignCte(it: Int, trainFrom: String): String =
+    s"""a$it AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT b.vec_id, b.embedding, c.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+       |        ${dotSql("b.embedding", "c.cent_e")}
+       |          / SQRT(b.nrm * c.cent_nrm) DESC, c.cent_id) AS crk
+       |    FROM $trainFrom b CROSS JOIN cent${it - 1} c)
+       |  WHERE crk = 1)""".stripMargin
+
+  private def lloydMeanCte(it: Int): String =
+    s"""m$it AS (
+       |  SELECT cell, i,
+       |    CAST(SUM(CAST(embedding[i] AS DECIMAL(38,6))) AS DOUBLE)
+       |      / COUNT(*) AS m
+       |  FROM a$it, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)
+       |  GROUP BY cell, i),
+       |g$it AS (SELECT cell AS cent_id, LIST(m ORDER BY i) AS cent_e
+       |  FROM m$it GROUP BY cell),
+       |cent$it AS (
+       |  SELECT cent_id, cent_e, ${dotSql("cent_e", "cent_e")} AS cent_nrm
+       |  FROM (
+       |    SELECT p.cent_id, COALESCE(g.cent_e, p.cent_e) AS cent_e
+       |    FROM cent${it - 1} p LEFT JOIN g$it g ON p.cent_id = g.cent_id))""".stripMargin
+
+  private def lloydRoundsCtes(iters: Int, trainFrom: String): String =
+    (1 to iters).map(it => s"${lloydAssignCte(it, trainFrom)},\n${lloydMeanCte(it)}")
+      .mkString(",\n")
+
   def ivfTopKOracle(nCentroids: Int, nQueries: Int, k: Int,
                     iters: Int = 2, nProbe: Int = 1): String = {
     val searchFrom = nCentroids + nQueries
@@ -231,31 +265,7 @@ object Similarity {
       if (nProbe == 1) "WHERE crk = 1"
       else s"WHERE (vec_id >= $searchFrom AND crk = 1) OR " +
         s"(vec_id < $searchFrom AND crk <= $nProbe)"
-    def assignCte(it: Int): String =
-      s"""a$it AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT b.vec_id, b.embedding, c.cent_id AS cell,
-         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
-         |        ${dotSql("b.embedding", "c.cent_e")}
-         |          / SQRT(b.nrm * c.cent_nrm) DESC, c.cent_id) AS crk
-         |    FROM corpus b CROSS JOIN cent${it - 1} c)
-         |  WHERE crk = 1)""".stripMargin
-    def meanCte(it: Int): String =
-      s"""m$it AS (
-         |  SELECT cell, i,
-         |    CAST(SUM(CAST(embedding[i] AS DECIMAL(38,6))) AS DOUBLE)
-         |      / COUNT(*) AS m
-         |  FROM a$it, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)
-         |  GROUP BY cell, i),
-         |g$it AS (SELECT cell AS cent_id, LIST(m ORDER BY i) AS cent_e
-         |  FROM m$it GROUP BY cell),
-         |cent$it AS (
-         |  SELECT cent_id, cent_e, ${dotSql("cent_e", "cent_e")} AS cent_nrm
-         |  FROM (
-         |    SELECT p.cent_id, COALESCE(g.cent_e, p.cent_e) AS cent_e
-         |    FROM cent${it - 1} p LEFT JOIN g$it g ON p.cent_id = g.cent_id))""".stripMargin
-    val rounds = (1 to iters).map(it => s"${assignCte(it)},\n${meanCte(it)}")
-      .mkString(",\n")
+    val rounds = lloydRoundsCtes(iters, trainFrom = "corpus")
     s"""WITH base AS (
        |  SELECT vec_id, embedding,
        |    ${dotSql("embedding", "embedding")} AS nrm
@@ -314,22 +324,29 @@ object Similarity {
     val spark = emb.sparkSession
     val base = withNorm(emb)
     val trained = lloydTrain(spark, base, base, nCentroids, iters)
+    // assignment (broadcast cross-join + per-vector window) feeds BOTH
+    // self-join sides and the final keep-flag join — persist for the
+    // call rather than trusting ReuseExchange to fire three times, and
+    // clean up via the pair-operator lifecycle
     val assigned = assignCells(base, trained)
-    val a = assigned.select(col("vec_id").as("a_id"), col("e").as("qe"),
-      col("nrm").as("qn"), col("cell"))
-    val b = assigned.select(col("vec_id").as("b_id"), col("e").as("ce"),
-      col("nrm").as("cn"), col("cell"))
-    val dups = a.join(b, Seq("cell"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), pairScore)
-      .filter(col("score") >= threshold)
-      .groupBy(col("b_id").as("vec_id"))
-      .agg(min(col("a_id")).as("dup_of"))
-    assigned.select(col("vec_id"), col("cell"))
-      .join(dups, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"), col("dup_of"),
-        col("dup_of").isNull.as("kept"))
-      .orderBy("vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.selfCleaning(assigned) {
+      val a = assigned.select(col("vec_id").as("a_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("cell"))
+      val b = assigned.select(col("vec_id").as("b_id"), col("e").as("ce"),
+        col("nrm").as("cn"), col("cell"))
+      val dups = a.join(b, Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), pairScore)
+        .filter(col("score") >= threshold)
+        .groupBy(col("b_id").as("vec_id"))
+        .agg(min(col("a_id")).as("dup_of"))
+      assigned.select(col("vec_id"), col("cell"))
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("dup_of"),
+          col("dup_of").isNull.as("kept"))
+        .orderBy("vec_id")
+    }
   }
 
   /** Oracle for [[semanticDedup]]: replays the seed + `iters` Lloyd
@@ -338,31 +355,7 @@ object Similarity {
     */
   def semanticDedupOracle(nCentroids: Int, iters: Int = 2,
                           threshold: Double = 0.9): String = {
-    def assignCte(it: Int): String =
-      s"""a$it AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT b.vec_id, b.embedding, c.cent_id AS cell,
-         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
-         |        ${dotSql("b.embedding", "c.cent_e")}
-         |          / SQRT(b.nrm * c.cent_nrm) DESC, c.cent_id) AS crk
-         |    FROM base b CROSS JOIN cent${it - 1} c)
-         |  WHERE crk = 1)""".stripMargin
-    def meanCte(it: Int): String =
-      s"""m$it AS (
-         |  SELECT cell, i,
-         |    CAST(SUM(CAST(embedding[i] AS DECIMAL(38,6))) AS DOUBLE)
-         |      / COUNT(*) AS m
-         |  FROM a$it, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)
-         |  GROUP BY cell, i),
-         |g$it AS (SELECT cell AS cent_id, LIST(m ORDER BY i) AS cent_e
-         |  FROM m$it GROUP BY cell),
-         |cent$it AS (
-         |  SELECT cent_id, cent_e, ${dotSql("cent_e", "cent_e")} AS cent_nrm
-         |  FROM (
-         |    SELECT p.cent_id, COALESCE(g.cent_e, p.cent_e) AS cent_e
-         |    FROM cent${it - 1} p LEFT JOIN g$it g ON p.cent_id = g.cent_id))""".stripMargin
-    val rounds = (1 to iters).map(it => s"${assignCte(it)},\n${meanCte(it)}")
-      .mkString(",\n")
+    val rounds = lloydRoundsCtes(iters, trainFrom = "base")
     s"""WITH base AS (
        |  SELECT vec_id, embedding,
        |    ${dotSql("embedding", "embedding")} AS nrm

@@ -171,12 +171,21 @@ object TextAnalysis {
     */
   def bernoulliHashSample(df: DataFrame, id: Column, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
-    val h = conv(substring(md5(id.cast(StringType)), 1, 15), 16, 10).cast(LongType)
-    df.filter(h < lit(sampleThreshold(fraction)))
+    df.filter(hash60(id) < lit(sampleThreshold(fraction)))
   }
 
+  /** The 60-bit md5-prefix hash gate shared by every deterministic
+    * sampler ([[bernoulliHashSample]], [[domainMixture]]); SQL twin is
+    * [[hash60Sql]].
+    */
+  private[operators] def hash60(id: Column): Column =
+    conv(substring(md5(id.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+
+  /** 2^60 — the exclusive upper bound of [[hash60]], exact as a double. */
+  private[operators] val Hash60Range: Double = (1L << 60).toDouble
+
   private[operators] def sampleThreshold(fraction: Double): Long =
-    (fraction * (1L << 60).toDouble).toLong
+    (fraction * Hash60Range).toLong
 
   /** 60-bit md5-prefix hash of an md5-hex column, via nibble arithmetic
     * (oracle twin of the conv/substring expression above).
@@ -660,8 +669,7 @@ object TextAnalysis {
     val base = docs.select(
       stratum.as("stratum"),
       size(split(content, "\\s+")).cast(LongType).as("n_tok"),
-      conv(substring(md5(id.cast(StringType)), 1, 15), 16, 10)
-        .cast(LongType).as("h60"))
+      hash60(id).as("h60"))
     val avail = base.groupBy("stratum").agg(
       count(lit(1)).as("avail_docs"),
       sum("n_tok").as("avail_tokens"))
@@ -676,7 +684,7 @@ object TextAnalysis {
             / col("avail_tokens")).as("rate"))
     val picked = base
       .join(broadcast(rates.select(col("stratum"),
-        floor(col("rate") * lit((1L << 60).toDouble)).cast(LongType).as("thr"))),
+        floor(col("rate") * lit(Hash60Range)).cast(LongType).as("thr"))),
         Seq("stratum"))
       .filter(col("h60") < col("thr"))
       .groupBy("stratum")
@@ -718,7 +726,7 @@ object TextAnalysis {
        |  SELECT b.stratum, COUNT(*) AS picked_docs,
        |    CAST(SUM(b.n_tok) AS BIGINT) AS picked_tokens
        |  FROM b JOIN r ON b.stratum = r.stratum
-       |  WHERE b.h60 < CAST(FLOOR(r.rate * 1152921504606846976) AS BIGINT)
+       |  WHERE b.h60 < CAST(FLOOR(r.rate * ${Hash60Range.toLong}) AS BIGINT)
        |  GROUP BY b.stratum)
        |SELECT r.stratum, r.w, r.avail_docs, r.avail_tokens, r.rate,
        |  COALESCE(p.picked_docs, 0) AS picked_docs,

@@ -277,9 +277,14 @@ class StreamingSpec extends SparkSpec {
       srcDir.resolve("a_events.parquet"))
     val batchEvents = spark.read.parquet(s"$srcDir/a_events.parquet")
     val maxTs = batchEvents.agg(max("ts")).head().getLong(0)
-    // same two-sentinel pattern as the sessionize timeout spec: the
-    // first advances the watermark past every real window end, the
-    // second triggers the timeouts that advance enabled
+    // two-sentinel pattern (sessionize timeout spec): the first advances
+    // the watermark past every real window end, the second triggers the
+    // timeouts that advance enabled. Offsets are computed from the
+    // ALIGNED end of maxTs's 24h window plus the 1h watermark delay —
+    // fixed offsets from maxTs only work when maxTs happens to fall
+    // late in its UTC day.
+    val winNs = 24L * 3600 * 1000000000L
+    val lastWindowEnd = (maxTs / winNs + 1) * winNs
     def sentinelFile(name: String, eventId: Long, ts: Long): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft-quota-sent")
       Seq((eventId, ts, 999999L, "flush", 0.0, null: String))
@@ -289,8 +294,9 @@ class StreamingSpec extends SparkSpec {
         .find(_.endsWith(".parquet")).get
       java.nio.file.Files.copy(java.nio.file.Paths.get(part), srcDir.resolve(name))
     }
-    sentinelFile("b_sentinel.parquet", 999999L, maxTs + 36000L * 1000000000L)
-    sentinelFile("c_sentinel.parquet", 999998L, maxTs + 72000L * 1000000000L)
+    val delayNs = 2L * 3600 * 1000000000L  // watermark delay (1h) + margin
+    sentinelFile("b_sentinel.parquet", 999999L, lastWindowEnd + delayNs)
+    sentinelFile("c_sentinel.parquet", 999998L, lastWindowEnd + 2 * delayNs)
 
     val stream = spark.readStream.schema(EventStream.eventsSchema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)

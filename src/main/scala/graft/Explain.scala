@@ -13,7 +13,16 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else Seq("q30_flagship_dss_shape")
     names.foreach { n =>
       println(s"===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.explain("formatted")
+      // SPARK_GRAFT_EXPLAIN_EXECUTED=1: also run the query and print
+      // the FINAL adaptive plan — AQE decisions (stage reuse, runtime
+      // join strategy, coalesced partitions) only exist post-execution
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN_EXECUTED")) {
+        df.write.format("noop").mode("overwrite").save()
+        println(s"----- $n executed (AQE final) -----")
+        println(df.queryExecution.executedPlan.toString)
+      }
     }
     spark.stop()
   }

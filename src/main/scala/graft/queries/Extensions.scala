@@ -1567,11 +1567,13 @@ object Extensions {
     */
   private val q114 = Q("q114_tpch_q21_shape",
     (s, d) => {
-      // ONE (orderkey, suppkey) aggregation carrying a has-returned
-      // flag; all three probe sides (returned pairs, all pairs,
-      // returned pairs again) derive from it, so the lineitem shuffle
-      // happens once and Spark's ReuseExchange serves the other two
-      // branches from the same exchange output
+      // ONE (orderkey, suppkey) aggregation with a has-returned flag
+      // feeds all three probe sides. Measured honestly (executed-plan
+      // audit): column pruning still specializes each branch's
+      // aggregate tower (the all-pairs side drops has_r), so
+      // ReuseExchange does NOT collapse the three shuffles and the
+      // A/B delta vs three distincts is ~0.1 s at sf0.1 — the win is
+      // structural (one definition to maintain), not a plan change.
       val pairsAgg = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))

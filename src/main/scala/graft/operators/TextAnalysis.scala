@@ -506,6 +506,100 @@ object TextAnalysis {
        |    FILTER (WHERE kept), '') AS dedup_text
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Incremental [[chunkDedup]]: dedup "today's crawl" against a
+    * STANDING corpus — a batch chunk is dropped if its window already
+    * exists anywhere in the corpus, or earlier in the batch itself
+    * (first occurrence by (doc_id, position) among corpus-clean
+    * chunks). The corpus contributes only its DISTINCT chunk digests
+    * (the standing index — at scale a materialized digest table), the
+    * probe is a left-anti equi-join on the digest, and the corpus
+    * never self-joins or re-deduplicates. Same output shape as
+    * [[chunkDedup]], restricted to the batch documents.
+    */
+  def chunkDedupIncremental(corpus: DataFrame, batch: DataFrame,
+                            content: Column, id: Column,
+                            chunkTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpusFp = chunkedCore(corpus, content, id, chunkTokens, overlap = 0)
+      .select(md5(col("chunk_text")).as("fp")).distinct()
+    val w = Window.partitionBy("fp").orderBy("doc_id", "chunk_id")
+    chunkedCore(batch, content, id, chunkTokens, overlap = 0)
+      .withColumn("fp", md5(col("chunk_text")))
+      .join(corpusFp, Seq("fp"), "left_anti")
+      .withColumn("kept", row_number().over(w) === 1)
+      // anti-join survivors only — chunks found in the corpus are gone
+      // entirely, so n_chunks must come from a fresh per-doc count over
+      // ALL batch chunks, not the survivors
+      .groupBy("doc_id")
+      .agg(
+        sum(col("kept").cast(LongType)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("chunk_id"), col("chunk_text"))))),
+            s => s.getField("chunk_text")), " ").as("dedup_text"))
+      // total chunk count comes straight from the token count (the
+      // same closed form chunkedCore uses) — no second explode pass
+      .join(
+        batch.select(id.as("doc_id"),
+          size(split(content, "\\s+")).cast(LongType).as("n_tok"))
+          .select(col("doc_id"), (lit(1) + floor(
+            (greatest(col("n_tok") - chunkTokens, lit(0L)) + lit(chunkTokens - 1))
+              / lit(chunkTokens))).cast(LongType).as("n_chunks")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[chunkDedupIncremental]] with corpus/batch selected by
+    * `corpusWhere` / `batchWhere` over `documents`.
+    */
+  def chunkDedupIncrementalOracle(chunkTokens: Int = 8,
+                                  corpusWhere: String,
+                                  batchWhere: String): String =
+    s"""WITH seg AS (
+       |  SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks,
+       |    ($corpusWhere) AS in_corpus
+       |  FROM documents WHERE ($corpusWhere) OR ($batchWhere)),
+       |n AS (SELECT doc_id, toks, in_corpus,
+       |  CAST(LEN(toks) AS BIGINT) AS n_tok FROM seg),
+       |c AS (SELECT doc_id, toks, n_tok, in_corpus,
+       |  CAST(1 + FLOOR((GREATEST(n_tok - $chunkTokens, 0) + ${chunkTokens - 1})
+       |    / $chunkTokens) AS BIGINT) AS n_chunks FROM n),
+       |ch AS (
+       |  SELECT doc_id, in_corpus, CAST(i AS BIGINT) AS chunk_id,
+       |    ARRAY_TO_STRING(LIST_SLICE(toks, i * $chunkTokens + 1,
+       |      i * $chunkTokens + $chunkTokens), ' ') AS chunk_text
+       |  FROM c, UNNEST(GENERATE_SERIES(0, n_chunks - 1)) AS u(i)),
+       |cfp AS (SELECT DISTINCT MD5(chunk_text) AS fp FROM ch WHERE in_corpus),
+       |bs AS (
+       |  SELECT doc_id, chunk_id, chunk_text, MD5(chunk_text) AS fp
+       |  FROM ch WHERE NOT in_corpus),
+       |surv AS (
+       |  SELECT b.doc_id, b.chunk_id, b.chunk_text, b.fp FROM bs b
+       |  WHERE NOT EXISTS (SELECT 1 FROM cfp WHERE cfp.fp = b.fp)),
+       |k AS (
+       |  SELECT doc_id, chunk_id, chunk_text,
+       |    ROW_NUMBER() OVER (PARTITION BY fp
+       |      ORDER BY doc_id, chunk_id) = 1 AS kept
+       |  FROM surv),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CAST(kept AS BIGINT)) AS BIGINT) AS n_kept,
+       |    COALESCE(STRING_AGG(chunk_text, ' ' ORDER BY chunk_id)
+       |      FILTER (WHERE kept), '') AS dedup_text
+       |  FROM k GROUP BY doc_id),
+       |tot AS (
+       |  SELECT doc_id, COUNT(*) AS n_chunks
+       |  FROM ch WHERE NOT in_corpus GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_chunks,
+       |  COALESCE(a.n_kept, 0) AS n_kept,
+       |  COALESCE(a.dedup_text, '') AS dedup_text
+       |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   /** Sequence packing (first-order approximation): assign documents to
     * fixed-token-budget bins — the "pack short documents into one
     * context window" step before training. Exact first-fit packing is

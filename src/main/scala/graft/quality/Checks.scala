@@ -122,4 +122,25 @@ object Checks {
         CheckResult(fqTable, "__row_count_drift", 0L)
     }
   }
+
+  /** Row-level diff between two dataset snapshots keyed by `id`:
+    * `added` (only in the new snapshot), `removed` (only in the old),
+    * `changed` (both, content digest differs), `unchanged`. The diff is
+    * one full-outer equi-join on the key with md5 digests computed
+    * before the join — the content itself never moves through the
+    * shuffle, so snapshot auditing stays affordable on wide tables.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   id: org.apache.spark.sql.Column,
+                   content: org.apache.spark.sql.Column): DataFrame = {
+    val o = oldSnap.select(id.as("doc_id"), md5(content).as("old_fp"))
+    val n = newSnap.select(id.as("doc_id"), md5(content).as("new_fp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+  }
 }

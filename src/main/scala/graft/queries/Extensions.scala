@@ -1679,6 +1679,54 @@ object Extensions {
               , min_usd, max_usd
             FROM f ORDER BY grp"""))
 
+  /** Incremental duplicate-passage removal: the 80%-of-ids corpus is
+    * the standing chunk-digest index, the 20% batch is today's crawl
+    * (q106's modulo convention). Batch chunks found in the index drop
+    * entirely; first-occurrence dedup applies within the batch.
+    */
+  private val q116 = Q("q116_incremental_chunk_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.chunkDedupIncremental(
+        docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 8),
+        col("text"), col("doc_id"), chunkTokens = 8)
+    },
+    Some(TextAnalysis.chunkDedupIncrementalOracle(chunkTokens = 8,
+      corpusWhere = "doc_id % 10 < 8", batchWhere = "doc_id % 10 >= 8")))
+
+  /** Dataset-snapshot diff: two synthetic snapshots of `documents`
+    * (v1 drops ids ≡ 4 mod 5; v2 drops ids ≡ 0 mod 5 and rewrites ids
+    * ≡ 0 mod 11 uppercase) diffed into added/removed/changed/unchanged
+    * — one full-outer join on the key over pre-computed digests, the
+    * audit step before publishing a refreshed corpus version.
+    */
+  private val q117 = Q("q117_snapshot_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 5 =!= 4)
+      val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, upper(col("text")))
+            .otherwise(col("text")))
+      graft.quality.Checks.snapshotDiff(v1, v2, col("doc_id"), col("text"))
+    },
+    Some("""WITH v1 AS (
+              SELECT doc_id, MD5(text) AS old_fp FROM documents
+              WHERE doc_id % 5 <> 4),
+            v2 AS (
+              SELECT doc_id,
+                MD5(CASE WHEN doc_id % 11 = 0 THEN UPPER(text)
+                         ELSE text END) AS new_fp
+              FROM documents WHERE doc_id % 5 <> 0)
+            SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+              CASE WHEN v1.old_fp IS NULL THEN 'added'
+                   WHEN v2.new_fp IS NULL THEN 'removed'
+                   WHEN v1.old_fp <> v2.new_fp THEN 'changed'
+                   ELSE 'unchanged' END AS status
+            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+            ORDER BY doc_id"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -1687,5 +1735,5 @@ object Extensions {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115)
+    q111, q112, q113, q114, q115, q116, q117)
 }

@@ -492,6 +492,42 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2L).getAs[Double]("oov_rate") === 2.0 / 3.0)
   }
 
+  test("chunkDedupIncremental: corpus hits vanish, batch-internal dedup still applies") {
+    val w = (0 until 8).map(i => s"w$i")
+    val fresh = (0 until 8).map(i => s"f$i")
+    val corpus = spark.createDataFrame(Seq(
+      (0L, w.mkString(" ")))).toDF("doc_id", "text")
+    val batch = spark.createDataFrame(Seq(
+      (10L, w.mkString(" ")),                       // = corpus chunk → gone
+      (11L, fresh.mkString(" ")),                   // new → kept
+      (12L, fresh.mkString(" "))                    // batch-internal dup → gone
+    )).toDF("doc_id", "text")
+    val r = TextAnalysis.chunkDedupIncremental(corpus, batch,
+        col("text"), col("doc_id"), chunkTokens = 8).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.keySet === Set(10L, 11L, 12L))         // corpus docs not emitted
+    assert(r(10L).getAs[Long]("n_kept") === 0L)
+    assert(r(10L).getAs[String]("dedup_text") === "")
+    assert(r(11L).getAs[Long]("n_kept") === 1L)
+    assert(r(11L).getAs[String]("dedup_text") === fresh.mkString(" "))
+    assert(r(12L).getAs[Long]("n_kept") === 0L)
+  }
+
+  test("snapshotDiff: all four statuses from one full-outer digest join") {
+    import graft.quality.Checks
+    val v1 = spark.createDataFrame(Seq(
+      (1L, "same"), (2L, "old text"), (3L, "goes away")))
+      .toDF("doc_id", "text")
+    val v2 = spark.createDataFrame(Seq(
+      (1L, "same"), (2L, "new text"), (4L, "brand new")))
+      .toDF("doc_id", "text")
+    val r = Checks.snapshotDiff(v1, v2, col("doc_id"), col("text"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("status"))
+      .toMap
+    assert(r === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("domainMixture: rates capped at 1, zero-weight strata empty, deterministic") {
     val corpus = spark.createDataFrame(
       (0 until 40).map(i => (i.toLong, Seq.fill(10)(s"t$i").mkString(" "),

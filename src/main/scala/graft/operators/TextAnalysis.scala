@@ -680,6 +680,111 @@ object TextAnalysis {
       |  MD5(text) AS fp_full
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- quality-budget selection
+
+  /** Select the highest-quality documents that fit a token budget — the
+    * "best N tokens for training" cut. Exact greedy selection is a
+    * global sort (inherently sequential); the scale-sane formulation:
+    *
+    *  1. bucket each doc's quality signal (stopword ratio) into 21
+    *     integer buckets;
+    *  2. cumulative bucket-token sums DESCENDING by quality — a window
+    *     over a CONSTANT-size frame (≤21 rows at any corpus scale, so
+    *     the "global" window is safe);
+    *  3. whole buckets above the boundary are taken; the boundary
+    *     bucket is filled to the remaining budget by the deterministic
+    *     md5 hash gate (proportional in expectation — the exact
+    *     knapsack tail is what the bucketing deliberately trades away).
+    *
+    * Two corpus scans (bucket stats, then the selection filter with the
+    * one-row boundary broadcast); everything else is constant-size.
+    * Returns per-bucket totals with selected-doc/token counts.
+    */
+  def qualityBudgetSelect(docs: DataFrame, content: Column, id: Column,
+                          budgetFraction: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetFraction > 0 && budgetFraction <= 1, "budgetFraction in (0,1]")
+    val toks = split(content, "\\s+")
+    val nTok = size(toks).cast(LongType)
+    val nStop = size(filter(toks, t => t.isInCollection(Stopwords)))
+      .cast(LongType)
+    val qb = floor((lit(1.0) - nStop.cast(DoubleType) / nTok) * lit(20))
+      .cast(LongType)
+    val base = docs.select(id.as("doc_id"), nTok.as("n_tok"),
+      qb.as("qbucket"), hash60(id).as("h60"))
+    val buckets = base.groupBy("qbucket")
+      .agg(count(lit(1)).as("bucket_docs"), sum("n_tok").as("bucket_tokens"))
+    val tot = buckets.agg(sum("bucket_tokens").as("total_tokens"))
+    val w = Window.orderBy(col("qbucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = buckets.crossJoin(broadcast(tot))
+      .withColumn("cum_tokens", sum("bucket_tokens").over(w))
+      .withColumn("budget_tokens",
+        floor(lit(budgetFraction) * col("total_tokens")).cast(LongType))
+    val boundary = withCum.filter(col("cum_tokens") >= col("budget_tokens"))
+      .orderBy(col("qbucket").desc).limit(1)
+      .select(col("qbucket").as("b_bucket"),
+        ((col("budget_tokens") - (col("cum_tokens") - col("bucket_tokens")))
+          .cast(DoubleType) / col("bucket_tokens")).as("b_frac"))
+    base.crossJoin(broadcast(boundary))
+      .withColumn("selected",
+        col("qbucket") > col("b_bucket") ||
+          (col("qbucket") === col("b_bucket") &&
+            col("h60") < floor(col("b_frac") * lit(Hash60Range)).cast(LongType)))
+      .groupBy("qbucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("bucket_tokens"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("sel_docs"),
+        sum(when(col("selected"), col("n_tok")).otherwise(0L)).as("sel_tokens"))
+      .orderBy(col("qbucket").desc)
+  }
+
+  /** Oracle for [[qualityBudgetSelect]] over `documents(doc_id, text)`. */
+  def qualityBudgetSelectOracle(budgetFraction: Double = 0.5): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks,
+       |    MD5(CAST(doc_id AS VARCHAR)) AS hx
+       |  FROM documents),
+       |b0 AS (
+       |  SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tok,
+       |    CAST(FLOOR((CAST(1.0 AS DOUBLE)
+       |      - CAST(LEN(LIST_FILTER(toks, t -> t IN ${sqlList(Stopwords)}))
+       |          AS DOUBLE) / LEN(toks)) * 20) AS BIGINT) AS qbucket,
+       |    ${hash60Sql("hx")} AS h60
+       |  FROM t),
+       |bk AS (
+       |  SELECT qbucket, COUNT(*) AS bucket_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS bucket_tokens
+       |  FROM b0 GROUP BY qbucket),
+       |tot AS (SELECT CAST(SUM(bucket_tokens) AS BIGINT) AS total_tokens FROM bk),
+       |cum AS (
+       |  SELECT qbucket, bucket_tokens,
+       |    CAST(SUM(bucket_tokens) OVER (ORDER BY qbucket DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens,
+       |    CAST(FLOOR(CAST($budgetFraction AS DOUBLE) * total_tokens) AS BIGINT)
+       |      AS budget_tokens
+       |  FROM bk CROSS JOIN tot),
+       |boundary AS (
+       |  SELECT qbucket AS b_bucket,
+       |    CAST(budget_tokens - (cum_tokens - bucket_tokens) AS DOUBLE)
+       |      / bucket_tokens AS b_frac
+       |  FROM cum WHERE cum_tokens >= budget_tokens
+       |  ORDER BY qbucket DESC LIMIT 1),
+       |sel AS (
+       |  SELECT b0.qbucket, b0.n_tok,
+       |    (b0.qbucket > b.b_bucket OR (b0.qbucket = b.b_bucket
+       |      AND b0.h60 < CAST(FLOOR(b.b_frac * ${Hash60Range.toLong})
+       |        AS BIGINT))) AS selected
+       |  FROM b0 CROSS JOIN boundary b)
+       |SELECT qbucket, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS bucket_tokens,
+       |  CAST(SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT) AS sel_docs,
+       |  CAST(SUM(CASE WHEN selected THEN n_tok ELSE 0 END) AS BIGINT)
+       |    AS sel_tokens
+       |FROM sel GROUP BY qbucket ORDER BY qbucket DESC""".stripMargin
+
   // ------------------------------------------------------- vocab / OOV
 
   /** Tokenizer-vocabulary induction + out-of-vocabulary profiling: build

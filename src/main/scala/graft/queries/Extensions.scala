@@ -1727,6 +1727,16 @@ object Extensions {
             FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
             ORDER BY doc_id"""))
 
+  /** Quality-thresholded token-budget selection: whole quality buckets
+    * above the boundary are taken, the boundary bucket fills to the
+    * remaining budget via the deterministic hash gate — the scale-sane
+    * "best N tokens" cut (exact greedy would be a global sort).
+    */
+  private val q118 = Q("q118_quality_budget_select",
+    (s, d) => TextAnalysis.qualityBudgetSelect(Tables.documents(s, d),
+      col("text"), col("doc_id"), budgetFraction = 0.5),
+    Some(TextAnalysis.qualityBudgetSelectOracle(budgetFraction = 0.5)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -1735,5 +1745,5 @@ object Extensions {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117)
+    q111, q112, q113, q114, q115, q116, q117, q118)
 }

@@ -528,6 +528,31 @@ class OperatorsSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("qualityBudgetSelect: monotone by bucket — full above, empty below the boundary") {
+    // three quality tiers: no stopwords (bucket 20), half stopwords
+    // (bucket 10), all stopwords (bucket 0); 10 docs x 10 tokens each
+    def doc(i: Long, words: Seq[String]) = (i, Seq.fill(10)(words).flatten.take(10).mkString(" "))
+    val hi  = (0L until 10L).map(i => doc(i, Seq(s"x$i", "y")))
+    val mid = (10L until 20L).map(i => doc(i, Seq("the", s"z$i")))
+    val lo  = (20L until 30L).map(i => doc(i, Seq("the", "a")))
+    val corpus = spark.createDataFrame(hi ++ mid ++ lo).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityBudgetSelect(corpus, col("text"), col("doc_id"),
+        budgetFraction = 0.5).collect()
+      .map(x => x.getAs[Long]("qbucket") -> x).toMap
+    // budget = 150 tokens: bucket 20 (100 tokens) fully in, bucket 10
+    // is the boundary (fills toward the remaining 50), bucket 0 empty
+    assert(r(20L).getAs[Long]("sel_docs") === 10L)
+    assert(r(20L).getAs[Long]("sel_tokens") === 100L)
+    assert(r(0L).getAs[Long]("sel_docs") === 0L)
+    val bSel = r(10L).getAs[Long]("sel_docs")
+    assert(bSel > 0L && bSel < 10L,
+      s"boundary bucket should be partially filled, got $bSel")
+    // deterministic under re-execution
+    val again = TextAnalysis.qualityBudgetSelect(corpus, col("text"),
+      col("doc_id"), budgetFraction = 0.5).collect().map(_.toString).sorted
+    assert(again.sameElements(r.values.map(_.toString).toArray.sorted))
+  }
+
   test("domainMixture: rates capped at 1, zero-weight strata empty, deterministic") {
     val corpus = spark.createDataFrame(
       (0 until 40).map(i => (i.toLong, Seq.fill(10)(s"t$i").mkString(" "),

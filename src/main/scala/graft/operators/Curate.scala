@@ -45,6 +45,58 @@ object Curate {
     }
   }
 
+  /** Leakage-safe train/test split — the decontamination step an eval
+    * pipeline needs: assign documents to test/train by the
+    * deterministic hash gate, then EVICT every train document that
+    * near-duplicates a test document (MinHash-LSH lookup against the
+    * test-side index, exact-Jaccard verified — q106's machinery with
+    * the test set as the standing corpus). Returns every document with
+    * its final assignment: `test`, `train`, or `dropped`.
+    *
+    * Scale shape: the split is a shuffle-free filter; the leak probe is
+    * the incremental near-dup lookup (test-side index, band equi-join,
+    * train side never self-joins); the eviction is a left join on
+    * doc_id. The train corpus never pairs with itself — only
+    * train→test leakage is pruned, which is the decontamination
+    * contract (train-internal duplicates are a different operator).
+    */
+  def leakageSafeSplit(docs: DataFrame, content: Column, id: Column,
+                       testFraction: Double = 0.2, n: Int = 3, k: Int = 8,
+                       bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val thr = TextAnalysis.sampleThreshold(testFraction)
+    val h = TextAnalysis.hash60(id)
+    val leaks = Dedup.incrementalNearDups(
+        docs.filter(h < thr), docs.filter(h >= thr),
+        content, id, n, k, bands, threshold)
+      .select(col("new_id").as("leak_id")).distinct()
+    docs.select(id.as("doc_id"), h.as("h60"))
+      .join(leaks, col("doc_id") === col("leak_id"), "left")
+      .select(col("doc_id"),
+        when(col("h60") < thr, "test")
+          .when(col("leak_id").isNotNull, "dropped")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[leakageSafeSplit]]: the q106 incremental-near-dup SQL
+    * spliced in as the leak probe, with the hash-gate predicates
+    * inlined over md5(doc_id).
+    */
+  def leakageSafeSplitOracle(testFraction: Double = 0.2, n: Int = 3,
+                             k: Int = 8, bands: Int = 4,
+                             threshold: Double = 0.8): String = {
+    val thr = TextAnalysis.sampleThreshold(testFraction)
+    val h60 = TextAnalysis.hash60Sql("MD5(CAST(doc_id AS VARCHAR))")
+    val testWhere = s"($h60) < $thr"
+    val leakSql = Dedup.incrementalNearDupsOracle(n, k, bands, threshold,
+      corpusWhere = testWhere, batchWhere = s"NOT (($h60) < $thr)")
+    s"""SELECT doc_id,
+       |  CASE WHEN ($h60) < $thr THEN 'test'
+       |       WHEN doc_id IN (SELECT new_id FROM ($leakSql)) THEN 'dropped'
+       |       ELSE 'train' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** SQL replay of [[corpus]] for the oracle gate: the exact-dedup CTE
     * feeds the spliced SimHash/closure CTEs, reps/quality/sample filters
     * mirror the Spark stages one-to-one.

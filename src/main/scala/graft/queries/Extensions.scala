@@ -1737,6 +1737,16 @@ object Extensions {
       col("text"), col("doc_id"), budgetFraction = 0.5),
     Some(TextAnalysis.qualityBudgetSelectOracle(budgetFraction = 0.5)))
 
+  /** Leakage-safe train/test split: hash-gate assignment, then train
+    * docs near-duplicating any test doc (MinHash-LSH lookup against
+    * the test-side index, exact-verified) are dropped.
+    */
+  private val q119 = Q("q119_leakage_safe_split",
+    (s, d) => graft.operators.Curate.leakageSafeSplit(
+      Tables.documents(s, d), col("text"), col("doc_id"),
+      testFraction = 0.2),
+    Some(graft.operators.Curate.leakageSafeSplitOracle(testFraction = 0.2)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -1745,5 +1755,5 @@ object Extensions {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119)
 }

@@ -553,6 +553,28 @@ class OperatorsSpec extends SparkSpec {
     assert(again.sameElements(r.values.map(_.toString).toArray.sorted))
   }
 
+  test("leakageSafeSplit: train copies of any test doc are dropped; unique docs survive") {
+    import graft.operators.Curate
+    // 40 byte-identical docs (some will hash into test, the rest must
+    // drop as leaks) + 10 fully-disjoint-token docs (never leak)
+    val dup = (0L until 40L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val uniq = (100L until 110L).map(i =>
+      (i, s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"))
+    val corpus = spark.createDataFrame(dup ++ uniq).toDF("doc_id", "text")
+    val r = Curate.leakageSafeSplit(corpus, col("text"), col("doc_id"),
+        testFraction = 0.2).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("split")).toMap
+    assert(r.size === 50)
+    val dupSplits = dup.map(_._1).map(r)
+    assert(dupSplits.contains("test"),
+      "fixture should land some duplicate copies in test")
+    // every duplicate copy NOT in test is a leak → dropped, never train
+    assert(dupSplits.forall(s => s == "test" || s == "dropped"))
+    // disjoint-token docs are never evicted
+    assert(uniq.map(_._1).map(r).forall(s => s == "test" || s == "train"))
+  }
+
   test("domainMixture: rates capped at 1, zero-weight strata empty, deterministic") {
     val corpus = spark.createDataFrame(
       (0 until 40).map(i => (i.toLong, Seq.fill(10)(s"t$i").mkString(" "),

@@ -1747,6 +1747,173 @@ object Extensions {
       testFraction = 0.2),
     Some(graft.operators.Curate.leakageSafeSplitOracle(testFraction = 0.2)))
 
+  /** TPC-H Q6 shape — pure filter + scalar product-sum (the forecasting
+    * revenue-change query): no join at all, every predicate pushed to
+    * the scan, revenue in the exact scaled domain. The simplest classic
+    * shape, here for completeness of the family.
+    */
+  private val q120 = Q("q120_tpch_q6_shape",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(Fns.exactSumScaled(col("l_extendedprice") * col("l_discount"), 4)
+        .as("revenue")),
+    Some("""SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000
+                     + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24"""))
+
+  /** TPC-H Q4 shape — order-priority checking: orders in one quarter
+    * with EXISTS a returned line (returnflag stands in for the
+    * commit<receipt predicate), counted by priority. The EXISTS is a
+    * left-semi equi-join on the order key.
+    */
+  private val q121 = Q("q121_tpch_q4_shape",
+    (s, d) => {
+      val flagged = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R").select("l_orderkey")
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-04-01").cast(TimestampType))
+        .join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q8 shape — market share: one nation's slice of a region's
+    * revenue per order year. Numerator and denominator accumulate as
+    * conditional scaled sums in ONE aggregation (no second pass), and
+    * the share division is fixed-shape double. Dims broadcast; the
+    * fact chain shuffles once per join key.
+    */
+  private val q122 = Q("q122_tpch_q8_shape",
+    (s, d) => {
+      val n = Tables.nation(s, d)
+      val asiaNations = n
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nkey"))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_type") === "STANDARD").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("c_nkey"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("s_nkey"),
+            col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(
+          (Fns.exactSumScaled(
+            when(col("supp_nation") === "NATION_2", rev).otherwise(lit(0.0)), 4)
+            / Fns.exactSumScaled(rev, 4)).as("mkt_share"))
+        .orderBy("o_year")
+    },
+    Some("""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+              (CAST(SUM(CAST(FLOOR(CASE WHEN n2.n_name = 'NATION_2'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                  * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000)
+              / (CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                  * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+            GROUP BY o_year ORDER BY o_year"""))
+
+  /** TPC-H Q15 shape — top supplier(s) by quarterly revenue: the
+    * revenue aggregate computed once, its max (a one-row broadcast)
+    * filters it back — the view + subquery-max formulation without
+    * evaluating the aggregate twice.
+    */
+  private val q123 = Q("q123_tpch_q15_shape",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+        .groupBy("l_suppkey")
+        .agg(Fns.exactSumScaled(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("total_revenue"))
+        .localCheckpoint(true)
+      val top = rev.agg(max("total_revenue").as("max_rev"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_revenue") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH rev AS (
+              SELECT l_suppkey,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                  * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000
+                  AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+            ORDER BY s_suppkey"""))
+
+  /** TPC-H Q19 shape — disjunctive bracket predicates: an OR of three
+    * (brand, size-range, quantity-range) conjunctions over the
+    * part⋈lineitem join, one scalar revenue sum. The whole disjunction
+    * is a single pushable/codegen predicate — no union of three scans.
+    */
+  private val q124 = Q("q124_tpch_q19_shape",
+    (s, d) => {
+      def bracket(brand: String, szLo: Int, szHi: Int,
+                  qLo: Int, qHi: Int) =
+        col("p_brand") === brand &&
+          col("p_size").between(szLo, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .filter(bracket("Brand#11", 1, 5, 1, 11) ||
+          bracket("Brand#12", 1, 10, 10, 20) ||
+          bracket("Brand#13", 1, 15, 20, 30))
+        .agg(Fns.exactSumScaled(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+    },
+    Some("""SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -1755,5 +1922,6 @@ object Extensions {
     q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119,
+    q120, q121, q122, q123, q124)
 }

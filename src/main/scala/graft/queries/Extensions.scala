@@ -1914,6 +1914,23 @@ object Extensions {
                OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)"""))
 
+  /** ORC source round-trip (Spark-native columnar interchange), same
+    * identity contract as q76/q77: the oracle reads the ORIGINAL table,
+    * so any write/read corruption (types, encodings, timestamps) is a
+    * hash mismatch.
+    */
+  private val q125 = Q("q125_orc_roundtrip",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+      val path = graft.Sessions.stagingDir("orc_orders")
+      graft.sources.Formats.writeOrc(base, path)
+      graft.sources.Formats.readOrc(s, path, base.schema)
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              o_orderdate, o_orderpriority
+            FROM orders ORDER BY o_orderkey"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -1923,5 +1940,5 @@ object Extensions {
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124)
+    q120, q121, q122, q123, q124, q125)
 }

@@ -28,4 +28,14 @@ object Formats {
 
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** ORC — the columnar alternative Spark ships natively (Hive-ecosystem
+    * interchange). Same explicit-schema contract; ORC carries its own
+    * schema, but declaring it keeps the reader honest about drift.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

@@ -19,7 +19,10 @@ object Explain {
       // the FINAL adaptive plan — AQE decisions (stage reuse, runtime
       // join strategy, coalesced partitions) only exist post-execution
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN_EXECUTED")) {
-        df.write.format("noop").mode("overwrite").save()
+        // execute THIS Dataset's own QueryExecution — a noop write
+        // would run a separate QueryExecution and leave this one's
+        // adaptive plan in its initial (isFinalPlan=false) state
+        df.queryExecution.toRdd.foreachPartition(_ => ())
         println(s"----- $n executed (AQE final) -----")
         println(df.queryExecution.executedPlan.toString)
       }

@@ -63,6 +63,7 @@ object Curate {
   def leakageSafeSplit(docs: DataFrame, content: Column, id: Column,
                        testFraction: Double = 0.2, n: Int = 3, k: Int = 8,
                        bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    require(testFraction >= 0 && testFraction <= 1, "testFraction in [0,1]")
     val thr = TextAnalysis.sampleThreshold(testFraction)
     val h = TextAnalysis.hash60(id)
     val leaks = Dedup.incrementalNearDups(

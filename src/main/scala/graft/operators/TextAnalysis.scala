@@ -22,15 +22,21 @@ object TextAnalysis {
 
   // ------------------------------------------------------------- quality
 
+  /** Stopword ratio over a token-array column — THE quality signal,
+    * shared by [[keepCol]], [[qualityScore]] and
+    * [[qualityBudgetSelect]] so the three can never drift.
+    */
+  private[operators] def stopwordRatio(toks: Column): Column =
+    size(filter(toks, t => t.isInCollection(Stopwords))).cast(DoubleType) /
+      size(toks).cast(LongType)
+
   /** The keep/drop predicate of [[qualityScore]] as a standalone Column
     * — shared with the curation pipeline so the two can never drift.
     */
   private[operators] def keepCol(text: Column): Column = {
     val toks = tokens(text)
     val nTokens = size(toks).cast(LongType)
-    val stopRatio =
-      size(filter(toks, t => t.isInCollection(Stopwords))).cast(DoubleType) / nTokens
-    nTokens >= 5 && nTokens <= 10000 && stopRatio < lit(0.5)
+    nTokens >= 5 && nTokens <= 10000 && stopwordRatio(toks) < lit(0.5)
   }
 
   /** SQL twin of [[keepCol]] over a token-list column (oracle reuse). */
@@ -47,7 +53,7 @@ object TextAnalysis {
     val toks = tokens(col("text"))
     val nTokens = size(toks).cast(LongType)
     val nStop = size(filter(toks, t => t.isInCollection(Stopwords))).cast(LongType)
-    val stopRatio = nStop.cast(DoubleType) / nTokens
+    val stopRatio = stopwordRatio(toks)
     val nPunct = size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0))).cast(LongType)
     docs.select(
       col("doc_id"),
@@ -409,15 +415,22 @@ object TextAnalysis {
     * aggregate or window over the chunks (chunkDedup) skip the wasted
     * sort stage.
     */
+  /** Closed-form window count for `n_tok` tokens — the ONE definition
+    * of how many chunks a document yields, shared by [[chunkedCore]]
+    * and [[chunkDedupIncremental]]'s total-count path.
+    */
+  private def chunkCount(nTok: Column, chunkTokens: Int, stride: Int): Column =
+    (lit(1) + floor(
+      (greatest(nTok - chunkTokens, lit(0L)) + lit(stride - 1))
+        / lit(stride))).cast(LongType)
+
   private def chunkedCore(docs: DataFrame, content: Column, id: Column,
                           chunkTokens: Int, overlap: Int): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
     val stride = chunkTokens - overlap
     docs.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
       .withColumn("n_tok", size(col("toks")).cast(LongType))
-      .withColumn("n_chunks", (lit(1) + floor(
-        (greatest(col("n_tok") - chunkTokens, lit(0L)) + lit(stride - 1))
-          / lit(stride))).cast(LongType))
+      .withColumn("n_chunks", chunkCount(col("n_tok"), chunkTokens, stride))
       .select(col("doc_id"), col("toks"), col("n_tok"),
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
       .select(
@@ -543,9 +556,9 @@ object TextAnalysis {
       .join(
         batch.select(id.as("doc_id"),
           size(split(content, "\\s+")).cast(LongType).as("n_tok"))
-          .select(col("doc_id"), (lit(1) + floor(
-            (greatest(col("n_tok") - chunkTokens, lit(0L)) + lit(chunkTokens - 1))
-              / lit(chunkTokens))).cast(LongType).as("n_chunks")),
+          .select(col("doc_id"),
+            chunkCount(col("n_tok"), chunkTokens, stride = chunkTokens)
+              .as("n_chunks")),
         Seq("doc_id"), "right")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -706,9 +719,7 @@ object TextAnalysis {
     require(budgetFraction > 0 && budgetFraction <= 1, "budgetFraction in (0,1]")
     val toks = split(content, "\\s+")
     val nTok = size(toks).cast(LongType)
-    val nStop = size(filter(toks, t => t.isInCollection(Stopwords)))
-      .cast(LongType)
-    val qb = floor((lit(1.0) - nStop.cast(DoubleType) / nTok) * lit(20))
+    val qb = floor((lit(1.0) - stopwordRatio(toks)) * lit(20))
       .cast(LongType)
     val base = docs.select(id.as("doc_id"), nTok.as("n_tok"),
       qb.as("qbucket"), hash60(id).as("h60"))

@@ -133,8 +133,12 @@ object Checks {
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    id: org.apache.spark.sql.Column,
                    content: org.apache.spark.sql.Column): DataFrame = {
-    val o = oldSnap.select(id.as("doc_id"), md5(content).as("old_fp"))
-    val n = newSnap.select(id.as("doc_id"), md5(content).as("new_fp"))
+    // md5(NULL) is NULL, which would make a present row with NULL
+    // content indistinguishable from an absent row — sentinel it (the
+    // sentinel is not a valid 32-hex digest, so it can't collide)
+    val fp = coalesce(md5(content), lit("<null-content>"))
+    val o = oldSnap.select(id.as("doc_id"), fp.as("old_fp"))
+    val n = newSnap.select(id.as("doc_id"), fp.as("new_fp"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("old_fp").isNull, "added")

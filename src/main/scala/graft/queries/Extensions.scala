@@ -1568,12 +1568,13 @@ object Extensions {
   private val q114 = Q("q114_tpch_q21_shape",
     (s, d) => {
       // ONE (orderkey, suppkey) aggregation with a has-returned flag
-      // feeds all three probe sides. Measured honestly (executed-plan
-      // audit): column pruning still specializes each branch's
-      // aggregate tower (the all-pairs side drops has_r), so
-      // ReuseExchange does NOT collapse the three shuffles and the
-      // A/B delta vs three distincts is ~0.1 s at sf0.1 — the win is
-      // structural (one definition to maintain), not a plan change.
+      // feeds all three probe sides. Executed-plan audit (the FIXED
+      // SPARK_GRAFT_EXPLAIN_EXECUTED mode — the first audit printed an
+      // unexecuted plan): the two returned-pair towers share one
+      // shuffle via a runtime ReusedExchange; the all-pairs tower keeps
+      // its own because column pruning drops has_r from it. Net: two
+      // lineitem shuffles instead of three; A/B vs three distincts
+      // measures ~0.1 s at sf0.1.
       val pairsAgg = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))

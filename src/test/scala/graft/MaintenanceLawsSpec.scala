@@ -178,4 +178,26 @@ class MaintenanceLawsSpec extends SparkSpec {
     assert(!drift.passed)
     assert(drift.failures === 450L) // floor 750 - live 300
   }
+
+  test("snapshotDiff over retained table versions reports the publish delta") {
+    import graft.pipeline.Lakehouse
+    import graft.quality.Checks
+    spark.sql("CREATE DATABASE IF NOT EXISTS t_diff")
+    // v0: ids 0-4; v1: drops 0, keeps 1-4 with 3 rewritten, adds 9
+    val v0 = spark.range(5).select(col("id"), concat(lit("t"), col("id")).as("body"))
+    val v1 = spark.range(1, 5)
+      .select(col("id"),
+        when(col("id") === 3, lit("REWRITTEN"))
+          .otherwise(concat(lit("t"), col("id"))).as("body"))
+      .union(spark.range(9, 10).select(col("id"), lit("t9").as("body")))
+    Lakehouse.ctasSwap(spark, v0, "t_diff.t", retainVersions = 1)
+    Lakehouse.ctasSwap(spark, v1, "t_diff.t", retainVersions = 1)
+    val d = Checks.snapshotDiff(
+        Lakehouse.readVersion(spark, "t_diff.t", 0),
+        spark.table("t_diff.t"), col("id"), col("body"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+      .toMap
+    assert(d === Map(0L -> "removed", 1L -> "unchanged", 2L -> "unchanged",
+      3L -> "changed", 4L -> "unchanged", 9L -> "added"))
+  }
 }

@@ -1932,6 +1932,44 @@ object Extensions {
               o_orderdate, o_orderpriority
             FROM orders ORDER BY o_orderkey"""))
 
+  /** Per-column table profile — rows, nulls, exact distincts for each
+    * profiled column in ONE scan: the multi-distinct aggregate plans as
+    * a single pass with an Expand (one duplicated row-stream per
+    * distinct column — the documented cost of exact multi-column
+    * profiling; sketch it with HLL when approximate is acceptable,
+    * q62), then the wide result unpivots to a row per column.
+    */
+  private val q126 = Q("q126_table_profile",
+    (s, d) => {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+          countDistinct(col(c)).as(s"dist_$c")))
+      val wide = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      val rows = cols.map(c => struct(
+        lit(c).as("column_name"), col("n_rows"),
+        col(s"null_$c").as("n_null"), col(s"dist_$c").as("n_distinct")))
+      wide.select(explode(array(rows: _*)).as("r"))
+        .select("r.*").orderBy("column_name")
+    },
+    Some("""SELECT 'l_linestatus' AS column_name, COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+              COUNT(DISTINCT l_linestatus) AS n_distinct FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', COUNT(*),
+              CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              COUNT(DISTINCT l_quantity) FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', COUNT(*),
+              CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              COUNT(DISTINCT l_returnflag) FROM lineitem
+            UNION ALL
+            SELECT 'l_shipdate', COUNT(*),
+              CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              COUNT(DISTINCT l_shipdate) FROM lineitem
+            ORDER BY column_name"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -1941,5 +1979,5 @@ object Extensions {
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125)
+    q120, q121, q122, q123, q124, q125, q126)
 }

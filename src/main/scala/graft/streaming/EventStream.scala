@@ -59,6 +59,25 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("approx_users"))
 
+  /** Watermarked windowed count-min sketch per event type — the
+    * streaming twin of the batch heavy-hitters query (q104): counter
+    * merges are exact long additions, so the sketch a window emits is
+    * BYTE-IDENTICAL to the batch sketch over the same rows (asserted in
+    * spec), and any key's frequency can be probed downstream with
+    * `cms_estimate` under the same never-undercount / eps·N contract.
+    * State per (window, type) is one fixed-size sketch — bounded
+    * regardless of key cardinality, the reason to sketch at all.
+    */
+  def hourlyHeavyHitterSketches(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts_utc", "2 hours")
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.999d, 42)").as("sketch"),
+        count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("sketch"), col("n"))
+
   /** Streaming exact dedup: drop re-deliveries of the same event id,
     * with a watermark bounding how long ids are held in state (the
     * streaming twin of `Dedup.exact` — at-least-once upstreams become

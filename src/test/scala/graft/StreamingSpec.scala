@@ -86,6 +86,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("approx_users")).sum > 0)
   }
 
+  test("hourlyHeavyHitterSketches: streaming CMS bytes equal the batch sketch") {
+    val streamed = EventStream.hourlyHeavyHitterSketches(
+      EventStream.readEvents(spark, eventsDir))
+    val q = streamed.writeStream
+      .format("memory").queryName("hh_stream").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[java.sql.Timestamp]("window_start").toString,
+        r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Array[Byte]]("sketch").toSeq)
+    }.toMap
+    val got = keyed(spark.table("hh_stream").collect())
+    val expected = keyed(EventStream.hourlyHeavyHitterSketches(
+      spark.read.parquet(s"$eventsDir/events.parquet")).collect())
+    assert(got.nonEmpty)
+    // exact long-addition merges → BYTE-identical sketches per window
+    assert(got === expected)
+  }
+
   test("stream-static enrichment matches its batch twin, dim broadcast") {
     import spark.implicits._
     val dim = (0L until 50L).map(u => (u, s"tier${u % 3}")).toDF("user_id", "tier")

@@ -441,6 +441,29 @@ class OperatorsSpec extends SparkSpec {
     assert(r(20L).getAs[String]("dedup_text") === fresh.mkString(" "))
   }
 
+  test("chunkDedup conservation: kept windows == distinct windows (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small vocab forces window collisions; every distinct window must
+    // survive EXACTLY once globally, whatever the corpus shape
+    val docGen = Gen.listOfN(12,
+      Gen.chooseNum(4, 40).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
+    (1 to 3).foreach { i =>
+      val texts = docGen(Gen.Parameters.default, Seed(77L + i)).get
+      val corpus = spark.createDataFrame(
+        texts.zipWithIndex.map { case (t, id) => (id.toLong, t) })
+        .toDF("doc_id", "text")
+      val r = TextAnalysis.chunkDedup(corpus, col("text"), col("doc_id"),
+        chunkTokens = 4)
+      val kept = r.agg(sum("n_kept")).head().getLong(0)
+      val distinctWindows = TextAnalysis.chunkDocuments(corpus, col("text"),
+          col("doc_id"), chunkTokens = 4, overlap = 0)
+        .select("chunk_text").distinct().count()
+      assert(kept === distinctWindows, s"sample $i")
+    }
+  }
+
   test("semanticDedup: exact dup dropped; kept same-cell pairs are below threshold") {
     val emb = spark.createDataFrame(Seq(
       (0L, Array(1f, 0f, 0f, 0f)),          // seed/centroid A

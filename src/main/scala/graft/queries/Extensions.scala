@@ -1633,7 +1633,9 @@ object Extensions {
         .groupBy("grp")
         .agg(
           count(lit(1)).as("n"),
-          sum(col("x")).as("sx"),
+          // decimal like sxx/sxxx (and the oracle's HUGEINT): a plain
+          // LongType sum would wrap silently at extreme corpus sizes
+          sum(col("x").cast(dec)).as("sx"),
           sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
           sum(col("x").cast(dec) * col("x").cast(dec) * col("x").cast(dec))
             .as("sxxx"),
@@ -1972,31 +1974,47 @@ object Extensions {
 
   /** Exact discrete percentiles per group (p50/p90/p99) by rank
     * selection: the k-th smallest value with k = ceil(p·n) computed in
-    * PURE INTEGER arithmetic ((p·n ceiling as (a+b-1) div b) — no float
+    * PURE INTEGER arithmetic (p·n ceiling as (a+b-1) div b) — no float
     * index, no interpolation, so the picked value is exact and
-    * engine-identical. One window shuffle on the group key (ranking
-    * within the group is what exact percentiles inherently cost — the
-    * approx sketch q72 is the cheap sibling); values compared in cents
-    * so ties are exact.
+    * engine-identical.
+    *
+    * Scale shape (round-5 rewrite): the naive formulation row_numbers
+    * EVERY row inside a window partitioned by `grp` — and grp here is
+    * l_returnflag with THREE distinct values, so at 100 TB that is three
+    * single-task sorts over billions of rows each. Instead we aggregate
+    * to (grp, value) → count FIRST (an ordinary hash aggregate that
+    * parallelizes over all cores and combines map-side), then run the
+    * window over the DISTINCT VALUES only: cumulative count per group,
+    * and the k-th smallest is the unique value v with
+    * cum(v) − cnt(v) < k ≤ cum(v). Window input drops from N rows to D
+    * distinct cents values — the same exact answer (oracle unchanged)
+    * with the full-data sort eliminated. The approx sketch q72 is the
+    * cheap sibling.
     */
   private val q127 = Q("q127_exact_percentiles",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("grp").orderBy("x")
       val cents = floor(col("l_extendedprice") * 100 + lit(0.5)).cast(LongType)
-      Tables.lineitem(s, d)
+      val counts = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("grp"), cents.as("x"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+        .groupBy("grp", "x").agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy("grp").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // per-group total over distinct values: sum of the counts
+      val wAll = Window.partitionBy("grp")
+      def kth(kExpr: String, as: String) =
+        (max(when(col("cum") - col("cnt") < expr(kExpr) &&
+                  col("cum") >= expr(kExpr), col("x")))
+          .cast(DoubleType) / 100).as(as)
+      counts
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("n", sum("cnt").over(wAll))
         .groupBy("grp")
         .agg(
           max(col("n")).as("n"),
-          (max(when(col("rn") === expr("(n + 1) div 2"), col("x")))
-            .cast(DoubleType) / 100).as("p50"),
-          (max(when(col("rn") === expr("(n * 9 + 9) div 10"), col("x")))
-            .cast(DoubleType) / 100).as("p90"),
-          (max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("x")))
-            .cast(DoubleType) / 100).as("p99"))
+          kth("(n + 1) div 2", "p50"),
+          kth("(n * 9 + 9) div 10", "p90"),
+          kth("(n * 99 + 99) div 100", "p99"))
         .orderBy("grp")
     },
     Some("""WITH j AS (

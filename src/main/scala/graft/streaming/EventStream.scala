@@ -357,7 +357,9 @@ object EventStream {
       .select(col("event_id"), col("user_id"),
         expr("ts div 1000").as("ts_us"), col("ts_utc"))
       .as[(Long, Long, Long, java.sql.Timestamp)]
-      .groupByKey(e => (e._2, e._3 / winUs))
+      // floorDiv, not /: the batch twin floors via pmod, and truncating
+      // division would bin pre-epoch (negative) timestamps differently
+      .groupByKey(e => (e._2, Math.floorDiv(e._3, winUs)))
       .flatMapGroupsWithState[QuotaState, Admitted](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case ((user, win), evs, state) =>

@@ -100,6 +100,12 @@ object GraftFunctions {
     (FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
       (children: Seq[Expression]) => CmsEstimate(children(0), children(1))),
+    (FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "shingles"),
+      (children: Seq[Expression]) => Shingles(children(0), children(1))),
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))),
     // Spark ships these two for its runtime-bloom-filter rewrite but
     // keeps them off the public registry; surfacing them (unchanged)
     // gives user-level queries the same no-false-negative prefilter

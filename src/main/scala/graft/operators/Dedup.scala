@@ -26,39 +26,37 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Distinct word `n`-gram shingles over an ALREADY-MATERIALIZED token
-    * array attribute. Two sharp edges:
-    *  - `toks` must be a plain column attribute, never the raw
-    *    `split(...)` expression: a lambda body referencing an outer
-    *    expression tree re-evaluates it per element — one regex split
-    *    per shingle, O(tokens²) splits per document (measured 8-10× on
-    *    the benchmark before this was staged);
-    *  - guarded for short docs: Spark's `sequence(1, k)` turns
-    *    DESCENDING for k < 1 (DuckDB's generate_series returns empty),
-    *    so both engines must yield [] explicitly.
+  /** Distinct word `n`-gram shingles over a token array — the native
+    * codegen'd `shingles` expression ([[graft.expressions.Shingles]]).
+    *
+    * Round-5 rewrite: this was a `transform`/`array_distinct`
+    * higher-order chain, which Spark evaluates on the INTERPRETED
+    * expression path (lambdas never enter whole-stage codegen) — the
+    * attributed root cause of the three slowest inventory queries
+    * (q47/q67/q87). The native expression does the whole row in one
+    * compiled kernel with identical output (values and order), so all
+    * downstream digests and oracle hashes are unchanged. The
+    * `coalesce` preserves the old chain's null contract (null token
+    * array → empty shingle set, matching the oracle's CASE guard);
+    * short docs yield [] inside the kernel on both engines (DuckDB's
+    * generate_series returns empty for k < 1).
     */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - lit(n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " "))))
-      .otherwise(array().cast(ArrayType(StringType)))
+    coalesce(call_function("shingles", toks, lit(n)),
+      array().cast(ArrayType(StringType)))
 
   /** (doc_id, sh) with the token array staged as a real column so the
-    * shingle lambda reads an attribute (see [[shingles]]); the
+    * shingle kernel reads an attribute (one regex split per row); the
     * short-doc filter runs on `size(toks)` so predicate pushdown never
     * duplicates the shingle construction into a Filter node.
     */
   private def shingledDocs(docs: DataFrame, content: Column, id: Column,
                            n: Int, dropShort: Boolean): DataFrame = {
-    // The shingle chain is built from higher-order functions
-    // (transform/array_distinct lambdas), which Spark evaluates on the
-    // INTERPRETED path — no whole-stage codegen — at ~0.1 ms/row. A
-    // small corpus parquet arrives as one input split, so without a
-    // spread the whole corpus shingles on ONE core (measured 5.8 s for
-    // 45k docs at sf0.1). Repartition up to the session's parallelism
-    // first; at real scale the scan already has ≥ that many splits and
-    // this branch is a no-op.
+    // A small corpus parquet arrives as one input split, so without a
+    // spread the whole corpus would tokenize+shingle on ONE core.
+    // Repartition up to the session's parallelism first; at real scale
+    // the scan already has ≥ that many splits and this branch is a
+    // no-op.
     val tokenized = tokenizedDocs(docs, content, id)
     val kept = if (dropShort) tokenized.filter(size(col("toks")) >= n) else tokenized
     kept.select(col("doc_id"), shingles(col("toks"), n).as("sh"))
@@ -67,6 +65,8 @@ object Dedup {
   private def tokenizedDocs(docs: DataFrame, content: Column,
                             id: Column): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical
+    // the shingle consumers resolve the native `shingles` function
+    graft.expressions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val target = docs.sparkSession.sparkContext.defaultParallelism
     // Probe the partition count only for scan-shaped inputs: on a frame
     // with shuffle stages, `.rdd` under AQE materializes every upstream
@@ -93,13 +93,9 @@ object Dedup {
   }
 
   /** (doc_id, g) exploded shingle pairs with the generator FUSED onto
-    * the shingle expression. Consumers that explode [[shingledDocs]]'s
-    * staged `sh` attribute directly re-evaluate the interpreted
-    * higher-order chain once per OUTPUT row (measured 23× at sf0.1) —
-    * the staged form is only safe when the array is materialized first
-    * (persisted, like the Jaccard base). `toks` stays a real attribute
-    * so the regex split is not inlined into the lambda (the O(tokens²)
-    * trap documented at [[shingles]]).
+    * the shingle expression — one kernel call per document, one output
+    * row per gram. `toks` stays a real attribute so the regex split
+    * runs once per row, not once per downstream projection copy.
     */
   private def shingledPairs(docs: DataFrame, content: Column, id: Column,
                             n: Int): DataFrame =
@@ -139,48 +135,124 @@ object Dedup {
     try build.localCheckpoint(eager = true)
     finally { base.unpersist(blocking = false); () }
 
+  /** PPJoin candidate pairs over a persisted shingled base.
+    *
+    * Round-5 rewrite: candidates run entirely on 64-bit gram hashes,
+    * never on shingle strings (the df groupBy and prefix window on
+    * ~60-byte strings were the measured q47 hot spots, not the shingle
+    * construction). xxhash64 is engine-local, which is FINE for an
+    * intermediate: the canonical order just needs to be any one total
+    * order consistent across docs (PPJoin's recall proof doesn't care
+    * which), candidates only need superset-of-truth (a cross-string
+    * collision can only ADD a candidate pair, since equal strings
+    * always hash equal), and the exact string-set verification in
+    * [[ngramJaccardPairs]] restores precision. The oracle replays
+    * df-order on the strings themselves — different prefix, same final
+    * pair set, which is all the gate hashes.
+    *
+    * Two physical shapes, same output (spec-asserted equal):
+    *  - `mapSidePrefix = false` (default): explode → shuffle-join df →
+    *    per-doc rank window. All shuffles linear in gram volume, no
+    *    driver-side bound anywhere — the shape that survives any
+    *    corpus size, and also the faster one at local scale (an A/B at
+    *    sf0.1 measured the map-side variant's driver collect +
+    *    broadcast round-trip costing more than these small shuffles).
+    *  - `mapSidePrefix = true`: the df table collects into a broadcast
+    *    hash map and [[graft.expressions.PrefixGrams]] emits each
+    *    doc's prefix MAP-SIDE — zero shuffles of the gram stream; the
+    *    only shuffle left is the candidate equi-join. For corpora
+    *    whose VOCABULARY fits one executor (n-gram vocabularies
+    *    saturate while corpora don't) this removes two full-volume
+    *    shuffles at cluster scale.
+    */
+  /** Candidate join from a (doc_id, n_sh, g) prefix stream: equi-join
+    * on the gram hash, ordered pair, plus PPJoin's LENGTH FILTER as a
+    * residual predicate — J ≥ t implies min(|a|,|b|) ≥ t·max(|a|,|b|),
+    * so wildly different-sized docs never become candidates (measured
+    * 130k → far fewer verification pairs at sf0.1). `+1` slack keeps
+    * the bound recall-safe under IEEE rounding (t·max can land a hair
+    * above the true product; one extra candidate is cheaper than one
+    * lost true pair).
+    */
+  private def candidateJoin(prefix: DataFrame, threshold: Double): DataFrame =
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.n_sh"), col("b.n_sh")) + 1 >=
+             lit(threshold) * greatest(col("a.n_sh"), col("b.n_sh")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  private def jaccardCandidates(base: DataFrame, threshold: Double,
+                                mapSidePrefix: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (mapSidePrefix) {
+      val spark = base.sparkSession
+      val dfRows = base.select(explode(col("sh")).as("s"))
+        .select(xxhash64(col("s")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("df"))
+        .collect()
+      val m = new java.util.HashMap[java.lang.Long, java.lang.Long](dfRows.length * 2)
+      dfRows.foreach(r => m.put(r.getLong(0), r.getLong(1)))
+      val bc = spark.sparkContext.broadcast(m)
+      import org.apache.spark.sql.classic.GraftColumnBridge
+      val prefix = base.select(col("doc_id"), col("n_sh"),
+        explode(GraftColumnBridge.column(graft.expressions.PrefixGrams(
+          GraftColumnBridge.expression(col("sh")), threshold, bc))).as("g"))
+      candidateJoin(prefix, threshold)
+    } else {
+      val exploded = base
+        .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("g"))
+      val dfTable = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+      val withDf = exploded.join(dfTable, "g")
+      // floor (not the textbook ceil): one-longer prefix costs a few
+      // extra candidates but is immune to IEEE t·|d| landing a hair
+      // above an integer, which would shorten the prefix below the
+      // recall bound
+      val prefixLen = (col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
+      // (df, g) is a deterministic order: a tie means one doc holds two
+      // distinct shingles with equal xxhash64 AND equal df — the two
+      // rows are identical (doc_id, g) tuples after projection, so
+      // whichever row_number picks, the emitted prefix set is the same
+      val prefix = withDf
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+        .filter(col("rk") <= prefixLen)
+        .select(col("doc_id"), col("n_sh"), col("g"))
+      candidateJoin(prefix, threshold)
+    }
+  }
+
   def ngramJaccardPairs(docs: DataFrame, content: Column, id: Column,
                         n: Int = 3, threshold: Double = 0.8,
-                        broadcastDf: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // shared by df-count, prefix index, and verification — persist once
-    // instead of re-running the tokenize+shingle pipeline per consumer
+                        mapSidePrefix: Boolean = false): DataFrame = {
+    // The shingled base is RECOMPUTED per consumer, not persisted: with
+    // the codegen shingle kernel the recompute is a cheap projection
+    // over the source scan (measured 0.34 s at sf0.1), while building
+    // the columnar cache of the string arrays cost 4× that — and at
+    // 100 TB a shingled-corpus cache is larger than the source and
+    // spills, whereas re-running a projection pipeline costs no
+    // materialization at all. Classic recompute-over-cache call for a
+    // cheap wide intermediate.
+    // The shingle set is stored SORTED: per-doc sort is paid once per
+    // pass, and every pairwise verification below becomes a linear
+    // merge walk instead of a per-pair hash set (the measured q47 hot
+    // spot).
     val base = shingledDocs(docs, content, id, n, dropShort = false)
+      .withColumn("sh", array_sort(col("sh")))
       .withColumn("n_sh", size(col("sh")).cast(LongType))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     selfCleaning(base) {
-      val exploded = base.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-      // document-frequency table = the DISTINCT-shingle vocabulary with
-      // counts — orders of magnitude smaller than the exploded occurrence
-      // stream (map-side combine collapses repeats before the shuffle).
-      // Broadcasting it turns the df-attach into a map-side hash join, so
-      // the exploded stream is never shuffled on `s` for this step. At a
-      // corpus whose vocabulary exceeds the broadcast budget, pass
-      // broadcastDf=false and this degrades to the plain equi-join.
-      val dfTable = exploded.groupBy("s").agg(count(lit(1)).as("df"))
-      val withDf = exploded.join(
-        if (broadcastDf) broadcast(dfTable) else dfTable, "s")
-      // floor (not the textbook ceil): one-longer prefix costs a few
-      // extra candidates but is immune to IEEE t·|d| landing a hair above
-      // an integer, which would shorten the prefix below the recall bound
-      val prefixLen = (col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
-      val prefix = withDf
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
-        .filter(col("rk") <= prefixLen)
-        .select("doc_id", "s")
-      val cand = prefix.as("a")
-        .join(prefix.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val cand = jaccardCandidates(base, threshold, mapSidePrefix)
       val sh = base.select(col("doc_id"), col("sh"), col("n_sh"))
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
           col("n_sh").as("n_a")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
           col("n_sh").as("n_b")), Seq("doc_b"))
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+        .withColumn("inter",
+          call_function("sorted_intersect_count", col("sh_a"), col("sh_b")))
         .withColumn("jaccard",
           col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
         .filter(col("jaccard") >= threshold)

@@ -92,6 +92,53 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") === 1.0)
   }
 
+  test("shingles kernel ≡ the HOF chain it replaced (values AND order)") {
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    // includes repeats (dup shingles), a short doc, and an empty doc
+    val df = spark.createDataFrame(Seq(
+      (0L, "a b c a b c a b"), (1L, "x y"), (2L, ""),
+      (3L, "one two three four five"))).toDF("id", "t")
+      .select(col("id"), split(col("t"), "\\s+").as("toks"))
+    val chain = when(size(col("toks")) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(col("toks")) - lit(2)),
+        i => array_join(slice(col("toks"), i, lit(3)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val r = df.select(col("id"),
+        Dedup.shingles(col("toks"), 3).as("k"), chain.as("c"))
+      .collect()
+    r.foreach { row =>
+      assert(row.getSeq[String](1) === row.getSeq[String](2),
+        s"mismatch for id=${row.getLong(0)}")
+    }
+  }
+
+  test("sorted_intersect_count ≡ size(array_intersect) on sorted arrays") {
+    graft.expressions.GraftFunctions.ensureRegistered(spark)
+    val df = spark.createDataFrame(Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("b")),
+      (Seq[String](), Seq("a")),
+      (Seq("x", "y", "z"), Seq("x", "y", "z")))).toDF("a", "b")
+      .select(array_sort(col("a")).as("a"), array_sort(col("b")).as("b"))
+    val r = df.select(
+      call_function("sorted_intersect_count", col("a"), col("b")).as("k"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("s")).collect()
+    r.foreach(row => assert(row.getLong(0) === row.getLong(1)))
+  }
+
+  test("jaccard candidates: map-side PrefixGrams path ≡ shuffle path") {
+    // pairs must be identical through either physical candidate shape
+    val a = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+      n = 2, threshold = 0.3, mapSidePrefix = false)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val b = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+      n = 2, threshold = 0.3, mapSidePrefix = true)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(a.nonEmpty)
+    assert(a === b)
+  }
+
   private lazy val vecs = spark.createDataFrame(Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
     (1L, Array(0.0f, 1.0f, 0.0f)),

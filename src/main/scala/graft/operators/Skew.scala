@@ -65,4 +65,70 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(phase2Aggs.head, phase2Aggs.tail: _*)
   }
+
+  /** Two-phase ROW_NUMBER over LOW-CARDINALITY partitions — the window
+    * sibling of [[saltedAggregate]] (round 5, generalizing the q127
+    * lesson beyond percentiles).
+    *
+    * `row_number().over(Window.partitionBy(grp).orderBy(x))` with a
+    * 3-value `grp` is one single-task sort per group over the whole
+    * table — dead at 100 TB. This computes the identical rank in two
+    * phases:
+    *
+    *  1. RANGE-bucket each row on the integer order key — bucket
+    *     boundaries derive deterministically from the per-group
+    *     (min, max) domain, `(x − lo)·B div (hi − lo + 1)`, pure int64
+    *     arithmetic so the split is exactly monotonic in `x` (no IEEE
+    *     boundary wobble) and identical on every run/cluster size.
+    *     Local ranks + bucket sizes come from ONE window over
+    *     `(grp, bucket)` — the only full-data shuffle, with
+    *     `groups × buckets` reducers instead of `groups`.
+    *  2. Bucket offsets = cumulative counts over the (tiny)
+    *     `groups × buckets` frame, broadcast back; the global rank is
+    *     `offset + local rank`. Monotone bucketing makes the
+    *     concatenation of bucket-local orders THE global order.
+    *
+    * Order must be made total by `tieCols` (ids, not floats — the
+    * determinism rule every graded query follows). Skewed value
+    * domains give uneven buckets — the failure mode is graceful (one
+    * hot bucket ≈ one fat task, never wrong ranks), and `buckets`
+    * scales the parallelism. `hi == lo` degenerates to one bucket —
+    * correct, just unsplit (a constant order key has no parallel
+    * rank). Caller contract: `(hi − lo) · buckets` must fit int64 —
+    * true for any discretized measure (cents, micros, ns-in-day).
+    */
+  def saltedRank(df: DataFrame, partCols: Seq[String], orderCol: String,
+                 tieCols: Seq[String], buckets: Int = 64,
+                 as: String = "rn"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = partCols.map(col)
+    val bounds = df.groupBy(part: _*)
+      .agg(min(col(orderCol)).as("__lo"), max(col(orderCol)).as("__hi"))
+    val bkt = call_function("div",
+      (col(orderCol) - col("__lo")) * lit(buckets.toLong),
+      col("__hi") - col("__lo") + lit(1L))
+    val localW = Window
+      .partitionBy((partCols :+ "__bkt").map(col): _*)
+      .orderBy((orderCol +: tieCols).map(col): _*)
+    // local rank and bucket size share ONE window partitioning — the
+    // count adds no extra shuffle
+    val ranked = df
+      .join(broadcast(bounds), partCols)
+      .withColumn("__bkt", bkt)
+      .withColumn("__rn_local", row_number().over(localW))
+      .withColumn("__cnt", count(lit(1)).over(
+        Window.partitionBy((partCols :+ "__bkt").map(col): _*)))
+    // offsets over the groups × buckets frame: tiny by construction
+    val offsets = ranked
+      .select((partCols :+ "__bkt" :+ "__cnt").map(col): _*).distinct()
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.partitionBy(part: _*).orderBy(col("__bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((partCols :+ "__bkt" :+ "__offset").map(col): _*)
+    ranked
+      .join(broadcast(offsets), partCols :+ "__bkt")
+      .withColumn(as, col("__offset") + col("__rn_local"))
+      .drop("__lo", "__hi", "__bkt", "__rn_local", "__cnt", "__offset")
+  }
 }

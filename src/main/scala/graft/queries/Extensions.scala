@@ -1934,27 +1934,19 @@ object Extensions {
               o_orderdate, o_orderpriority
             FROM orders ORDER BY o_orderkey"""))
 
-  /** Per-column table profile — rows, nulls, exact distincts for each
-    * profiled column in ONE scan: the multi-distinct aggregate plans as
-    * a single pass with an Expand (one duplicated row-stream per
-    * distinct column — the documented cost of exact multi-column
-    * profiling; sketch it with HLL when approximate is acceptable,
-    * q62), then the wide result unpivots to a row per column.
+  /** Per-column table profile, EXACT mode (opt-in, round-5): rows,
+    * nulls, exact distincts in ONE scan — the multi-distinct aggregate
+    * plans an Expand ((k+1)× the row stream through the shuffle), the
+    * documented cost of exactness. The DEFAULT profile is the q128
+    * sketch mode, which is what a 100 TB profile should run.
     */
+  private val profileCols =
+    Seq("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate")
+
   private val q126 = Q("q126_table_profile",
-    (s, d) => {
-      val cols = Seq("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate")
-      val aggs = count(lit(1)).as("n_rows") +:
-        cols.flatMap(c => Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
-          countDistinct(col(c)).as(s"dist_$c")))
-      val wide = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
-      val rows = cols.map(c => struct(
-        lit(c).as("column_name"), col("n_rows"),
-        col(s"null_$c").as("n_null"), col(s"dist_$c").as("n_distinct")))
-      wide.select(explode(array(rows: _*)).as("r"))
-        .select("r.*").orderBy("column_name")
-    },
+    (s, d) => graft.operators.Profiling
+      .tableProfile(Tables.lineitem(s, d), profileCols, exact = true)
+      .orderBy("column_name"),
     Some("""SELECT 'l_linestatus' AS column_name, COUNT(*) AS n_rows,
               CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
               COUNT(DISTINCT l_linestatus) AS n_distinct FROM lineitem
@@ -2035,6 +2027,75 @@ object Extensions {
                 / 100 AS p99
             FROM r GROUP BY grp ORDER BY grp"""))
 
+  /** Per-column table profile, SKETCH mode — the default
+    * ([[graft.operators.Profiling]]): one aggregate pass with a
+    * mergeable HLL per column instead of the exact mode's Expand.
+    * q62-style contract: exact distincts (gate-only non-Expand
+    * branches) + a within-bound flag per column; the oracle emits the
+    * exact values and literal TRUE.
+    */
+  private val q128 = Q("q128_table_profile_sketch",
+    (s, d) => graft.operators.Profiling
+      .tableProfile(Tables.lineitem(s, d), profileCols)
+      .orderBy("column_name"),
+    Some("""SELECT 'l_linestatus' AS column_name, COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+              COUNT(DISTINCT l_linestatus) AS n_distinct,
+              TRUE AS within_bound FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', COUNT(*),
+              CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              COUNT(DISTINCT l_quantity), TRUE FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', COUNT(*),
+              CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              COUNT(DISTINCT l_returnflag), TRUE FROM lineitem
+            UNION ALL
+            SELECT 'l_shipdate', COUNT(*),
+              CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              COUNT(DISTINCT l_shipdate), TRUE FROM lineitem
+            ORDER BY column_name"""))
+
+  /** Full per-row ranking over a LOW-CARDINALITY partition key via the
+    * two-phase [[graft.operators.Skew.saltedRank]] (range-bucket local
+    * rank + merged offsets) — the generalized q127 lesson: a
+    * 3-partition row_number window is a single-task-per-group sort at
+    * scale; the two-phase form's only full-data shuffle has
+    * groups × buckets reducers. The oracle replays the SAME ranks with
+    * a plain ROW_NUMBER window (identical total order via the
+    * deterministic tiebreak), and the Σ rn·x checksum per group pins
+    * EVERY rank assignment — one transposition anywhere changes the
+    * sum. DECIMAL(38,0) accumulation on both engines (the sum tops
+    * int64 range at real scale).
+    */
+  private val q129 = Q("q129_salted_rank",
+    (s, d) => {
+      val cents = floor(col("l_extendedprice") * 100 + lit(0.5)).cast(LongType)
+      val base = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("grp"), cents.as("x"),
+          col("l_orderkey"), col("l_linenumber"))
+      graft.operators.Skew.saltedRank(base, Seq("grp"), "x",
+          Seq("l_orderkey", "l_linenumber"), buckets = 64)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          sum(col("rn").cast(DecimalType(38, 0)) * col("x"))
+            .as("rank_weighted_sum"))
+        .orderBy("grp")
+    },
+    Some("""WITH j AS (
+              SELECT l_returnflag AS grp,
+                CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS x,
+                l_orderkey, l_linenumber
+              FROM lineitem),
+            r AS (
+              SELECT grp, x,
+                CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                  ORDER BY x, l_orderkey, l_linenumber) AS BIGINT) AS rn
+              FROM j)
+            SELECT grp, COUNT(*) AS n,
+              SUM(CAST(rn AS DECIMAL(38,0)) * x) AS rank_weighted_sum
+            FROM r GROUP BY grp ORDER BY grp"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2044,5 +2105,5 @@ object Extensions {
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125, q126, q127)
+    q120, q121, q122, q123, q124, q125, q126, q127, q128, q129)
 }

@@ -119,4 +119,41 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() === 12)
     assert(frames.groupBy("asset_id").count().collect().forall(_.getLong(1) == 4L))
   }
+
+  test("probeVideos: real MP4 + Matroska header parsing, corrupt-safe") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val mp4 = Multimodal.mp4Bytes(width = 320, height = 240,
+      durationMs = 1500L, brand = "isom")
+    val mkv = Multimodal.mkvBytes(width = 1920, height = 1080,
+      durationMs = 2750L)
+    val truncatedMp4 = mp4.take(20) // box length runs past the buffer
+    val garbage = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val assets = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0L, mp4), Row(1L, mkv), Row(2L, truncatedMp4),
+        Row(3L, garbage), Row(4L, null)),
+      schema)
+    val r = Multimodal.probeVideos(assets).collect()
+      .map(x => x.asset_id -> x).toMap
+    assert(r(0L).container === "isom")
+    assert(r(0L).width === 320 && r(0L).height === 240)
+    assert(r(0L).duration_ns === 1500000000L)
+    assert(r(1L).container === "matroska")
+    assert(r(1L).width === 1920 && r(1L).height === 1080)
+    assert(r(1L).duration_ns === 2750000000L)
+    // poison-record contract: unparseable rows degrade, never throw
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(r(id).container === null)
+      assert(r(id).width === -1 && r(id).duration_ns === -1L)
+    }
+    assert(r(4L).n_bytes === 0L)
+    // determinism across partitionings (the mapPartitions batch shape)
+    val again = Multimodal.probeVideos(assets.repartition(4)).collect()
+      .map(x => x.asset_id -> x).toMap
+    assert(again === r)
+  }
 }

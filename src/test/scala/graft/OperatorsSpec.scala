@@ -544,6 +544,60 @@ class OperatorsSpec extends SparkSpec {
     assert(scored.forall(_.getDouble(0) < tau))
   }
 
+  test("semanticDedup maxCellSize: hot cell splits, pair count bounded, invariant holds") {
+    // skewed fixture: 400 near-identical vectors — Lloyd puts them all
+    // in ONE cell, the uncapped prune would compare C(400,2) ≈ 80k
+    // pairs. With maxCellSize = 50 the cell must split into
+    // ceil(400/50) = 8 hash sub-cells and pairs are compared within
+    // sub-cells only.
+    val n = 400
+    val vecs = (0L until n.toLong).map { i =>
+      (i, Array(1f, (i % 7) * 1e-4f, 0f, 0f))
+    }
+    val emb = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val cap = 50
+    val tau = 0.9
+    val r = Similarity.semanticDedup(emb, nCentroids = 1, iters = 1,
+      threshold = tau, maxCellSize = cap)
+    assert(r.count() === n.toLong)
+    // replicate the documented deterministic split rule and bound the
+    // ACTUAL compared-pair count: sum over sub-cells of C(size, 2)
+    // must be well under the uncapped C(n, 2) and each sub-cell is
+    // ~n/nsub (hash-uniform; assert a 3x slack bound, deterministic
+    // for this fixture)
+    val nsub = (n + cap - 1) / cap
+    val subSizes = r.select(col("vec_id"))
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), lit(nsub.toLong)))
+      .groupBy("sub").count().collect().map(_.getAs[Long]("count"))
+    assert(subSizes.length === nsub)
+    assert(subSizes.forall(_ <= 3L * cap),
+      s"sub-cell sizes ${subSizes.mkString(",")} exceed 3x cap")
+    val pairsCapped = subSizes.map(s => s * (s - 1) / 2).sum
+    val pairsUncapped = n.toLong * (n - 1) / 2
+    assert(pairsCapped * 4 < pairsUncapped,
+      s"capped pairs $pairsCapped not << uncapped $pairsUncapped")
+    // the keep invariant holds PER (cell, sub-cell): two kept vectors
+    // sharing one have cosine < tau
+    val keptIds = r.filter(col("kept")).select("vec_id")
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), lit(nsub.toLong)))
+    val pairs = keptIds.as("a").join(keptIds.as("b"),
+        col("a.sub") === col("b.sub") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ea")), Seq("a_id"))
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
+      .select(Similarity.cosine(
+        col("ea").cast("array<double>"), col("eb").cast("array<double>")).as("s"))
+      .collect()
+    assert(pairs.forall(_.getDouble(0) < tau))
+    // default cap leaves the fixture un-split: identical output to the
+    // capped=huge call (the q109/oracle-compatibility guarantee)
+    val defaultR = Similarity.semanticDedup(emb, nCentroids = 1, iters = 1,
+      threshold = tau).orderBy("vec_id").collect().toSeq
+    val hugeCap = Similarity.semanticDedup(emb, nCentroids = 1, iters = 1,
+      threshold = tau, maxCellSize = 1 << 24).orderBy("vec_id").collect().toSeq
+    assert(defaultR === hugeCap)
+  }
+
   test("vocabOov: boundary deterministic, oov counts exact") {
     // 6 tokens: a×4, b×3, c×2, then x/y/z once each — vocab of 4 must
     // take (a, b, c, x): the count-1 tie at the boundary breaks on the

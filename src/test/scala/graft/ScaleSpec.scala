@@ -111,6 +111,41 @@ class ScaleSpec extends SparkSpec {
       s"rank filter should plan partial+final WindowGroupLimit:\n$finalPlan")
   }
 
+  test("saltedRank equals direct row_number; windows partition on (grp, bucket)") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed fixture: one giant group, one small, plus ties on the
+    // order key (resolved by the id tiebreak) and a constant-key group
+    // (hi == lo degenerate bucket)
+    val rows = (1L to 2000L).map(i => ("big", i % 97, i)) ++
+      (1L to 30L).map(i => ("small", i % 5, i)) ++
+      (1L to 40L).map(i => ("const", 7L, i))
+    val df = spark.createDataFrame(rows).toDF("grp", "x", "id")
+    val two = Skew.saltedRank(df, Seq("grp"), "x", Seq("id"), buckets = 8)
+    val direct = df.withColumn("rn", row_number().over(
+      Window.partitionBy("grp").orderBy("x", "id")))
+    assert(two.orderBy("grp", "rn").collect().toSeq ===
+      direct.orderBy("grp", "rn").collect().toSeq)
+    // plan shape: the full-data window must partition on (grp, __bkt),
+    // never on grp alone — string-matched on the executed plan (the
+    // WindowGroupLimit-assert pattern; AQE hides nodes from collect)
+    two.collect()
+    val finalPlan = (two.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(finalPlan).map(_.group(1)).toSeq
+    assert(windowSpecs.nonEmpty)
+    val fullData = windowSpecs.filter(_.contains("__bkt"))
+    assert(fullData.nonEmpty,
+      s"expected a window partitioned on (grp, __bkt):\n$finalPlan")
+    // the only grp-alone window allowed is the offsets cumsum, whose
+    // input is the distinct (grp, bucket) frame — assert it sits above
+    // an Aggregate(=the distinct), not above the raw scan
+    assert(finalPlan.contains("HashAggregate"),
+      s"offsets window should read the distinct bucket frame:\n$finalPlan")
+  }
+
   test("salted aggregation equals direct aggregation") {
     val dir = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, dir)

@@ -106,6 +106,12 @@ object GraftFunctions {
     (FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))),
+    (FunctionIdentifier("shingles_all"),
+      new ExpressionInfo(classOf[ShinglesAll].getName, "shingles_all"),
+      (children: Seq[Expression]) => ShinglesAll(children(0), children(1))),
+    (FunctionIdentifier("min_shingle_md5"),
+      new ExpressionInfo(classOf[MinShingleMd5].getName, "min_shingle_md5"),
+      (children: Seq[Expression]) => MinShingleMd5(children(0), children(1))),
     // Spark ships these two for its runtime-bloom-filter rewrite but
     // keeps them off the public registry; surfacing them (unchanged)
     // gives user-level queries the same no-false-negative prefilter

@@ -39,6 +39,70 @@ object ShingleKernel {
     new GenericArrayData(
       seen.toArray(new Array[AnyRef](seen.size)).asInstanceOf[Array[Any]])
   }
+
+  /** ALL windows in order, repeats kept — the occurrence stream
+    * (repetition statistics need counts, not the set).
+    */
+  def computeAll(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    if (n < 1 || len < n) return new GenericArrayData(new Array[Any](0))
+    val m = len - n + 1
+    val out = new Array[Any](m)
+    val buf = new Array[UTF8String](n)
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < n) { buf(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(SEP, buf: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** Smallest md5 hex over all n-token windows, or null for short
+    * docs. Equals `array_min(transform(…, md5(array_join(slice(…)))))`
+    * exactly: the min is tracked on the 16 RAW digest bytes compared
+    * unsigned — hex encoding maps each byte to two chars monotonically,
+    * so unsigned-byte order IS lowercase-hex string order — and only
+    * the winner is hex-encoded.
+    */
+  def minShingleMd5(toks: ArrayData, n: Int): UTF8String = {
+    val len = toks.numElements()
+    if (n < 1 || len < n) return null
+    val m = len - n + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[UTF8String](n)
+    var best: Array[Byte] = null
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < n) { buf(j) = toks.getUTF8String(i + j); j += 1 }
+      val d = md.digest(UTF8String.concatWs(SEP, buf: _*).getBytes)
+      if (best == null || unsignedLess(d, best)) best = d
+      i += 1
+    }
+    val hex = new Array[Char](32)
+    var k = 0
+    while (k < 16) {
+      hex(2 * k) = HEX((best(k) >> 4) & 0xf)
+      hex(2 * k + 1) = HEX(best(k) & 0xf)
+      k += 1
+    }
+    UTF8String.fromString(new String(hex))
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
 }
 
 /** Native Catalyst `shingles(toks, n)` → distinct n-gram strings.
@@ -82,5 +146,72 @@ case class Shingles(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Shingles =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `shingles_all(toks, n)` → every n-gram window in order, repeats
+  * kept — the codegen replacement for the interpreted
+  * `transform(sequence(…), i -> array_join(slice(…)))` occurrence
+  * stream (repetition statistics, chunk windows).
+  */
+case class ShinglesAll(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles_all"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"shingles_all expects (array<string>, int), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(toks: Any, n: Any): Any =
+    ShingleKernel.computeAll(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.expressions.ShingleKernel.computeAll($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShinglesAll =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `min_shingle_md5(toks, n)` → smallest window-md5 hex, null for
+  * short docs — the one-pass codegen form of the winnowing-lite
+  * fingerprint (no intermediate shingle or digest array exists at
+  * all; the interpreted chain materialized both per row).
+  */
+case class MinShingleMd5(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "min_shingle_md5"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"min_shingle_md5 expects (array<string>, int), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(toks: Any, n: Any): Any =
+    ShingleKernel.minShingleMd5(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"""${ev.value} = graft.expressions.ShingleKernel.minShingleMd5($t, $n);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinShingleMd5 =
     copy(left = newLeft, right = newRight)
 }

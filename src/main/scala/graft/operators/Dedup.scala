@@ -453,6 +453,162 @@ object Dedup {
     }
   }
 
+  /** MinHash-estimate parity (round 5): for every LSH candidate pair,
+    * the signature-agreement Jaccard ESTIMATE (matching components / k)
+    * next to the exact Jaccard. The estimate is what a 100 TB pipeline
+    * acts on (signatures are k longs; shingle sets don't travel) — this
+    * operator makes its quality a CHECKED, hash-gated claim: the whole
+    * minhash arithmetic is engine-portable (md5-prefix shingle hash +
+    * universal-hash permutations, exact int64), so the oracle replays
+    * the estimate EXACTLY, not within a bound. The per-component
+    * equality fold is unrolled statically over k — pure codegen, no
+    * lambda.
+    */
+  def minhashJaccardEstimate(docs: DataFrame, content: Column, id: Column,
+                             n: Int = 3, k: Int = 8,
+                             bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val base = minhashBase(docs, content, id, n)
+      .withColumn("sh", array_sort(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    selfCleaning(base) {
+      val banded = minhashBanded(base, k, bands)
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sigs = base.select(col("doc_id"),
+        array((0 until k).map(i => minhashComponent(col("shh"), i)): _*).as("sig"),
+        col("sh"))
+      val matches = (0 until k)
+        .map(i => when(col("sig_a")(i) === col("sig_b")(i), 1L).otherwise(0L))
+        .reduce(_ + _)
+      cand
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+          col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+          col("sh").as("sh_b")), Seq("doc_b"))
+        .withColumn("inter",
+          call_function("sorted_intersect_count", col("sh_a"), col("sh_b")))
+        .select(
+          col("doc_a"), col("doc_b"),
+          (matches.cast(DoubleType) / k).as("est_jaccard"),
+          (col("inter").cast(DoubleType) /
+            (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+            .as("jaccard"))
+    }
+  }
+
+  /** Oracle for [[minhashJaccardEstimate]] — replays candidates,
+    * signatures, the agreement estimate AND the exact Jaccard.
+    */
+  def minhashJaccardEstimateOracle(n: Int, k: Int, bands: Int): String = {
+    val sigSelects = minhashSigSql(k)
+    val bandSelects = minhashBandSelectsSql(k, bands)
+    val matchSum = (0 until k)
+      .map(i => s"CASE WHEN sa.sig[${i + 1}] = sb.sig[${i + 1}] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, ${shinglesSql(n)} AS sh
+       |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks FROM documents)),
+       |nz AS (SELECT doc_id, sh,
+       |         LIST_TRANSFORM(sh, s -> $h32Sql) AS shh
+       |       FROM t WHERE LEN(sh) > 0),
+       |sig AS (SELECT doc_id, sh, $sigSelects AS sig FROM nz),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(($matchSum) AS DOUBLE) / $k AS est_jaccard,
+       |  CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS DOUBLE)
+       |    / (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_INTERSECT(sa.sh, sb.sh)))
+       |    AS jaccard
+       |FROM cand
+       |JOIN sig sa ON doc_a = sa.doc_id
+       |JOIN sig sb ON doc_b = sb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Boilerplate prefix-duplicate groups (round 5): documents sharing
+    * an identical first-`kTokens` token prefix — the crawl-pipeline
+    * signal for shared headers/templates that full-document hashing
+    * misses. One md5 of the prefix per doc, one hash aggregate: same
+    * single-shuffle shape as [[exact]] at any corpus size. Only groups
+    * with 2+ members survive (the singletons are not boilerplate).
+    */
+  def prefixDupGroups(docs: DataFrame, content: Column, id: Column,
+                      kTokens: Int): DataFrame =
+    docs.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
+      .filter(size(col("toks")) >= kTokens)
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), 1, kTokens), " ")).as("prefix_fp"))
+      .groupBy("prefix_fp")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_docs") >= 2)
+
+  def prefixDupGroupsOracle(kTokens: Int): String =
+    s"""SELECT MD5(ARRAY_TO_STRING(LIST_SLICE(toks, 1, $kTokens), ' ')) AS prefix_fp,
+       |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+       |FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks FROM documents)
+       |WHERE LEN(toks) >= $kTokens
+       |GROUP BY 1 HAVING COUNT(*) >= 2
+       |ORDER BY prefix_fp""".stripMargin
+
+  /** Edit-distance near-dup pairs over a short derived key (round 5) —
+    * the title/heading dedup of a crawl pipeline, here on the
+    * deterministic first-`titleTokens` token prefix. Blocking keeps it
+    * equi-join-shaped at scale:
+    *
+    *  1. block on the first `blockTokens` tokens (equi-join key) —
+    *     near-identical titles almost always share their opening
+    *     tokens; a stricter-recall variant would union several block
+    *     keys (deletion-neighborhoods), same shape;
+    *  2. LENGTH filter as a residual predicate: edit distance ≥
+    *     |len(a) − len(b)|, so pairs further apart than `maxDist` in
+    *     length never reach the verifier;
+    *  3. verify with `levenshtein` — built into BOTH engines with
+    *     identical semantics, so the whole operator is oracle-exact.
+    */
+  def editDistancePairs(docs: DataFrame, content: Column, id: Column,
+                        titleTokens: Int = 6, blockTokens: Int = 2,
+                        maxDist: Int = 3): DataFrame = {
+    val titled = docs
+      .select(id.as("doc_id"), split(content, "\\s+").as("toks"))
+      .filter(size(col("toks")) >= blockTokens)
+      .select(col("doc_id"),
+        array_join(slice(col("toks"), 1, titleTokens), " ").as("title"),
+        array_join(slice(col("toks"), 1, blockTokens), " ").as("blk"))
+    titled.as("a")
+      .join(titled.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id")
+          && abs(length(col("a.title")) - length(col("b.title"))) <= maxDist)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.title"), col("b.title")).cast(LongType).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  def editDistancePairsOracle(titleTokens: Int = 6, blockTokens: Int = 2,
+                              maxDist: Int = 3): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    ARRAY_TO_STRING(LIST_SLICE(toks, 1, $titleTokens), ' ') AS title,
+       |    ARRAY_TO_STRING(LIST_SLICE(toks, 1, $blockTokens), ' ') AS blk
+       |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks
+       |        FROM documents)
+       |  WHERE LEN(toks) >= $blockTokens)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(LEVENSHTEIN(a.title, b.title) AS BIGINT) AS dist
+       |FROM t a JOIN t b
+       |  ON a.blk = b.blk AND a.doc_id < b.doc_id
+       | AND ABS(LEN(a.title) - LEN(b.title)) <= $maxDist
+       |WHERE LEVENSHTEIN(a.title, b.title) <= $maxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // Shared SQL builders for every MinHash oracle — the portability
   // arithmetic (nibble hash, universal-hash signature, band hashing)
   // must exist in exactly ONE place or a parameter change silently

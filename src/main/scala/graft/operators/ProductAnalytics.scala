@@ -87,4 +87,74 @@ object ProductAnalytics {
       |FROM d JOIN cohorts c ON d.user_id = c.user_id
       |GROUP BY c.cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** Last-touch attribution (round 5): for every conversion event, the
+    * immediately preceding event of the same user — the event type
+    * that "gets credit" — plus the gap in microseconds. One window
+    * over the HIGH-cardinality user key (the safe kind), deterministic
+    * total order via (ts_us, event_id).
+    *
+    * @param events (event_id, user_id, ts_us, event_type)
+    */
+  def lastTouchAttribution(events: DataFrame,
+                           conversion: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(w))
+      .filter(col("event_type") === conversion)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("prev_type"),
+        (col("ts_us") - col("prev_ts_us")).as("gap_us"))
+  }
+
+  def lastTouchAttributionOracle(conversion: String = "purchase"): String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, EPOCH_US(ts) AS ts_us, event_type
+       |  FROM events),
+       |lagged AS (
+       |  SELECT event_id, user_id, ts_us, event_type,
+       |    LAG(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id) AS prev_type,
+       |    LAG(ts_us) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id) AS prev_ts_us
+       |  FROM e)
+       |SELECT event_id, user_id, ts_us, prev_type,
+       |  ts_us - prev_ts_us AS gap_us
+       |FROM lagged WHERE event_type = '$conversion'
+       |ORDER BY event_id""".stripMargin
+
+  /** Rolling 7-day distinct active users per day (round 5) via the
+    * STACKED formulation: each (user, active-day) contributes itself to
+    * the 7 days it stays "recent" for — `explode(0..6)` then one
+    * count-distinct per day. Linear in (users × active days × 7);
+    * no per-day set self-join, no RANGE-frame distinct window (which
+    * Spark cannot express and a 100 TB window couldn't run anyway).
+    * Only days that actually occur in the data are emitted.
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val active = events
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val days = active.select(col("day")).distinct()
+    active
+      .withColumn("i", explode(sequence(lit(0), lit(windowDays - 1))))
+      .select(col("user_id"), (col("day") + col("i")).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(count_distinct(col("user_id")).as(s"active_${windowDays}d"))
+  }
+
+  def rollingActiveUsersOracle(windowDays: Int = 7): String =
+    s"""WITH ad AS (
+       |  SELECT DISTINCT user_id, EPOCH_US(ts) // 86400000000 AS day
+       |  FROM events),
+       |days AS (SELECT DISTINCT day FROM ad),
+       |stacked AS (
+       |  SELECT user_id, ad.day + i AS day2
+       |  FROM ad, UNNEST(GENERATE_SERIES(0, ${windowDays - 1})) AS u(i))
+       |SELECT day2 AS day, COUNT(DISTINCT user_id) AS active_${windowDays}d
+       |FROM stacked WHERE day2 IN (SELECT day FROM days)
+       |GROUP BY day2 ORDER BY day""".stripMargin
 }

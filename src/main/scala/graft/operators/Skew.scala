@@ -66,6 +66,50 @@ object Skew {
       .agg(phase2Aggs.head, phase2Aggs.tail: _*)
   }
 
+  /** Key-skew diagnostics (round 5): the profile you run BEFORE picking
+    * a partition/salt strategy at 100 TB — per-key count distribution
+    * reduced to one row: total rows, distinct keys, the hottest key's
+    * count and share, the top-10 keys' share, and exact p50/p99 of the
+    * per-key counts.
+    *
+    * Scale shape: ONE full-data shuffle (the per-key count aggregate,
+    * map-side combinable); everything after runs on the per-key frame —
+    * top-10 via sort+limit (TakeOrderedAndProject, distributed top-k,
+    * no global window), the exact count-percentiles via the q127
+    * technique (aggregate counts-of-counts, then rank the DISTINCT
+    * count values — window input bounded by the count domain, not the
+    * key count). All integer/deterministic; the two shares are the only
+    * doubles, in one fixed expression shape.
+    */
+  def keySkewProfile(df: DataFrame, key: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perKey = df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+    val totals = perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    val top10 = perKey.orderBy(col("cnt").desc, col("k"))
+      .limit(10).agg(sum(col("cnt")).as("top10_rows"))
+    // counts-of-counts → cumulative over DISTINCT count values
+    val cc = perKey.groupBy("cnt").agg(count(lit(1)).as("freq"))
+    val wCum = Window.orderBy("cnt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cc.withColumn("cum", sum("freq").over(wCum))
+    def kth(kExpr: String, as: String) =
+      max(when(col("cum") - col("freq") < expr(kExpr) &&
+               col("cum") >= expr(kExpr), col("cnt"))).as(as)
+    val pcts = ranked
+      .crossJoin(broadcast(totals.select(col("n_keys").as("nk"))))
+      .agg(kth("(nk + 1) div 2", "p50_cnt"),
+           kth("(nk * 99 + 99) div 100", "p99_cnt"))
+    totals.crossJoin(broadcast(top10)).crossJoin(broadcast(pcts))
+      .select(
+        col("n_rows"), col("n_keys"), col("max_cnt"),
+        (col("max_cnt").cast("double") / col("n_rows")).as("top1_share"),
+        (col("top10_rows").cast("double") / col("n_rows")).as("top10_share"),
+        col("p50_cnt"), col("p99_cnt"))
+  }
+
   /** Two-phase ROW_NUMBER over LOW-CARDINALITY partitions — the window
     * sibling of [[saltedAggregate]] (round 5, generalizing the q127
     * lesson beyond percentiles).

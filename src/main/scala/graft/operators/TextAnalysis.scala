@@ -274,6 +274,7 @@ object TextAnalysis {
     * doc — linear at corpus scale.
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val staged = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
     val nTok = size(col("toks")).cast(LongType)
     val perDoc = staged.select(
@@ -282,11 +283,10 @@ object TextAnalysis {
       size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
       (lit(1.0) - size(array_distinct(col("toks"))).cast(DoubleType) / nTok)
         .as("dup_token_frac"))
+    // codegen occurrence stream (round 5) — repeats kept, so the
+    // per-doc gram counts are unchanged from the interpreted chain
     val grams = staged.select(col("doc_id"),
-      explode(when(size(col("toks")) >= 2,
-        transform(sequence(lit(1), size(col("toks")) - 1),
-          i => array_join(slice(col("toks"), i, lit(2)), " ")))
-        .otherwise(array().cast(ArrayType(StringType)))).as("g"))
+      explode(call_function("shingles_all", col("toks"), lit(2))).as("g"))
     val gramStats = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id").agg(
         sum(col("cnt")).as("n_grams"),
@@ -379,18 +379,18 @@ object TextAnalysis {
     * parallelizes without coordination).
     */
   def fingerprint(docs: DataFrame): DataFrame = {
-    // tokens staged as an attribute: a lambda body referencing the raw
-    // split() expression re-evaluates the regex split per shingle
+    // one-pass codegen kernel (round 5): the interpreted
+    // transform/md5/array_join chain materialized a shingle array AND
+    // a digest array per row; `min_shingle_md5` tracks the minimum on
+    // raw digest bytes and hex-encodes only the winner (same value —
+    // unsigned-byte order IS lowercase-hex order; q44 hash unchanged)
+    graft.expressions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val staged = docs.select(col("doc_id"), col("text"),
       tokens(col("text")).as("toks"))
-    val toks = col("toks")
-    val n = size(toks)
-    val shingles = transform(
-      sequence(lit(1), n - lit(4)),
-      i => md5(array_join(slice(toks, i, lit(5)), " ")))
+    val n = size(col("toks"))
     staged.select(
       col("doc_id"),
-      when(n >= 5, array_min(shingles)).otherwise(lit(null)).as("fp_min"),
+      call_function("min_shingle_md5", col("toks"), lit(5)).as("fp_min"),
       when(n >= 5, (n - lit(4)).cast(LongType)).otherwise(lit(0L)).as("n_shingles"),
       md5(col("text").cast("binary")).as("fp_full"))
   }

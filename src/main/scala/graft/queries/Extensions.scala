@@ -2096,6 +2096,93 @@ object Extensions {
               SUM(CAST(rn AS DECIMAL(38,0)) * x) AS rank_weighted_sum
             FROM r GROUP BY grp ORDER BY grp"""))
 
+  /** MinHash Jaccard ESTIMATE parity — the signature-agreement estimate
+    * every LSH candidate pair would be acted on at 100 TB, replayed
+    * EXACTLY by the oracle (portable integer minhash arithmetic), next
+    * to the exact Jaccard for the same pair.
+    */
+  private val q130 = Q("q130_minhash_estimate",
+    (s, d) => Dedup.minhashJaccardEstimate(Tables.documents(s, d),
+        col("text"), col("doc_id"), n = 3, k = 8, bands = 4)
+      .orderBy("doc_a", "doc_b"),
+    Some(Dedup.minhashJaccardEstimateOracle(n = 3, k = 8, bands = 4)))
+
+  /** Boilerplate prefix-duplicate groups — shared first-32-token
+    * prefixes (crawl template/header signal).
+    */
+  private val q131 = Q("q131_prefix_dup_groups",
+    (s, d) => Dedup.prefixDupGroups(Tables.documents(s, d),
+        col("text"), col("doc_id"), kTokens = 32)
+      .orderBy("prefix_fp"),
+    Some(Dedup.prefixDupGroupsOracle(kTokens = 32)))
+
+  /** Key-skew diagnostics profile over the orders fact — the
+    * pre-partitioning planning pass ([[graft.operators.Skew]]).
+    */
+  private val q132 = Q("q132_key_skew_profile",
+    (s, d) => graft.operators.Skew.keySkewProfile(
+      Tables.lineitem(s, d), col("l_suppkey")),
+    Some("""WITH pk AS (
+              SELECT l_suppkey AS k, COUNT(*) AS cnt
+              FROM lineitem GROUP BY 1),
+            t AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_cnt
+              FROM pk),
+            top10 AS (
+              SELECT CAST(SUM(cnt) AS BIGINT) AS top10_rows FROM (
+                SELECT cnt FROM pk ORDER BY cnt DESC, k LIMIT 10)),
+            cc AS (SELECT cnt, COUNT(*) AS freq FROM pk GROUP BY cnt),
+            r AS (
+              SELECT cnt, freq,
+                SUM(freq) OVER (ORDER BY cnt
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM cc),
+            p AS (
+              SELECT
+                MAX(CASE WHEN cum - freq < (t.n_keys + 1) // 2
+                          AND cum >= (t.n_keys + 1) // 2
+                     THEN cnt END) AS p50_cnt,
+                MAX(CASE WHEN cum - freq < (t.n_keys * 99 + 99) // 100
+                          AND cum >= (t.n_keys * 99 + 99) // 100
+                     THEN cnt END) AS p99_cnt
+              FROM r, t GROUP BY t.n_keys)
+            SELECT n_rows, n_keys, max_cnt,
+              CAST(max_cnt AS DOUBLE) / n_rows AS top1_share,
+              CAST(top10_rows AS DOUBLE) / n_rows AS top10_share,
+              p50_cnt, p99_cnt
+            FROM t, top10, p"""))
+
+  /** Edit-distance title dedup — blocked equi-join + engine-parity
+    * `levenshtein` verification.
+    */
+  private val q133 = Q("q133_edit_distance_dedup",
+    (s, d) => Dedup.editDistancePairs(Tables.documents(s, d),
+        col("text"), col("doc_id"))
+      .orderBy("doc_a", "doc_b"),
+    Some(Dedup.editDistancePairsOracle()))
+
+  /** Last-touch attribution — credit the event preceding each
+    * conversion (window over the high-cardinality user key).
+    */
+  private val q134 = Q("q134_last_touch_attribution",
+    (s, d) => ProductAnalytics.lastTouchAttribution(eventsUsWithId(s, d))
+      .orderBy("event_id"),
+    Some(ProductAnalytics.lastTouchAttributionOracle()))
+
+  /** Rolling 7-day distinct active users — stacked formulation, no
+    * per-day self-join and no (inexpressible) distinct range window.
+    */
+  private val q135 = Q("q135_rolling_active_users",
+    (s, d) => ProductAnalytics.rollingActiveUsers(eventsUs(s, d))
+      .orderBy("day"),
+    Some(ProductAnalytics.rollingActiveUsersOracle()))
+
+  private def eventsUsWithId(s: SparkSession, d: String) =
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select("event_id", "user_id", "ts_us", "event_type")
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2105,5 +2192,6 @@ object Extensions {
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125, q126, q127, q128, q129)
+    q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
+    q130, q131, q132, q133, q134, q135)
 }

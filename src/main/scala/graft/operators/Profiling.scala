@@ -53,11 +53,14 @@ object Profiling {
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
         approx_count_distinct(col(c), rsd = 0.01).as(s"ad_$c")))
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    // gate-only exact branches: each is its own two-phase distinct
-    // aggregate (no Expand); all single-row, so the crossJoins are
-    // broadcast single-row attaches
-    val joined = cols.foldLeft(wide)((acc, c) =>
-      acc.crossJoin(df.agg(countDistinct(col(c)).as(s"ex_$c"))))
+    // gate-only exact branch: ONE multi-distinct aggregate (it pays
+    // the q126 Expand, but once — k separate two-phase distincts cost
+    // k extra scans, measured worse at any scale). At 100 TB this
+    // branch is dropped entirely and only the sketch pass runs.
+    val exacts = df.agg(
+      countDistinct(col(cols.head)).as(s"ex_${cols.head}"),
+      cols.tail.map(c => countDistinct(col(c)).as(s"ex_$c")): _*)
+    val joined = wide.crossJoin(exacts)
     val rows = cols.map(c => struct(
       lit(c).as("column_name"), col("n_rows"),
       col(s"null_$c").as("n_null"),

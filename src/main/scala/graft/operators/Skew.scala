@@ -77,9 +77,12 @@ object Skew {
     * top-10 via sort+limit (TakeOrderedAndProject, distributed top-k,
     * no global window), the exact count-percentiles via the q127
     * technique (aggregate counts-of-counts, then rank the DISTINCT
-    * count values — window input bounded by the count domain, not the
-    * key count). All integer/deterministic; the two shares are the only
-    * doubles, in one fixed expression shape.
+    * count values — window input D ≤ min(n_keys, max_cnt): counts are
+    * positive integers, so D is bounded by the largest count, and a
+    * Zipf-ish distribution gives D ≈ √(2·n_rows) — the global cumsum
+    * window runs over that reduced frame, not the keys). All
+    * integer/deterministic; the two shares are the only doubles, in
+    * one fixed expression shape.
     */
   def keySkewProfile(df: DataFrame, key: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -154,25 +157,28 @@ object Skew {
     val localW = Window
       .partitionBy((partCols :+ "__bkt").map(col): _*)
       .orderBy((orderCol +: tieCols).map(col): _*)
-    // local rank and bucket size share ONE window partitioning — the
-    // count adds no extra shuffle
-    val ranked = df
+    val withB = df
       .join(broadcast(bounds), partCols)
       .withColumn("__bkt", bkt)
-      .withColumn("__rn_local", row_number().over(localW))
-      .withColumn("__cnt", count(lit(1)).over(
-        Window.partitionBy((partCols :+ "__bkt").map(col): _*)))
-    // offsets over the groups × buckets frame: tiny by construction
-    val offsets = ranked
-      .select((partCols :+ "__bkt" :+ "__cnt").map(col): _*).distinct()
+    // Bucket sizes come from the PRE-window frame: a map-side-combined
+    // aggregate whose shuffle carries groups × buckets rows, i.e. a
+    // second column-pruned SCAN but no second full-data shuffle. (The
+    // first cut derived sizes from the ranked frame via
+    // window-count + distinct — column pruning specialized that
+    // branch's exchange, ReuseExchange missed, and the executed plan
+    // shuffled the full data TWICE.)
+    val offsets = withB
+      .groupBy((partCols :+ "__bkt").map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
       .withColumn("__offset",
         coalesce(sum(col("__cnt")).over(
           Window.partitionBy(part: _*).orderBy(col("__bkt"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select((partCols :+ "__bkt" :+ "__offset").map(col): _*)
-    ranked
+    withB
+      .withColumn("__rn_local", row_number().over(localW))
       .join(broadcast(offsets), partCols :+ "__bkt")
       .withColumn(as, col("__offset") + col("__rn_local"))
-      .drop("__lo", "__hi", "__bkt", "__rn_local", "__cnt", "__offset")
+      .drop("__lo", "__hi", "__bkt", "__rn_local", "__offset")
   }
 }

@@ -398,4 +398,83 @@ object EventStream {
       .filter(col("rk") <= maxPerWindow)
       .select("user_id", "win_start_us", "ts_us", "event_id")
   }
+
+  // ------------------------------------------- last-touch attribution
+
+  final case class Attribution(user_id: Long, event_id: Long, ts_us: Long,
+                               prev_type: String, gap_us: java.lang.Long)
+  /** last = newest FINALIZED event (context for the next flush);
+    * buf = events not yet past the watermark, in arrival order.
+    */
+  final case class AttrState(lastTs: Long, lastType: String,
+                             hasLast: Boolean,
+                             buf: Seq[(Long, Long, String)]) // (ts_us, id, type)
+
+  /** Streaming twin of
+    * [[graft.operators.ProductAnalytics.lastTouchAttribution]]: for
+    * every conversion event, the immediately preceding event of the
+    * same user (credit assignment), emitted once the watermark passes
+    * the conversion — so late-but-in-watermark predecessors are seen
+    * BEFORE credit is assigned and the result equals the batch twin
+    * regardless of arrival order.
+    *
+    * State per user: the un-finalized event buffer (bounded by the
+    * watermark delay — events older than the watermark flush every
+    * invocation) plus ONE finalized (ts, type) pair as context for the
+    * next flush. The retained pair makes state O(users), the same
+    * footprint class as any per-user aggregate, and is what gives the
+    * batch twin's unbounded lookback (a conversion years after the
+    * previous event still credits it).
+    */
+  def attributionStream(events: DataFrame, conversion: String = "purchase",
+                        watermarkDelay: String = "1 hour"): Dataset[Attribution] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    withEventTime(events)
+      .withWatermark("ts_utc", watermarkDelay)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"), col("ts_utc"))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[AttrState, Attribution](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, evs, state) =>
+          val st0 = state.getOption.getOrElse(
+            AttrState(0L, null, hasLast = false, Seq.empty))
+          val buf = st0.buf ++ evs.map(e => (e._3, e._1, e._4))
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          // watermark contract: nothing with event time ≤ wm arrives
+          // after this point — those events are FINAL, walk them in
+          // the deterministic (ts, id) order and assign credit
+          val (done, pending) = buf.sortBy(t => (t._1, t._2))
+            .partition(_._1 <= wmUs)
+          var lastTs = st0.lastTs
+          var lastType = st0.lastType
+          var hasLast = st0.hasLast
+          val out = scala.collection.mutable.ArrayBuffer.empty[Attribution]
+          done.foreach { case (ts, id, typ) =>
+            if (typ == conversion)
+              out += Attribution(userId, id, ts,
+                if (hasLast) lastType else null,
+                if (hasLast) java.lang.Long.valueOf(ts - lastTs) else null)
+            lastTs = ts; lastType = typ; hasLast = true
+          }
+          state.update(AttrState(lastTs, lastType, hasLast, pending))
+          if (pending.nonEmpty)
+            // fire once the watermark passes the oldest pending event
+            state.setTimeoutTimestamp(
+              math.max(pending.map(_._1).min / 1000 + 1, wmUs / 1000 + 1))
+          out.iterator
+      }
+  }
+
+  /** Batch twin on the raw events frame (same shape as the graded
+    * q134, kept here for the stream ≡ batch spec).
+    */
+  def attributionBatch(events: DataFrame,
+                       conversion: String = "purchase"): DataFrame =
+    graft.operators.ProductAnalytics.lastTouchAttribution(
+      events.select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type")),
+      conversion)
 }

@@ -340,6 +340,51 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("attributionStream: per-conversion credit equals the batch twin") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-attr-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      srcDir.resolve("a_events.parquet"))
+    val batchEvents = spark.read.parquet(s"$srcDir/a_events.parquet")
+    val maxTs = batchEvents.agg(max("ts")).head().getLong(0)
+    // sentinel advances the watermark past every real event so the
+    // whole buffer finalizes (delay 1h + margin)
+    def sentinelFile(name: String, eventId: Long, ts: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-attr-sent")
+      Seq((eventId, ts, 999999L, "flush", 0.0, null: String))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), srcDir.resolve(name))
+    }
+    val delayNs = 2L * 3600 * 1000000000L
+    sentinelFile("b_sentinel.parquet", 999999L, maxTs + delayNs)
+    sentinelFile("c_sentinel.parquet", 999998L, maxTs + 2 * delayNs)
+
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = EventStream.attributionStream(stream)
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("event_id"),
+      r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+      Option(r.getAs[String]("prev_type")).getOrElse(""),
+      Option(r.getAs[java.lang.Long]("gap_us")).map(_.toLong).getOrElse(-1L))
+    val got = spark.table("attr_stream")
+      .filter(col("user_id") =!= 999999L)
+      .collect().map(key).sorted.toSeq
+    val expected = EventStream.attributionBatch(batchEvents)
+      .collect().map(key).sorted.toSeq
+    assert(got.nonEmpty)
+    // conversions with a real predecessor exist (the credit path bites)
+    assert(got.exists(_._4.nonEmpty))
+    assert(got === expected)
+  }
+
   test("sessionizeStream: restart from a durable checkpoint is exactly-once (≡ batch)") {
     import spark.implicits._
     // durable locations shared by BOTH query incarnations

@@ -125,6 +125,46 @@ object ProductAnalytics {
        |FROM lagged WHERE event_type = '$conversion'
        |ORDER BY event_id""".stripMargin
 
+  /** Event-type transition matrix (round 5): Markov-style counts of
+    * consecutive (prev → next) event types per user stream, with each
+    * row's share of its source state's outgoing transitions — the
+    * input to next-event prediction and funnel-drop diagnosis. One lag
+    * window over the high-cardinality user key + one bounded-key
+    * aggregate (|event types|² rows at most).
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val pairs = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = pairs.groupBy("prev_type").agg(sum("n").as("out_n"))
+    pairs.join(outTotals, Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("out_n")).as("share"))
+  }
+
+  def eventTransitionsOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, EPOCH_US(ts) AS ts_us, event_type
+      |  FROM events),
+      |p AS (
+      |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n FROM (
+      |    SELECT event_type,
+      |      LAG(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY ts_us, event_id) AS prev_type
+      |    FROM e)
+      |  WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, next_type),
+      |o AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS out_n
+      |      FROM p GROUP BY prev_type)
+      |SELECT p.prev_type, p.next_type, p.n,
+      |  CAST(p.n AS DOUBLE) / o.out_n AS share
+      |FROM p JOIN o ON p.prev_type = o.prev_type
+      |ORDER BY p.prev_type, p.next_type""".stripMargin
+
   /** Rolling 7-day distinct active users per day (round 5) via the
     * STACKED formulation: each (user, active-day) contributes itself to
     * the 7 days it stays "recent" for — `explode(0..6)` then one

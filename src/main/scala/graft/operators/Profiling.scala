@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -18,19 +18,89 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * Expand (small tables, audit passes) — the q126-gated shape.
   *
   * In sketch mode the output carries the q62-style hash-checkable
-  * contract: the EXACT count (computed in separate non-Expand branches,
-  * one plain two-phase distinct per column) plus a boolean asserting
-  * the sketch landed within 5× its configured rsd. The oracle emits
-  * the exact count and literal TRUE, so a wildly-off estimate fails
-  * the gate while bit-level sketch differences do not. At 100 TB the
-  * exact branches are dropped and the profile ships the sketch alone —
-  * they exist here to make approximation a CHECKED claim, not a vibe.
+  * contract: the EXACT count (one gate-only multi-distinct aggregate)
+  * plus a boolean asserting the sketch landed within the 5% bound.
+  * The oracle emits the exact count and literal TRUE, so a wildly-off
+  * estimate fails the gate while bit-level sketch differences do not.
+  * At 100 TB the exact branch is dropped and the profile ships the
+  * sketch alone — it exists here to make approximation a CHECKED
+  * claim, not a vibe.
   */
 object Profiling {
 
   def tableProfile(df: DataFrame, cols: Seq[String],
                    exact: Boolean = false): DataFrame =
     if (exact) exactProfile(df, cols) else sketchProfile(df, cols)
+
+  /** Exact equal-frequency binning (round 5) — the feature-engineering
+    * twin of the q127 percentile machinery: split an integer measure
+    * into `bins` quantile buckets and profile each.
+    *
+    * Boundary j (j = 1..bins−1) is the k_j-th smallest value with
+    * k_j = ⌈j·n/bins⌉ in pure integer arithmetic; a row's bin is
+    * 1 + |{j : boundary_j < x}| — strictly-less, so EQUAL VALUES ALWAYS
+    * SHARE A BIN (value-deterministic, partition-independent; bins can
+    * be unevenly sized exactly when ties straddle a boundary, which is
+    * the price of determinism).
+    *
+    * Scale shape: boundaries come from the aggregate-then-rank-distinct
+    * form (window input bounded by the VALUE DOMAIN, never a
+    * low-cardinality full-data window), land in ONE single-row frame,
+    * and broadcast back — the per-row bin assignment is a statically
+    * unrolled comparison chain, map-side, no driver collect anywhere.
+    */
+  def equiFreqBins(df: DataFrame, value: Column, bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2, s"bins ($bins) must be >= 2")
+    val counts = df.select(value.as("x")).groupBy("x")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    def boundary(j: Int) =
+      max(when(col("cum") - col("cnt") < expr(s"(n * $j + ${bins - 1}) div $bins")
+            && col("cum") >= expr(s"(n * $j + ${bins - 1}) div $bins"), col("x")))
+        .as(s"b_$j")
+    val bounds = ranked.agg(boundary(1),
+      (2 until bins).map(boundary): _*)
+    val bin = (1 until bins)
+      .map(j => when(col(s"b_$j") < col("x"), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    df.select(value.as("x"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        (sum(col("x")).cast(DoubleType) / count(lit(1))).as("mean_x"))
+  }
+
+  /** Oracle for [[equiFreqBins]] over an integer-SQL value expression. */
+  def equiFreqBinsOracle(valueSql: String, table: String, bins: Int): String = {
+    val ks = (1 until bins)
+      .map(j => s"MAX(CASE WHEN cum - cnt < (n * $j + ${bins - 1}) // $bins " +
+        s"AND cum >= (n * $j + ${bins - 1}) // $bins THEN x END) AS b_$j")
+      .mkString(",\n    ")
+    val binExpr = (1 until bins)
+      .map(j => s"CASE WHEN b.b_$j < v.x THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH v AS (SELECT $valueSql AS x FROM $table),
+       |c AS (SELECT x, COUNT(*) AS cnt FROM v GROUP BY x),
+       |r AS (
+       |  SELECT x, cnt,
+       |    SUM(cnt) OVER (ORDER BY x
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(cnt) OVER () AS n
+       |  FROM c),
+       |b AS (SELECT $ks FROM r)
+       |SELECT $binExpr + 1 AS bin, COUNT(*) AS n_rows,
+       |  MIN(v.x) AS min_x, MAX(v.x) AS max_x,
+       |  CAST(SUM(v.x) AS DOUBLE) / COUNT(*) AS mean_x
+       |FROM v, b
+       |GROUP BY bin ORDER BY bin""".stripMargin
+  }
 
   private def exactProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +:
@@ -53,9 +123,8 @@ object Profiling {
     // for 4 columns × 600k rows where the DataSketches update is near
     // free (q128 3.16 → 0.94 s at sf0.1; the remainder is mostly the
     // gate-only exact branch). Inputs cast to string — an injective
-    // mapping, so the
-    // sketch sees exactly one value per distinct column value (the
-    // function accepts only int/long/string/binary).
+    // mapping, so the sketch sees exactly one value per distinct
+    // column value (the function accepts only int/long/string/binary).
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),

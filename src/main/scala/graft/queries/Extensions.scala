@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Fns
 import org.apache.spark.sql.SparkSession
-import graft.operators.{AsOfJoin, Dedup, ProductAnalytics, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, GraphOps, ProductAnalytics, RangeJoin, Similarity, TextAnalysis}
 import graft.serving.SafeSql
 import graft.queries.Parity.Q
 import graft.tables.Tables
@@ -2183,6 +2183,39 @@ object Extensions {
       .withColumn("ts_us", expr("ts div 1000"))
       .select("event_id", "user_id", "ts_us", "event_type")
 
+  /** Event-type transition matrix with per-source shares — Markov
+    * counts over the user streams.
+    */
+  private val q136 = Q("q136_event_transitions",
+    (s, d) => ProductAnalytics.eventTransitions(eventsUsWithId(s, d))
+      .orderBy("prev_type", "next_type"),
+    Some(ProductAnalytics.eventTransitionsOracle))
+
+  /** Triangle census of the SimHash near-dup graph — oriented-edge
+    * two-join formulation ([[graft.operators.GraphOps]]); the oracle
+    * rebuilds the same graph (the q49 pair derivation as a CTE) and
+    * replays the joins.
+    */
+  private val q137 = Q("q137_neardup_triangles",
+    (s, d) => GraphOps.triangleStats(
+      Dedup.simHashPairs(Tables.documents(s, d),
+        col("text"), col("doc_id"), maxHamming = 3)),
+    Some(GraphOps.triangleStatsOracle(
+      Dedup.simHashPairsOracle(maxHamming = 3))))
+
+  /** Exact equal-frequency binning of the price measure — the q127
+    * quantile machinery as a reusable feature-engineering operator.
+    */
+  private val q138 = Q("q138_equifreq_binning",
+    (s, d) => graft.operators.Profiling.equiFreqBins(
+        Tables.lineitem(s, d),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast(LongType),
+        bins = 10)
+      .orderBy("bin"),
+    Some(graft.operators.Profiling.equiFreqBinsOracle(
+      "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)",
+      "lineitem", bins = 10)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2193,5 +2226,5 @@ object Extensions {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
-    q130, q131, q132, q133, q134, q135)
+    q130, q131, q132, q133, q134, q135, q136, q137, q138)
 }

@@ -74,6 +74,7 @@ def main(sf_dir: str, oracle_path: str, spark_bench_path: str,
             per_query[name] = {"error": f"{type(ex).__name__}: {ex}"}
 
     unmatched = sorted(set(spark) - set(oracles))
+    unmatched_oracle = sorted(set(oracles) - set(spark))
     matched = [q for q in per_query.values()
                if "ratio_floor_adj" in q and q["ratio_floor_adj"] is not None]
     summary = {
@@ -86,6 +87,7 @@ def main(sf_dir: str, oracle_path: str, spark_bench_path: str,
         "duckdb_total_sec": round(sum(q["duckdb_sec"] for q in matched), 2),
         "flagged_over_2x_floor_adj": sorted(flagged),
         "unmatched_spark_only": unmatched,
+        "unmatched_oracle_only": unmatched_oracle,
         "queries": per_query,
     }
     with open(out_path, "w") as f:

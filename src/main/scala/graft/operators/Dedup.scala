@@ -41,9 +41,16 @@ object Dedup {
     * short docs yield [] inside the kernel on both engines (DuckDB's
     * generate_series returns empty for k < 1).
     */
-  def shingles(toks: Column, n: Int): Column =
-    coalesce(call_function("shingles", toks, lit(n)),
+  def shingles(toks: Column, n: Int): Column = {
+    // constructed directly (not via the function registry), so the
+    // Column builder stays self-contained on any session — no
+    // ensureRegistered precondition; the registry entry still exists
+    // for SQL-surface users
+    import org.apache.spark.sql.classic.GraftColumnBridge._
+    coalesce(column(graft.expressions.Shingles(
+        expression(toks), expression(lit(n)))),
       array().cast(ArrayType(StringType)))
+  }
 
   /** (doc_id, sh) with the token array staged as a real column so the
     * shingle kernel reads an attribute (one regex split per row); the
@@ -125,6 +132,15 @@ object Dedup {
     * Candidate generation and verification are both equi-joins —
     * linear shuffle volume at any corpus size.
     */
+  /** Registry-free merge-walk intersect count (see
+    * [[graft.expressions.SortedIntersectCount]]) — arrays must be
+    * sorted ascending.
+    */
+  private def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.classic.GraftColumnBridge._
+    column(graft.expressions.SortedIntersectCount(expression(a), expression(b)))
+  }
+
   /** Pair operators are self-cleaning: the shared base is persisted for
     * the duration of the computation, the (small) pair result is
     * materialized via an eager localCheckpoint — which truncates lineage
@@ -227,18 +243,14 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, content: Column, id: Column,
                         n: Int = 3, threshold: Double = 0.8,
                         mapSidePrefix: Boolean = false): DataFrame = {
-    // The shingled base is RECOMPUTED per consumer, not persisted: with
-    // the codegen shingle kernel the recompute is a cheap projection
-    // over the source scan (measured 0.34 s at sf0.1), while building
-    // the columnar cache of the string arrays cost 4× that — and at
-    // 100 TB a shingled-corpus cache is larger than the source and
-    // spills, whereas re-running a projection pipeline costs no
-    // materialization at all. Classic recompute-over-cache call for a
-    // cheap wide intermediate.
-    // The shingle set is stored SORTED: per-doc sort is paid once per
-    // pass, and every pairwise verification below becomes a linear
-    // merge walk instead of a per-pair hash set (the measured q47 hot
-    // spot).
+    // Persisted once for the 5 consumers (df table, two candidate
+    // sides, two verify sides). An A/B tried recompute-per-consumer
+    // (the codegen kernel makes each pass cheap, 0.34 s at sf0.1, vs a
+    // 1.33 s cache fill) — measured a wash locally, and at scale one
+    // materialization beats five corpus-wide tokenize+shingle passes.
+    // The shingle set is stored SORTED: per-doc sort is paid once, and
+    // every pairwise verification below becomes a linear merge walk
+    // instead of a per-pair hash set (the measured q47 hot spot).
     val base = shingledDocs(docs, content, id, n, dropShort = false)
       .withColumn("sh", array_sort(col("sh")))
       .withColumn("n_sh", size(col("sh")).cast(LongType))
@@ -251,8 +263,7 @@ object Dedup {
           col("n_sh").as("n_a")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
           col("n_sh").as("n_b")), Seq("doc_b"))
-        .withColumn("inter",
-          call_function("sorted_intersect_count", col("sh_a"), col("sh_b")))
+        .withColumn("inter", sortedIntersectCount(col("sh_a"), col("sh_b")))
         .withColumn("jaccard",
           col("inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("inter")))
         .filter(col("jaccard") >= threshold)
@@ -490,8 +501,7 @@ object Dedup {
           col("sh").as("sh_a")), Seq("doc_a"))
         .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
           col("sh").as("sh_b")), Seq("doc_b"))
-        .withColumn("inter",
-          call_function("sorted_intersect_count", col("sh_a"), col("sh_b")))
+        .withColumn("inter", sortedIntersectCount(col("sh_a"), col("sh_b")))
         .select(
           col("doc_a"), col("doc_b"),
           (matches.cast(DoubleType) / k).as("est_jaccard"),

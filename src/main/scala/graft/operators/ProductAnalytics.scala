@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-stream product analytics: ordered funnels and retention
@@ -68,9 +68,17 @@ object ProductAnalytics {
     * @param events (user_id, ts_us, …)
     * @return (cohort_day, day_offset, n_users) — epoch-day integers
     */
+  /** Flooring epoch-day bin — `div` truncates toward zero, DuckDB's
+    * `//` floors, so pre-epoch (negative) timestamps would land in
+    * different days on the two engines (the quotaStream floorDiv
+    * lesson). pmod-floor matches `//` for every sign.
+    */
+  private val DayUs = 86400000000L
+  private def epochDay(tsUs: Column): Column =
+    call_function("div", tsUs - pmod(tsUs, lit(DayUs)), lit(DayUs))
+
   def retention(events: DataFrame): DataFrame = {
-    val days = events.select(col("user_id"),
-      expr("ts_us div 86400000000").as("day"))
+    val days = events.select(col("user_id"), epochDay(col("ts_us")).as("day"))
     val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
     days.join(cohorts, "user_id")
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
@@ -175,7 +183,7 @@ object ProductAnalytics {
     */
   def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
     val active = events
-      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .select(col("user_id"), epochDay(col("ts_us")).as("day"))
       .distinct()
     val days = active.select(col("day")).distinct()
     active

@@ -28,9 +28,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object Profiling {
 
+  /** `exactCheck` (sketch mode only): attach the exact distincts and
+    * the within-bound flag — the gate contract. `false` is the 100 TB
+    * production shape: the sketch pass alone, `n_distinct` carries the
+    * estimate, no Expand anywhere in the plan (spec-asserted).
+    */
   def tableProfile(df: DataFrame, cols: Seq[String],
-                   exact: Boolean = false): DataFrame =
-    if (exact) exactProfile(df, cols) else sketchProfile(df, cols)
+                   exact: Boolean = false,
+                   exactCheck: Boolean = true): DataFrame =
+    if (exact) exactProfile(df, cols)
+    else sketchProfile(df, cols, exactCheck)
 
   /** Exact equal-frequency binning (round 5) — the feature-engineering
     * twin of the q127 percentile machinery: split an integer measure
@@ -114,7 +121,8 @@ object Profiling {
     wide.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
-  private def sketchProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  private def sketchProfile(df: DataFrame, cols: Seq[String],
+                            exactCheck: Boolean): DataFrame = {
     // one pass: count + per-column null counts + per-column HLL.
     // Sketch partials merge associatively — no Expand, no per-distinct
     // keying of the shuffle (the q62 plan lesson). DataSketches HLL
@@ -131,10 +139,18 @@ object Profiling {
         hll_sketch_estimate(
           hll_sketch_agg(col(c).cast("string"))).as(s"ad_$c")))
     val wide = df.agg(aggs.head, aggs.tail: _*)
+    if (!exactCheck) {
+      // the 100 TB production shape: sketch pass only, estimate IS the
+      // reported distinct count, no Expand in the plan
+      val rows = cols.map(c => struct(
+        lit(c).as("column_name"), col("n_rows"),
+        col(s"null_$c").as("n_null"),
+        col(s"ad_$c").cast(LongType).as("n_distinct")))
+      return wide.select(explode(array(rows: _*)).as("r")).select("r.*")
+    }
     // gate-only exact branch: ONE multi-distinct aggregate (it pays
     // the q126 Expand, but once — k separate two-phase distincts cost
-    // k extra scans, measured worse at any scale). At 100 TB this
-    // branch is dropped entirely and only the sketch pass runs.
+    // k extra scans, measured worse at any scale).
     val exacts = df.agg(
       countDistinct(col(cols.head)).as(s"ex_${cols.head}"),
       cols.tail.map(c => countDistinct(col(c)).as(s"ex_$c")): _*)

@@ -274,7 +274,7 @@ object TextAnalysis {
     * doc — linear at corpus scale.
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    graft.expressions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    import org.apache.spark.sql.classic.GraftColumnBridge._
     val staged = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
     val nTok = size(col("toks")).cast(LongType)
     val perDoc = staged.select(
@@ -286,7 +286,8 @@ object TextAnalysis {
     // codegen occurrence stream (round 5) — repeats kept, so the
     // per-doc gram counts are unchanged from the interpreted chain
     val grams = staged.select(col("doc_id"),
-      explode(call_function("shingles_all", col("toks"), lit(2))).as("g"))
+      explode(column(graft.expressions.ShinglesAll(
+        expression(col("toks")), expression(lit(2))))).as("g"))
     val gramStats = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id").agg(
         sum(col("cnt")).as("n_grams"),
@@ -384,13 +385,14 @@ object TextAnalysis {
     // a digest array per row; `min_shingle_md5` tracks the minimum on
     // raw digest bytes and hex-encodes only the winner (same value —
     // unsigned-byte order IS lowercase-hex order; q44 hash unchanged)
-    graft.expressions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    import org.apache.spark.sql.classic.GraftColumnBridge._
     val staged = docs.select(col("doc_id"), col("text"),
       tokens(col("text")).as("toks"))
     val n = size(col("toks"))
     staged.select(
       col("doc_id"),
-      call_function("min_shingle_md5", col("toks"), lit(5)).as("fp_min"),
+      column(graft.expressions.MinShingleMd5(
+        expression(col("toks")), expression(lit(5)))).as("fp_min"),
       when(n >= 5, (n - lit(4)).cast(LongType)).otherwise(lit(0L)).as("n_shingles"),
       md5(col("text").cast("binary")).as("fp_full"))
   }

@@ -146,6 +146,37 @@ class ScaleSpec extends SparkSpec {
       s"offsets window should read the distinct bucket frame:\n$finalPlan")
   }
 
+  test("tableProfile sketch-only mode plans NO Expand; checked mode pays one") {
+    import graft.operators.Profiling
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val cols = Seq("l_returnflag", "l_quantity")
+    val prod = Profiling.tableProfile(li, cols, exactCheck = false)
+    prod.collect()
+    val prodPlan = (prod.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(!prodPlan.contains("Expand"),
+      s"production sketch profile must not Expand:\n$prodPlan")
+    val gated = Profiling.tableProfile(li, cols)
+    gated.collect()
+    val gatedPlan = (gated.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(gatedPlan.contains("Expand"),
+      "the exactCheck contract is the branch that pays the Expand")
+    // and the sketch estimates agree with the exact counts here
+    val est = prod.collect().map(r =>
+      r.getAs[String]("column_name") -> r.getAs[Long]("n_distinct")).toMap
+    val ex = Profiling.tableProfile(li, cols, exact = true).collect().map(r =>
+      r.getAs[String]("column_name") -> r.getAs[Long]("n_distinct")).toMap
+    cols.foreach { c =>
+      assert(math.abs(est(c) - ex(c)).toDouble / ex(c) <= 0.05,
+        s"$c estimate ${est(c)} vs exact ${ex(c)}")
+    }
+  }
+
   test("salted aggregation equals direct aggregation") {
     val dir = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, dir)

@@ -72,6 +72,49 @@ object Checks {
     CheckResult(table, column, failures)
   }
 
+  /** DataFrame-returning check variants (round 5): one row per check,
+    * `(check_name, failures)` — NO driver collect, so a whole DQ suite
+    * composes into one lazily-planned union the engine schedules as
+    * independent single-row aggregates (and the t2 oracle can replay).
+    * The scalar variants above remain for imperative gate code.
+    */
+  def notNullDf(df: DataFrame, table: String, columns: Seq[String]): DataFrame = {
+    val wide = df.agg(
+      sum(col(columns.head).isNull.cast("long")).as(columns.head),
+      columns.tail.map(c => sum(col(c).isNull.cast("long")).as(c)): _*)
+    val rows = columns.map(c => struct(
+      lit(s"not_null:$table.$c").as("check_name"),
+      coalesce(col(c), lit(0L)).as("failures")))
+    wide.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  def uniqueDf(df: DataFrame, table: String, columns: Seq[String]): DataFrame = {
+    val nonNullKeys = columns.map(col(_).isNotNull).reduce(_ && _)
+    df.filter(nonNullKeys)
+      .groupBy(columns.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .agg(count(lit(1)).as("failures"))
+      .select(lit(s"unique:$table.${columns.mkString("(", ",", ")")}")
+        .as("check_name"), col("failures"))
+  }
+
+  def acceptedValuesDf(df: DataFrame, table: String, column: String,
+                       allowed: Seq[String]): DataFrame =
+    df.filter(col(column).isNotNull && !col(column).isin(allowed: _*))
+      .agg(count(lit(1)).as("failures"))
+      .select(lit(s"accepted_values:$table.$column").as("check_name"),
+        col("failures"))
+
+  def relationshipsDf(df: DataFrame, table: String, column: String,
+                      to: DataFrame, toColumn: String): DataFrame =
+    df.filter(col(column).isNotNull)
+      .join(to.select(col(toColumn).as(column)).distinct(),
+        Seq(column), "left_anti")
+      .agg(count(lit(1)).as("failures"))
+      .select(lit(s"relationships:$table.$column").as("check_name"),
+        col("failures"))
+
   /** The reference's full 17-test contract. */
   def contract(
       silverLaps: DataFrame, silverWeather: DataFrame, silverResults: DataFrame,

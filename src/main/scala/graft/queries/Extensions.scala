@@ -2216,6 +2216,59 @@ object Extensions {
       "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)",
       "lineitem", bins = 10)))
 
+  /** dbt-style data-quality suite as ONE oracle-gated report — the
+    * DataFrame-returning check variants composed into a union of
+    * independent single-row aggregates (no driver collect anywhere).
+    * The accepted_values probe is deliberately strict (priorities 1-2
+    * only) so the non-zero failure path is graded, not just the happy
+    * zeros.
+    */
+  private val q139 = Q("q139_dq_report",
+    (s, d) => {
+      import graft.quality.Checks
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      Checks.notNullDf(li, "lineitem", Seq("l_orderkey", "l_quantity"))
+        .union(Checks.uniqueDf(li, "lineitem", Seq("l_orderkey", "l_linenumber")))
+        .union(Checks.acceptedValuesDf(li, "lineitem", "l_returnflag",
+          Seq("A", "N", "R")))
+        .union(Checks.acceptedValuesDf(o, "orders", "o_orderpriority",
+          Seq("1-URGENT", "2-HIGH")))
+        .union(Checks.relationshipsDf(li, "lineitem", "l_orderkey",
+          o, "o_orderkey"))
+        .orderBy("check_name")
+    },
+    Some("""SELECT 'not_null:lineitem.l_orderkey' AS check_name,
+              CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS failures FROM lineitem
+            UNION ALL
+            SELECT 'not_null:lineitem.l_quantity',
+              CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              FROM lineitem
+            UNION ALL
+            SELECT 'unique:lineitem.(l_orderkey,l_linenumber)',
+              CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+                GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+            UNION ALL
+            SELECT 'accepted_values:lineitem.l_returnflag',
+              CAST(COUNT(*) AS BIGINT) FROM lineitem
+              WHERE l_returnflag IS NOT NULL
+                AND l_returnflag NOT IN ('A', 'N', 'R')
+            UNION ALL
+            SELECT 'accepted_values:orders.o_orderpriority',
+              CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            UNION ALL
+            SELECT 'relationships:lineitem.l_orderkey',
+              CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              WHERE l.l_orderkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)
+            ORDER BY check_name"""))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2226,5 +2279,5 @@ object Extensions {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
-    q130, q131, q132, q133, q134, q135, q136, q137, q138)
+    q130, q131, q132, q133, q134, q135, q136, q137, q138, q139)
 }

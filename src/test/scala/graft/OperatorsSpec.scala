@@ -127,6 +127,56 @@ class OperatorsSpec extends SparkSpec {
     r.foreach(row => assert(row.getLong(0) === row.getLong(1)))
   }
 
+  test("kernel properties: shingles/minShingleMd5/sortedIntersect vs reference (random docs)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deterministic scalacheck sampling (FnsSpec pattern)
+    def samples[A](g: Gen[A], n: Int = 60): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val tokGen = Gen.listOfN(12,
+      Gen.oneOf("a", "b", "c", "aa", "ab", "x y", "", "über", "1"))
+    val docs = samples(tokGen).zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+    // shingles kernel ≡ HOF chain on every random doc, n = 1..4
+    (1 to 4).foreach { n =>
+      val chain = when(size(col("toks")) >= n,
+        array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - lit(n - 1)),
+          i => array_join(slice(col("toks"), i, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))
+      val bad = df.select(graft.operators.Dedup.shingles(col("toks"), n).as("k"),
+          chain.as("c"))
+        .filter(not(col("k") <=> col("c"))).count()
+      assert(bad === 0L, s"shingles(n=$n) diverges from the HOF chain")
+    }
+    // minShingleMd5 ≡ array_min of per-window md5
+    val chainMin = when(size(col("toks")) >= 5,
+      array_min(transform(sequence(lit(1), size(col("toks")) - lit(4)),
+        i => md5(array_join(slice(col("toks"), i, lit(5)), " ")))))
+      .otherwise(lit(null))
+    import org.apache.spark.sql.classic.GraftColumnBridge._
+    val badMin = df.select(
+        column(graft.expressions.MinShingleMd5(
+          expression(col("toks")), expression(lit(5)))).as("k"),
+        chainMin.as("c"))
+      .filter(not(col("k") <=> col("c"))).count()
+    assert(badMin === 0L, "min_shingle_md5 diverges from md5 chain")
+    // sorted_intersect_count ≡ size(array_intersect) on sorted distinct arrays
+    val pairGen = for {
+      a <- Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+      b <- Gen.listOfN(8, Gen.oneOf("c", "d", "e", "f", "g", "h"))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    val pdf = spark.createDataFrame(samples(pairGen)).toDF("a", "b")
+    val badInt = pdf.select(
+        column(graft.expressions.SortedIntersectCount(
+          expression(col("a")), expression(col("b")))).as("k"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("c"))
+      .filter(col("k") =!= col("c")).count()
+    assert(badInt === 0L, "sorted_intersect_count diverges from array_intersect")
+  }
+
   test("jaccard candidates: map-side PrefixGrams path ≡ shuffle path") {
     // pairs must be identical through either physical candidate shape
     val a = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),

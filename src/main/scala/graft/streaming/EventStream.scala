@@ -477,4 +477,56 @@ object EventStream {
       events.select(col("event_id"), col("user_id"),
         expr("ts div 1000").as("ts_us"), col("event_type")),
       conversion)
+
+  // --------------------------------------- rolling distinct actives
+
+  /** Streaming twin of
+    * [[graft.operators.ProductAnalytics.rollingActiveUsers]] — rolling
+    * `windowDays`-day distinct active users per day, via the same
+    * STACKED formulation the batch side uses: each event projects its
+    * (user, day+i) contributions for i < windowDays (a stateless
+    * explode — generators are fine pre-aggregation in streaming), the
+    * watermarked `dropDuplicates` collapses them to one row per
+    * (user, contributed day), and a 1-day window count emits each
+    * day's total exactly once in append mode.
+    *
+    * Watermark subtlety: a contribution's event time is the START of
+    * the day it contributes to — up to `windowDays − 1` days AFTER its
+    * source event, never before, so shifted records are always "early"
+    * relative to their source and the derived watermark needs the
+    * extra `windowDays` of slack to hold the day open until the LAST
+    * possible contributor (a source event late in day D) has cleared
+    * the source delay. State = distinct (user, day) pairs inside the
+    * watermark horizon plus one count per open day — both bounded.
+    *
+    * Emitted days include the `windowDays − 1` days after the last
+    * activity (a user active on day D is still "active within 7 days"
+    * on day D+6); the batch twin restricts to days with actual
+    * activity, so the comparing spec applies that same restriction.
+    */
+  def rollingActiveStream(events: DataFrame, windowDays: Int = 7,
+                          watermarkDelayHours: Int = 1): DataFrame = {
+    val dayUs = 86400000000L
+    val shifted = withEventTime(events)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .withColumn("day",
+        call_function("div",
+          col("ts_us") - pmod(col("ts_us"), lit(dayUs)), lit(dayUs)))
+      .withColumn("i", explode(sequence(lit(0), lit(windowDays - 1))))
+      .select(col("user_id"), (col("day") + col("i")).as("day2"))
+      .withColumn("day2_ts",
+        timestamp_micros(col("day2") * dayUs))
+      .withWatermark("day2_ts",
+        s"${windowDays * 24 + watermarkDelayHours} hours")
+    shifted
+      .dropDuplicates("user_id", "day2")
+      .groupBy(window(col("day2_ts"), "1 day"))
+      .agg(count(lit(1)).as(s"active_${windowDays}d"))
+      .select(
+        call_function("div",
+          unix_micros(col("window.start")) - pmod(
+            unix_micros(col("window.start")), lit(dayUs)), lit(dayUs))
+          .as("day"),
+        col(s"active_${windowDays}d"))
+  }
 }

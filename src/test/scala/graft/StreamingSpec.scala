@@ -385,6 +385,51 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("rollingActiveStream: 7-day distinct actives equal the batch twin") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-dau-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      srcDir.resolve("a_events.parquet"))
+    val batchEvents = spark.read.parquet(s"$srcDir/a_events.parquet")
+    val maxTs = batchEvents.agg(max("ts")).head().getLong(0)
+    // the sentinel must clear the 7-day + delay watermark horizon so
+    // every real day's window closes; its own contributions land on
+    // days beyond the real range and are filtered by day bound below
+    def sentinelFile(name: String, eventId: Long, ts: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dau-sent")
+      Seq((eventId, ts, 999999L, "flush", 0.0, null: String))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), srcDir.resolve(name))
+    }
+    val horizonNs = 10L * 24 * 3600 * 1000000000L
+    sentinelFile("b_sentinel.parquet", 999999L, maxTs + horizonNs)
+    sentinelFile("c_sentinel.parquet", 999998L, maxTs + 2 * horizonNs)
+
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = EventStream.rollingActiveStream(stream)
+      .writeStream.format("memory").queryName("dau_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // batch twin restricted to days with actual activity; same
+    // restriction applied to the streamed rows (and the sentinel days
+    // fall outside the real-day bound entirely)
+    val batchDau = graft.operators.ProductAnalytics.rollingActiveUsers(
+        batchEvents.withColumn("ts_us", expr("ts div 1000"))
+          .select("user_id", "ts_us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotAll = spark.table("dau_stream")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = gotAll.filter { case (d, _) => batchDau.contains(d) }
+    assert(got.nonEmpty)
+    assert(got === batchDau)
+  }
+
   test("sessionizeStream: restart from a durable checkpoint is exactly-once (≡ batch)") {
     import spark.implicits._
     // durable locations shared by BOTH query incarnations

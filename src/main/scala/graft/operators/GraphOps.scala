@@ -50,6 +50,94 @@ object GraphOps {
         .as("global_clustering"))
   }
 
+  /** Weighted PageRank by power iteration, in EXACT scaled-integer
+    * arithmetic so the result is bit-identical on any engine and any
+    * partitioning: ranks live as `BIGINT` multiples of `1/scale`, and
+    * every step uses only `+`, `*`, and integer division (floor on the
+    * all-positive domain), never a float.
+    *
+    *   r_0(i)    = scale div N
+    *   r_{k+1}(i) = ((100-d)·scale) div (100·N)
+    *              + (d · Σ_{j→i} (r_k(j)·w_ji) div outw_j) div 100
+    *
+    * Dangling mass (nodes with no out-edges) is dropped — the standard
+    * "lost mass" variant — identically on both engines.
+    *
+    * Scale shape (the Pregel formulation): `edges` is augmented with its
+    * per-source out-weight once (one shuffle on src) and persisted —
+    * iterations never rebuild it. Each iteration is one equi-join of the
+    * rank frame against the edge list on `src` plus one aggregation
+    * shuffled on `dst`; the rank frame is |V|-sized, never |E|-sized.
+    * With a dim-sized node set (here: nations) the rank side broadcasts;
+    * at 100 TB both sides hash-partition on the node key and the
+    * iteration cost is O(|E|/executors) per round.
+    *
+    * Overflow headroom: r·w must stay under 2^63 — with scale=1e12 that
+    * caps per-edge weight at ~9e6; re-scale `scale` down (or pre-divide
+    * weights) for heavier graphs.
+    *
+    * @param edges (src, dst, w: BIGINT) — positive integer weights
+    * @param nodes single column `node` — the full vertex set
+    * @return (node, rank_scaled: BIGINT) — rank ≈ rank_scaled / scale
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
+               scale: Long = 1000000000000L, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    require(dampingPct > 0 && dampingPct < 100, s"dampingPct in (0,100)")
+    val ow = edges.groupBy("src").agg(sum("w").as("ow"))
+    val e = edges.join(ow, "src").select("src", "dst", "w", "ow")
+      .persist() // iterations reuse the augmented edge list as-is
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    val r0 = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), call_function("div", lit(scale), col("n")).as("r"))
+    val rFinal = (1 to iters).foldLeft(r0) { (rank, _) =>
+      val contrib = e
+        .join(rank.select(col("node").as("src"), col("r")), "src")
+        .groupBy("dst")
+        .agg(sum(call_function("div", col("r") * col("w"), col("ow"))).as("s"))
+      nodes.crossJoin(broadcast(nn))
+        .join(contrib.select(col("dst").as("node"), col("s")), Seq("node"), "left")
+        .select(col("node"),
+          (call_function("div",
+              lit((100L - dampingPct) * scale), lit(100L) * col("n"))
+            + call_function("div",
+                lit(dampingPct.toLong) * coalesce(col("s"), lit(0L)), lit(100L)))
+            .as("r"))
+    }
+    rFinal.select(col("node"), col("r").as("rank_scaled"))
+  }
+
+  /** Oracle for [[pageRank]]: replays the identical integer iterations
+    * as a chained-CTE DuckDB query. `edgesSql` must yield
+    * (src, dst, w), `nodesSql` a single `node` column.
+    */
+  def pageRankOracle(edgesSql: String, nodesSql: String, iters: Int,
+                     scale: Long = 1000000000000L,
+                     dampingPct: Int = 85): String = {
+    val baseNum = (100L - dampingPct) * scale
+    val iterCtes = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT nodes.node,
+         |    CAST(($baseNum // (100 * nn.n))
+         |      + ($dampingPct * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst, SUM((r${k - 1}.r * e.w) // e.ow) AS s
+         |    FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+         |    GROUP BY e.dst) s ON nodes.node = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS ($edgesSql),
+       |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e0 GROUP BY src),
+       |e AS (SELECT e0.src, e0.dst, e0.w, ow.ow
+       |      FROM e0 JOIN ow ON e0.src = ow.src),
+       |nodes AS ($nodesSql),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST($scale // n AS BIGINT) AS r
+       |       FROM nodes CROSS JOIN nn),
+       |$iterCtes
+       |SELECT node, r AS rank_scaled FROM r$iters ORDER BY node""".stripMargin
+  }
+
   /** Oracle wrapper: `edgesSql` must yield (doc_a, doc_b) with
     * doc_a < doc_b.
     */

@@ -205,4 +205,50 @@ object ProductAnalytics {
        |SELECT day2 AS day, COUNT(DISTINCT user_id) AS active_${windowDays}d
        |FROM stacked WHERE day2 IN (SELECT day FROM days)
        |GROUP BY day2 ORDER BY day""".stripMargin
+
+  /** Market-basket frequent pairs (Apriori level 2): co-occurrence
+    * support for item pairs within a basket, after the classic
+    * monotonicity prune — a pair can only reach `minPairSupport` if
+    * BOTH items individually do, so infrequent items are dropped
+    * BEFORE the quadratic-per-basket self-join ever sees them.
+    *
+    * Scale shape: one shuffle to dedupe (basket, item); the frequent
+    * item set is support-bounded (≤ Σw/minPairSupport items) and
+    * broadcasts as a semi-join filter; the self-join co-partitions both
+    * sides on the basket key, and the per-basket pair blowup is bounded
+    * by basket size (TPC-H: ≤ 7 lines/order). No all-pairs stage
+    * anywhere.
+    *
+    * @param txns   transaction lines
+    * @param basket basket id column
+    * @param item   item id column
+    * @return (item_a, item_b, support) with item_a < item_b,
+    *         support >= minPairSupport
+    */
+  def frequentPairs(txns: DataFrame, basket: Column, item: Column,
+                    minItemSupport: Long, minPairSupport: Long): DataFrame = {
+    val bi = txns.select(basket.as("basket"), item.as("item")).distinct()
+    val freq = bi.groupBy("item").agg(count(lit(1)).as("isup"))
+      .filter(col("isup") >= minItemSupport).select("item")
+    val fbi = bi.join(broadcast(freq), Seq("item"), "left_semi")
+    val l = fbi.select(col("basket"), col("item").as("item_a"))
+    val r = fbi.select(col("basket").as("basket_r"), col("item").as("item_b"))
+    l.join(r, col("basket") === col("basket_r") && col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minPairSupport)
+  }
+
+  /** Oracle for [[frequentPairs]] over SQL column expressions. */
+  def frequentPairsOracle(table: String, basketSql: String, itemSql: String,
+                          minItemSupport: Long, minPairSupport: Long): String =
+    s"""WITH bi AS (
+       |  SELECT DISTINCT $basketSql AS basket, $itemSql AS item FROM $table),
+       |f AS (SELECT item FROM bi GROUP BY item
+       |      HAVING COUNT(*) >= $minItemSupport),
+       |fb AS (SELECT bi.basket, bi.item FROM bi JOIN f USING (item))
+       |SELECT a.item AS item_a, b.item AS item_b,
+       |  CAST(COUNT(*) AS BIGINT) AS support
+       |FROM fb a JOIN fb b ON a.basket = b.basket AND a.item < b.item
+       |GROUP BY a.item, b.item HAVING COUNT(*) >= $minPairSupport
+       |ORDER BY support DESC, item_a, item_b""".stripMargin
 }

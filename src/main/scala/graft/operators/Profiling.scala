@@ -163,4 +163,146 @@ object Profiling {
         col(s"ex_$c") <= lit(0.05)).as("within_bound")))
     joined.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
+
+  /** 2-D skyline (Pareto frontier): rows not dominated by any other
+    * row — a dominates b iff a.mn <= b.mn AND a.mx >= b.mx with one
+    * strict. The textbook formulation is a quadratic NOT-EXISTS
+    * dominance join (the oracle keeps it as the truth spec); this one
+    * is the scale-safe shape, the q127 distinct-value trick applied to
+    * skylines:
+    *
+    *   1. aggregate to one row per distinct `mn` value carrying
+    *      max(mx) — ONE shuffle, output bounded by D = |distinct mn|;
+    *   2. a running max over the D-row frame ordered by mn finds, for
+    *      each value, the best mx among all STRICTLY smaller mn — a
+    *      window over D rows, not N;
+    *   3. a value survives iff its max(mx) beats every cheaper point;
+    *      survivors broadcast back, and a row is on the skyline iff its
+    *      mn survived and its mx equals that value's max (same-mn rows
+    *      below the max are dominated within the group; ties all
+    *      survive — dominance requires one strict inequality).
+    *
+    * @param df input frame
+    * @param id passthrough identity column
+    * @param minimize integer dimension being minimized (`mn`)
+    * @param maximize integer dimension being maximized (`mx`)
+    * @return (id, mn, mx) — the non-dominated rows
+    */
+  def skyline2D(df: DataFrame, id: Column,
+                minimize: Column, maximize: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(id.as("id"), minimize.as("mn"), maximize.as("mx"))
+    val g = v.groupBy("mn").agg(max("mx").as("best_mx"))
+    // distinct mn values: rows-frame 'all preceding' == strictly smaller
+    val w = Window.orderBy("mn").rowsBetween(Window.unboundedPreceding, -1)
+    val surv = g.withColumn("best_cheaper", max("best_mx").over(w))
+      .filter(col("best_cheaper").isNull || col("best_mx") > col("best_cheaper"))
+      .select(col("mn").as("s_mn"), col("best_mx").as("s_mx"))
+    v.join(broadcast(surv),
+        col("mn") === col("s_mn") && col("mx") === col("s_mx"))
+      .select("id", "mn", "mx")
+  }
+
+  /** Oracle for [[skyline2D]]: the quadratic NOT-EXISTS dominance
+    * definition — the independent truth spec for the windowed form.
+    */
+  def skyline2DOracle(table: String, idSql: String,
+                      minimizeSql: String, maximizeSql: String): String =
+    s"""WITH v AS (
+       |  SELECT $idSql AS id, $minimizeSql AS mn, $maximizeSql AS mx
+       |  FROM $table)
+       |SELECT id, mn, mx FROM v b
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM v a
+       |  WHERE a.mn <= b.mn AND a.mx >= b.mx
+       |    AND (a.mn < b.mn OR a.mx > b.mx))
+       |ORDER BY id""".stripMargin
+
+  /** Per-group robust statistics over integer measures, all EXACT and
+    * order-independent: mode (most frequent `modeOf` value, minimum
+    * value breaking count ties), lower median of `spreadOf`, and the
+    * median absolute deviation around that median.
+    *
+    * Lower median = k-th smallest with k = (n+1) div 2 — integer-exact
+    * (no interpolation, hence no float) and identical on both engines.
+    * Every ranking runs over DISTINCT values per group (the q127
+    * pattern): the window input is D rows, never N, so a
+    * low-cardinality group key cannot produce a billion-row window
+    * sort. The per-group medians frame is |G|-sized and broadcasts
+    * back for the deviation pass.
+    *
+    * @return (g, mode_val, med, mad) one row per group
+    */
+  def robustStats(df: DataFrame, grp: Column,
+                  modeOf: Column, spreadOf: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(grp.as("g"), modeOf.as("q"), spreadOf.as("x"))
+    // mode: counts per distinct (g, q), max-count per group, min tie-break
+    val mc = v.groupBy("g", "q").agg(count(lit(1)).as("cnt"))
+    val modes = mc
+      .withColumn("mx", max("cnt").over(Window.partitionBy("g")))
+      .filter(col("cnt") === col("mx"))
+      .groupBy("g").agg(min("q").as("mode_val"))
+    val med = lowerMedian(v.select("g", "x")).withColumnRenamed("med0", "med")
+    val mad = lowerMedian(
+        v.join(broadcast(med), Seq("g"))
+          .select(col("g"), abs(col("x") - col("med")).as("x")))
+      .withColumnRenamed("med0", "mad")
+    modes.join(med, Seq("g")).join(mad, Seq("g"))
+      .select("g", "mode_val", "med", "mad")
+  }
+
+  /** k-th smallest with k = (n+1) div 2, ranked over distinct values
+    * per group: (g, x) → (g, med0).
+    */
+  private def lowerMedian(v: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = v.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+    val ranked = c
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("g").orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("g")))
+    ranked
+      .filter(col("cum") >= call_function("div", col("n") + 1, lit(2L)))
+      .groupBy("g").agg(min("x").as("med0"))
+  }
+
+  /** Oracle for [[robustStats]]: replays the identical distinct-value
+    * rankings as CTEs (DuckDB's MEDIAN interpolates on even counts, so
+    * the built-in is NOT the same statistic).
+    */
+  def robustStatsOracle(table: String, grpSql: String,
+                        modeOfSql: String, spreadOfSql: String): String =
+    s"""WITH v AS (
+       |  SELECT $grpSql AS g, $modeOfSql AS q, $spreadOfSql AS x
+       |  FROM $table),
+       |mc AS (SELECT g, q, COUNT(*) AS cnt FROM v GROUP BY g, q),
+       |modes AS (
+       |  SELECT g, MIN(q) AS mode_val FROM (
+       |    SELECT g, q, cnt, MAX(cnt) OVER (PARTITION BY g) AS mx FROM mc)
+       |  WHERE cnt = mx GROUP BY g),
+       |c1 AS (SELECT g, x, COUNT(*) AS cnt FROM v GROUP BY g, x),
+       |r1 AS (
+       |  SELECT g, x,
+       |    SUM(cnt) OVER (PARTITION BY g ORDER BY x
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY g) AS n
+       |  FROM c1),
+       |med AS (SELECT g, MIN(x) AS med FROM r1
+       |        WHERE cum >= (n + 1) // 2 GROUP BY g),
+       |d AS (SELECT v.g, ABS(v.x - med.med) AS x
+       |      FROM v JOIN med ON v.g = med.g),
+       |c2 AS (SELECT g, x, COUNT(*) AS cnt FROM d GROUP BY g, x),
+       |r2 AS (
+       |  SELECT g, x,
+       |    SUM(cnt) OVER (PARTITION BY g ORDER BY x
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY g) AS n
+       |  FROM c2),
+       |mad AS (SELECT g, MIN(x) AS mad FROM r2
+       |        WHERE cum >= (n + 1) // 2 GROUP BY g)
+       |SELECT modes.g, mode_val, med, mad
+       |FROM modes JOIN med ON modes.g = med.g JOIN mad ON modes.g = mad.g
+       |ORDER BY modes.g""".stripMargin
 }

@@ -646,4 +646,70 @@ object Similarity {
        |  FROM exact)
        |SELECT query_id, neighbor_id, score, rnk FROM ranked
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  // --------------------------------------- reciprocal-rank fusion
+
+  /** lcm(61..70): every 60+rnk for rnk in 1..10 divides this, so the
+    * scaled RRF terms below are EXACT integers — no float enters the
+    * fusion at all.
+    */
+  val RrfLcmK60Len10: Long = 142813628717760L
+
+  /** Reciprocal-rank fusion of two retriever rank lists in exact
+    * scaled-integer arithmetic: the classic score Σ 1/(kRrf + rank)
+    * becomes Σ scaleP div (kRrf + rank) on BIGINT. With `scaleP` a
+    * common multiple of every possible denominator (the default pairs
+    * with kRrf=60 and lists ≤ 10) each term is exact, so the fused
+    * ordering is the true RRF ordering and bit-identical on any engine
+    * — floats never appear, eliminating the cross-engine sum-order
+    * hazard entirely.
+    *
+    * Scale shape: one full-outer equi-join of the two rank lists on
+    * (query_id, neighbor_id) — both are topK-bounded per query, so the
+    * join input is k·|Q| rows, not corpus-sized — then the standard
+    * per-query WindowGroupLimit rank filter.
+    *
+    * @param a,b (query_id, neighbor_id, rnk) rank lists (1-based rnk)
+    * @return (query_id, neighbor_id, rrf_scaled, rnk) top `topK` per
+    *         query, ties broken on neighbor_id
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, topK: Int, kRrf: Int = 60,
+              scaleP: Long = RrfLcmK60Len10): DataFrame = {
+    def terms(df: DataFrame, nm: String) =
+      df.select(col("query_id"), col("neighbor_id"),
+        call_function("div", lit(scaleP), lit(kRrf.toLong) + col("rnk")).as(nm))
+    val fused = terms(a, "sa")
+      .join(terms(b, "sb"), Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (coalesce(col("sa"), lit(0L)) + coalesce(col("sb"), lit(0L)))
+          .as("rrf_scaled"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_scaled").desc, col("neighbor_id"))
+    fused.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= topK)
+      .select("query_id", "neighbor_id", "rrf_scaled", "rnk")
+  }
+
+  /** Oracle for [[rrfFuse]]: wraps the two retrievers' own oracle SQL
+    * and replays the identical integer fusion.
+    */
+  def rrfFuseOracle(aSql: String, bSql: String, topK: Int, kRrf: Int = 60,
+                    scaleP: Long = RrfLcmK60Len10): String =
+    s"""WITH la AS (
+       |  SELECT query_id, neighbor_id, $scaleP // ($kRrf + rnk) AS sa
+       |  FROM ($aSql)),
+       |lb AS (
+       |  SELECT query_id, neighbor_id, $scaleP // ($kRrf + rnk) AS sb
+       |  FROM ($bSql)),
+       |fused AS (
+       |  SELECT query_id, neighbor_id,
+       |    COALESCE(sa, 0) + COALESCE(sb, 0) AS rrf_scaled
+       |  FROM la FULL JOIN lb USING (query_id, neighbor_id)),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, CAST(rrf_scaled AS BIGINT) AS rrf_scaled,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_scaled DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM fused)
+       |SELECT query_id, neighbor_id, rrf_scaled, rnk FROM ranked
+       |WHERE rnk <= $topK ORDER BY query_id, rnk""".stripMargin
 }

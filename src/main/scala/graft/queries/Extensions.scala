@@ -2269,6 +2269,121 @@ object Extensions {
                                 WHERE o.o_orderkey = l.l_orderkey)
             ORDER BY check_name"""))
 
+  /** PageRank over the nation-level trade graph (supplier nation →
+    * customer nation, weight = lineitem count) — exact scaled-integer
+    * power iteration ([[graft.operators.GraphOps.pageRank]]); the edge
+    * build is the data-heavy stage (lineitem⋈orders shuffle + two
+    * broadcast dim joins), the 5 iterations run over the |V|-sized rank
+    * frame only.
+    */
+  private val q140 = {
+    val edgesSql =
+      """SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+        |  CAST(COUNT(*) AS BIGINT) AS w
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s.s_nationkey, c.c_nationkey""".stripMargin
+    Q("q140_pagerank_trade",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        val edges = li
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+          .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
+        GraphOps.pageRank(edges, nodes, iters = 5).orderBy("node")
+      },
+      Some(GraphOps.pageRankOracle(
+        edgesSql, "SELECT n_nationkey AS node FROM nation", iters = 5)))
+  }
+
+  /** Market-basket frequent part pairs within orders — Apriori level 2
+    * with the monotonicity prune applied BEFORE the per-basket
+    * self-join ([[graft.operators.ProductAnalytics.frequentPairs]]).
+    */
+  private val q141 = Q("q141_frequent_pairs",
+    (s, d) => ProductAnalytics.frequentPairs(
+        Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"),
+        minItemSupport = 25, minPairSupport = 2)
+      .orderBy(col("support").desc, col("item_a"), col("item_b")),
+    Some(ProductAnalytics.frequentPairsOracle(
+      "lineitem", "l_orderkey", "l_partkey",
+      minItemSupport = 25, minPairSupport = 2)))
+
+  /** 2-D skyline of parts (minimize retail price, maximize size) — the
+    * windowed distinct-value formulation vs the quadratic NOT-EXISTS
+    * truth oracle ([[graft.operators.Profiling.skyline2D]]).
+    */
+  private val q142 = Q("q142_skyline_parts",
+    (s, d) => graft.operators.Profiling.skyline2D(
+        Tables.part(s, d), col("p_partkey"),
+        floor(col("p_retailprice") * 100 + lit(0.5)).cast(LongType),
+        col("p_size"))
+      .orderBy("id"),
+    Some(graft.operators.Profiling.skyline2DOracle(
+      "part", "p_partkey",
+      "CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)", "p_size")))
+
+  /** Incremental aggregate maintenance: per-customer order count/total
+    * maintained as mergeable state — base state ⊕ delta state must
+    * equal the full recompute (the oracle IS the full recompute).
+    */
+  private val q143 = Q("q143_incremental_agg",
+    (s, d) => {
+      import graft.operators.Merge
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast(LongType)
+      val orders = Tables.orders(s, d)
+      val base = Merge.aggState(
+        orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0),
+        col("o_custkey"), cents)
+      val delta = Merge.aggState(
+        orders.filter(pmod(col("o_orderkey"), lit(10)) === 0),
+        col("o_custkey"), cents)
+      Merge.mergeAggState(base, delta).orderBy("k")
+    },
+    Some(graft.operators.Merge.aggStateOracle(
+      "orders", "o_custkey",
+      "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")))
+
+  /** Per-group robust statistics — exact mode / lower median / MAD via
+    * distinct-value ranking ([[graft.operators.Profiling.robustStats]]).
+    */
+  private val q144 = Q("q144_robust_stats",
+    (s, d) => graft.operators.Profiling.robustStats(
+        Tables.lineitem(s, d), col("l_returnflag"),
+        floor(col("l_quantity")).cast(LongType),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast(LongType))
+      .orderBy("g"),
+    Some(graft.operators.Profiling.robustStatsOracle(
+      "lineitem", "l_returnflag",
+      "CAST(FLOOR(l_quantity) AS BIGINT)",
+      "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)")))
+
+  /** Reciprocal-rank fusion of the exact and the LSH retriever — exact
+    * integer RRF ([[graft.operators.Similarity.rrfFuse]]), so the
+    * fused ranking carries no cross-engine float hazard.
+    */
+  private val q145 = Q("q145_rrf_fusion",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.rrfFuse(
+          Similarity.bruteForceTopK(emb, nQueries = 20, k = 10),
+          Similarity.lshTopK(emb, nQueries = 20, k = 10, bits = 4),
+          topK = 5)
+        .orderBy("query_id", "rnk")
+    },
+    Some(Similarity.rrfFuseOracle(
+      Similarity.bruteForceTopKOracle(nQueries = 20, k = 10),
+      Similarity.lshTopKOracle(nQueries = 20, k = 10, bits = 4),
+      topK = 5)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2279,5 +2394,6 @@ object Extensions {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
-    q130, q131, q132, q133, q134, q135, q136, q137, q138, q139)
+    q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
+    q140, q141, q142, q143, q144, q145)
 }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{GraphOps, Merge, ProductAnalytics, Profiling, Similarity}
+
+/** Laws for the round-5 analytics operators: IVM merge algebra, skyline
+  * dominance, PageRank partition-invariance, exact-integer RRF.
+  */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---------------------------------------- incremental agg maintenance
+
+  private lazy val txns = Seq(
+    (1L, 100L), (1L, 250L), (2L, 30L), (3L, 7L), (3L, 7L), (3L, 1L),
+    (4L, 900L), (2L, 60L), (5L, 5L)).toDF("k0", "v0")
+
+  private def state(df: org.apache.spark.sql.DataFrame) =
+    Merge.aggState(df, col("k0"), col("v0"))
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getAs[Long]("k")
+      -> (r.getAs[Long]("cnt"), r.getAs[Long]("sum_v"))).toMap
+
+  test("mergeAggState: base ⊕ delta == full recompute, any split") {
+    val full = asMap(state(txns))
+    for (m <- Seq(2L, 3L)) {
+      val base  = state(txns.filter(pmod(col("v0"), lit(m)) =!= 0))
+      val delta = state(txns.filter(pmod(col("v0"), lit(m)) === 0))
+      assert(asMap(Merge.mergeAggState(base, delta)) === full, s"split mod $m")
+    }
+  }
+
+  test("mergeAggState is associative and has the empty state as identity") {
+    val a = state(txns.filter(col("k0") <= 1))
+    val b = state(txns.filter(col("k0") === 2 || col("k0") === 3))
+    val c = state(txns.filter(col("k0") >= 4))
+    val lhs = asMap(Merge.mergeAggState(Merge.mergeAggState(a, b), c))
+    val rhs = asMap(Merge.mergeAggState(a, Merge.mergeAggState(b, c)))
+    assert(lhs === rhs)
+    assert(lhs === asMap(state(txns)))
+    val empty = state(txns.filter(lit(false)))
+    assert(asMap(Merge.mergeAggState(a, empty)) === asMap(a))
+  }
+
+  // ------------------------------------------------------- 2-D skyline
+
+  test("skyline2D matches brute-force dominance on an adversarial fixture") {
+    // ties on both dims, duplicate points, a dominated duplicate price
+    val pts = Seq(
+      (1L, 10L, 5L), (2L, 10L, 9L), (3L, 10L, 9L), (4L, 12L, 9L),
+      (5L, 12L, 11L), (6L, 15L, 11L), (7L, 15L, 14L), (8L, 20L, 1L),
+      (9L, 8L, 2L), (10L, 8L, 2L))
+    val df = pts.toDF("pid", "price", "size")
+    val got = Profiling.skyline2D(df, col("pid"), col("price"), col("size"))
+      .collect().map(_.getAs[Long]("id")).toSet
+    val brute = pts.filter { case (_, mn, mx) =>
+      !pts.exists { case (_, amn, amx) =>
+        amn <= mn && amx >= mx && (amn < mn || amx > mx) }
+    }.map(_._1).toSet
+    assert(got === brute)
+    assert(got === Set(2L, 3L, 5L, 7L, 9L, 10L)) // ties all survive
+  }
+
+  // ----------------------------------------------------------- PageRank
+
+  private lazy val edges = Seq(
+    (0L, 1L, 3L), (0L, 2L, 1L), (1L, 2L, 2L), (2L, 0L, 1L),
+    (3L, 0L, 5L) // node 4 is isolated; node 3 has no in-edges
+  ).toDF("src", "dst", "w")
+  private lazy val nodes = (0L to 4L).toDF("node")
+
+  test("pageRank: partition-invariant, mass-bounded, no-in-edge node sits at base") {
+    val r = GraphOps.pageRank(edges, nodes, iters = 5)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("rank_scaled")).toMap
+    val rShuf = GraphOps.pageRank(edges.repartition(7), nodes.repartition(3),
+        iters = 5)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("rank_scaled")).toMap
+    assert(r === rShuf) // exact integer arithmetic ⇒ bit-identical
+    assert(r.values.forall(_ > 0L))
+    assert(r.values.sum <= 1000000000000L) // floor-div only loses mass
+    // nodes 3 and 4 receive nothing: rank = (15·scale) div (100·N)
+    assert(r(3L) === 15L * 1000000000000L / (100L * 5L))
+    assert(r(4L) === r(3L))
+    // node 0 takes 3's full damped contribution and more: strictly above base
+    assert(r(0L) > r(3L))
+  }
+
+  // ------------------------------------------------------ frequent pairs
+
+  test("frequentPairs prunes infrequent items before pairing") {
+    val t = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 30L),
+      (4L, 40L), (4L, 10L),
+      (2L, 10L) // duplicate line: must not double-count
+    ).toDF("basket", "item")
+    val r = ProductAnalytics.frequentPairs(t, col("basket"), col("item"),
+        minItemSupport = 2, minPairSupport = 2)
+      .collect()
+      .map(x => (x.getAs[Long]("item_a"), x.getAs[Long]("item_b"))
+        -> x.getAs[Long]("support")).toMap
+    // item 40 has support 1 → pruned; (10,20) in baskets 1,2,3; (10,30)+(20,30) in 1,3
+    assert(r === Map((10L, 20L) -> 3L, (10L, 30L) -> 2L, (20L, 30L) -> 2L))
+  }
+
+  // ---------------------------------------------------------------- RRF
+
+  test("rrfFuse: scaled terms are exact and fusion matches rational RRF") {
+    val P = Similarity.RrfLcmK60Len10
+    (1 to 10).foreach(r => assert(P % (60L + r) === 0L, s"rank $r"))
+    val a = Seq((0L, 100L, 1L), (0L, 101L, 2L), (0L, 102L, 3L))
+      .toDF("query_id", "neighbor_id", "rnk")
+    val b = Seq((0L, 102L, 1L), (0L, 101L, 2L), (0L, 103L, 3L))
+      .toDF("query_id", "neighbor_id", "rnk")
+    val got = Similarity.rrfFuse(a, b, topK = 4).orderBy("rnk")
+      .collect().map(x => (x.getAs[Long]("neighbor_id"), x.getAs[Long]("rrf_scaled")))
+    // independent exact computation over rationals scaled by P
+    def s(r: Long) = P / (60L + r)
+    val expected = Seq(
+      101L -> (s(2) + s(2)), 102L -> (s(3) + s(1)),
+      100L -> s(1), 103L -> s(3))
+      .sortBy { case (id, sc) => (-sc, id) }
+    assert(got.toSeq === expected)
+  }
+}

@@ -61,12 +61,12 @@ object PrefixGramsKernel {
   * Why: the DataFrame formulation of prefix selection (explode → join
   * df → window rank per doc → filter) shuffles the full exploded gram
   * stream twice (once to attach df, once to regroup by doc). When the
-  * vocabulary fits the broadcast budget — the same precondition the
-  * `broadcastDf` join already assumed — the whole selection is a
+  * vocabulary fits one executor's memory, the whole selection is a
   * per-row kernel: zero shuffles of the gram stream, candidates come
-  * straight off the persisted doc rows. The shuffle formulation stays
-  * as the `broadcastDf = false` escape hatch for corpora whose
-  * vocabulary outgrows one executor's memory.
+  * straight off the persisted doc rows. `ngramJaccardPairs` exposes
+  * this as the opt-in `mapSidePrefix = true` variant; the default
+  * (`mapSidePrefix = false`) keeps the shuffle formulation, which
+  * makes no assumption about vocabulary size.
   */
 case class PrefixGrams(child: Expression, threshold: Double,
                        df: Broadcast[java.util.HashMap[java.lang.Long, java.lang.Long]])

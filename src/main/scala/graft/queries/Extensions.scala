@@ -2066,7 +2066,11 @@ object Extensions {
     * deterministic tiebreak), and the Σ rn·x checksum per group pins
     * EVERY rank assignment — one transposition anywhere changes the
     * sum. DECIMAL(38,0) accumulation on both engines (the sum tops
-    * int64 range at real scale).
+    * int64 range at real scale); the OUTPUT column is the residue mod a
+    * prime < 2^63 cast to BIGINT — both engines do exact integer mod on
+    * DECIMAL(38,0), so the checksum is value- AND dtype-portable (a raw
+    * DECIMAL(38,0) output stringifies differently across engines), and a
+    * residue mod ~9.99e17 still pins every rank transposition.
     */
   private val q129 = Q("q129_salted_rank",
     (s, d) => {
@@ -2078,8 +2082,9 @@ object Extensions {
           Seq("l_orderkey", "l_linenumber"), buckets = 64)
         .groupBy("grp")
         .agg(count(lit(1)).as("n"),
-          sum(col("rn").cast(DecimalType(38, 0)) * col("x"))
-            .as("rank_weighted_sum"))
+          (sum(col("rn").cast(DecimalType(38, 0)) * col("x"))
+              % lit(999999999999999989L).cast(DecimalType(38, 0)))
+            .cast(LongType).as("rank_weighted_sum"))
         .orderBy("grp")
     },
     Some("""WITH j AS (
@@ -2093,7 +2098,9 @@ object Extensions {
                   ORDER BY x, l_orderkey, l_linenumber) AS BIGINT) AS rn
               FROM j)
             SELECT grp, COUNT(*) AS n,
-              SUM(CAST(rn AS DECIMAL(38,0)) * x) AS rank_weighted_sum
+              CAST(SUM(CAST(rn AS DECIMAL(38,0)) * x)
+                   % CAST(999999999999999989 AS DECIMAL(38,0)) AS BIGINT)
+                AS rank_weighted_sum
             FROM r GROUP BY grp ORDER BY grp"""))
 
   /** MinHash Jaccard ESTIMATE parity — the signature-agreement estimate

@@ -518,8 +518,11 @@ object EventStream {
         timestamp_micros(col("day2") * dayUs))
       .withWatermark("day2_ts",
         s"${windowDays * 24 + watermarkDelayHours} hours")
+    // Dedup on the EVENT-TIME column (day2_ts, 1:1 with day2) so the
+    // watermark can evict dedup state; a subset without the event-time
+    // key would accumulate (user, day) state forever.
     shifted
-      .dropDuplicates("user_id", "day2")
+      .dropDuplicates("user_id", "day2_ts")
       .groupBy(window(col("day2_ts"), "1 day"))
       .agg(count(lit(1)).as(s"active_${windowDays}d"))
       .select(

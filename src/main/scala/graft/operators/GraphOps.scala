@@ -9,15 +9,52 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Exact triangle count over an ORIENTED edge list (`a < b` on every
-    * row, the near-dup pair convention). With oriented edges each
-    * triangle {x < y < z} is counted exactly once as the join
-    * (x,y) ⋈ (y,z) ⋈ (x,z) — two equi-joins, no orientation dedup
-    * pass, no double counting. The candidate join (e1 ⋈ e2) is the
-    * quadratic-in-degree step every triangle algorithm pays; oriented
-    * edges bound it by the FORWARD degree (max ~√|E| after the
-    * standard degree-ordering transform, which the caller can apply by
-    * relabeling ids in degree order).
+  /** Orient an undirected pair list low-degree → high-degree (ties
+    * broken by id): under the (degree, id) total order each edge is
+    * emitted exactly once as (lower ≺ higher). This is the standard
+    * degree-ordering transform — after it, every node's FORWARD degree
+    * is bounded by ~√(2|E|) (a node with forward degree f has f
+    * neighbors of degree ≥ its own, so f·f ≤ Σdeg = 2|E|), which caps
+    * the per-key cost of the wedge candidate join even on clique-heavy
+    * near-dup graphs where one boilerplate clique would otherwise emit
+    * ~deg² wedges from a single key. `deg` must be (n, d) — the
+    * UNDIRECTED degree per node.
+    */
+  private def orientLowHigh(raw: DataFrame, deg: DataFrame): DataFrame = {
+    val withDeg = raw
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    withDeg.select(
+      when(aLower, col("a")).otherwise(col("b")).as("a"),
+      when(aLower, col("b")).otherwise(col("a")).as("b"))
+  }
+
+  /** Spec-visible wrapper over [[orientLowHigh]]: (doc_a, doc_b) pairs
+    * in, degree-ordered (doc_a ≺ doc_b) pairs out.
+    */
+  private[graft] def orientByDegree(pairs: DataFrame): DataFrame = {
+    val raw = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val deg = raw.select(col("a").as("n")).union(raw.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    orientLowHigh(raw, deg)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+  }
+
+  /** Exact triangle count over a pair list (`doc_a < doc_b` by id, the
+    * near-dup pair convention — any consistent one-row-per-edge
+    * orientation works). Edges are first RE-ORIENTED internally by the
+    * (degree, id) order ([[orientLowHigh]]); each triangle {x ≺ y ≺ z}
+    * is then counted exactly once as the join (x,y) ⋈ (y,z) ⋈ (x,z) —
+    * two equi-joins, no orientation dedup pass, no double counting.
+    * The candidate join (e1 ⋈ e2) is the quadratic-in-degree step every
+    * triangle algorithm pays; degree-ordering bounds each key's forward
+    * degree by ~√(2|E|), so total candidates are O(|E|^1.5) WHATEVER
+    * the input orientation — a 10⁵-member boilerplate clique no longer
+    * funnels ~10¹⁰ wedges through one key. The relabel is internal:
+    * triangle/wedge counts are orientation-invariant, so the oracle is
+    * unchanged.
     *
     * The WEDGE census (the clustering-coefficient denominator) is NOT
     * the ordered-candidate count — a wedge centered at v exists for
@@ -29,13 +66,14 @@ object GraphOps {
     *         global_clustering = 3·triangles / wedges)
     */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val raw = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val deg = raw.select(col("a").as("n")).union(raw.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val e = orientLowHigh(raw, deg)
     val cands = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
     val tris = cands.join(e.as("e3"),
       col("x") === col("e3.a") && col("z") === col("e3.b"))
-    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
     val nodeStats = deg.agg(
       count(lit(1)).as("n_nodes"),
       sum(call_function("div", col("d") * (col("d") - 1), lit(2L)))
@@ -76,35 +114,75 @@ object GraphOps {
     * caps per-edge weight at ~9e6; re-scale `scale` down (or pre-divide
     * weights) for heavier graphs.
     *
+    * Convergence contract: `iters` is the CAP. With `tolScaled = 0`
+    * (default) exactly `iters` iterations run as one lazy fold — no
+    * per-iteration driver action, and the oracle replays the same fixed
+    * count, so the cap keeps the gate deterministic. With
+    * `tolScaled > 0` the iteration stops early once the exact integer
+    * L1 residual Σ|r_{k+1} − r_k| (in scaled units) drops to
+    * ≤ tolScaled; each iteration then materializes its |V|-sized rank
+    * frame (eager localCheckpoint — also truncates lineage for long
+    * runs) and spends one 1-row driver action on the residual. The
+    * residual is pure integer arithmetic, hence portable.
+    *
+    * The returned frame is materialized and the cached edge list is
+    * released before returning (the [[graft.operators.Dedup.selfCleaning]]
+    * discipline) — callers never own a leaked persist.
+    *
     * @param edges (src, dst, w: BIGINT) — positive integer weights
     * @param nodes single column `node` — the full vertex set
+    * @param tolScaled early-stop L1 residual threshold in scaled units;
+    *                  0 disables the residual check (fixed `iters`)
     * @return (node, rank_scaled: BIGINT) — rank ≈ rank_scaled / scale
     */
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
-               scale: Long = 1000000000000L, dampingPct: Int = 85): DataFrame = {
+               scale: Long = 1000000000000L, dampingPct: Int = 85,
+               tolScaled: Long = 0L): DataFrame = {
     require(iters >= 1, s"iters ($iters) must be >= 1")
     require(dampingPct > 0 && dampingPct < 100, s"dampingPct in (0,100)")
+    require(tolScaled >= 0L, s"tolScaled ($tolScaled) must be >= 0")
     val ow = edges.groupBy("src").agg(sum("w").as("ow"))
     val e = edges.join(ow, "src").select("src", "dst", "w", "ow")
       .persist() // iterations reuse the augmented edge list as-is
-    val nn = nodes.agg(count(lit(1)).as("n"))
-    val r0 = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), call_function("div", lit(scale), col("n")).as("r"))
-    val rFinal = (1 to iters).foldLeft(r0) { (rank, _) =>
-      val contrib = e
-        .join(rank.select(col("node").as("src"), col("r")), "src")
-        .groupBy("dst")
-        .agg(sum(call_function("div", col("r") * col("w"), col("ow"))).as("s"))
-      nodes.crossJoin(broadcast(nn))
-        .join(contrib.select(col("dst").as("node"), col("s")), Seq("node"), "left")
-        .select(col("node"),
-          (call_function("div",
-              lit((100L - dampingPct) * scale), lit(100L) * col("n"))
-            + call_function("div",
-                lit(dampingPct.toLong) * coalesce(col("s"), lit(0L)), lit(100L)))
-            .as("r"))
-    }
-    rFinal.select(col("node"), col("r").as("rank_scaled"))
+    try {
+      val nn = nodes.agg(count(lit(1)).as("n"))
+      val r0 = nodes.crossJoin(broadcast(nn))
+        .select(col("node"), call_function("div", lit(scale), col("n")).as("r"))
+      def step(rank: DataFrame): DataFrame = {
+        val contrib = e
+          .join(rank.select(col("node").as("src"), col("r")), "src")
+          .groupBy("dst")
+          .agg(sum(call_function("div", col("r") * col("w"), col("ow"))).as("s"))
+        nodes.crossJoin(broadcast(nn))
+          .join(contrib.select(col("dst").as("node"), col("s")), Seq("node"), "left")
+          .select(col("node"),
+            (call_function("div",
+                lit((100L - dampingPct) * scale), lit(100L) * col("n"))
+              + call_function("div",
+                  lit(dampingPct.toLong) * coalesce(col("s"), lit(0L)), lit(100L)))
+              .as("r"))
+      }
+      val rFinal =
+        if (tolScaled == 0L) (1 to iters).foldLeft(r0)((rank, _) => step(rank))
+        else {
+          var rank = r0.localCheckpoint(eager = true)
+          var it = 0
+          var converged = false
+          while (it < iters && !converged) {
+            val next = step(rank).localCheckpoint(eager = true)
+            val delta = rank.select(col("node"), col("r").as("r_prev"))
+              .join(next.select(col("node"), col("r").as("r_next")), "node")
+              .agg(sum(abs(col("r_next") - col("r_prev"))).as("d"))
+              .first().getLong(0)
+            rank = next
+            it += 1
+            if (delta <= tolScaled) converged = true
+          }
+          rank
+        }
+      rFinal.select(col("node"), col("r").as("rank_scaled"))
+        .localCheckpoint(eager = true)
+    } finally { e.unpersist(blocking = false); () }
   }
 
   /** Oracle for [[pageRank]]: replays the identical integer iterations

@@ -213,11 +213,22 @@ object ProductAnalytics {
     * BEFORE the quadratic-per-basket self-join ever sees them.
     *
     * Scale shape: one shuffle to dedupe (basket, item); the frequent
-    * item set is support-bounded (≤ Σw/minPairSupport items) and
-    * broadcasts as a semi-join filter; the self-join co-partitions both
+    * item set is support-bounded (≤ |bi|/minItemSupport items) and
+    * filters via a LEFT SEMI join; the self-join co-partitions both
     * sides on the basket key, and the per-basket pair blowup is bounded
     * by basket size (TPC-H: ≤ 7 lines/order). No all-pairs stage
     * anywhere.
+    *
+    * Broadcast contract (round 6): the semi-join carries NO broadcast
+    * hint — with a LOW `minItemSupport` the frequent-item set is only
+    * bounded by |bi|/minItemSupport rows and can exceed the broadcast
+    * budget, and a forced hint would then OOM the driver at 100 TB.
+    * AQE picks broadcast at runtime when the measured size is under
+    * `spark.sql.autoBroadcastJoinThreshold` (the common case: a
+    * support-thresholded item set is dimension-sized) and falls back to
+    * a shuffled semi-join otherwise. Either way the prune structurally
+    * precedes the basket self-join — the pair stage is built on the
+    * semi-joined frame (spec-asserted on the executed plan).
     *
     * @param txns   transaction lines
     * @param basket basket id column
@@ -230,7 +241,7 @@ object ProductAnalytics {
     val bi = txns.select(basket.as("basket"), item.as("item")).distinct()
     val freq = bi.groupBy("item").agg(count(lit(1)).as("isup"))
       .filter(col("isup") >= minItemSupport).select("item")
-    val fbi = bi.join(broadcast(freq), Seq("item"), "left_semi")
+    val fbi = bi.join(freq, Seq("item"), "left_semi")
     val l = fbi.select(col("basket"), col("item").as("item_a"))
     val r = fbi.select(col("basket").as("basket_r"), col("item").as("item_b"))
     l.join(r, col("basket") === col("basket_r") && col("item_a") < col("item_b"))

@@ -87,6 +87,66 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r(0L) > r(3L))
   }
 
+  // ----------------------------------------------------------- triangles
+
+  test("triangleStats: internal degree-ordering bounds the wedge-candidate key") {
+    // Middle-id hub: 40 lower-id leaves point INTO node 50, 40
+    // higher-id leaves point OUT of it (the id-oriented worst case —
+    // in·out through the hub is 40·40), plus one triangle {0,1,50}.
+    val hub = 50L
+    val pairs = ((0L to 39L).map(i => (i, hub)) ++
+      (51L to 90L).map(j => (hub, j)) ++ Seq((0L, 1L)))
+      .toDF("doc_a", "doc_b")
+    def candCount(e: org.apache.spark.sql.DataFrame): Long =
+      e.as("e1").join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a")).count()
+    // id orientation funnels 40·40 wedges through the hub; degree
+    // orientation points every hub edge AT the hub (forward degree 0
+    // there), leaving only the one real wedge at node 1.
+    assert(candCount(pairs) === 40L * 40L + 1L)
+    assert(candCount(GraphOps.orientByDegree(pairs)) === 1L)
+    // counts are orientation-invariant: the relabel must not change them
+    val r = GraphOps.triangleStats(pairs).collect()(0)
+    assert(r.getAs[Long]("n_nodes") === 81L)
+    assert(r.getAs[Long]("n_edges") === 81L)
+    assert(r.getAs[Long]("n_wedges") === 3162L) // C(80,2) + 1 + 1
+    assert(r.getAs[Long]("n_triangles") === 1L)
+  }
+
+  test("triangleStats: clique census is exact under the relabel") {
+    val m = 8L
+    val clique = (for { a <- 0L until m; b <- (a + 1) until m } yield (a, b))
+      .toDF("doc_a", "doc_b")
+    val r = GraphOps.triangleStats(clique).collect()(0)
+    assert(r.getAs[Long]("n_edges") === m * (m - 1) / 2)
+    assert(r.getAs[Long]("n_triangles") === m * (m - 1) * (m - 2) / 6)
+    assert(r.getAs[Long]("n_wedges") === m * (m - 1) * (m - 2) / 2)
+    assert(r.getAs[Double]("global_clustering") === 1.0)
+  }
+
+  test("pageRank: residual stop fires and lands on a fixed-iteration state") {
+    // 30-node synthetic ring-with-chords graph, formula-built (no RNG).
+    val big = (0L until 30L).flatMap { i =>
+      Seq((i, (i + 1) % 30, 1L + (i % 3)), (i, (i * 7 + 3) % 30, 1L + (i % 5)))
+    }.filter { case (s, d, _) => s != d }.toDF("src", "dst", "w")
+    val bigNodes = (0L until 30L).toDF("node")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("rank_scaled")).toMap
+    // an effectively-infinite tolerance must stop after exactly 1 iteration
+    val one = ranks(GraphOps.pageRank(big, bigNodes, iters = 20,
+      tolScaled = Long.MaxValue))
+    assert(one === ranks(GraphOps.pageRank(big, bigNodes, iters = 1)))
+    // a real tolerance converges BEFORE the cap (L1 residual contracts
+    // ~×0.85/iteration), to exactly the state some fixed iteration
+    // count k < cap produces (integer arithmetic makes each iteration
+    // bit-deterministic, so equality is exact)
+    val cap = 12
+    val conv = ranks(GraphOps.pageRank(big, bigNodes, iters = cap,
+      tolScaled = 20000000000L))
+    val k = (1 to cap).find(i =>
+      ranks(GraphOps.pageRank(big, bigNodes, iters = i)) == conv)
+    assert(k.isDefined && k.get < cap, s"converged state must match some k < $cap")
+  }
+
   // ------------------------------------------------------ frequent pairs
 
   test("frequentPairs prunes infrequent items before pairing") {
@@ -104,6 +164,22 @@ class AnalyticsOpsSpec extends SparkSpec {
         -> x.getAs[Long]("support")).toMap
     // item 40 has support 1 → pruned; (10,20) in baskets 1,2,3; (10,30)+(20,30) in 1,3
     assert(r === Map((10L, 20L) -> 3L, (10L, 30L) -> 2L, (20L, 30L) -> 2L))
+  }
+
+  test("frequentPairs: semi-join prune precedes pairing without a broadcast hint") {
+    val t = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("basket", "item")
+    val df = ProductAnalytics.frequentPairs(t, col("basket"), col("item"),
+      minItemSupport = 2, minPairSupport = 2)
+    // no forced broadcast: the hint-free semi join is still planned (AQE
+    // picks the physical strategy from the measured size at runtime),
+    // and it sits BELOW the basket self-join in the same plan tree
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi-join prune in:\n$plan")
+    val got = df.collect()
+      .map(x => (x.getAs[Long]("item_a"), x.getAs[Long]("item_b"))
+        -> x.getAs[Long]("support")).toMap
+    assert(got === Map((10L, 20L) -> 2L))
   }
 
   // ---------------------------------------------------------------- RRF

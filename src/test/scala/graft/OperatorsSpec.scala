@@ -854,4 +854,29 @@ class OperatorsSpec extends SparkSpec {
     assert(run().map(_.toString).sorted.sameElements(
       run().map(_.toString).sorted))
   }
+
+  test("Dedup.editDistancePairs: maxBlockSize sub-splits a hot block deterministically") {
+    import spark.implicits._
+    // 9 docs in ONE 2-token block ("breaking news") — the boilerplate
+    // mega-block shape; titles differ by a single digit (dist 1)
+    val hot = (0L until 9L).map(i => (i, s"breaking news story number $i x"))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // default cap is far above the block: exact uncapped semantics
+    val uncapped = pairs(Dedup.editDistancePairs(hot, col("text"), col("doc_id")))
+    assert(uncapped.size === 36) // C(9,2) — every pair is a near-dup
+    // cap 3 → ceil(9/3) = 3 hash sub-blocks; only same-sub pairs survive.
+    // The split hash is deterministic, so the expectation is computable
+    // by replaying the same formula.
+    val sub = hot.select(col("doc_id"), pmod(xxhash64(col("doc_id")), lit(3L)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for { a <- 0L until 9L; b <- (a + 1) until 9L
+                          if sub(a) == sub(b) } yield (a, b)).toSet
+    val capped = pairs(Dedup.editDistancePairs(hot, col("text"), col("doc_id"),
+      maxBlockSize = 3))
+    assert(capped === expected)
+    assert(capped.subsetOf(uncapped) && capped.size < uncapped.size,
+      "straddling pairs must be the only loss")
+  }
 }

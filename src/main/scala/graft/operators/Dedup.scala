@@ -1043,13 +1043,17 @@ object Dedup {
   def simHashClusters(docs: DataFrame, content: Column, id: Column,
                       maxHamming: Int = 3,
                       pointerDoubling: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = simHashPairs(docs, content, id, maxHamming)
     val labels = connectedComponents(
       docs.select(id.as("doc_id")), "doc_id", pairs, "doc_a", "doc_b",
       pointerDoubling = pointerDoubling)
-    labels.withColumn("cluster_size",
-      count(lit(1)).over(Window.partitionBy("cluster")))
+    // Sizes via aggregate + join, NOT a count-over-cluster window: a
+    // boilerplate mega-cluster is one hot key, and the window form
+    // buffers it in a single un-splittable task, while the join form
+    // reduces map-side and lets AQE skew-split the probe side.
+    val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"))
   }
 
   /** Oracle for [[simHashClusters]]: the SimHash pair CTEs + a recursive
@@ -1082,12 +1086,17 @@ object Dedup {
     df.groupBy(md5(content.cast("binary")).as("fp"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("copies"))
 
-  /** The deduplicated view itself: one surviving row per distinct content. */
+  /** The deduplicated view itself: one surviving row per distinct
+    * content (minimum id wins — ids are unique, so the pick is total).
+    * Shape: `min_by` aggregate, not a per-content window — a viral
+    * document is one hot fingerprint, and the aggregate collapses its
+    * copies MAP-SIDE (partial aggregation) where the window form would
+    * ship every copy to a single sort task.
+    */
   def dropExactDuplicates(df: DataFrame, content: Column, id: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(content.cast("binary"))).orderBy(id)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val cols = df.columns
+    df.groupBy(md5(content.cast("binary")).as("__fp"))
+      .agg(min_by(struct(cols.map(col): _*), id).as("__row"))
+      .select(cols.map(c => col(s"__row.$c")): _*)
   }
 }

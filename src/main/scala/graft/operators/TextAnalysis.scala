@@ -156,17 +156,34 @@ object TextAnalysis {
   /** Deterministic stratified sample: the k rows per stratum with the
     * smallest md5(id) — a reproducible uniform sample (hash order is
     * fixed, so re-runs, retries, and different cluster sizes all pick
-    * the SAME rows; no RNG state to coordinate). The per-stratum top-k
-    * is one window over the stratum key — a single shuffle at any
-    * scale.
+    * the SAME rows; no RNG state to coordinate).
+    *
+    * Round-6 scale shape: strata are LOW-cardinality (languages,
+    * domains), so a direct per-stratum window is one single-task sort
+    * per stratum over the whole corpus at 100 TB. The rank instead
+    * comes from the two-phase [[graft.operators.Skew.saltedRank]] with
+    * the top 54 bits of md5(id) as the integer range key (md5 is
+    * uniform, so range buckets are even by construction — the
+    * best-case input for the bucketed rank) and (full md5, id) as the
+    * tiebreak; a 54-bit prefix orders exactly like the hex string it
+    * prefixes, so the sampled rows are IDENTICAL to the md5-order
+    * window's. 54 (not 60) bits keeps saltedRank's
+    * `(hi − lo) · buckets` int64 contract with headroom.
     */
   def stratifiedHashSample(df: DataFrame, stratum: Column, id: Column,
                            k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(stratum).orderBy(md5(id.cast(StringType)), id)
-    df.withColumn("__rk", row_number().over(w))
+    val withKeys = df
+      .withColumn("__strat", stratum)
+      .withColumn("__md5", md5(id.cast(StringType)))
+      .withColumn("__h54",
+        call_function("div",
+          conv(substring(col("__md5"), 1, 15), 16, 10).cast(LongType),
+          lit(64L)))
+      .withColumn("__idc", id)
+    graft.operators.Skew.saltedRank(withKeys, Seq("__strat"), "__h54",
+        Seq("__md5", "__idc"), buckets = 64, as = "__rk")
       .filter(col("__rk") <= k)
-      .drop("__rk")
+      .select(df.columns.map(col): _*)
   }
 
   /** Deterministic Bernoulli sample: keep a row iff the top 60 bits of

@@ -695,17 +695,46 @@ object Extensions {
 
   /** Rank-family windows: ntile / percent_rank / cume_dist over a total
     * order (tiebreak on the key keeps every rank engine-deterministic).
+    *
+    * Round-6 scale rewrite (the q129 lesson applied to the rank
+    * family): `c_mktsegment` has 5 values — a direct window here is 5
+    * single-task sorts over the whole table at 100 TB. Instead the
+    * row_number comes from the two-phase
+    * [[graft.operators.Skew.saltedRank]] (order key = exact cents,
+    * monotone with c_acctbal; custkey tiebreak makes the order total,
+    * so rank == row_number and cume_dist has no peer group), and the
+    * three rank functions are DERIVED from (rn, n):
+    *   ntile(4)     = SQL-standard bucketing — first n mod 4 buckets
+    *                  get ⌈n/4⌉ rows (pure integer arithmetic);
+    *   percent_rank = (rn−1)/(n−1) — one IEEE division of exact
+    *                  integers, the same op DuckDB performs internally;
+    *   cume_dist    = rn/n (unique order tuple ⇒ peers = self).
+    * The oracle keeps the plain window formulation — the gate proves
+    * the derived forms replay the engine-native rank family exactly.
     */
   private val q80 = Q("q80_rank_windows",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(s, d).select(
-        col("c_mktsegment"), col("c_custkey"),
-        ntile(4).over(w).cast(LongType).as("quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"))
+      val cents = floor(col("c_acctbal") * 100 + lit(0.5)).cast(LongType)
+      val base = Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"), cents.as("__bal"))
+      val ranked = graft.operators.Skew.saltedRank(base, Seq("c_mktsegment"),
+        "__bal", Seq("c_custkey"), buckets = 64)
+      val sizes = base.groupBy("c_mktsegment").agg(count(lit(1)).as("__n"))
+      val n = col("__n")
+      val rn = col("rn")
+      val qq = call_function("div", n, lit(4L))
+      val rr = n - qq * 4
+      val firstSpan = rr * (qq + 1)
+      val quartile = when(rn <= firstSpan,
+          call_function("div", rn + qq, qq + 1))
+        .otherwise(rr + call_function("div", rn - firstSpan + qq - 1, qq))
+      ranked.join(broadcast(sizes), "c_mktsegment")
+        .select(
+          col("c_mktsegment"), col("c_custkey"),
+          quartile.cast(LongType).as("quartile"),
+          when(n > 1, (rn - 1).cast(DoubleType) / (n - 1).cast(DoubleType))
+            .otherwise(lit(0.0)).as("pct_rank"),
+          (rn.cast(DoubleType) / n.cast(DoubleType)).as("cume"))
         .orderBy("c_mktsegment", "c_custkey")
     },
     Some("""SELECT c_mktsegment, c_custkey,

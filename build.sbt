@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output streams straight to the console, undecorated: the
+// bench/verify mains emit one-line JSON records that must be
+// machine-parseable from captured stdout — an "[info] " logger prefix
+// defeats that (round-5 bench record had parsed: null for this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -66,26 +66,38 @@ object GraphOps {
     *         global_clustering = 3·triangles / wedges)
     */
   def triangleStats(edges: DataFrame): DataFrame = {
+    // The pair list is typically an EXPENSIVE upstream (a near-dup pair
+    // pipeline); the degree aggregate, the orient joins, and the three
+    // triangle-join uses would each recompute it. Persist the raw pairs
+    // once and the (small) oriented frame once; materialize the 1-row
+    // result eagerly and release both before returning (selfCleaning
+    // discipline).
     val raw = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val deg = raw.select(col("a").as("n")).union(raw.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("d"))
-    val e = orientLowHigh(raw, deg)
-    val cands = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-    val tris = cands.join(e.as("e3"),
-      col("x") === col("e3.a") && col("z") === col("e3.b"))
-    val nodeStats = deg.agg(
-      count(lit(1)).as("n_nodes"),
-      sum(call_function("div", col("d") * (col("d") - 1), lit(2L)))
-        .as("n_wedges"))
-    val base = e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(broadcast(tris.agg(count(lit(1)).as("n_triangles"))))
-      .crossJoin(broadcast(nodeStats))
-    base.select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-      col("n_triangles"),
-      when(col("n_wedges") === 0, lit(0.0))
-        .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges"))
-        .as("global_clustering"))
+      .persist()
+    try {
+      val deg = raw.select(col("a").as("n")).union(raw.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val e = orientLowHigh(raw, deg).persist()
+      try {
+        val cands = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        val tris = cands.join(e.as("e3"),
+          col("x") === col("e3.a") && col("z") === col("e3.b"))
+        val nodeStats = deg.agg(
+          count(lit(1)).as("n_nodes"),
+          sum(call_function("div", col("d") * (col("d") - 1), lit(2L)))
+            .as("n_wedges"))
+        val base = e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(tris.agg(count(lit(1)).as("n_triangles"))))
+          .crossJoin(broadcast(nodeStats))
+        base.select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          when(col("n_wedges") === 0, lit(0.0))
+            .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges"))
+            .as("global_clustering"))
+          .localCheckpoint(eager = true)
+      } finally { e.unpersist(blocking = false); () }
+    } finally { raw.unpersist(blocking = false); () }
   }
 
   /** Weighted PageRank by power iteration, in EXACT scaled-integer

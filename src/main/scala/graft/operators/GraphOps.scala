@@ -228,6 +228,66 @@ object GraphOps {
        |SELECT node, r AS rank_scaled FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** Hop-capped single/multi-source shortest paths (Bellmann–Ford
+    * rounds) in exact BIGINT arithmetic: after round k, `dist(n)` is
+    * the minimum total weight over all paths from any source to `n`
+    * using at most k edges — exactly what a recursive-CTE oracle
+    * enumerates with `hops <= maxHops` then `MIN(dist)`.
+    *
+    * Scale shape: each round is one equi-join of the |V|-sized dist
+    * frame against the edge list on `src` (both hash-partitionable on
+    * the node key) plus one `min` aggregation shuffled on the node —
+    * O(|E|/executors) per round, never materializing paths. The edge
+    * list is persisted once across rounds and released before
+    * returning (selfCleaning discipline). The rounds fold lazily (no
+    * driver actions); for deep caps (> ~8) pass `checkpointEvery` to
+    * truncate lineage with an eager |V|-sized localCheckpoint.
+    *
+    * Unreachable-within-cap nodes are absent from the output (the
+    * recursive-CTE convention), not NULL rows.
+    *
+    * @param edges   (src, dst, w: BIGINT) — positive integer weights
+    * @param sources single column `node` — dist 0 seeds
+    * @return (node, dist: BIGINT)
+    */
+  def shortestPaths(edges: DataFrame, sources: DataFrame, maxHops: Int,
+                    checkpointEvery: Int = Int.MaxValue): DataFrame = {
+    require(maxHops >= 1, s"maxHops ($maxHops) must be >= 1")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1")
+    val e = edges.select("src", "dst", "w").persist()
+    try {
+      val d0 = sources.select(col("node"), lit(0L).as("dist"))
+      val dist = (1 to maxHops).foldLeft(d0) { (dist, k) =>
+        val relax = e
+          .join(dist.select(col("node").as("src"), col("dist")), "src")
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        val next = dist.unionByName(relax)
+          .groupBy("node").agg(min("dist").as("dist"))
+        if (k % checkpointEvery == 0) next.localCheckpoint(eager = true)
+        else next
+      }
+      dist.localCheckpoint(eager = true)
+    } finally { e.unpersist(blocking = false); () }
+  }
+
+  /** Oracle for [[shortestPaths]]: enumerate every walk of at most
+    * `maxHops` edges from the sources with a recursive CTE, then take
+    * the per-node minimum. Exponential in the cap — oracle-only; the
+    * operator itself is the linear-per-round formulation.
+    */
+  def shortestPathsOracle(edgesSql: String, sourcesSql: String,
+                          maxHops: Int): String =
+    s"""WITH RECURSIVE e AS ($edgesSql),
+       |src AS ($sourcesSql),
+       |walk(node, dist, hops) AS (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM src
+       |  UNION ALL
+       |  SELECT e.dst, walk.dist + e.w, walk.hops + 1
+       |  FROM walk JOIN e ON e.src = walk.node
+       |  WHERE walk.hops < $maxHops)
+       |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+       |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
   /** Oracle wrapper: `edgesSql` must yield (doc_a, doc_b) with
     * doc_a < doc_b.
     */

@@ -206,6 +206,70 @@ object ProductAnalytics {
        |FROM stacked WHERE day2 IN (SELECT day FROM days)
        |GROUP BY day2 ORDER BY day""".stripMargin
 
+  /** Per-key union length of (possibly overlapping) intervals — the
+    * gaps-and-islands merge. Each row contributes `[start, end)`;
+    * islands are maximal runs of overlapping/touching intervals, found
+    * with the classic running-max trick: sort by (start, end) within
+    * the key, an interval opens a new island iff its start exceeds the
+    * max end seen so far. All arithmetic is exact BIGINT; island
+    * assignment among tied starts can differ by tie order, but the
+    * per-key aggregates (island count, covered length) are tie-
+    * invariant, so the output is engine-portable.
+    *
+    * Scale shape: two window passes and one aggregation, all
+    * partitioned by the key — one shuffle total (the windows and the
+    * groupBy share the key partitioning). Per-key data must fit a
+    * partition's sort spill budget, the standard window contract; keys
+    * here are users, so cardinality is high and skew bounded.
+    *
+    * @return (key k, n_intervals, n_islands, covered: BIGINT)
+    */
+  def intervalCoverage(df: DataFrame, key: Column,
+                       start: Column, end: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = df.select(key.as("k"), start.as("s"), end.as("e"))
+    val ord = Window.partitionBy("k").orderBy(col("s"), col("e"))
+    val pmax = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = iv
+      .withColumn("flag",
+        when(max(col("e")).over(pmax).isNull ||
+          col("s") > max(col("e")).over(pmax), lit(1L)).otherwise(lit(0L)))
+      .withColumn("isl", sum(col("flag")).over(run))
+    flagged
+      .groupBy(col("k"), col("isl"))
+      .agg(count(lit(1)).as("n_iv"), min(col("s")).as("s0"), max(col("e")).as("e1"))
+      .groupBy("k")
+      .agg(sum(col("n_iv")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("e1") - col("s0")).as("covered"))
+  }
+
+  /** Oracle for [[intervalCoverage]]: `ivSql` must yield (k, s, e). */
+  def intervalCoverageOracle(ivSql: String): String =
+    s"""WITH iv AS ($ivSql),
+       |m AS (
+       |  SELECT k, s, e,
+       |    MAX(e) OVER (PARTITION BY k ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM iv),
+       |f AS (
+       |  SELECT k, s, e,
+       |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS flag
+       |  FROM m),
+       |g AS (
+       |  SELECT k, s, e,
+       |    SUM(flag) OVER (PARTITION BY k ORDER BY s, e
+       |      ROWS UNBOUNDED PRECEDING) AS isl
+       |  FROM f),
+       |isl AS (
+       |  SELECT k, isl, COUNT(*) AS n_iv, MIN(s) AS s0, MAX(e) AS e1
+       |  FROM g GROUP BY k, isl)
+       |SELECT k, CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+       |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+       |  CAST(SUM(e1 - s0) AS BIGINT) AS covered
+       |FROM isl GROUP BY k ORDER BY k""".stripMargin
+
   /** Market-basket frequent pairs (Apriori level 2): co-occurrence
     * support for item pairs within a basket, after the classic
     * monotonicity prune — a pair can only reach `minPairSupport` if

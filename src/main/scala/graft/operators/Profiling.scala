@@ -305,4 +305,71 @@ object Profiling {
        |SELECT modes.g, mode_val, med, mad
        |FROM modes JOIN med ON modes.g = med.g JOIN mad ON modes.g = mad.g
        |ORDER BY modes.g""".stripMargin
+
+  /** Robust per-group outlier flags: a row is an outlier when its
+    * MAD-z exceeds `zTenths/10` — entirely in scaled-integer
+    * comparison, no float ever:
+    *
+    *   |x − med| / (1.4826·mad) > zTenths/10
+    *     ⇔  100000·|x−med| > zTenths·14826·mad
+    *
+    * (both sides BIGINT; with cent-scaled inputs ≤ ~1e9 the products
+    * stay far under 2^63). `med`/`mad` are the same lower-median
+    * statistics as [[robustStats]]. A zero MAD (≥ half the group at one
+    * value) flags every row off the median — the strictest consistent
+    * reading, identical on both engines.
+    *
+    * Scale shape: two distinct-value ranking passes for med/mad (each
+    * one shuffle on the group key, window inputs bounded by the value
+    * domain) and one broadcast attach of the per-group stats frame
+    * (group-cardinality is dim-sized here; drop the hint for
+    * high-cardinality groupings — the [[robustStats]] contract).
+    *
+    * @return outlier rows (id, g, x, med, mad)
+    */
+  def madOutliers(df: DataFrame, grp: Column, id: Column, value: Column,
+                  zTenths: Long = 30L): DataFrame = {
+    require(zTenths >= 1L, s"zTenths ($zTenths) must be >= 1")
+    val v = df.select(grp.as("g"), id.as("id"), value.as("x"))
+    val med = lowerMedian(v.select("g", "x")).withColumnRenamed("med0", "med")
+    val mad = lowerMedian(
+        v.join(broadcast(med), Seq("g"))
+          .select(col("g"), abs(col("x") - col("med")).as("x")))
+      .withColumnRenamed("med0", "mad")
+    v.join(broadcast(med), Seq("g")).join(broadcast(mad), Seq("g"))
+      .filter(lit(100000L) * abs(col("x") - col("med")) >
+        lit(zTenths) * lit(14826L) * col("mad"))
+      .select("id", "g", "x", "med", "mad")
+  }
+
+  /** Oracle for [[madOutliers]]: the [[robustStatsOracle]] median/MAD
+    * CTEs plus the identical integer threshold filter. `vSql` must
+    * yield (g, id, x).
+    */
+  def madOutliersOracle(vSql: String, zTenths: Long = 30L): String =
+    s"""WITH v AS ($vSql),
+       |c1 AS (SELECT g, x, COUNT(*) AS cnt FROM v GROUP BY g, x),
+       |r1 AS (
+       |  SELECT g, x,
+       |    SUM(cnt) OVER (PARTITION BY g ORDER BY x
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY g) AS n
+       |  FROM c1),
+       |med AS (SELECT g, MIN(x) AS med FROM r1
+       |        WHERE cum >= (n + 1) // 2 GROUP BY g),
+       |d AS (SELECT v.g, ABS(v.x - med.med) AS x
+       |      FROM v JOIN med ON v.g = med.g),
+       |c2 AS (SELECT g, x, COUNT(*) AS cnt FROM d GROUP BY g, x),
+       |r2 AS (
+       |  SELECT g, x,
+       |    SUM(cnt) OVER (PARTITION BY g ORDER BY x
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY g) AS n
+       |  FROM c2),
+       |mad AS (SELECT g, MIN(x) AS mad FROM r2
+       |        WHERE cum >= (n + 1) // 2 GROUP BY g)
+       |SELECT v.id, v.g, v.x, med.med, mad.mad
+       |FROM v JOIN med ON v.g = med.g JOIN mad ON v.g = mad.g
+       |WHERE 100000 * ABS(v.x - med.med) > $zTenths * 14826 * mad.mad
+       |ORDER BY v.id""".stripMargin
 }

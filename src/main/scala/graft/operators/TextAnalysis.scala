@@ -280,6 +280,171 @@ object TextAnalysis {
        |  FROM scored)
        |WHERE rk <= $k ORDER BY doc_id, rk""".stripMargin
 
+  /** BM25 ranked retrieval for a fixed term set — the Okapi scoring
+    * the tf-idf ranker ([[tfIdfTopTerms]]) graduates into once term
+    * saturation (k1) and length normalization (b) matter. The idf is
+    * the same rational form as [[tfIdfTopTerms]] (no `ln` — libm is
+    * not bit-portable across engines; the ranking is order-isomorphic
+    * for a fixed corpus): idf = (N − df + 0.5)/(df + 0.5), and
+    *
+    *   score(d) = Σ_t idf_t · (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * with k1 = 1.2, b = 0.75 pinned as literals on both engines.
+    * Float addition is not associative, so the Σ over terms is NOT a
+    * `SUM()` (partition-order-dependent): each term's score is pivoted
+    * into its own column (order-independent MAX) and the total is a
+    * literal left-assoc `+` chain in the caller-given term order —
+    * identical expression shape on both engines.
+    *
+    * Scale shape: one (doc, term) aggregation for lengths, one for the
+    * term-filtered tf (the IN-filter prunes before the shuffle), a
+    * broadcast df/corpus-stats attach, and a top-k via sort+limit
+    * (TakeOrderedAndProject — never a single-partition window over the
+    * corpus); only the k survivors are re-ranked for the rank column.
+    *
+    * @param terms query terms, score order fixed by this sequence
+    * @return top-k (doc_id, score, rk) by (score desc, doc_id)
+    */
+  def bm25TopDocs(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "terms must be non-empty")
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = tok.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val tfD = col("tf").cast(DoubleType)
+    val dlD = col("dl").cast(DoubleType)
+    val s = idf * (tfD * lit(2.2)) /
+      (tfD + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * dlD / avgdl))
+    val perTerm = tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), s.as("s"))
+    val termCols = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("term") === t, col("s"))), lit(0.0)).as(s"s$i")
+    }
+    val pivoted = perTerm.groupBy("doc_id")
+      .agg(termCols.head, termCols.tail: _*)
+    val total = terms.indices.map(i => col(s"s$i")).reduce(_ + _)
+    val top = pivoted.select(col("doc_id"), total.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast(LongType))
+      .select("doc_id", "score", "rk")
+  }
+
+  /** Oracle for [[bm25TopDocs]] — the identical expression shapes as
+    * chained CTEs (every literal CAST to DOUBLE: DuckDB bare numerics
+    * are DECIMAL).
+    */
+  def bm25TopDocsOracle(terms: Seq[String], k: Int): String = {
+    val termList = sqlList(terms)
+    val pivotCols = terms.zipWithIndex.map { case (t, i) =>
+      s"COALESCE(MAX(CASE WHEN term = '$t' THEN s END), CAST(0.0 AS DOUBLE)) AS s$i"
+    }.mkString(",\n    ")
+    val total = terms.indices.map(i => s"s$i").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS term
+       |  FROM documents),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |                 CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       |       WHERE term IN $termList GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |per_term AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ((stats.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+       |      / (dfreq.df + CAST(0.5 AS DOUBLE)))
+       |    * (CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+       |    / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+       |        * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+       |           + CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE)
+       |             / (CAST(stats.sum_dl AS DOUBLE)
+       |                / CAST(stats.n_docs AS DOUBLE)))) AS s
+       |  FROM tf JOIN dfreq ON tf.term = dfreq.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats),
+       |piv AS (
+       |  SELECT doc_id,
+       |    $pivotCols
+       |  FROM per_term GROUP BY doc_id),
+       |top AS (
+       |  SELECT doc_id, $total AS score FROM piv
+       |  ORDER BY score DESC, doc_id LIMIT $k)
+       |SELECT doc_id, score,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+       |FROM top ORDER BY rk""".stripMargin
+  }
+
+  /** Token co-occurrence lift over a capped vocabulary: restrict to
+    * the global top-`vocabTop` terms by document frequency (ties by
+    * term — deterministic), pair them within each document, and score
+    * association by lift = N·c_ab / (c_a·c_b) — the PMI argument
+    * without the `ln` (libm is not bit-portable; lift is rank-
+    * isomorphic to PMI). The integer products stay exact in BIGINT and
+    * the single division is portable.
+    *
+    * Scale shape: the vocabulary cap is the quadratic bound — per-doc
+    * pairs ≤ C(vocabTop, 2) whatever the corpus, so the pair stage is
+    * linear in the corpus with a constant factor chosen by the caller.
+    * Top-vocabulary selection is sort+limit (TakeOrderedAndProject),
+    * broadcast back — never a window over the full vocabulary.
+    *
+    * @return (term_a, term_b, c_a, c_b, c_ab, lift) for pairs
+    *         co-occurring in >= minPairDf docs, term_a < term_b
+    */
+  def cooccurrenceLift(docs: DataFrame, vocabTop: Int,
+                       minPairDf: Long): DataFrame = {
+    val dt = docs.select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+    val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val vocab = dfreq.orderBy(col("df").desc, col("term")).limit(vocabTop)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val vt = dt.join(broadcast(vocab), "term")
+    val pairs = vt.as("l").join(vt.as("r"), col("l.doc_id") === col("r.doc_id"))
+      .filter(col("l.term") < col("r.term"))
+      .groupBy(col("l.term").as("term_a"), col("r.term").as("term_b"))
+      .agg(count(lit(1)).as("c_ab"),
+        min(col("l.df")).as("c_a"), min(col("r.df")).as("c_b"))
+      .filter(col("c_ab") >= minPairDf)
+    pairs.crossJoin(broadcast(n))
+      .select(col("term_a"), col("term_b"), col("c_a"), col("c_b"), col("c_ab"),
+        ((col("n_docs") * col("c_ab")).cast(DoubleType) /
+          (col("c_a") * col("c_b")).cast(DoubleType)).as("lift"))
+  }
+
+  /** Oracle for [[cooccurrenceLift]]. */
+  def cooccurrenceLiftOracle(vocabTop: Int, minPairDf: Long): String =
+    s"""WITH dt AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS term
+       |    FROM documents)),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY term),
+       |vocab AS (SELECT term, df FROM dfreq
+       |          ORDER BY df DESC, term LIMIT $vocabTop),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |vt AS (SELECT dt.doc_id, dt.term, vocab.df
+       |       FROM dt JOIN vocab ON dt.term = vocab.term),
+       |pairs AS (
+       |  SELECT l.term AS term_a, r.term AS term_b,
+       |    COUNT(*) AS c_ab, MIN(l.df) AS c_a, MIN(r.df) AS c_b
+       |  FROM vt l JOIN vt r ON l.doc_id = r.doc_id AND l.term < r.term
+       |  GROUP BY l.term, r.term
+       |  HAVING COUNT(*) >= $minPairDf)
+       |SELECT term_a, term_b, CAST(c_a AS BIGINT) AS c_a,
+       |  CAST(c_b AS BIGINT) AS c_b, CAST(c_ab AS BIGINT) AS c_ab,
+       |  CAST(n.n_docs * c_ab AS DOUBLE) / CAST(c_a * c_b AS DOUBLE) AS lift
+       |FROM pairs CROSS JOIN n
+       |ORDER BY term_a, term_b""".stripMargin
+
   // ---------------------------------------------------------- repetition
 
   /** Repetition-based quality signals (the Gopher-rules family adapted

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Fns
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AsOfJoin, Dedup, GraphOps, ProductAnalytics, RangeJoin, Similarity, TextAnalysis}
 import graft.serving.SafeSql
 import graft.queries.Parity.Q
@@ -2312,33 +2312,39 @@ object Extensions {
     * broadcast dim joins), the 5 iterations run over the |V|-sized rank
     * frame only.
     */
-  private val q140 = {
-    val edgesSql =
-      """SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
-        |  CAST(COUNT(*) AS BIGINT) AS w
-        |FROM lineitem l
-        |JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |JOIN customer c ON o.o_custkey = c.c_custkey
-        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |GROUP BY s.s_nationkey, c.c_nationkey""".stripMargin
-    Q("q140_pagerank_trade",
-      (s, d) => {
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
-        val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
-        val edges = li
-          .join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-          .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
-          .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
-          .agg(count(lit(1)).as("w"))
-        val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
-        GraphOps.pageRank(edges, nodes, iters = 5).orderBy("node")
-      },
-      Some(GraphOps.pageRankOracle(
-        edgesSql, "SELECT n_nationkey AS node FROM nation", iters = 5)))
+  /** Shared edge build for the trade-graph queries (q140, q146):
+    * supplier nation → customer nation, weight = lineitem count. The
+    * lineitem⋈orders shuffle is the data-heavy stage; both dims
+    * broadcast.
+    */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
   }
+
+  private val tradeEdgesSql: String =
+    """SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+      |  CAST(COUNT(*) AS BIGINT) AS w
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY s.s_nationkey, c.c_nationkey""".stripMargin
+
+  private val q140 = Q("q140_pagerank_trade",
+    (s, d) => {
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
+      GraphOps.pageRank(tradeEdges(s, d), nodes, iters = 5).orderBy("node")
+    },
+    Some(GraphOps.pageRankOracle(
+      tradeEdgesSql, "SELECT n_nationkey AS node FROM nation", iters = 5)))
 
   /** Market-basket frequent part pairs within orders — Apriori level 2
     * with the monotonicity prune applied BEFORE the per-basket
@@ -2420,6 +2426,83 @@ object Extensions {
       Similarity.lshTopKOracle(nQueries = 20, k = 10, bits = 4),
       topK = 5)))
 
+  /** Hop-capped shortest paths over the nation trade graph from the
+    * region-0 nations — Bellman–Ford rounds in exact BIGINT
+    * ([[graft.operators.GraphOps.shortestPaths]]); the oracle is the
+    * exponential recursive-CTE walk enumeration, the operator the
+    * linear-per-round relaxation.
+    */
+  private val q146 = Q("q146_shortest_paths",
+    (s, d) => {
+      val sources = Tables.nation(s, d)
+        .filter(col("n_regionkey") === 0)
+        .select(col("n_nationkey").as("node"))
+      GraphOps.shortestPaths(tradeEdges(s, d), sources, maxHops = 3)
+        .orderBy("node")
+    },
+    Some(GraphOps.shortestPathsOracle(
+      tradeEdgesSql,
+      "SELECT n_nationkey AS node FROM nation WHERE n_regionkey = 0",
+      maxHops = 3)))
+
+  /** Per-user session-interval coverage (gaps-and-islands): each event
+    * opens an interval of `value`-scaled length; islands merge
+    * overlaps, all in exact epoch-µs BIGINT
+    * ([[graft.operators.ProductAnalytics.intervalCoverage]]).
+    */
+  private val q147 = Q("q147_interval_coverage",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      ProductAnalytics.intervalCoverage(ev, col("user_id"),
+          col("ts_us"),
+          col("ts_us") +
+            floor(col("value") * 100 + lit(0.5)).cast(LongType) *
+            lit(1000000L))
+        .orderBy("k")
+    },
+    Some(ProductAnalytics.intervalCoverageOracle(
+      """SELECT user_id AS k, EPOCH_US(ts) AS s,
+        |  EPOCH_US(ts) + CAST(FLOOR(value*100+0.5) AS BIGINT)*1000000 AS e
+        |FROM events""".stripMargin)))
+
+  /** Robust per-type outlier flags on the event value stream — MAD-z >
+    * 3 entirely in scaled-integer comparison
+    * ([[graft.operators.Profiling.madOutliers]]); 560 of 10k events
+    * flagged at sf0.01, max MAD-z ≈ 12.5.
+    */
+  private val q148 = Q("q148_mad_outliers",
+    (s, d) => graft.operators.Profiling.madOutliers(
+        Tables.events(s, d), col("event_type"), col("event_id"),
+        floor(col("value") * 100 + lit(0.5)).cast(LongType), zTenths = 30L)
+      .orderBy("id"),
+    Some(graft.operators.Profiling.madOutliersOracle(
+      """SELECT event_type AS g, event_id AS id,
+        |  CAST(FLOOR(value*100+0.5) AS BIGINT) AS x FROM events""".stripMargin,
+      zTenths = 30L)))
+
+  /** BM25 ranked retrieval for a fixed 3-term query over the document
+    * corpus ([[graft.operators.TextAnalysis.bm25TopDocs]]) — rational
+    * idf (no libm), per-term pivot + literal `+` chain so the float
+    * arithmetic has identical shape on both engines.
+    */
+  private val q149 = Q("q149_bm25",
+    (s, d) => TextAnalysis.bm25TopDocs(Tables.documents(s, d),
+      terms = Seq("join", "window", "spark"), k = 10),
+    Some(TextAnalysis.bm25TopDocsOracle(
+      terms = Seq("join", "window", "spark"), k = 10)))
+
+  /** Token co-occurrence lift over the top-20 vocabulary
+    * ([[graft.operators.TextAnalysis.cooccurrenceLift]]) — the PMI
+    * association argument without the non-portable `ln`; the vocab cap
+    * bounds the pair stage quadratically whatever the corpus size.
+    */
+  private val q150 = Q("q150_cooccurrence_lift",
+    (s, d) => TextAnalysis.cooccurrenceLift(Tables.documents(s, d),
+        vocabTop = 20, minPairDf = 250L)
+      .orderBy("term_a", "term_b"),
+    Some(TextAnalysis.cooccurrenceLiftOracle(
+      vocabTop = 20, minPairDf = 250L)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2431,5 +2514,5 @@ object Extensions {
     q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
     q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
-    q140, q141, q142, q143, q144, q145)
+    q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
 }

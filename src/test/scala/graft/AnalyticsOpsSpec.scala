@@ -201,4 +201,66 @@ class AnalyticsOpsSpec extends SparkSpec {
       .sortBy { case (id, sc) => (-sc, id) }
     assert(got.toSeq === expected)
   }
+
+  // ------------------------------------------------------ shortest paths
+
+  test("shortestPaths: hop cap, relaxation, unreachable absent, partition-invariant") {
+    // 0→1 costs 10 direct but 3 via 2 hops through node 2; 4 isolated.
+    val e = Seq((0L, 1L, 10L), (0L, 2L, 1L), (2L, 1L, 2L), (1L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val src = Seq(0L).toDF("node")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(m(GraphOps.shortestPaths(e, src, maxHops = 1)) ===
+      Map(0L -> 0L, 1L -> 10L, 2L -> 1L))
+    val h3 = m(GraphOps.shortestPaths(e, src, maxHops = 3))
+    assert(h3 === Map(0L -> 0L, 1L -> 3L, 2L -> 1L, 3L -> 4L))
+    // node 4 never appears (recursive-CTE convention), even as a source set grows
+    assert(!h3.contains(4L))
+    // exact integer arithmetic ⇒ bit-identical under repartition + checkpoint cadence
+    assert(m(GraphOps.shortestPaths(e.repartition(5), src.repartition(2),
+      maxHops = 3, checkpointEvery = 1)) === h3)
+    // multi-source: seeds at 0 and 2 — 2's zero seed beats the 0→2 path
+    val h2 = m(GraphOps.shortestPaths(e, Seq(0L, 2L).toDF("node"), maxHops = 2))
+    assert(h2 === Map(0L -> 0L, 1L -> 2L, 2L -> 0L, 3L -> 3L))
+  }
+
+  // -------------------------------------------------- interval coverage
+
+  test("intervalCoverage: touching merges, nesting absorbs, gaps split") {
+    val iv = Seq(
+      ("a", 0L, 10L), ("a", 5L, 20L),   // overlap → one island
+      ("a", 20L, 30L),                  // touching (s == pmax) → same island
+      ("a", 40L, 50L),                  // gap → new island
+      ("b", 0L, 100L), ("b", 10L, 20L), // nested absorbs
+      ("c", 7L, 7L)                     // empty interval: island of length 0
+    ).toDF("k0", "s0", "e0")
+    val r = ProductAnalytics.intervalCoverage(iv, col("k0"), col("s0"), col("e0"))
+      .collect().map(x => x.getAs[String]("k") ->
+        (x.getAs[Long]("n_intervals"), x.getAs[Long]("n_islands"),
+         x.getAs[Long]("covered"))).toMap
+    assert(r === Map(
+      "a" -> ((4L, 2L, 40L)),  // [0,30) ∪ [40,50)
+      "b" -> ((2L, 1L, 100L)),
+      "c" -> ((1L, 1L, 0L))))
+  }
+
+  // ------------------------------------------------------- MAD outliers
+
+  test("madOutliers: integer threshold matches hand-computed med/MAD") {
+    // g1: 1..9 plus an extreme 100 → med 5, mad 2; only 100 crosses z=3.
+    val g1 = (1L to 9L).map(v => ("g1", v * 10 + v, v)) :+ (("g1", 999L, 100L))
+    // g2: constant value → mad 0 → every off-median row flags
+    val g2 = Seq(("g2", 1L, 7L), ("g2", 2L, 7L), ("g2", 3L, 7L), ("g2", 4L, 8L))
+    val df = (g1 ++ g2).toDF("g0", "id0", "x0")
+    val r = Profiling.madOutliers(df, col("g0"), col("id0"), col("x0"))
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Long]("x"), x.getAs[Long]("med"), x.getAs[Long]("mad"))).toMap
+    assert(r === Map(999L -> ((100L, 5L, 2L)), 4L -> ((8L, 7L, 0L))))
+    // tighter z flags the tails of g1 too: z=1.5 ⇒ |x-5| > 1.5·1.4826·2 ≈ 4.45
+    val tight = Profiling.madOutliers(df, col("g0"), col("id0"), col("x0"),
+        zTenths = 15L)
+      .collect().map(_.getAs[Long]("x")).toSet
+    assert(tight === Set(100L, 8L))
+  }
 }

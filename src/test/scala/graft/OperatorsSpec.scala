@@ -879,4 +879,45 @@ class OperatorsSpec extends SparkSpec {
     assert(capped.subsetOf(uncapped) && capped.size < uncapped.size,
       "straddling pairs must be the only loss")
   }
+
+  test("TextAnalysis.bm25TopDocs matches the hand formula; no-term docs absent") {
+    import spark.implicits._
+    val corpus = Seq((1L, "x a"), (2L, "x x a a"), (3L, "a a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopDocs(corpus, terms = Seq("x"), k = 5)
+      .collect().map(r => (r.getAs[Long]("rk"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score")))
+    // N=3, avgdl=8/3, df(x)=2 ⇒ idf=0.6; k1=1.2, b=0.75
+    def s(tf: Double, dl: Double) =
+      0.6 * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (8.0 / 3)))
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq((1L, 2L), (2L, 1L)))
+    val bysId = got.map(t => t._2 -> t._3).toMap
+    assert(math.abs(bysId(2L) - s(2, 4)) < 1e-12)
+    assert(math.abs(bysId(1L) - s(1, 2)) < 1e-12)
+    // length normalization: same tf, longer doc scores strictly lower
+    assert(bysId(1L) > s(1, 4))
+  }
+
+  test("TextAnalysis.cooccurrenceLift: exact counts, lift ratio, vocab cap") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b"), (2L, "b a"), (3L, "a a c"), (4L, "c b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.cooccurrenceLift(corpus, vocabTop = 3, minPairDf = 1L)
+      .collect().map(r => (r.getAs[String]("term_a"), r.getAs[String]("term_b")) ->
+        (r.getAs[Long]("c_a"), r.getAs[Long]("c_b"), r.getAs[Long]("c_ab"),
+         r.getAs[Double]("lift"))).toMap
+    // df: a=3 (distinct per doc — "a a c" counts once), b=3, c=2; N=4
+    assert(got === Map(
+      ("a", "b") -> ((3L, 3L, 2L, 8.0 / 9)),
+      ("a", "c") -> ((3L, 2L, 1L, 4.0 / 6)),
+      ("b", "c") -> ((3L, 2L, 1L, 4.0 / 6))))
+    // vocab cap 2 keeps only {a, b} (df desc, term asc) — c pairs vanish
+    val capped = TextAnalysis.cooccurrenceLift(corpus, vocabTop = 2, minPairDf = 1L)
+      .collect().map(r => (r.getAs[String]("term_a"), r.getAs[String]("term_b")))
+    assert(capped.toSeq === Seq(("a", "b")))
+    // support floor: minPairDf=2 drops the singleton pairs
+    val floored = TextAnalysis.cooccurrenceLift(corpus, vocabTop = 3, minPairDf = 2L)
+      .collect().map(r => (r.getAs[String]("term_a"), r.getAs[String]("term_b")))
+    assert(floored.toSeq === Seq(("a", "b")))
+  }
 }

@@ -235,12 +235,18 @@ object Profiling {
     */
   def robustStats(df: DataFrame, grp: Column,
                   modeOf: Column, spreadOf: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // The projected base feeds seven passes (mode counts + 3 per
+    // median call) — deliberately NOT persisted: each pass is a
+    // column-pruned parquet scan plus a near-empty shuffle, and the
+    // cache fill costs more than the rescans (the q47 lesson).
     val v = df.select(grp.as("g"), modeOf.as("q"), spreadOf.as("x"))
-    // mode: counts per distinct (g, q), max-count per group, min tie-break
+    // mode: counts per distinct (g, q), max-count per group, min
+    // tie-break. The per-group max attaches by agg + broadcast join,
+    // NOT a partitionBy(g) window — with dim-sized |G| a window would
+    // funnel the whole distinct-value frame through |G| partitions.
     val mc = v.groupBy("g", "q").agg(count(lit(1)).as("cnt"))
-    val modes = mc
-      .withColumn("mx", max("cnt").over(Window.partitionBy("g")))
+    val mx = mc.groupBy("g").agg(max("cnt").as("mx"))
+    val modes = mc.join(broadcast(mx), Seq("g"))
       .filter(col("cnt") === col("mx"))
       .groupBy("g").agg(min("q").as("mode_val"))
     val med = lowerMedian(v.select("g", "x")).withColumnRenamed("med0", "med")
@@ -252,19 +258,56 @@ object Profiling {
       .select("g", "mode_val", "med", "mad")
   }
 
-  /** k-th smallest with k = (n+1) div 2, ranked over distinct values
-    * per group: (g, x) → (g, med0).
+  /** k-th smallest with k = (n+1) div 2 per group: (g, x) → (g, med0).
+    *
+    * Two-phase range-bucketed formulation (the q129 saltedRank idea
+    * specialized to a single order statistic). The naive shapes both
+    * fail at scale: a `partitionBy(g) ORDER BY x` cumulative window
+    * funnels everything through |G| partitions (parallelism |G|
+    * whatever the cluster), and even the distinct-count pre-aggregate
+    * shuffles data-sized output when values are mostly unique. Here
+    * rows are range-bucketed per group ((x−lo)·B div (hi−lo+1),
+    * monotone in x) and counted — a map-side-combined |G|·B-row
+    * shuffle; the cumulative bucket totals locate the bucket holding
+    * the k-th element plus its offset, and only THAT bucket's rows —
+    * ~n/B per group — pay the ordered scan. Caller contract (as
+    * saltedRank): (hi−lo)·B must fit int64 — true for any discretized
+    * measure (cents, micros, ns-in-day).
     */
-  private def lowerMedian(v: DataFrame): DataFrame = {
+  private[graft] def lowerMedian(v: DataFrame, buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = v.groupBy("g", "x").agg(count(lit(1)).as("cnt"))
-    val ranked = c
-      .withColumn("cum", sum("cnt").over(
+    val B = buckets.toLong
+    val bounds = v.groupBy("g")
+      .agg(min("x").as("__lo"), max("x").as("__hi"), count(lit(1)).as("__n"))
+    val vb = v.join(broadcast(bounds), Seq("g"))
+      .withColumn("__bkt", call_function("div",
+        (col("x") - col("__lo")) * lit(B), col("__hi") - col("__lo") + lit(1L)))
+    // |G|·B frame straight off the raw rows — map-side combine means
+    // the full data NEVER shuffles (the earlier distinct-count form
+    // shuffled every (g, x) pair, data-sized when values are unique).
+    // Cumulative bucket totals in bucket (= x) order locate the bucket
+    // holding the k-th element, k = (n+1) div 2.
+    val k = call_function("div", col("__n") + 1, lit(2L))
+    val perBkt = vb.groupBy(col("g"), col("__bkt"))
+      .agg(count(lit(1)).as("__bcnt"), max("__n").as("__n"))
+      .withColumn("__cum", sum(col("__bcnt")).over(
+        Window.partitionBy("g").orderBy("__bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val target = perBkt.groupBy("g").agg(
+      min(when(col("__cum") >= k, col("__bkt"))).as("__tbkt"),
+      coalesce(max(when(col("__cum") < k, col("__cum"))), lit(0L))
+        .as("__offset"))
+    // only the target bucket's rows (~n/B per group) reach the ordered
+    // path, pre-reduced to distinct values before the window
+    vb.join(broadcast(target), Seq("g"))
+      .filter(col("__bkt") === col("__tbkt"))
+      .groupBy(col("g"), col("x"))
+      .agg(count(lit(1)).as("cnt"), max("__n").as("__n"),
+        max("__offset").as("__offset"))
+      .withColumn("__cum", col("__offset") + sum("cnt").over(
         Window.partitionBy("g").orderBy("x")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", sum("cnt").over(Window.partitionBy("g")))
-    ranked
-      .filter(col("cum") >= call_function("div", col("n") + 1, lit(2L)))
+      .filter(col("__cum") >= k)
       .groupBy("g").agg(min("x").as("med0"))
   }
 
@@ -319,10 +362,10 @@ object Profiling {
     * value) flags every row off the median — the strictest consistent
     * reading, identical on both engines.
     *
-    * Scale shape: two distinct-value ranking passes for med/mad (each
-    * one shuffle on the group key, window inputs bounded by the value
-    * domain) and one broadcast attach of the per-group stats frame
-    * (group-cardinality is dim-sized here; drop the hint for
+    * Scale shape: med/mad via the range-bucketed [[lowerMedian]] (the
+    * full data never shuffles — only |G|·B bucket counts and the
+    * target bucket's ~n/B rows), then one broadcast attach of the
+    * |G|-sized stats for the flagging scan (drop the hint for
     * high-cardinality groupings — the [[robustStats]] contract).
     *
     * @return outlier rows (id, g, x, med, mad)

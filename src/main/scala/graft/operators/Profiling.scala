@@ -274,8 +274,18 @@ object Profiling {
     * saltedRank): (hi−lo)·B must fit int64 — true for any discretized
     * measure (cents, micros, ns-in-day).
     */
-  private[graft] def lowerMedian(v: DataFrame, buckets: Int = 64): DataFrame = {
+  private[graft] def lowerMedian(v: DataFrame, buckets: Int = 64): DataFrame =
+    lowerQuantile(v, 1L, 2L, buckets).withColumnRenamed("q0", "med0")
+
+  /** Lower p-quantile per group, p = pNum/pDen: the k-th smallest with
+    * k = ⌈n·pNum/pDen⌉ (so (1, 2) is exactly the lower median's
+    * k = (n+1) div 2). Same machinery, arbitrary rank. Caller
+    * contract: n·pNum must fit int64.
+    */
+  private[graft] def lowerQuantile(v: DataFrame, pNum: Long, pDen: Long,
+                                   buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(pNum >= 1 && pNum <= pDen, s"need 1 <= pNum <= pDen, got $pNum/$pDen")
     val B = buckets.toLong
     val bounds = v.groupBy("g")
       .agg(min("x").as("__lo"), max("x").as("__hi"), count(lit(1)).as("__n"))
@@ -286,8 +296,9 @@ object Profiling {
     // the full data NEVER shuffles (the earlier distinct-count form
     // shuffled every (g, x) pair, data-sized when values are unique).
     // Cumulative bucket totals in bucket (= x) order locate the bucket
-    // holding the k-th element, k = (n+1) div 2.
-    val k = call_function("div", col("__n") + 1, lit(2L))
+    // holding the k-th element, k = ceil(n·pNum/pDen).
+    val k = call_function("div",
+      col("__n") * lit(pNum) + lit(pDen - 1), lit(pDen))
     val perBkt = vb.groupBy(col("g"), col("__bkt"))
       .agg(count(lit(1)).as("__bcnt"), max("__n").as("__n"))
       .withColumn("__cum", sum(col("__bcnt")).over(
@@ -308,7 +319,7 @@ object Profiling {
         Window.partitionBy("g").orderBy("x")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("__cum") >= k)
-      .groupBy("g").agg(min("x").as("med0"))
+      .groupBy("g").agg(min("x").as("q0"))
   }
 
   /** Oracle for [[robustStats]]: replays the identical distinct-value
@@ -415,4 +426,145 @@ object Profiling {
        |FROM v JOIN med ON v.g = med.g JOIN mad ON v.g = mad.g
        |WHERE 100000 * ABS(v.x - med.med) > $zTenths * 14826 * mad.mad
        |ORDER BY v.id""".stripMargin
+
+  /** Per-group quantile bands — the lower p-quantile (k-th smallest,
+    * k = ⌈n·p/100⌉) at each requested integer percent, one column per
+    * band. Integer-exact, no interpolation, identical on both engines.
+    *
+    * Scale shape: one range-bucketed [[lowerQuantile]] pass per band
+    * (the full data never shuffles — |G|·B bucket counts plus the
+    * target bucket's ~n/B rows each), joined on the |G|-sized group
+    * key. Bands are few (3–5) and each pass is column-pruned, so at
+    * 100 TB this is p scans of two columns with near-empty shuffles.
+    *
+    * @return (g, p_<p1>, p_<p2>, …) one row per group
+    */
+  def quantileBands(df: DataFrame, grp: Column, value: Column,
+                    percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be within 1..100: $percents")
+    val v = df.select(grp.as("g"), value.as("x"))
+    percents.map { p =>
+      lowerQuantile(v, p.toLong, 100L).withColumnRenamed("q0", s"p_$p")
+    }.reduce(_.join(_, Seq("g")))
+  }
+
+  /** Oracle for [[quantileBands]]: one distinct-value ranking CTE, one
+    * threshold per band. `vSql` must yield (g, x).
+    */
+  def quantileBandsOracle(vSql: String, percents: Seq[Int]): String = {
+    val bands = percents.map(p =>
+      s"""p$p AS (SELECT g, MIN(x) AS p_$p FROM r
+         |       WHERE cum >= (n * $p + 99) // 100 GROUP BY g)""".stripMargin)
+      .mkString(",\n")
+    val joins = percents.tail
+      .map(p => s"JOIN p$p ON p${percents.head}.g = p$p.g").mkString(" ")
+    val cols = percents.map(p => s"p_$p").mkString(", ")
+    s"""WITH v AS ($vSql),
+       |c AS (SELECT g, x, COUNT(*) AS cnt FROM v GROUP BY g, x),
+       |r AS (
+       |  SELECT g, x,
+       |    SUM(cnt) OVER (PARTITION BY g ORDER BY x
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY g) AS n
+       |  FROM c),
+       |$bands
+       |SELECT p${percents.head}.g, $cols
+       |FROM p${percents.head} $joins
+       |ORDER BY p${percents.head}.g""".stripMargin
+  }
+
+  /** Chi-square independence cells for two categorical columns. Each
+    * (a, b) cell of the contingency table — INCLUDING zero-observed
+    * cells, which carry their full expected count — reports its exact
+    * observed count and its χ² contribution
+    *
+    *   (obs − exp)² / exp  with  exp = rowTot·colTot / n
+    *     = (obs·n − rowTot·colTot)² / (n·rowTot·colTot)
+    *
+    * as ONE double division of two exact BIGINT products — no float
+    * accumulation anywhere, so every cell is bit-portable. The total
+    * statistic is a float sum whose value depends on addition order
+    * (not cross-engine stable); summing the cells is the caller's
+    * one-line fold. Caller contract: n·rowTot·colTot and (obs·n)² fit
+    * int64 — true up to ~3M rows; beyond that scale the counts down.
+    *
+    * Scale shape: one (a, b) aggregation of the data (map-side
+    * combined), margins re-aggregated from the |A|·|B| cell frame —
+    * never a second data scan — and the zero cells come from the
+    * |A|×|B| cross of the two margin frames, both broadcast.
+    *
+    * @return (a, b, obs, exp, chi2_cell) one row per margin pair
+    */
+  def chiSquareCells(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val obs = df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("obs"))
+    val rowTot = obs.groupBy("a").agg(sum("obs").as("rt"))
+    val colTot = obs.groupBy("b").agg(sum("obs").as("ct"))
+    val n = obs.agg(sum("obs").as("n"))
+    val cells = rowTot.crossJoin(colTot).crossJoin(broadcast(n))
+      .join(obs, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("obs"))
+    val num = col("obs") * col("n") - col("rt") * col("ct")
+    cells.select(col("a"), col("b"), col("obs"),
+      ((col("rt") * col("ct")).cast(DoubleType) /
+        col("n").cast(DoubleType)).as("exp"),
+      ((num * num).cast(DoubleType) /
+        (col("n") * col("rt") * col("ct")).cast(DoubleType)).as("chi2_cell"))
+  }
+
+  /** Oracle for [[chiSquareCells]]: identical rational forms. `vSql`
+    * must yield (a, b).
+    */
+  def chiSquareCellsOracle(vSql: String): String =
+    s"""WITH v AS ($vSql),
+       |obs AS (SELECT a, b, COUNT(*) AS obs FROM v GROUP BY a, b),
+       |rt AS (SELECT a, SUM(obs) AS rt FROM obs GROUP BY a),
+       |ct AS (SELECT b, SUM(obs) AS ct FROM obs GROUP BY b),
+       |n AS (SELECT SUM(obs) AS n FROM obs),
+       |cells AS (
+       |  SELECT rt.a, ct.b, rt.rt, ct.ct, n.n,
+       |    COALESCE(obs.obs, 0) AS obs
+       |  FROM rt CROSS JOIN ct CROSS JOIN n
+       |  LEFT JOIN obs ON obs.a = rt.a AND obs.b = ct.b)
+       |SELECT a, b, CAST(obs AS BIGINT) AS obs,
+       |  CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS exp,
+       |  CAST((obs * n - rt * ct) * (obs * n - rt * ct) AS DOUBLE)
+       |    / CAST(n * rt * ct AS DOUBLE) AS chi2_cell
+       |FROM cells ORDER BY a, b""".stripMargin
+
+  /** Per-group Gini impurity of a label column: 1 − Σ(cᵢ/n)², held
+    * exact as (n² − Σcᵢ²)/n² in BIGINT and cast to double in ONE
+    * division — bit-portable. Caller contract: n² fits int64 per group
+    * (n ≤ 3·10⁹ rows per group).
+    *
+    * Scale shape: one (g, label) aggregation (map-side combined), then
+    * one re-aggregation of the counts frame on g — the data shuffles
+    * at most label-cardinality rows per group.
+    *
+    * @return (g, n, n_labels, gini)
+    */
+  def giniImpurity(df: DataFrame, grp: Column, label: Column): DataFrame = {
+    val c = df.select(grp.as("g"), label.as("l"))
+      .groupBy("g", "l").agg(count(lit(1)).as("cnt"))
+    c.groupBy("g").agg(
+        sum("cnt").as("n"),
+        count(lit(1)).as("n_labels"),
+        sum(col("cnt") * col("cnt")).as("sq"))
+      .select(col("g"), col("n"), col("n_labels"),
+        ((col("n") * col("n") - col("sq")).cast(DoubleType) /
+          (col("n") * col("n")).cast(DoubleType)).as("gini"))
+  }
+
+  /** Oracle for [[giniImpurity]]: `vSql` must yield (g, l). */
+  def giniImpurityOracle(vSql: String): String =
+    s"""WITH v AS ($vSql),
+       |c AS (SELECT g, l, COUNT(*) AS cnt FROM v GROUP BY g, l),
+       |s AS (SELECT g, SUM(cnt) AS n, COUNT(*) AS n_labels,
+       |             SUM(cnt * cnt) AS sq
+       |      FROM c GROUP BY g)
+       |SELECT g, CAST(n AS BIGINT) AS n,
+       |  CAST(n_labels AS BIGINT) AS n_labels,
+       |  CAST(n * n - sq AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+       |FROM s ORDER BY g""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Slowly-changing-dimension type 2 maintenance: dimension rows carry
@@ -59,4 +59,72 @@ object Scd {
     hist.unionByName(closed).unionByName(stillOpen)
       .unionByName(newVersions).unionByName(brandNew)
   }
+
+  /** Build SCD2 version history directly FROM an event log (the dual
+    * of [[scd2]], which applies a pre-collapsed batch): per key, runs
+    * of consecutive equal `state` values collapse into one version
+    * row `(k, ver, state, valid_from, valid_to)` — `valid_from` = the
+    * run's first order value, `valid_to` = the next version's
+    * `valid_from` (NULL for the open version), `ver` = 1-based version
+    * number. Null-safe comparison: a NULL→value transition versions,
+    * NULL→NULL does not.
+    *
+    * Ordering must be made total by the caller: `tie` breaks `ord`
+    * ties deterministically (an event id), otherwise run boundaries
+    * are partition-order-dependent.
+    *
+    * Scale shape: two window passes (run detection, version numbering)
+    * and the valid_to self-stitch, all partitioned by the key — one
+    * shuffle total, high-cardinality key, per-key history bounded by
+    * the usual window sort-spill contract.
+    *
+    * @return (k, ver, state, valid_from, valid_to)
+    */
+  def scd2FromLog(log: DataFrame, key: Column, ord: Column, tie: Column,
+                  state: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy("ord", "tie")
+    val runs = log
+      .select(key.as("k"), ord.as("ord"), tie.as("tie"), state.as("state"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("chg",
+        when(col("rn") === 1 ||
+          !(col("state") <=> lag(col("state"), 1).over(w)), 1L)
+          .otherwise(0L))
+      .withColumn("ver", sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val vw = Window.partitionBy("k").orderBy("ver")
+    runs.groupBy(col("k"), col("ver"))
+      .agg(max("state").as("state"), min("ord").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(vw))
+      .select("k", "ver", "state", "valid_from", "valid_to")
+  }
+
+  /** Oracle for [[scd2FromLog]]: `logSql` must yield
+    * (k, ord, tie, state).
+    */
+  def scd2FromLogOracle(logSql: String): String =
+    s"""WITH v AS ($logSql),
+       |r AS (
+       |  SELECT k, ord, tie, state,
+       |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY ord, tie) AS rn,
+       |    LAG(state) OVER (PARTITION BY k ORDER BY ord, tie) AS prev
+       |  FROM v),
+       |f AS (
+       |  SELECT k, ord, tie, state,
+       |    CASE WHEN rn = 1 OR state IS DISTINCT FROM prev
+       |         THEN 1 ELSE 0 END AS chg
+       |  FROM r),
+       |g AS (
+       |  SELECT k, ord, state,
+       |    SUM(chg) OVER (PARTITION BY k ORDER BY ord, tie
+       |      ROWS UNBOUNDED PRECEDING) AS ver
+       |  FROM f),
+       |vers AS (
+       |  SELECT k, CAST(ver AS BIGINT) AS ver, MAX(state) AS state,
+       |    MIN(ord) AS valid_from
+       |  FROM g GROUP BY k, ver)
+       |SELECT k, ver, state, valid_from,
+       |  LEAD(valid_from) OVER (PARTITION BY k ORDER BY ver) AS valid_to
+       |FROM vers ORDER BY k, ver""".stripMargin
 }

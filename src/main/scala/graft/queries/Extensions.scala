@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Fns
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Dedup, GraphOps, ProductAnalytics, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Diff, GraphOps, ProductAnalytics, RangeJoin, Scd, Similarity, TextAnalysis}
 import graft.serving.SafeSql
 import graft.queries.Parity.Q
 import graft.tables.Tables
@@ -2503,6 +2503,92 @@ object Extensions {
     Some(TextAnalysis.cooccurrenceLiftOracle(
       vocabTop = 20, minPairDf = 250L)))
 
+  /** Snapshot diff (batch CDC) between two deterministic "loads" of
+    * orders — added/removed/changed via md5 row fingerprints and one
+    * full-outer key join ([[graft.operators.Diff.snapshotDiff]]).
+    * The old snapshot drops keys ≡ 0 (mod 11), the new drops ≡ 0
+    * (mod 13) and bumps cents on keys ≡ 0 (mod 7).
+    */
+  private val q151 = Q("q151_snapshot_diff",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast(LongType)
+      val oldSnap = o.filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), cents.as("cents"))
+      val newSnap = o.filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (cents + when(pmod(col("o_orderkey"), lit(7)) === 0, 1L)
+            .otherwise(0L)).as("cents"))
+      Diff.snapshotDiff(oldSnap, newSnap,
+          keys = Seq("o_orderkey"), compare = Seq("o_orderstatus", "cents"))
+        .orderBy("o_orderkey")
+    },
+    Some(Diff.snapshotDiffOracle(
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 11 <> 0""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS cents
+        |FROM orders WHERE o_orderkey % 13 <> 0""".stripMargin,
+      keys = Seq("o_orderkey"), compare = Seq("o_orderstatus", "cents"))))
+
+  /** SCD2 history built FROM the raw event log — consecutive equal
+    * event_type runs per user collapse to version rows with
+    * valid_from/valid_to stitching
+    * ([[graft.operators.Scd.scd2FromLog]]).
+    */
+  private val q152 = Q("q152_scd2_from_log",
+    (s, d) => Scd.scd2FromLog(eventsUsWithId(s, d),
+        key = col("user_id"), ord = col("ts_us"), tie = col("event_id"),
+        state = col("event_type"))
+      .orderBy("k", "ver"),
+    Some(Scd.scd2FromLogOracle(
+      """SELECT user_id AS k, EPOCH_US(ts) AS ord, event_id AS tie,
+        |  event_type AS state FROM events""".stripMargin)))
+
+  /** Chi-square independence cells for order status × priority — every
+    * contingency cell's observed count and χ² contribution as exact
+    * BIGINT products with one double division
+    * ([[graft.operators.Profiling.chiSquareCells]]); the float total
+    * is the caller's fold (addition order is not cross-engine stable).
+    */
+  private val q153 = Q("q153_chi_square",
+    (s, d) => graft.operators.Profiling.chiSquareCells(
+        Tables.orders(s, d), col("o_orderstatus"), col("o_orderpriority"))
+      .orderBy("a", "b"),
+    Some(graft.operators.Profiling.chiSquareCellsOracle(
+      "SELECT o_orderstatus AS a, o_orderpriority AS b FROM orders")))
+
+  /** Per-user Gini impurity of the event-type mix — (n² − Σc²)/n² in
+    * exact BIGINT with a single portable division
+    * ([[graft.operators.Profiling.giniImpurity]]).
+    */
+  private val q154 = Q("q154_gini",
+    (s, d) => graft.operators.Profiling.giniImpurity(
+        Tables.events(s, d), col("user_id"), col("event_type"))
+      .orderBy("g"),
+    Some(graft.operators.Profiling.giniImpurityOracle(
+      "SELECT user_id AS g, event_type AS l FROM events")))
+
+  /** P10/P50/P90 bands of lineitem price per return flag — the
+    * range-bucketed lower-quantile machinery at arbitrary ranks
+    * ([[graft.operators.Profiling.quantileBands]]): the full data
+    * never shuffles, per band only |G|·B bucket counts plus one
+    * ~n/B-row ordered tail.
+    */
+  private val q155 = Q("q155_quantile_bands",
+    (s, d) => graft.operators.Profiling.quantileBands(
+        Tables.lineitem(s, d), col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast(LongType),
+        percents = Seq(10, 50, 90))
+      .orderBy("g"),
+    Some(graft.operators.Profiling.quantileBandsOracle(
+      """SELECT l_returnflag AS g,
+        |  CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT) AS x
+        |FROM lineitem""".stripMargin,
+      percents = Seq(10, 50, 90))))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2514,5 +2600,6 @@ object Extensions {
     q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
     q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
-    q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
+    q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
+    q151, q152, q153, q154, q155)
 }

@@ -263,4 +263,58 @@ class AnalyticsOpsSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("x")).toSet
     assert(tight === Set(100L, 8L))
   }
+
+  // ------------------------------------------------------ quantile bands
+
+  test("quantileBands: lower-quantile ranks, p50 == lower median, p100 == max") {
+    // 1..10 in one group: k(p) = ceil(10p/100) ⇒ p10→1st, p50→5th, p90→9th
+    val df = ((1L to 10L).map(("u", _)) ++ Seq(("w", 7L), ("w", 9L)))
+      .toDF("g0", "x0")
+    val r = Profiling.quantileBands(df, col("g0"), col("x0"),
+        percents = Seq(10, 50, 90, 100))
+      .collect().map(x => x.getAs[String]("g") ->
+        (x.getAs[Long]("p_10"), x.getAs[Long]("p_50"),
+         x.getAs[Long]("p_90"), x.getAs[Long]("p_100"))).toMap
+    assert(r === Map("u" -> ((1L, 5L, 9L, 10L)), "w" -> ((7L, 7L, 9L, 9L))))
+    // partition-invariance: exact integer machinery, bit-identical
+    val rShuf = Profiling.quantileBands(df.repartition(7), col("g0"), col("x0"),
+        percents = Seq(10, 50, 90, 100))
+      .collect().map(x => x.getAs[String]("g") -> x.getAs[Long]("p_50")).toMap
+    assert(rShuf === Map("u" -> 5L, "w" -> 7L))
+  }
+
+  // --------------------------------------------------------- chi-square
+
+  test("chiSquareCells: exact rational cells, zero cells carry expected mass") {
+    // 2×2 with an empty (y, b) cell: rows x:(3a,1b), y:(2a,0b)
+    val df = (Seq.fill(3)(("x", "A")) ++ Seq(("x", "B")) ++
+      Seq.fill(2)(("y", "A"))).toDF("a0", "b0")
+    val r = Profiling.chiSquareCells(df, col("a0"), col("b0"))
+      .collect().map(x => (x.getAs[String]("a"), x.getAs[String]("b")) ->
+        (x.getAs[Long]("obs"), x.getAs[Double]("exp"),
+         x.getAs[Double]("chi2_cell"))).toMap
+    // n=6; rt(x)=4, rt(y)=2; ct(A)=5, ct(B)=1
+    def cell(obs: Long, rt: Long, ct: Long) = {
+      val num = (obs * 6 - rt * ct).toDouble
+      (obs, rt * ct / 6.0, num * num / (6.0 * rt * ct))
+    }
+    assert(r === Map(
+      ("x", "A") -> cell(3, 4, 5), ("x", "B") -> cell(1, 4, 1),
+      ("y", "A") -> cell(2, 2, 5), ("y", "B") -> cell(0, 2, 1)))
+  }
+
+  // --------------------------------------------------------------- gini
+
+  test("giniImpurity: pure group 0, uniform k-label group 1 - 1/k") {
+    val df = (Seq.fill(5)(("pure", "A")) ++
+      Seq(("uni", "A"), ("uni", "B"), ("uni", "C"), ("uni", "D")) ++
+      Seq(("mix", "A"), ("mix", "A"), ("mix", "B"))).toDF("g0", "l0")
+    val r = Profiling.giniImpurity(df, col("g0"), col("l0"))
+      .collect().map(x => x.getAs[String]("g") ->
+        (x.getAs[Long]("n"), x.getAs[Long]("n_labels"),
+         x.getAs[Double]("gini"))).toMap
+    assert(r("pure") === ((5L, 1L, 0.0)))
+    assert(r("uni") === ((4L, 4L, (16.0 - 4.0) / 16.0))) // 1 - 1/4
+    assert(r("mix") === ((3L, 2L, (9.0 - 5.0) / 9.0)))   // 1 - (4+1)/9
+  }
 }

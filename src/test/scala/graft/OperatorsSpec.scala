@@ -920,4 +920,52 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[String]("term_a"), r.getAs[String]("term_b")))
     assert(floored.toSeq === Seq(("a", "b")))
   }
+
+  test("Diff.snapshotDiff: added/removed/changed, unchanged dropped, null-safe fp") {
+    import spark.implicits._
+    import graft.operators.Diff
+    val oldS = Seq(
+      (1L, Option("a"), Option("p")), // unchanged
+      (2L, Option("b"), Option("q")), // changed
+      (3L, Option("c"), Option("r")), // removed
+      (5L, None, Option("x")),        // null in col1
+      (6L, Option("x"), None)         // null in col2 — must differ from key 5's shape
+    ).toDF("k", "c1", "c2")
+    val newS = Seq(
+      (1L, Option("a"), Option("p")),
+      (2L, Option("b"), Option("Z")),
+      (4L, Option("d"), Option("s")), // added
+      (5L, Option("x"), None),        // null moved column ⇒ changed
+      (6L, Option("x"), None)         // unchanged
+    ).toDF("k", "c1", "c2")
+    val r = Diff.snapshotDiff(oldS, newS, keys = Seq("k"),
+        compare = Seq("c1", "c2"))
+      .collect().map(x => x.getAs[Long]("k") -> x.getAs[String]("change_type"))
+      .toMap
+    assert(r === Map(2L -> "changed", 3L -> "removed", 4L -> "added",
+      5L -> "changed"))
+  }
+
+  test("Scd.scd2FromLog: run collapse, null transitions, valid_to stitching") {
+    import spark.implicits._
+    import graft.operators.Scd
+    val log = Seq(
+      (1L, 10L, 1L, Option("A")), (1L, 20L, 2L, Option("A")), // run of A
+      (1L, 30L, 3L, Option("B")),                             // A→B
+      (1L, 40L, 4L, None), (1L, 50L, 5L, None),               // B→NULL run
+      (1L, 60L, 6L, Option("B")),                             // NULL→B again
+      (2L, 10L, 7L, Option("X"))
+    ).toDF("u", "t", "e", "st")
+    val r = Scd.scd2FromLog(log, col("u"), col("t"), col("e"), col("st"))
+      .collect().map(x => (x.getAs[Long]("k"), x.getAs[Long]("ver")) ->
+        (x.getAs[String]("state"), x.getAs[Long]("valid_from"),
+         Option(x.get(x.fieldIndex("valid_to"))).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(r === Map(
+      (1L, 1L) -> (("A", 10L, Some(30L))),
+      (1L, 2L) -> (("B", 30L, Some(40L))),
+      (1L, 3L) -> ((null, 40L, Some(60L))),
+      (1L, 4L) -> (("B", 60L, None)),
+      (2L, 1L) -> (("X", 10L, None))))
+  }
 }

@@ -232,9 +232,13 @@ object ProductAnalytics {
     val pmax = ord.rowsBetween(Window.unboundedPreceding, -1)
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val flagged = iv
+      // pmax materialized once — referencing the window expression in
+      // both the null test and the comparison would evaluate it twice
+      // inside the same Window operator (plan-audited)
+      .withColumn("pmax", max(col("e")).over(pmax))
       .withColumn("flag",
-        when(max(col("e")).over(pmax).isNull ||
-          col("s") > max(col("e")).over(pmax), lit(1L)).otherwise(lit(0L)))
+        when(col("pmax").isNull || col("s") > col("pmax"), lit(1L))
+          .otherwise(lit(0L)))
       .withColumn("isl", sum(col("flag")).over(run))
     flagged
       .groupBy(col("k"), col("isl"))

@@ -532,4 +532,52 @@ object EventStream {
           .as("day"),
         col(s"active_${windowDays}d"))
   }
+
+  final case class Scd2Open(state: String, validFrom: Long, ver: Long)
+  final case class Scd2Closed(user_id: Long, ver: Long, state: String,
+                              valid_from: Long, valid_to: Long)
+
+  /** SCD2 history maintained over the LIVE event stream — the
+    * streaming twin of `Scd.scd2FromLog`: a state-change event CLOSES
+    * the key's open version (emitted append-mode with `valid_to` = the
+    * new version's `valid_from`) and opens the next; equal-state
+    * events are absorbed into the open run. Version numbers match the
+    * batch operator, so `stream closed rows == batch rows with
+    * valid_to IS NOT NULL` is spec-asserted on the same data.
+    *
+    * State = exactly ONE open version per key, forever bounded by key
+    * cardinality — no watermark needed (nothing per-event is parked),
+    * which is what makes this the cheapest of the custom-state
+    * operators. Out-of-order: events sort within each micro-batch; a
+    * cross-batch straggler older than the open version's `valid_from`
+    * cannot retroactively split already-emitted history and is dropped
+    * (in-order streams unaffected) — the same bounded-state trade-off
+    * documented on [[sessionizeStream]].
+    */
+  def scd2Stream(events: DataFrame): Dataset[Scd2Closed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2Open, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, evs, state) =>
+          val sorted = evs.toSeq.sortBy(e => (e._2, e._3))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          var cur = state.getOption.orNull
+          sorted.foreach { case (_, ts, _, st) =>
+            if (cur == null) cur = Scd2Open(st, ts, 1L)
+            else if (ts < cur.validFrom) () // straggler: see Scaladoc
+            else if (st != cur.state) {
+              out += Scd2Closed(userId, cur.ver, cur.state, cur.validFrom, ts)
+              cur = Scd2Open(st, ts, cur.ver + 1)
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
+      }
+  }
 }

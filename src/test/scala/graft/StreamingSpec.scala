@@ -552,4 +552,67 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty, "fixture should produce at least one near-dup")
   }
+
+  test("scd2Stream: closed versions equal the batch scd2FromLog history") {
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .parquet(eventsDir)
+    val q = EventStream.scd2Stream(stream)
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val batchClosed = graft.operators.Scd.scd2FromLog(
+        spark.read.parquet(eventsDir)
+          .withColumn("ts_us", expr("ts div 1000")),
+        col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .filter(col("valid_to").isNotNull)
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("ver"),
+        r.getAs[String]("state"), r.getAs[Long]("valid_from"),
+        r.getAs[Long]("valid_to"))).toSet
+    val got = spark.table("scd2_stream").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ver"),
+        r.getAs[String]("state"), r.getAs[Long]("valid_from"),
+        r.getAs[Long]("valid_to"))).toSet
+    assert(got.nonEmpty)
+    assert(got === batchClosed)
+  }
+
+  test("scd2Stream: cross-batch stragglers cannot split closed history") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2-src")
+    val base = 1704067200L * 1000000000L
+    def min(m: Long) = base + m * 60L * 1000000000L
+    def stage(name: String, rows: Seq[(Long, Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-tmp")
+      rows.map { case (eid, ts, et) => (eid, ts, 10L, et, 1.0, null: String) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
+    }
+    // batch 1: A@0, A@10, B@20 — closes (ver 1, A, [0, 20))
+    stage("a.parquet", Seq((1L, min(0), "A"), (2L, min(10), "A"),
+      (3L, min(20), "B")))
+    // batch 2: straggler C@15 — older than the open version's start
+    // (20): dropped, must NOT close/split anything
+    stage("b.parquet", Seq((4L, min(15), "C")))
+    // batch 3: C@30 — closes (ver 2, B, [20, 30))
+    stage("c.parquet", Seq((5L, min(30), "C")))
+
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = EventStream.scd2Stream(stream)
+      .writeStream.format("memory").queryName("scd2_late")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("scd2_late").collect()
+      .map(r => (r.getAs[Long]("ver"), r.getAs[String]("state"),
+        r.getAs[Long]("valid_from"), r.getAs[Long]("valid_to"))).sorted.toSeq
+    assert(got === Seq(
+      (1L, "A", min(0) / 1000, min(20) / 1000),
+      (2L, "B", min(20) / 1000, min(30) / 1000)))
+  }
 }

@@ -288,6 +288,78 @@ object GraphOps {
        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
        |FROM walk GROUP BY node ORDER BY node""".stripMargin
 
+  /** k-core extraction by `rounds` rounds of degree peeling over an
+    * undirected pair list (doc_a < doc_b, the near-dup convention):
+    * each round drops every node whose current degree is below k, then
+    * every edge touching a dropped node. At the fixpoint the surviving
+    * nodes are exactly the k-core; with insufficient rounds the output
+    * is the (well-defined) partially-peeled set — the final
+    * degree-≥-k filter keeps the fixed-round semantics identical on
+    * both engines, and extra rounds past convergence are no-ops, so
+    * `rounds` only needs to dominate the peeling depth (the longest
+    * chain hanging off the core), not |V|.
+    *
+    * Scale shape: per round one degree aggregation (map-side combined,
+    * |V|-sized output) and two semi-joins of the edge list against the
+    * keep set — all hash-partitioned on node ids, nothing quadratic.
+    * Each round's survivor edge list is materialized via eager
+    * localCheckpoint: the keep set is referenced by BOTH semi-joins,
+    * so a lazy fold would re-derive round i−1 three times per round —
+    * a 3^R plan blow-up — while the checkpoint caps lineage at one
+    * round.
+    *
+    * @return (node, deg) — k-core nodes with their core degree
+    */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    val e0 = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val eFinal = (1 to rounds).foldLeft(e0) { (e, _) =>
+      val keep = e.select(col("a").as("n"))
+        .unionAll(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("n")
+      e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(eager = true)
+    }
+    eFinal.select(col("a").as("node"))
+      .unionAll(eFinal.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+  }
+
+  /** Oracle for [[kCore]]: the identical peeling rounds as chained
+    * CTEs. Every CTE is MATERIALIZED — each round references its
+    * predecessor three times, and an inlining planner would otherwise
+    * re-evaluate the (quadratic) pair-producing `edgesSql` ~3^rounds
+    * times (measured: a 4-round inlined chain over the SimHash pair
+    * query ran past 10 minutes; materialized it is sub-second — the
+    * SQL mirror of the operator's per-round localCheckpoint).
+    * `edgesSql` must yield (doc_a, doc_b).
+    */
+  def kCoreOracle(edgesSql: String, k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT n FROM (
+         |    SELECT doc_a AS n FROM e${i - 1}
+         |    UNION ALL SELECT doc_b FROM e${i - 1})
+         |  GROUP BY n HAVING COUNT(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.doc_a, e.doc_b FROM e${i - 1} e
+         |  JOIN d$i x ON e.doc_a = x.n
+         |  JOIN d$i y ON e.doc_b = y.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM ($edgesSql)),
+       |$steps
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |  SELECT doc_a AS node FROM e$rounds
+       |  UNION ALL SELECT doc_b FROM e$rounds)
+       |GROUP BY node HAVING COUNT(*) >= $k
+       |ORDER BY node""".stripMargin
+  }
+
   /** Oracle wrapper: `edgesSql` must yield (doc_a, doc_b) with
     * doc_a < doc_b.
     */

@@ -2589,6 +2589,44 @@ object Extensions {
         |FROM lineitem""".stripMargin,
       percents = Seq(10, 50, 90))))
 
+  /** k-core of the part co-purchase graph (edges = frequent part
+    * pairs, the q141 operator) — iterative degree peeling with the
+    * fixed-round replayable oracle
+    * ([[graft.operators.GraphOps.kCore]]): 2904 edges peel to a
+    * 1344-node 2-core at sf0.01, converged by round 3 (rounds = 4
+    * leaves a no-op margin; the SimHash near-dup graph was tried first
+    * and has NO 2-core at this SF — all pairs are isolated edges).
+    */
+  private val q156 = Q("q156_kcore",
+    (s, d) => GraphOps.kCore(
+        ProductAnalytics.frequentPairs(
+            Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"),
+            minItemSupport = 25, minPairSupport = 2)
+          .select(col("item_a").as("doc_a"), col("item_b").as("doc_b")),
+        k = 2, rounds = 4)
+      .orderBy("node"),
+    Some(GraphOps.kCoreOracle(
+      """SELECT a.item AS doc_a, b.item AS doc_b
+        |FROM (SELECT bi.basket, bi.item
+        |      FROM (SELECT DISTINCT l_orderkey AS basket,
+        |                            l_partkey AS item FROM lineitem) bi
+        |      JOIN (SELECT item
+        |            FROM (SELECT DISTINCT l_orderkey AS basket,
+        |                                  l_partkey AS item FROM lineitem)
+        |            GROUP BY item HAVING COUNT(*) >= 25) f
+        |        USING (item)) a
+        |JOIN (SELECT bi.basket, bi.item
+        |      FROM (SELECT DISTINCT l_orderkey AS basket,
+        |                            l_partkey AS item FROM lineitem) bi
+        |      JOIN (SELECT item
+        |            FROM (SELECT DISTINCT l_orderkey AS basket,
+        |                                  l_partkey AS item FROM lineitem)
+        |            GROUP BY item HAVING COUNT(*) >= 25) f
+        |        USING (item)) b
+        |  ON a.basket = b.basket AND a.item < b.item
+        |GROUP BY a.item, b.item HAVING COUNT(*) >= 2""".stripMargin,
+      k = 2, rounds = 4)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2601,5 +2639,5 @@ object Extensions {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
     q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155)
+    q151, q152, q153, q154, q155, q156)
 }

@@ -264,6 +264,27 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(tight === Set(100L, 8L))
   }
 
+  // --------------------------------------------------------------- k-core
+
+  test("kCore: chains peel one hop per round, cliques survive, idempotent past fixpoint") {
+    // triangle {0,1,2} + chain 2-3-4-5 hanging off it + isolated edge 8-9
+    val g = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (8L, 9L)).toDF("doc_a", "doc_b")
+    def nodes(rounds: Int) = GraphOps.kCore(g, k = 2, rounds = rounds)
+      .collect().map(_.getAs[Long]("node")).toSet
+    // round 1 drops {5, 8, 9} and the FINAL deg>=k output filter trims
+    // the newly-exposed chain end (4) — one free extra half-peel, the
+    // oracle's HAVING does the identical trim; round 2 then drops 4
+    // from the edge set and the filter trims 3 → core
+    assert(nodes(1) === Set(0L, 1L, 2L, 3L))
+    assert(nodes(2) === Set(0L, 1L, 2L))
+    assert(nodes(5) === Set(0L, 1L, 2L)) // extra rounds are no-ops
+    // core degrees are the in-core degrees, not the original ones
+    val deg = GraphOps.kCore(g, k = 2, rounds = 5)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg")).toMap
+    assert(deg === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+  }
+
   // ------------------------------------------------------ quantile bands
 
   test("quantileBands: lower-quantile ranks, p50 == lower median, p100 == max") {

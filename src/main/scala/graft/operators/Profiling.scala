@@ -283,12 +283,21 @@ object Profiling {
     * contract: n·pNum must fit int64.
     */
   private[graft] def lowerQuantile(v: DataFrame, pNum: Long, pDen: Long,
-                                   buckets: Int = 64): DataFrame = {
+                                   buckets: Int = 64): DataFrame =
+    lowerQuantileW(v.withColumn("w", lit(1L)), pNum, pDen, buckets)
+
+  /** Weighted lower p-quantile per group over (g, x, w): the smallest
+    * x whose cumulative weight reaches k = ⌈W·pNum/pDen⌉ (W = Σw per
+    * group) — each row counts w times without ever being expanded.
+    * Weights must be positive BIGINTs; W·pNum must fit int64.
+    */
+  private[graft] def lowerQuantileW(v: DataFrame, pNum: Long, pDen: Long,
+                                    buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(pNum >= 1 && pNum <= pDen, s"need 1 <= pNum <= pDen, got $pNum/$pDen")
     val B = buckets.toLong
     val bounds = v.groupBy("g")
-      .agg(min("x").as("__lo"), max("x").as("__hi"), count(lit(1)).as("__n"))
+      .agg(min("x").as("__lo"), max("x").as("__hi"), sum("w").as("__n"))
     val vb = v.join(broadcast(bounds), Seq("g"))
       .withColumn("__bkt", call_function("div",
         (col("x") - col("__lo")) * lit(B), col("__hi") - col("__lo") + lit(1L)))
@@ -296,11 +305,11 @@ object Profiling {
     // the full data NEVER shuffles (the earlier distinct-count form
     // shuffled every (g, x) pair, data-sized when values are unique).
     // Cumulative bucket totals in bucket (= x) order locate the bucket
-    // holding the k-th element, k = ceil(n·pNum/pDen).
+    // holding the k-th weight unit, k = ceil(W·pNum/pDen).
     val k = call_function("div",
       col("__n") * lit(pNum) + lit(pDen - 1), lit(pDen))
     val perBkt = vb.groupBy(col("g"), col("__bkt"))
-      .agg(count(lit(1)).as("__bcnt"), max("__n").as("__n"))
+      .agg(sum("w").as("__bcnt"), max("__n").as("__n"))
       .withColumn("__cum", sum(col("__bcnt")).over(
         Window.partitionBy("g").orderBy("__bkt")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -308,12 +317,12 @@ object Profiling {
       min(when(col("__cum") >= k, col("__bkt"))).as("__tbkt"),
       coalesce(max(when(col("__cum") < k, col("__cum"))), lit(0L))
         .as("__offset"))
-    // only the target bucket's rows (~n/B per group) reach the ordered
-    // path, pre-reduced to distinct values before the window
+    // only the target bucket's rows (~W/B weight per group) reach the
+    // ordered path, pre-reduced to distinct values before the window
     vb.join(broadcast(target), Seq("g"))
       .filter(col("__bkt") === col("__tbkt"))
       .groupBy(col("g"), col("x"))
-      .agg(count(lit(1)).as("cnt"), max("__n").as("__n"),
+      .agg(sum("w").as("cnt"), max("__n").as("__n"),
         max("__offset").as("__offset"))
       .withColumn("__cum", col("__offset") + sum("cnt").over(
         Window.partitionBy("g").orderBy("x")
@@ -321,6 +330,33 @@ object Profiling {
       .filter(col("__cum") >= k)
       .groupBy("g").agg(min("x").as("q0"))
   }
+
+  /** Per-group weighted median: the smallest value at which cumulative
+    * weight reaches half the group's total — e.g. the price below
+    * which half the shipped QUANTITY sits, not half the line items.
+    * Exact integer arithmetic throughout ([[lowerQuantileW]] at 1/2);
+    * rows are never expanded by their weights.
+    *
+    * @return (g, wmed)
+    */
+  def weightedMedian(df: DataFrame, grp: Column, value: Column,
+                     weight: Column): DataFrame =
+    lowerQuantileW(
+      df.select(grp.as("g"), value.as("x"), weight.as("w")), 1L, 2L)
+      .withColumnRenamed("q0", "wmed")
+
+  /** Oracle for [[weightedMedian]]: `vSql` must yield (g, x, w). */
+  def weightedMedianOracle(vSql: String): String =
+    s"""WITH v AS ($vSql),
+       |c AS (SELECT g, x, SUM(w) AS cnt FROM v GROUP BY g, x),
+       |r AS (
+       |  SELECT g, x,
+       |    SUM(cnt) OVER (PARTITION BY g ORDER BY x
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY g) AS n
+       |  FROM c)
+       |SELECT g, MIN(x) AS wmed FROM r
+       |WHERE cum >= (n + 1) // 2 GROUP BY g ORDER BY g""".stripMargin
 
   /** Oracle for [[robustStats]]: replays the identical distinct-value
     * rankings as CTEs (DuckDB's MEDIAN interpolates on even counts, so

@@ -2627,6 +2627,24 @@ object Extensions {
         |GROUP BY a.item, b.item HAVING COUNT(*) >= 2""".stripMargin,
       k = 2, rounds = 4)))
 
+  /** Quantity-weighted median price per return flag — the smallest
+    * price at which half the shipped QUANTITY sits
+    * ([[graft.operators.Profiling.weightedMedian]]): the bucketed
+    * quantile machinery with weights summed instead of rows counted,
+    * never expanding a row by its weight.
+    */
+  private val q157 = Q("q157_weighted_median",
+    (s, d) => graft.operators.Profiling.weightedMedian(
+        Tables.lineitem(s, d), col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast(LongType),
+        floor(col("l_quantity")).cast(LongType))
+      .orderBy("g"),
+    Some(graft.operators.Profiling.weightedMedianOracle(
+      """SELECT l_returnflag AS g,
+        |  CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT) AS x,
+        |  CAST(FLOOR(l_quantity) AS BIGINT) AS w
+        |FROM lineitem""".stripMargin)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2639,5 +2657,5 @@ object Extensions {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
     q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156)
+    q151, q152, q153, q154, q155, q156, q157)
 }

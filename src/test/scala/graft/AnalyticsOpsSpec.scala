@@ -304,6 +304,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rShuf === Map("u" -> 5L, "w" -> 7L))
   }
 
+  // ------------------------------------------------------ weighted median
+
+  test("weightedMedian == unweighted median of the weight-expanded rows") {
+    val wv = Seq(("a", 10L, 3L), ("a", 20L, 1L), ("a", 30L, 1L),
+      ("b", 5L, 1L), ("b", 7L, 4L), ("c", 9L, 2L)).toDF("g0", "x0", "w0")
+    val got = Profiling.weightedMedian(wv, col("g0"), col("x0"), col("w0"))
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("wmed")).toMap
+    // defining law: each row repeated w times, then plain lower median
+    val expanded = wv.withColumn("i",
+        explode(sequence(lit(1L), col("w0"))))
+      .select(col("g0").as("g"), col("x0").as("x"))
+    val want = Profiling.lowerMedian(expanded)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("med0")).toMap
+    assert(got === want)
+    assert(got === Map("a" -> 10L, "b" -> 7L, "c" -> 9L))
+  }
+
   // --------------------------------------------------------- chi-square
 
   test("chiSquareCells: exact rational cells, zero cells carry expected mass") {

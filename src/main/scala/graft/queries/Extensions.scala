@@ -365,8 +365,13 @@ object Extensions {
       // two-phase distinct. (At 100 TB only the sketch branch exists —
       // the exact count is here for the oracle contract.)
       val o = Tables.orders(s, d)
+      // DataSketches HLL, not approx_count_distinct: the HLL++
+      // ImperativeAggregate's interpreted per-row update was the q128
+      // hot spot (its lesson applies here verbatim); lgConfigK = 14
+      // gives ~0.8% typical error, far inside the 5% gate
       val approx = o.groupBy("o_orderpriority")
-        .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx"))
+        .agg(hll_sketch_estimate(
+          hll_sketch_agg(col("o_custkey"), lit(14))).as("approx"))
       val exact = o.groupBy("o_orderpriority")
         .agg(count_distinct(col("o_custkey")).as("exact_cust"))
       exact.join(approx, Seq("o_orderpriority"))

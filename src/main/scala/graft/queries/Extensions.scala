@@ -2508,13 +2508,16 @@ object Extensions {
     Some(TextAnalysis.cooccurrenceLiftOracle(
       vocabTop = 20, minPairDf = 250L)))
 
-  /** Snapshot diff (batch CDC) between two deterministic "loads" of
-    * orders — added/removed/changed via md5 row fingerprints and one
-    * full-outer key join ([[graft.operators.Diff.snapshotDiff]]).
+  /** CDC change feed between two deterministic "loads" of orders —
+    * added/removed/changed via md5 row fingerprints and one full-outer
+    * key join ([[graft.operators.Diff.snapshotDiff]], which
+    * generalizes the q117 audit diff `quality.Checks.snapshotDiff` to
+    * composite keys, multi-column compare with NULL sentinels, and a
+    * churn-only output with the fingerprints exposed).
     * The old snapshot drops keys ≡ 0 (mod 11), the new drops ≡ 0
     * (mod 13) and bumps cents on keys ≡ 0 (mod 7).
     */
-  private val q151 = Q("q151_snapshot_diff",
+  private val q151 = Q("q151_cdc_diff",
     (s, d) => {
       val o = Tables.orders(s, d)
       val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast(LongType)

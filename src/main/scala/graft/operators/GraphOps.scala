@@ -239,9 +239,12 @@ object GraphOps {
     * the node key) plus one `min` aggregation shuffled on the node —
     * O(|E|/executors) per round, never materializing paths. The edge
     * list is persisted once across rounds and released before
-    * returning (selfCleaning discipline). The rounds fold lazily (no
-    * driver actions); for deep caps (> ~8) pass `checkpointEvery` to
-    * truncate lineage with an eager |V|-sized localCheckpoint.
+    * returning (selfCleaning discipline). Each round references the
+    * previous dist frame twice (relax + union), so an unbroken fold
+    * doubles the plan per round; `checkpointEvery` (default 4)
+    * truncates lineage with an eager |V|-sized localCheckpoint,
+    * bounding the plan at ≤ 2⁴ copies of a materialized base — the
+    * same blow-up [[kCore]] checkpoints against every round.
     *
     * Unreachable-within-cap nodes are absent from the output (the
     * recursive-CTE convention), not NULL rows.
@@ -251,7 +254,7 @@ object GraphOps {
     * @return (node, dist: BIGINT)
     */
   def shortestPaths(edges: DataFrame, sources: DataFrame, maxHops: Int,
-                    checkpointEvery: Int = Int.MaxValue): DataFrame = {
+                    checkpointEvery: Int = 4): DataFrame = {
     require(maxHops >= 1, s"maxHops ($maxHops) must be >= 1")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1")
     val e = edges.select("src", "dst", "w").persist()

@@ -518,17 +518,22 @@ object Profiling {
     *   (obs − exp)² / exp  with  exp = rowTot·colTot / n
     *     = (obs·n − rowTot·colTot)² / (n·rowTot·colTot)
     *
-    * as ONE double division of two exact BIGINT products — no float
-    * accumulation anywhere, so every cell is bit-portable. The total
-    * statistic is a float sum whose value depends on addition order
-    * (not cross-engine stable); summing the cells is the caller's
-    * one-line fold. Caller contract: n·rowTot·colTot and (obs·n)² fit
-    * int64 — true up to ~3M rows; beyond that scale the counts down.
+    * with the numerator `obs·n − rowTot·colTot` held exact in BIGINT,
+    * then squared and divided in IEEE double (the square in int64
+    * would overflow near n ≈ 10⁵ for strongly-associated columns —
+    * |num| grows like n²). Every double step (int64→double cast,
+    * `*`, `/`) is bit-identical on Spark and DuckDB, so each cell is
+    * portable. The total statistic is a float sum whose value depends
+    * on addition order (not cross-engine stable); summing the cells is
+    * the caller's one-line fold. Caller contract: obs·n and
+    * rowTot·colTot fit int64 — true up to n ≈ 3·10⁹ rows.
     *
     * Scale shape: one (a, b) aggregation of the data (map-side
     * combined), margins re-aggregated from the |A|·|B| cell frame —
     * never a second data scan — and the zero cells come from the
-    * |A|×|B| cross of the two margin frames, both broadcast.
+    * |A|×|B| cross of the two margin frames, hint-broadcast (margin
+    * frames are category-cardinality-sized) so the shape holds even
+    * under `autoBroadcastJoinThreshold = -1`.
     *
     * @return (a, b, obs, exp, chi2_cell) one row per margin pair
     */
@@ -538,15 +543,17 @@ object Profiling {
     val rowTot = obs.groupBy("a").agg(sum("obs").as("rt"))
     val colTot = obs.groupBy("b").agg(sum("obs").as("ct"))
     val n = obs.agg(sum("obs").as("n"))
-    val cells = rowTot.crossJoin(colTot).crossJoin(broadcast(n))
-      .join(obs, Seq("a", "b"), "left")
+    val cells = rowTot.crossJoin(broadcast(colTot)).crossJoin(broadcast(n))
+      .join(broadcast(obs), Seq("a", "b"), "left")
       .na.fill(0L, Seq("obs"))
-    val num = col("obs") * col("n") - col("rt") * col("ct")
+    val num = (col("obs") * col("n") - col("rt") * col("ct"))
+      .cast(DoubleType)
     cells.select(col("a"), col("b"), col("obs"),
       ((col("rt") * col("ct")).cast(DoubleType) /
         col("n").cast(DoubleType)).as("exp"),
-      ((num * num).cast(DoubleType) /
-        (col("n") * col("rt") * col("ct")).cast(DoubleType)).as("chi2_cell"))
+      ((num * num) /
+        (col("n").cast(DoubleType) * col("rt").cast(DoubleType) *
+          col("ct").cast(DoubleType))).as("chi2_cell"))
   }
 
   /** Oracle for [[chiSquareCells]]: identical rational forms. `vSql`
@@ -565,8 +572,10 @@ object Profiling {
        |  LEFT JOIN obs ON obs.a = rt.a AND obs.b = ct.b)
        |SELECT a, b, CAST(obs AS BIGINT) AS obs,
        |  CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS exp,
-       |  CAST((obs * n - rt * ct) * (obs * n - rt * ct) AS DOUBLE)
-       |    / CAST(n * rt * ct AS DOUBLE) AS chi2_cell
+       |  (CAST(obs * n - rt * ct AS DOUBLE)
+       |     * CAST(obs * n - rt * ct AS DOUBLE))
+       |    / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+       |    AS chi2_cell
        |FROM cells ORDER BY a, b""".stripMargin
 
   /** Per-group Gini impurity of a label column: 1 − Σ(cᵢ/n)², held

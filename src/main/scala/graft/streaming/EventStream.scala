@@ -533,7 +533,8 @@ object EventStream {
         col(s"active_${windowDays}d"))
   }
 
-  final case class Scd2Open(state: String, validFrom: Long, ver: Long)
+  final case class Scd2Open(state: String, validFrom: Long, ver: Long,
+                            openTie: Long)
   final case class Scd2Closed(user_id: Long, ver: Long, state: String,
                               valid_from: Long, valid_to: Long)
 
@@ -549,10 +550,14 @@ object EventStream {
     * cardinality — no watermark needed (nothing per-event is parked),
     * which is what makes this the cheapest of the custom-state
     * operators. Out-of-order: events sort within each micro-batch; a
-    * cross-batch straggler older than the open version's `valid_from`
-    * cannot retroactively split already-emitted history and is dropped
-    * (in-order streams unaffected) — the same bounded-state trade-off
-    * documented on [[sessionizeStream]].
+    * cross-batch straggler at-or-before the open version's
+    * `(valid_from, event_id)` position — the batch operator's total
+    * (ts, tie) order, with the opener's event_id carried in state so
+    * an equal-timestamp smaller-tie arrival is recognized as late
+    * rather than replayed out of order — cannot retroactively split
+    * already-emitted history and is dropped (in-order streams
+    * unaffected) — the same bounded-state trade-off documented on
+    * [[sessionizeStream]].
     */
   def scd2Stream(events: DataFrame): Dataset[Scd2Closed] = {
     val spark = events.sparkSession
@@ -568,12 +573,14 @@ object EventStream {
           val sorted = evs.toSeq.sortBy(e => (e._2, e._3))
           val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
           var cur = state.getOption.orNull
-          sorted.foreach { case (_, ts, _, st) =>
-            if (cur == null) cur = Scd2Open(st, ts, 1L)
-            else if (ts < cur.validFrom) () // straggler: see Scaladoc
-            else if (st != cur.state) {
+          sorted.foreach { case (_, ts, tie, st) =>
+            if (cur == null) cur = Scd2Open(st, ts, 1L, tie)
+            else if (ts < cur.validFrom ||
+              (ts == cur.validFrom && tie <= cur.openTie)) {
+              // straggler at-or-before the open (ts, tie): see Scaladoc
+            } else if (st != cur.state) {
               out += Scd2Closed(userId, cur.ver, cur.state, cur.validFrom, ts)
-              cur = Scd2Open(st, ts, cur.ver + 1)
+              cur = Scd2Open(st, ts, cur.ver + 1, tie)
             }
           }
           if (cur != null) state.update(cur)

@@ -341,6 +341,28 @@ class AnalyticsOpsSpec extends SparkSpec {
       ("y", "A") -> cell(2, 2, 5), ("y", "B") -> cell(0, 2, 1)))
   }
 
+  test("chiSquareCells: survives the int64-square overflow regime") {
+    // Perfectly-associated balanced 2×2 at n = 400k: |obs·n − rt·ct|
+    // = n²/4 = 4·10¹⁰, whose int64 square (1.6·10²¹) overflows 2⁶³
+    // ≈ 9.2·10¹⁸. The numerator must be squared in double — under
+    // ANSI mode an int64 square would throw, and with ANSI off it
+    // would silently wrap to a wrong cell.
+    val half = 200000
+    val df = spark.range(half).select(lit("x").as("a0"), lit("A").as("b0"))
+      .unionAll(spark.range(half)
+        .select(lit("y").as("a0"), lit("B").as("b0")))
+    val r = Profiling.chiSquareCells(df, col("a0"), col("b0"))
+      .collect().map(x => (x.getAs[String]("a"), x.getAs[String]("b")) ->
+        x.getAs[Double]("chi2_cell")).toMap
+    val n = 2.0 * half
+    // each cell of a perfect association contributes n/4; total = n
+    assert(r.size === 4)
+    assert(r(("x", "A")) === n / 4)
+    assert(r(("y", "B")) === n / 4)
+    assert(r(("x", "B")) === n / 4)
+    assert(r(("y", "A")) === n / 4)
+  }
+
   // --------------------------------------------------------------- gini
 
   test("giniImpurity: pure group 0, uniform k-label group 1 - 1/k") {

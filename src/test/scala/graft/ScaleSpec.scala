@@ -79,6 +79,7 @@ class ScaleSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.01"
     val conf = spark.conf
     val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
       "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
     try {

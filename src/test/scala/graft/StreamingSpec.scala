@@ -615,4 +615,47 @@ class StreamingSpec extends SparkSpec {
       (1L, "A", min(0) / 1000, min(20) / 1000),
       (2L, "B", min(20) / 1000, min(30) / 1000)))
   }
+
+  test("scd2Stream: equal-timestamp smaller-tie cross-batch event is late") {
+    // A cross-batch arrival with ts EQUAL to the open version's
+    // valid_from but a smaller event_id precedes the opener in the
+    // batch operator's (ts, tie) order — it must be treated as a
+    // straggler (dropped), not replayed as if in-order (which would
+    // close the open version against itself at zero width and fork
+    // the version numbering away from scd2FromLog).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2-tie")
+    val base = 1704067200L * 1000000000L
+    def min(m: Long) = base + m * 60L * 1000000000L
+    def stage(name: String, rows: Seq[(Long, Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-tie-t")
+      rows.map { case (eid, ts, et) => (eid, ts, 11L, et, 1.0, null: String) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
+    }
+    // batch 1: A@0 (tie 1), B@20 (tie 3) — closes (ver 1, A, [0, 20))
+    stage("a.parquet", Seq((1L, min(0), "A"), (3L, min(20), "B")))
+    // batch 2: Z@20 with tie 2 < 3 — same ts as the open version's
+    // valid_from, earlier (ts, tie) position: dropped
+    stage("b.parquet", Seq((2L, min(20), "Z")))
+    // batch 3: C@30 — closes (ver 2, B, [20, 30))
+    stage("c.parquet", Seq((5L, min(30), "C")))
+
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = EventStream.scd2Stream(stream)
+      .writeStream.format("memory").queryName("scd2_tie")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("scd2_tie").collect()
+      .map(r => (r.getAs[Long]("ver"), r.getAs[String]("state"),
+        r.getAs[Long]("valid_from"), r.getAs[Long]("valid_to"))).sorted.toSeq
+    assert(got === Seq(
+      (1L, "A", min(0) / 1000, min(20) / 1000),
+      (2L, "B", min(20) / 1000, min(30) / 1000)))
+  }
 }

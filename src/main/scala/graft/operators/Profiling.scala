@@ -612,4 +612,101 @@ object Profiling {
        |  CAST(n_labels AS BIGINT) AS n_labels,
        |  CAST(n * n - sq AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
        |FROM s ORDER BY g""".stripMargin
+
+  /** Cohen's kappa agreement between two categorical raters — the
+    * standard annotation-quality check before training on labelled
+    * data — held exact until ONE double division:
+    *
+    *   κ = (p_o − p_e) / (1 − p_e)
+    *     = (n·agree − Σ_k rt_k·ct_k) / (n² − Σ_k rt_k·ct_k)
+    *
+    * where `agree` counts identical labels, rt/ct are the per-category
+    * margins, and every product stays exact in BIGINT (caller
+    * contract: n ≤ ~3·10⁹ so n² fits int64) — bit-portable like
+    * [[chiSquareCells]]. Degenerate when the expected agreement is 1
+    * (both raters constant on the same single category): the double
+    * division is 0/0 = NaN on both engines.
+    *
+    * Scale shape: one (a, b) aggregation of the data (map-side
+    * combined); the agreement sum, both margins, and the margin
+    * dot-product all re-aggregate the category-cardinality cell frame
+    * — never a second data scan; the scalar frames attach by 1-row
+    * cross joins.
+    *
+    * @return single row (n, agree, kappa)
+    */
+  def cohensKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val obs = df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val n = obs.agg(sum("c").as("n"))
+    val agree = obs.filter(col("a") === col("b"))
+      .agg(coalesce(sum("c"), lit(0L)).as("agree"))
+    val rt = obs.groupBy("a").agg(sum("c").as("rt"))
+    val ct = obs.groupBy("b").agg(sum("c").as("ct"))
+    val sp = rt.join(ct, col("a") === col("b"))
+      .agg(coalesce(sum(col("rt") * col("ct")), lit(0L)).as("sp"))
+    n.crossJoin(agree).crossJoin(sp)
+      .select(col("n"), col("agree"),
+        ((col("n") * col("agree") - col("sp")).cast(DoubleType) /
+          (col("n") * col("n") - col("sp")).cast(DoubleType)).as("kappa"))
+  }
+
+  /** Oracle for [[cohensKappa]]: `vSql` must yield (a, b). */
+  def cohensKappaOracle(vSql: String): String =
+    s"""WITH v AS ($vSql),
+       |obs AS (SELECT a, b, COUNT(*) AS c FROM v GROUP BY a, b),
+       |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM obs),
+       |ag AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS agree
+       |       FROM obs WHERE a = b),
+       |rt AS (SELECT a, SUM(c) AS rt FROM obs GROUP BY a),
+       |ct AS (SELECT b, SUM(c) AS ct FROM obs GROUP BY b),
+       |sp AS (SELECT CAST(COALESCE(SUM(rt.rt * ct.ct), 0) AS BIGINT) AS sp
+       |       FROM rt JOIN ct ON rt.a = ct.b)
+       |SELECT n.n AS n, ag.agree AS agree,
+       |  CAST(n.n * ag.agree - sp.sp AS DOUBLE)
+       |    / CAST(n.n * n.n - sp.sp AS DOUBLE) AS kappa
+       |FROM n CROSS JOIN ag CROSS JOIN sp""".stripMargin
+
+  /** Smoothed target encoding of a categorical feature — the
+    * leakage-prone-if-naive ML-prep step done as one exact pass:
+    *
+    *   enc_c = (pos_c + m·(P/N)) / (cnt_c + m)
+    *         = (pos_c·N + m·P) / (N·(cnt_c + m))
+    *
+    * (m = `smoothing` pseudo-observations of the global positive rate
+    * P/N) with both sides exact in BIGINT and ONE double division —
+    * bit-portable. `label` must be an integer 0/1 column. Caller
+    * contract: pos_c·N and N·(cnt_c + m) fit int64 — true to N ≈ 3·10⁹.
+    *
+    * Scale shape: one map-side-combined aggregation on the category;
+    * the global totals re-aggregate the category frame and attach by a
+    * 1-row cross join — never a second data scan, no window.
+    *
+    * @return (cat, cnt, pos, enc) one row per category
+    */
+  def targetEncoding(df: DataFrame, category: Column, label: Column,
+                     smoothing: Long): DataFrame = {
+    require(smoothing >= 0, s"smoothing ($smoothing) must be >= 0")
+    val per = df.select(category.as("cat"), label.cast(LongType).as("y"))
+      .groupBy("cat").agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+    val g = per.agg(sum("cnt").as("n_tot"), sum("pos").as("pos_tot"))
+    per.crossJoin(broadcast(g))
+      .select(col("cat"), col("cnt"), col("pos"),
+        ((col("pos") * col("n_tot") + lit(smoothing) * col("pos_tot"))
+          .cast(DoubleType) /
+          (col("n_tot") * (col("cnt") + lit(smoothing)))
+            .cast(DoubleType)).as("enc"))
+  }
+
+  /** Oracle for [[targetEncoding]]: `vSql` must yield (cat, y). */
+  def targetEncodingOracle(vSql: String, smoothing: Long): String =
+    s"""WITH v AS ($vSql),
+       |per AS (SELECT cat, COUNT(*) AS cnt, SUM(y) AS pos
+       |        FROM v GROUP BY cat),
+       |g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tot,
+       |             CAST(SUM(pos) AS BIGINT) AS pos_tot FROM per)
+       |SELECT cat, CAST(cnt AS BIGINT) AS cnt, CAST(pos AS BIGINT) AS pos,
+       |  CAST(pos * n_tot + $smoothing * pos_tot AS DOUBLE)
+       |    / CAST(n_tot * (cnt + $smoothing) AS DOUBLE) AS enc
+       |FROM per CROSS JOIN g ORDER BY cat""".stripMargin
 }

@@ -445,6 +445,60 @@ object TextAnalysis {
        |FROM pairs CROSS JOIN n
        |ORDER BY term_a, term_b""".stripMargin
 
+  /** Pairwise vocabulary Jaccard between document domains — the
+    * corpus-mixing diagnostic (how much do two sources share a word
+    * list?): J(A, B) = |V_A ∩ V_B| / (|V_A| + |V_B| − |V_A ∩ V_B|)
+    * over distinct whitespace tokens, exact integer counts with ONE
+    * portable double division. Domain pairs with an empty
+    * intersection are absent (the inner-join convention, like
+    * [[cooccurrenceLift]]'s minPairDf floor).
+    *
+    * Scale shape: one explode + per-doc `array_distinct`, then a
+    * global distinct on (domain, token) — a single shuffle whose
+    * output is vocabulary-sized, not corpus-sized; the intersection
+    * self-join keys on the token, so per-token fan-out is bounded by
+    * the domain count squared whatever the corpus size, and the
+    * domain-cardinality size frame attaches broadcast.
+    *
+    * @return (dom_a, dom_b, v_a, v_b, inter, jaccard), dom_a < dom_b
+    */
+  def domainTokenJaccard(docs: DataFrame, domain: Column): DataFrame = {
+    val dt = docs.select(domain.as("dom"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      .distinct()
+    val sizes = dt.groupBy("dom").agg(count(lit(1)).as("v"))
+    val inter = dt.as("l").join(dt.as("r"), col("l.term") === col("r.term"))
+      .filter(col("l.dom") < col("r.dom"))
+      .groupBy(col("l.dom").as("dom_a"), col("r.dom").as("dom_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("dom").as("dom_a"), col("v").as("v_a"))),
+        "dom_a")
+      .join(broadcast(sizes.select(col("dom").as("dom_b"), col("v").as("v_b"))),
+        "dom_b")
+      .select(col("dom_a"), col("dom_b"), col("v_a"), col("v_b"), col("inter"),
+        (col("inter").cast(DoubleType) /
+          (col("v_a") + col("v_b") - col("inter")).cast(DoubleType))
+          .as("jaccard"))
+  }
+
+  /** Oracle for [[domainTokenJaccard]]: `vSql` must yield (dom, text). */
+  def domainTokenJaccardOracle(vSql: String): String =
+    s"""WITH src AS ($vSql),
+       |dt AS (SELECT DISTINCT dom, term FROM (
+       |  SELECT dom, UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS term
+       |  FROM src)),
+       |s AS (SELECT dom, COUNT(*) AS v FROM dt GROUP BY dom),
+       |i AS (SELECT l.dom AS dom_a, r.dom AS dom_b, COUNT(*) AS inter
+       |      FROM dt l JOIN dt r ON l.term = r.term AND l.dom < r.dom
+       |      GROUP BY l.dom, r.dom)
+       |SELECT dom_a, dom_b, CAST(sa.v AS BIGINT) AS v_a,
+       |  CAST(sb.v AS BIGINT) AS v_b, CAST(i.inter AS BIGINT) AS inter,
+       |  CAST(i.inter AS DOUBLE)
+       |    / CAST(sa.v + sb.v - i.inter AS DOUBLE) AS jaccard
+       |FROM i JOIN s sa ON i.dom_a = sa.dom JOIN s sb ON i.dom_b = sb.dom
+       |ORDER BY dom_a, dom_b""".stripMargin
+
   // ---------------------------------------------------------- repetition
 
   /** Repetition-based quality signals (the Gopher-rules family adapted

@@ -2653,6 +2653,67 @@ object Extensions {
         |  CAST(FLOOR(l_quantity) AS BIGINT) AS w
         |FROM lineitem""".stripMargin)))
 
+  /** Cohen's kappa between two deterministic document-quality raters
+    * (a length bucketer vs a word-count bucketer) — the
+    * annotation-agreement check run before trusting labels, exact to
+    * one portable division ([[graft.operators.Profiling.cohensKappa]]).
+    * The raters are correlated by construction (both proxy document
+    * size), so κ lands strictly between 0 and 1 — a discriminating
+    * fixture for the margin arithmetic.
+    */
+  private val q158 = Q("q158_cohens_kappa",
+    (s, d) => graft.operators.Profiling.cohensKappa(
+      Tables.documents(s, d),
+      when(col("n_chars") >= 800, lit("hi"))
+        .when(col("n_chars") >= 300, lit("mid")).otherwise(lit("lo")),
+      when(length(col("text")) - length(regexp_replace(col("text"),
+          lit(" "), lit(""))) >= 150, lit("hi"))
+        .when(length(col("text")) - length(regexp_replace(col("text"),
+          lit(" "), lit(""))) >= 60, lit("mid")).otherwise(lit("lo"))),
+    Some(graft.operators.Profiling.cohensKappaOracle(
+      """SELECT
+        |  CASE WHEN n_chars >= 800 THEN 'hi'
+        |       WHEN n_chars >= 300 THEN 'mid' ELSE 'lo' END AS a,
+        |  CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) >= 150
+        |         THEN 'hi'
+        |       WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) >= 60
+        |         THEN 'mid' ELSE 'lo' END AS b
+        |FROM documents""".stripMargin)))
+
+  /** Pairwise vocabulary Jaccard between document sources — the
+    * corpus-mixing overlap diagnostic
+    * ([[graft.operators.TextAnalysis.domainTokenJaccard]]): exact
+    * distinct-token intersections keyed on the token, sizes broadcast.
+    */
+  private val q159 = Q("q159_domain_vocab_jaccard",
+    (s, d) => TextAnalysis.domainTokenJaccard(
+        Tables.documents(s, d), col("source"))
+      .orderBy("dom_a", "dom_b"),
+    Some(TextAnalysis.domainTokenJaccardOracle(
+      "SELECT source AS dom, text FROM documents")))
+
+  /** Smoothed target encoding of the customer market segment against
+    * an urgent-order label
+    * ([[graft.operators.Profiling.targetEncoding]]): the ML-prep
+    * categorical encoder as one exact aggregation pass — (pos·N +
+    * m·P)/(N·(cnt + m)) in BIGINT with a single portable division,
+    * m = 25 pseudo-observations of the global rate.
+    */
+  private val q160 = Q("q160_target_encoding",
+    (s, d) => graft.operators.Profiling.targetEncoding(
+        Tables.orders(s, d).join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey")),
+        col("c_mktsegment"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast(IntegerType),
+        smoothing = 25L)
+      .orderBy("cat"),
+    Some(graft.operators.Profiling.targetEncodingOracle(
+      """SELECT c.c_mktsegment AS cat,
+        |  CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END AS y
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+      smoothing = 25L)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2665,5 +2726,5 @@ object Extensions {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
     q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
 }

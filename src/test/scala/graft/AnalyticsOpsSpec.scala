@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{GraphOps, Merge, ProductAnalytics, Profiling, Similarity}
+import graft.operators.{GraphOps, Merge, ProductAnalytics, Profiling, Similarity, TextAnalysis}
 
 /** Laws for the round-5 analytics operators: IVM merge algebra, skyline
   * dominance, PageRank partition-invariance, exact-integer RRF.
@@ -376,5 +376,60 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r("pure") === ((5L, 1L, 0.0)))
     assert(r("uni") === ((4L, 4L, (16.0 - 4.0) / 16.0))) // 1 - 1/4
     assert(r("mix") === ((3L, 2L, (9.0 - 5.0) / 9.0)))   // 1 - (4+1)/9
+  }
+
+  // -------------------------------------------------------------- kappa
+
+  test("cohensKappa: textbook 2x2 table and perfect agreement") {
+    // cells (y,y)=4 (y,n)=1 (n,y)=2 (n,n)=3: n=10 agree=7,
+    // rt=(5,5) ct=(6,4), sp=5*6+5*4=50, kappa=(70-50)/(100-50)=0.4
+    val df = (Seq.fill(4)(("y", "y")) ++ Seq(("y", "n")) ++
+      Seq.fill(2)(("n", "y")) ++ Seq.fill(3)(("n", "n"))).toDF("ra", "rb")
+    val r = Profiling.cohensKappa(df, col("ra"), col("rb")).collect()(0)
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("agree") === 7L)
+    assert(r.getAs[Double]("kappa") === 0.4)
+    // identical raters over >= 2 categories: kappa exactly 1
+    val same = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("ra", "rb")
+    assert(Profiling.cohensKappa(same, col("ra"), col("rb"))
+      .collect()(0).getAs[Double]("kappa") === 1.0)
+    // independent-by-margins raters: kappa exactly 0 — 2x2 with cells
+    // proportional to the margin products (1,1,1,1): agree=2, sp=2*2+2*2=8,
+    // kappa=(4*2-8)/(16-8)=0
+    val ind = Seq(("y", "y"), ("y", "n"), ("n", "y"), ("n", "n"))
+      .toDF("ra", "rb")
+    assert(Profiling.cohensKappa(ind, col("ra"), col("rb"))
+      .collect()(0).getAs[Double]("kappa") === 0.0)
+  }
+
+  // ------------------------------------------------------ vocab jaccard
+
+  test("domainTokenJaccard: exact overlap counts, empty pairs absent") {
+    val df = Seq(
+      (1L, "d1", "a b c"), (2L, "d1", "a b"),
+      (3L, "d2", "b c d"), (4L, "d3", "x y")).toDF("doc_id", "dom0", "text")
+    val r = TextAnalysis.domainTokenJaccard(df, col("dom0"))
+      .collect().map(x => (x.getAs[String]("dom_a"), x.getAs[String]("dom_b")) ->
+        (x.getAs[Long]("v_a"), x.getAs[Long]("v_b"),
+         x.getAs[Long]("inter"), x.getAs[Double]("jaccard"))).toMap
+    // d1 vocab {a,b,c}, d2 {b,c,d}: inter {b,c} -> J = 2/4
+    assert(r === Map(("d1", "d2") -> ((3L, 3L, 2L, 0.5))))
+  }
+
+  // ---------------------------------------------------- target encoding
+
+  test("targetEncoding: m=0 is the raw rate; m>0 shrinks to the prior") {
+    val df = Seq(("x", 1), ("x", 0), ("y", 1), ("y", 1)).toDF("c0", "y0")
+    val raw = Profiling.targetEncoding(df, col("c0"), col("y0"), 0L)
+      .collect().map(x => x.getAs[String]("cat") -> x.getAs[Double]("enc"))
+      .toMap
+    assert(raw === Map("x" -> 0.5, "y" -> 1.0))
+    // N=4, P=3, m=2: enc_x = (1*4 + 2*3)/(4*(2+2)) = 10/16,
+    // enc_y = (2*4 + 2*3)/(4*4) = 14/16 — both pulled toward P/N = 0.75
+    val sm = Profiling.targetEncoding(df, col("c0"), col("y0"), 2L)
+      .collect().map(x => x.getAs[String]("cat") ->
+        (x.getAs[Long]("cnt"), x.getAs[Long]("pos"), x.getAs[Double]("enc")))
+      .toMap
+    assert(sm === Map("x" -> ((2L, 1L, 0.625)), "y" -> ((2L, 2L, 0.875))))
   }
 }

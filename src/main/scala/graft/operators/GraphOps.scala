@@ -228,6 +228,108 @@ object GraphOps {
        |SELECT node, r AS rank_scaled FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** HITS hubs-and-authorities by power iteration, in EXACT
+    * scaled-integer arithmetic (the [[pageRank]] discipline): scores
+    * live as BIGINT multiples of `1/scale`, every step is `+`, `*`,
+    * and integer division on the all-positive domain — never a float,
+    * so the result is bit-identical on any engine and partitioning.
+    * Per iteration k (unweighted; parallel edges collapse):
+    *
+    *   rawA(v) = Σ_{u→v} h_k(u);   a_{k+1}(v) = rawA(v) div q_A
+    *   rawH(u) = Σ_{u→v} a_{k+1}(v); h_{k+1}(u) = rawH(u) div q_H
+    *
+    * with q = max(Σraw div scale, 1) — L1 normalization back to ~scale
+    * total mass by one integer division (HITS normalization only fixes
+    * the vector's magnitude, so any norm gives the same ranking; L1 in
+    * integers is the portable choice). Nodes with no in-edges hold
+    * authority 0, no out-edges hub 0.
+    *
+    * Scale shape: the deduped edge list is persisted once; each
+    * half-iteration is one equi-join of a |V|-sized score frame
+    * against the edges on its key plus one aggregation shuffled on the
+    * other key — O(|E|/executors) per round. Each raw frame is
+    * eagerly localCheckpoint-ed before normalization (it is referenced
+    * twice — by the total and by the quotient — and the truncation
+    * also stops the 4×-per-round lazy-plan growth). Overflow headroom:
+    * Σ_deg a ≤ |E|·scale must fit int64 — |E| ≤ 9·10¹² at the default
+    * scale 10⁶.
+    *
+    * @param edges (src, dst) directed; parallel edges are collapsed
+    * @param nodes single column `node` — the full vertex set
+    * @return (node, auth_scaled, hub_scaled) — score ≈ x / scale
+    */
+  def hits(edges: DataFrame, nodes: DataFrame, iters: Int,
+           scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    require(scale >= 1L, s"scale ($scale) must be >= 1")
+    val e = edges.select("src", "dst").distinct().persist()
+    try {
+      def gather(score: DataFrame, joinKey: String,
+                 outKey: String): DataFrame = {
+        val s = e
+          .join(score.select(col("node").as(joinKey), col("x")), joinKey)
+          .groupBy(outKey).agg(sum("x").as("s"))
+        nodes
+          .join(s.select(col(outKey).as("node"), col("s")), Seq("node"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0L)).as("x"))
+          .localCheckpoint(eager = true)
+      }
+      def normalize(raw: DataFrame): DataFrame = {
+        val q = raw.agg(
+          greatest(call_function("div", sum("x"), lit(scale)), lit(1L))
+            .as("q"))
+        raw.crossJoin(broadcast(q))
+          .select(col("node"), call_function("div", col("x"), col("q")).as("x"))
+      }
+      val h0 = nodes.select(col("node"), lit(scale).as("x"))
+      val (aK, hK) = (1 to iters).foldLeft((h0, h0)) { case ((_, h), _) =>
+        val a = normalize(gather(h, "src", "dst"))
+        (a, normalize(gather(a, "dst", "src")))
+      }
+      aK.select(col("node"), col("x").as("auth_scaled"))
+        .join(hK.select(col("node"), col("x").as("hub_scaled")), "node")
+        .localCheckpoint(eager = true)
+    } finally { e.unpersist(blocking = false); () }
+  }
+
+  /** Oracle for [[hits]]: replays the identical integer iterations as
+    * chained CTEs. `edgesSql` must yield (src, dst), `nodesSql` a
+    * single `node` column.
+    */
+  def hitsOracle(edgesSql: String, nodesSql: String, iters: Int,
+                 scale: Long = 1000000L): String = {
+    val iterCtes = (1 to iters).map { k =>
+      val prevH = if (k == 1) "h0" else s"h${k - 1}"
+      s"""rawa$k AS (
+         |  SELECT nodes.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS x
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node, SUM($prevH.x) AS s
+         |    FROM e JOIN $prevH ON e.src = $prevH.node
+         |    GROUP BY e.dst) s ON nodes.node = s.node),
+         |qa$k AS (SELECT GREATEST(CAST(SUM(x) AS BIGINT) // $scale, 1) AS q
+         |         FROM rawa$k),
+         |a$k AS (SELECT node, x // q AS x FROM rawa$k CROSS JOIN qa$k),
+         |rawh$k AS (
+         |  SELECT nodes.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS x
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.src AS node, SUM(a$k.x) AS s
+         |    FROM e JOIN a$k ON e.dst = a$k.node
+         |    GROUP BY e.src) s ON nodes.node = s.node),
+         |qh$k AS (SELECT GREATEST(CAST(SUM(x) AS BIGINT) // $scale, 1) AS q
+         |         FROM rawh$k),
+         |h$k AS (SELECT node, x // q AS x FROM rawh$k CROSS JOIN qh$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |nodes AS ($nodesSql),
+       |h0 AS (SELECT node, CAST($scale AS BIGINT) AS x FROM nodes),
+       |$iterCtes
+       |SELECT a$iters.node, a$iters.x AS auth_scaled,
+       |  h$iters.x AS hub_scaled
+       |FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node
+       |ORDER BY a$iters.node""".stripMargin
+  }
+
   /** Hop-capped single/multi-source shortest paths (Bellmann–Ford
     * rounds) in exact BIGINT arithmetic: after round k, `dist(n)` is
     * the minimum total weight over all paths from any source to `n`

@@ -2653,6 +2653,20 @@ object Extensions {
         |  CAST(FLOOR(l_quantity) AS BIGINT) AS w
         |FROM lineitem""".stripMargin)))
 
+  /** HITS hubs/authorities of the nation trade graph — exporter-side
+    * hub weight vs importer-side authority weight in exact
+    * scaled-integer power iteration
+    * ([[graft.operators.GraphOps.hits]]); the oracle replays the
+    * identical integer rounds as chained CTEs, like q140's PageRank.
+    */
+  private val q161 = Q("q161_hits_trade",
+    (s, d) => {
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
+      GraphOps.hits(tradeEdges(s, d), nodes, iters = 4).orderBy("node")
+    },
+    Some(GraphOps.hitsOracle(
+      tradeEdgesSql, "SELECT n_nationkey AS node FROM nation", iters = 4)))
+
   /** Cohen's kappa between two deterministic document-quality raters
     * (a length bucketer vs a word-count bucketer) — the
     * annotation-agreement check run before trusting labels, exact to
@@ -2726,5 +2740,5 @@ object Extensions {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
     q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
 }

@@ -378,6 +378,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r("mix") === ((3L, 2L, (9.0 - 5.0) / 9.0)))   // 1 - (4+1)/9
   }
 
+  // --------------------------------------------------------------- hits
+
+  test("hits: directed star - center is the hub, leaves the authorities") {
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val nodes = (0L to 4L).toDF("node")
+    val r = GraphOps.hits(e, nodes, iters = 1).collect()
+      .map(x => x.getAs[Long]("node") ->
+        (x.getAs[Long]("auth_scaled"), x.getAs[Long]("hub_scaled"))).toMap
+    // round 1: rawA(leaf) = h0(0) = 1e6 each, total 4e6 -> q=4,
+    // a(leaf) = 250000; rawH(0) = 4*250000 = 1e6, q=1 -> h(0) = 1e6
+    assert(r(0L) === ((0L, 1000000L)))
+    (1L to 4L).foreach(v => assert(r(v) === ((250000L, 0L))))
+    // extra iterations preserve the star fixpoint
+    val r3 = GraphOps.hits(e, nodes, iters = 3).collect()
+      .map(x => x.getAs[Long]("node") ->
+        (x.getAs[Long]("auth_scaled"), x.getAs[Long]("hub_scaled"))).toMap
+    assert(r3 === r)
+  }
+
   // -------------------------------------------------------------- kappa
 
   test("cohensKappa: textbook 2x2 table and perfect agreement") {

@@ -538,8 +538,12 @@ object Profiling {
     * @return (a, b, obs, exp, chi2_cell) one row per margin pair
     */
   def chiSquareCells(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    // the cell frame fans out to margins/total/zero-cells; materialize
+    // it once (category-cardinality-sized) — column-pruned branches
+    // defeat ReuseExchange and would re-scan the data per branch
     val obs = df.select(aCol.as("a"), bCol.as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("obs"))
+      .localCheckpoint(eager = true)
     val rowTot = obs.groupBy("a").agg(sum("obs").as("rt"))
     val colTot = obs.groupBy("b").agg(sum("obs").as("ct"))
     val n = obs.agg(sum("obs").as("n"))
@@ -636,8 +640,11 @@ object Profiling {
     * @return single row (n, agree, kappa)
     */
   def cohensKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    // five branches read the cell frame; one eager materialization
+    // keeps the data scan single (see chiSquareCells)
     val obs = df.select(aCol.as("a"), bCol.as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
     val n = obs.agg(sum("c").as("n"))
     val agree = obs.filter(col("a") === col("b"))
       .agg(coalesce(sum("c"), lit(0L)).as("agree"))
@@ -689,6 +696,7 @@ object Profiling {
     require(smoothing >= 0, s"smoothing ($smoothing) must be >= 0")
     val per = df.select(category.as("cat"), label.cast(LongType).as("y"))
       .groupBy("cat").agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+      .localCheckpoint(eager = true) // totals + output both read it
     val g = per.agg(sum("cnt").as("n_tot"), sum("pos").as("pos_tot"))
     per.crossJoin(broadcast(g))
       .select(col("cat"), col("cnt"), col("pos"),

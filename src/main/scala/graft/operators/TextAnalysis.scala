@@ -463,9 +463,12 @@ object TextAnalysis {
     * @return (dom_a, dom_b, v_a, v_b, inter, jaccard), dom_a < dom_b
     */
   def domainTokenJaccard(docs: DataFrame, domain: Column): DataFrame = {
+    // the vocab frame is read three times (sizes + both join sides);
+    // materialize once so the corpus explode runs a single time
     val dt = docs.select(domain.as("dom"),
         explode(array_distinct(tokens(col("text")))).as("term"))
       .distinct()
+      .localCheckpoint(eager = true)
     val sizes = dt.groupBy("dom").agg(count(lit(1)).as("v"))
     val inter = dt.as("l").join(dt.as("r"), col("l.term") === col("r.term"))
       .filter(col("l.dom") < col("r.dom"))

@@ -98,6 +98,36 @@ object Curate {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Group-coherent k-fold assignment — cross-validation folds where
+    * every row of a group (author, site, session…) lands in the SAME
+    * fold, so no group straddles train/validation (the group-leakage
+    * cousin of [[leakageSafeSplit]]): fold = hash60(group) mod k,
+    * deterministic and engine-portable by the md5 convention, folds
+    * ~uniform by md5 uniformity (group-count imbalance is bounded by
+    * the largest group, which no assignment scheme can split).
+    *
+    * Scale shape: the fold is a pure scalar expression on the row —
+    * no shuffle, no group materialization, composes with any
+    * downstream partitioning.
+    *
+    * @return (doc_id, grp, fold) with fold in [0, k)
+    */
+  def groupKFold(docs: DataFrame, group: Column, id: Column,
+                 k: Int): DataFrame = {
+    require(k >= 2, s"k ($k) must be >= 2")
+    docs.select(id.as("doc_id"), group.as("grp"),
+      pmod(TextAnalysis.hash60(group), lit(k.toLong)).as("fold"))
+  }
+
+  /** Oracle for [[groupKFold]]: `groupSql` is the group expression
+    * over `documents`.
+    */
+  def groupKFoldOracle(groupSql: String, k: Int): String =
+    s"""SELECT doc_id, $groupSql AS grp,
+       |  CAST((${TextAnalysis.hash60Sql(s"MD5(CAST($groupSql AS VARCHAR))")})
+       |    % $k AS BIGINT) AS fold
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** SQL replay of [[corpus]] for the oracle gate: the exact-dedup CTE
     * feeds the spliced SimHash/closure CTEs, reps/quality/sample filters
     * mirror the Spark stages one-to-one.

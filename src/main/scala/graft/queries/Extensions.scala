@@ -2653,6 +2653,18 @@ object Extensions {
         |  CAST(FLOOR(l_quantity) AS BIGINT) AS w
         |FROM lineitem""".stripMargin)))
 
+  /** Group-coherent k-fold assignment keyed on the document source —
+    * no source straddles train/validation folds
+    * ([[graft.operators.Curate.groupKFold]]): fold = hash60(group)
+    * mod k as a pure scalar expression (no shuffle), portable by the
+    * md5 convention.
+    */
+  private val q162 = Q("q162_group_kfold",
+    (s, d) => graft.operators.Curate.groupKFold(
+        Tables.documents(s, d), col("source"), col("doc_id"), k = 5)
+      .orderBy("doc_id"),
+    Some(graft.operators.Curate.groupKFoldOracle("source", k = 5)))
+
   /** HITS hubs/authorities of the nation trade graph — exporter-side
     * hub weight vs importer-side authority weight in exact
     * scaled-integer power iteration
@@ -2740,5 +2752,6 @@ object Extensions {
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129,
     q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
+    q162)
 }

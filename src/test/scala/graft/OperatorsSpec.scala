@@ -831,6 +831,22 @@ class OperatorsSpec extends SparkSpec {
     assert(uniq.map(_._1).map(r).forall(s => s == "test" || s == "train"))
   }
 
+  test("groupKFold: one fold per group, folds in range, groups spread") {
+    import graft.operators.Curate
+    val docs = spark.createDataFrame(
+      (0L until 60L).map(i => (i, s"g${i % 12}"))).toDF("doc_id", "src")
+    val r = Curate.groupKFold(docs, col("src"), col("doc_id"), k = 5)
+      .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("grp"),
+        x.getAs[Long]("fold")))
+    assert(r.length === 60)
+    assert(r.forall { case (_, _, f) => f >= 0 && f < 5 })
+    // group-coherent: every group maps to exactly one fold
+    val byGrp = r.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
+    assert(byGrp.values.forall(_.size === 1))
+    // md5 uniformity: 12 groups over 5 folds should hit more than one
+    assert(byGrp.values.map(_.head).toSet.size > 1)
+  }
+
   test("domainMixture: rates capped at 1, zero-weight strata empty, deterministic") {
     val corpus = spark.createDataFrame(
       (0 until 40).map(i => (i.toLong, Seq.fill(10)(s"t$i").mkString(" "),

@@ -123,10 +123,13 @@ object Curate {
     * over `documents`.
     */
   def groupKFoldOracle(groupSql: String, k: Int): String =
-    s"""SELECT doc_id, $groupSql AS grp,
-       |  CAST((${TextAnalysis.hash60Sql(s"MD5(CAST($groupSql AS VARCHAR))")})
-       |    % $k AS BIGINT) AS fold
-       |FROM documents ORDER BY doc_id""".stripMargin
+    s"""WITH h AS (
+       |  SELECT doc_id, $groupSql AS grp,
+       |    MD5(CAST($groupSql AS VARCHAR)) AS hx
+       |  FROM documents)
+       |SELECT doc_id, grp,
+       |  CAST((${TextAnalysis.hash60Sql("hx")}) % $k AS BIGINT) AS fold
+       |FROM h ORDER BY doc_id""".stripMargin
 
   /** SQL replay of [[corpus]] for the oracle gate: the exact-dedup CTE
     * feeds the spliced SimHash/closure CTEs, reps/quality/sample filters

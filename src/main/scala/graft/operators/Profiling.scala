@@ -640,19 +640,19 @@ object Profiling {
     * @return single row (n, agree, kappa)
     */
   def cohensKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
-    // five branches read the cell frame; one eager materialization
-    // keeps the data scan single (see chiSquareCells)
+    // three aggregate branches read the cell frame; one eager
+    // materialization keeps the data scan single (see chiSquareCells)
     val obs = df.select(aCol.as("a"), bCol.as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
       .localCheckpoint(eager = true)
-    val n = obs.agg(sum("c").as("n"))
-    val agree = obs.filter(col("a") === col("b"))
-      .agg(coalesce(sum("c"), lit(0L)).as("agree"))
+    val nAgree = obs.agg(sum("c").as("n"),
+      coalesce(sum(when(col("a") === col("b"), col("c"))), lit(0L))
+        .as("agree"))
     val rt = obs.groupBy("a").agg(sum("c").as("rt"))
     val ct = obs.groupBy("b").agg(sum("c").as("ct"))
     val sp = rt.join(ct, col("a") === col("b"))
       .agg(coalesce(sum(col("rt") * col("ct")), lit(0L)).as("sp"))
-    n.crossJoin(agree).crossJoin(sp)
+    nAgree.crossJoin(broadcast(sp))
       .select(col("n"), col("agree"),
         ((col("n") * col("agree") - col("sp")).cast(DoubleType) /
           (col("n") * col("n") - col("sp")).cast(DoubleType)).as("kappa"))

@@ -467,6 +467,7 @@ object TextAnalysis {
     // materialize once so the corpus explode runs a single time
     val dt = docs.select(domain.as("dom"),
         explode(array_distinct(tokens(col("text")))).as("term"))
+      .filter(col("term") =!= "") // leading-whitespace split artifact
       .distinct()
       .localCheckpoint(eager = true)
     val sizes = dt.groupBy("dom").agg(count(lit(1)).as("v"))
@@ -490,7 +491,7 @@ object TextAnalysis {
     s"""WITH src AS ($vSql),
        |dt AS (SELECT DISTINCT dom, term FROM (
        |  SELECT dom, UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS term
-       |  FROM src)),
+       |  FROM src) WHERE term <> ''),
        |s AS (SELECT dom, COUNT(*) AS v FROM dt GROUP BY dom),
        |i AS (SELECT l.dom AS dom_a, r.dom AS dom_b, COUNT(*) AS inter
        |      FROM dt l JOIN dt r ON l.term = r.term AND l.dom < r.dom

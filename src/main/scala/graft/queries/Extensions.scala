@@ -2727,7 +2727,7 @@ object Extensions {
     */
   private val q160 = Q("q160_target_encoding",
     (s, d) => graft.operators.Profiling.targetEncoding(
-        Tables.orders(s, d).join(Tables.customer(s, d),
+        Tables.orders(s, d).join(broadcast(Tables.customer(s, d)),
           col("o_custkey") === col("c_custkey")),
         col("c_mktsegment"),
         col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast(IntegerType),

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{GraphOps, Profiling}
+
+/** Algebraic laws of the round-6 exact-rational statistics operators,
+  * checked over randomized inputs (plain scalacheck Gen sampling, the
+  * MaintenanceLawsSpec discipline): the invariants that make these
+  * operators trustworthy at any partitioning — exact integer cores
+  * must be bit-stable under repartition, and the closed-form bounds
+  * (kappa ≤ 1, encoding between raw rate and prior) must hold on
+  * every input, not just the textbook fixtures.
+  */
+class StatsLawsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val labelledGen: Gen[List[(String, Int)]] =
+    Gen.listOfN(20, Gen.zip(Gen.oneOf("p", "q", "r"), Gen.oneOf(0, 1)))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("targetEncoding: m=0 is the raw rate; m>0 stays between raw and prior (property)") {
+    for (rows <- samples(labelledGen, 6)) {
+      val df = rows.toDF("c0", "y0")
+      val n = rows.size.toDouble
+      val p = rows.count(_._2 == 1).toDouble
+      val raw = rows.groupBy(_._1).map { case (c, xs) =>
+        c -> xs.count(_._2 == 1).toDouble / xs.size }
+      val m0 = Profiling.targetEncoding(df, col("c0"), col("y0"), 0L)
+        .collect().map(r => r.getAs[String]("cat") -> r.getAs[Double]("enc"))
+        .toMap
+      raw.foreach { case (c, v) => assert(math.abs(m0(c) - v) < 1e-12) }
+      val m7 = Profiling.targetEncoding(df, col("c0"), col("y0"), 7L)
+        .collect().map(r => r.getAs[String]("cat") -> r.getAs[Double]("enc"))
+        .toMap
+      val prior = p / n
+      raw.foreach { case (c, v) =>
+        val lo = math.min(v, prior) - 1e-12
+        val hi = math.max(v, prior) + 1e-12
+        assert(m7(c) >= lo && m7(c) <= hi,
+          s"enc ${m7(c)} outside [$lo, $hi] for cat $c")
+      }
+    }
+  }
+
+  test("cohensKappa: bounded above by 1; identical raters score exactly 1 (property)") {
+    for (rows <- samples(labelledGen, 6)) {
+      val df = rows.map { case (c, y) => (c, if (y == 1) "yes" else "no") }
+        .toDF("ra", "rb")
+      val k = Profiling.cohensKappa(df, col("ra"), col("rb"))
+        .collect()(0).getAs[Double]("kappa")
+      assert(k.isNaN || k <= 1.0 + 1e-12, s"kappa $k > 1")
+      // rater agreement with itself is exact 1 when >= 2 categories
+      if (rows.map(_._1).distinct.size >= 2) {
+        val same = Profiling.cohensKappa(df, col("ra"), col("ra"))
+          .collect()(0).getAs[Double]("kappa")
+        assert(same === 1.0)
+      }
+    }
+  }
+
+  test("exact integer cores are partitioning-invariant (property)") {
+    // the portability claim behind the oracle gate: rows arriving in
+    // any order / any partition count must give bit-identical output
+    for (rows <- samples(labelledGen, 3)) {
+      val df = rows.toDF("c0", "y0")
+      def enc(d: org.apache.spark.sql.DataFrame) =
+        Profiling.targetEncoding(d, col("c0"), col("y0"), 3L)
+          .collect().map(r => (r.getAs[String]("cat"), r.getAs[Long]("cnt"),
+            r.getAs[Long]("pos"), r.getAs[Double]("enc"))).sortBy(_._1).toSeq
+      assert(enc(df.repartition(7)) === enc(df.coalesce(1)))
+      def kap(d: org.apache.spark.sql.DataFrame) =
+        Profiling.cohensKappa(d, col("c0"),
+            when(col("y0") === 1, lit("p")).otherwise(lit("q")))
+          .collect()(0).toSeq
+      assert(kap(df.repartition(5)) === kap(df.coalesce(1)))
+    }
+  }
+
+  test("hits: invariant under parallel-edge duplication and repartition") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (3L, 2L))
+    val nodes = (0L to 3L).toDF("node")
+    def run(e: Seq[(Long, Long)], parts: Int) =
+      GraphOps.hits(e.toDF("src", "dst").repartition(parts), nodes, iters = 3)
+        .collect().map(r => (r.getAs[Long]("node"),
+          r.getAs[Long]("auth_scaled"), r.getAs[Long]("hub_scaled")))
+        .sortBy(_._1).toSeq
+    val base = run(edges, 1)
+    assert(run(edges ++ edges ++ edges.take(2), 6) === base)
+  }
+}

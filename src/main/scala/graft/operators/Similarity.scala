@@ -712,4 +712,108 @@ object Similarity {
        |  FROM fused)
        |SELECT query_id, neighbor_id, rrf_scaled, rnk FROM ranked
        |WHERE rnk <= $topK ORDER BY query_id, rnk""".stripMargin
+
+  // --------------------------------------- rank agreement (rho / tau)
+
+  /** Per-query rank agreement between two retrievers — Spearman's ρ
+    * and Kendall's τ over the candidates BOTH retrievers returned,
+    * re-ranked within the intersection (the standard top-k list
+    * comparison; items only one list saw carry no rank information).
+    * Both coefficients stay exact until ONE double division each:
+    *
+    *   ρ = (n(n²−1) − 6·Σd²) / (n(n²−1))     d = rank difference
+    *   τ = 2(C − D) / (n(n−1))               C/D concordant pairs
+    *
+    * with every product in BIGINT (re-ranked ranks are ≤ k, so the
+    * pair terms are tiny). Queries with fewer than 2 shared items are
+    * dropped (both coefficients are undefined at n = 1).
+    *
+    * Scale shape: one equi-join of the two topK-bounded lists on
+    * (query_id, neighbor_id) — k·|Q| rows, never corpus-sized; the
+    * re-rank windows partition per query over ≤ k rows; the pair
+    * self-join is C(k, 2)-bounded per query, the [[rrfFuse]] /
+    * cooccurrence discipline. The shared frame is checkpointed once
+    * (item aggregate + both pair-join sides read it).
+    *
+    * @param a,b (query_id, neighbor_id, rnk) rank lists (1-based rnk,
+    *            distinct per query)
+    * @return (query_id, n_shared, sum_d2, concordant, discordant,
+    *         rho, tau)
+    */
+  def rankAgreement(a: DataFrame, b: DataFrame): DataFrame = {
+    val shared = a
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("ra0"))
+      .join(b.select(col("query_id"), col("neighbor_id"),
+        col("rnk").as("rb0")), Seq("query_id", "neighbor_id"))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("ra0"), col("neighbor_id"))
+    val wb = Window.partitionBy("query_id")
+      .orderBy(col("rb0"), col("neighbor_id"))
+    val rr = shared
+      .withColumn("ra", row_number().over(wa).cast(LongType))
+      .withColumn("rb", row_number().over(wb).cast(LongType))
+      .localCheckpoint(eager = true)
+    val item = rr.groupBy("query_id").agg(
+      count(lit(1)).as("n_shared"),
+      sum((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("sum_d2"))
+    val cd = rr.as("l")
+      .join(rr.as("r"), col("l.query_id") === col("r.query_id") &&
+        col("l.neighbor_id") < col("r.neighbor_id"))
+      .select(col("l.query_id").as("query_id"),
+        (((col("l.ra") - col("r.ra")) > 0) === ((col("l.rb") - col("r.rb")) > 0))
+          .cast(LongType).as("conc"))
+      .groupBy("query_id").agg(
+        sum("conc").as("concordant"),
+        (count(lit(1)) - sum("conc")).as("discordant"))
+    val nn = col("n_shared") * (col("n_shared") * col("n_shared") - 1)
+    item.join(cd, Seq("query_id"), "left")
+      .na.fill(0L, Seq("concordant", "discordant"))
+      .filter(col("n_shared") >= 2)
+      .select(col("query_id"), col("n_shared"), col("sum_d2"),
+        col("concordant"), col("discordant"),
+        ((nn - lit(6L) * col("sum_d2")).cast(DoubleType) /
+          nn.cast(DoubleType)).as("rho"),
+        ((lit(2L) * (col("concordant") - col("discordant"))).cast(DoubleType) /
+          (col("n_shared") * (col("n_shared") - 1)).cast(DoubleType))
+          .as("tau"))
+  }
+
+  /** Oracle for [[rankAgreement]]: wraps the two retrievers' oracle
+    * SQL and replays the identical re-rank + exact-rational forms.
+    */
+  def rankAgreementOracle(aSql: String, bSql: String): String =
+    s"""WITH la AS ($aSql), lb AS ($bSql),
+       |shared AS (
+       |  SELECT la.query_id, la.neighbor_id, la.rnk AS ra0, lb.rnk AS rb0
+       |  FROM la JOIN lb USING (query_id, neighbor_id)),
+       |rr AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ra0, neighbor_id) AS BIGINT) AS ra,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rb0, neighbor_id) AS BIGINT) AS rb
+       |  FROM shared),
+       |item AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_shared,
+       |    CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+       |  FROM rr GROUP BY query_id),
+       |cd AS (
+       |  SELECT l.query_id,
+       |    CAST(SUM(CASE WHEN ((l.ra - r.ra) > 0) = ((l.rb - r.rb) > 0)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+       |    CAST(SUM(CASE WHEN ((l.ra - r.ra) > 0) = ((l.rb - r.rb) > 0)
+       |      THEN 0 ELSE 1 END) AS BIGINT) AS discordant
+       |  FROM rr l JOIN rr r ON l.query_id = r.query_id
+       |    AND l.neighbor_id < r.neighbor_id
+       |  GROUP BY l.query_id)
+       |SELECT item.query_id, n_shared, sum_d2,
+       |  COALESCE(concordant, 0) AS concordant,
+       |  COALESCE(discordant, 0) AS discordant,
+       |  CAST(n_shared * (n_shared * n_shared - 1) - 6 * sum_d2 AS DOUBLE)
+       |    / CAST(n_shared * (n_shared * n_shared - 1) AS DOUBLE) AS rho,
+       |  CAST(2 * (COALESCE(concordant, 0) - COALESCE(discordant, 0)) AS DOUBLE)
+       |    / CAST(n_shared * (n_shared - 1) AS DOUBLE) AS tau
+       |FROM item LEFT JOIN cd ON item.query_id = cd.query_id
+       |WHERE n_shared >= 2
+       |ORDER BY item.query_id""".stripMargin
 }

@@ -2653,6 +2653,24 @@ object Extensions {
         |  CAST(FLOOR(l_quantity) AS BIGINT) AS w
         |FROM lineitem""".stripMargin)))
 
+  /** Per-query Spearman ρ / Kendall τ between the exact and the LSH
+    * retriever — the rank-correlation companion of q145's RRF fusion
+    * ([[graft.operators.Similarity.rankAgreement]]): exact-rational
+    * forms over the shared candidates, one portable division per
+    * coefficient, pair stage C(k,2)-bounded per query.
+    */
+  private val q163 = Q("q163_rank_agreement",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.rankAgreement(
+          Similarity.bruteForceTopK(emb, nQueries = 20, k = 10),
+          Similarity.lshTopK(emb, nQueries = 20, k = 10, bits = 4))
+        .orderBy("query_id")
+    },
+    Some(Similarity.rankAgreementOracle(
+      Similarity.bruteForceTopKOracle(nQueries = 20, k = 10),
+      Similarity.lshTopKOracle(nQueries = 20, k = 10, bits = 4))))
+
   /** Group-coherent k-fold assignment keyed on the document source —
     * no source straddles train/validation folds
     * ([[graft.operators.Curate.groupKFold]]): fold = hash60(group)
@@ -2753,5 +2771,5 @@ object Extensions {
     q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-    q162)
+    q162, q163)
 }

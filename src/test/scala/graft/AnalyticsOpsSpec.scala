@@ -202,6 +202,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.toSeq === expected)
   }
 
+  test("rankAgreement: identical lists 1, reversed lists -1, partial overlap exact") {
+    def lst(q: Long, ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (id, i) => (q, id, (i + 1).toLong) }
+        .toDF("query_id", "neighbor_id", "rnk")
+    // q0: identical 4-item lists; q1: exactly reversed 4-item lists
+    val a = lst(0L, Seq(10L, 11L, 12L, 13L))
+      .unionAll(lst(1L, Seq(20L, 21L, 22L, 23L)))
+    val b = lst(0L, Seq(10L, 11L, 12L, 13L))
+      .unionAll(lst(1L, Seq(23L, 22L, 21L, 20L)))
+    val r = Similarity.rankAgreement(a, b).collect()
+      .map(x => x.getAs[Long]("query_id") ->
+        (x.getAs[Double]("rho"), x.getAs[Double]("tau"))).toMap
+    assert(r(0L) === ((1.0, 1.0)))
+    assert(r(1L) === ((-1.0, -1.0)))
+    // partial overlap: a ranks shared {5, 6, 7} as 1,2,3; b sees them
+    // re-ranked 2,3,1 -> d2 = 1+1+4 = 6, rho = (24-36)/24 = -0.5;
+    // pairs: (5,6) conc, (5,7) disc, (6,7) disc -> tau = 2(1-2)/6
+    val a2 = lst(2L, Seq(5L, 6L, 7L, 8L))
+    val b2 = lst(2L, Seq(7L, 9L, 5L, 6L))
+    val r2 = Similarity.rankAgreement(a2, b2).collect()(0)
+    assert(r2.getAs[Long]("n_shared") === 3L)
+    assert(r2.getAs[Long]("sum_d2") === 6L)
+    assert(r2.getAs[Long]("concordant") === 1L)
+    assert(r2.getAs[Long]("discordant") === 2L)
+    assert(r2.getAs[Double]("rho") === -0.5)
+    assert(r2.getAs[Double]("tau") === 2.0 * (1 - 2) / 6.0)
+  }
+
   // ------------------------------------------------------ shortest paths
 
   test("shortestPaths: hop cap, relaxation, unreachable absent, partition-invariant") {

@@ -692,11 +692,21 @@ object Profiling {
     * @return (cat, cnt, pos, enc) one row per category
     */
   def targetEncoding(df: DataFrame, category: Column, label: Column,
-                     smoothing: Long): DataFrame = {
+                     smoothing: Long): DataFrame =
+    encodeFromState(
+      df.select(category.as("cat"), label.cast(LongType).as("y"))
+        .groupBy("cat").agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+        .localCheckpoint(eager = true), // totals + output both read it
+      smoothing)
+
+  /** The read side of [[targetEncoding]], split out so an
+    * incrementally-maintained (cat, cnt, pos) count state — e.g. the
+    * streaming sink's base ⊕ delta table — derives the identical
+    * encoding. `per` is read twice (global totals + output); pass a
+    * materialized frame.
+    */
+  def encodeFromState(per: DataFrame, smoothing: Long): DataFrame = {
     require(smoothing >= 0, s"smoothing ($smoothing) must be >= 0")
-    val per = df.select(category.as("cat"), label.cast(LongType).as("y"))
-      .groupBy("cat").agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
-      .localCheckpoint(eager = true) // totals + output both read it
     val g = per.agg(sum("cnt").as("n_tot"), sum("pos").as("pos_tot"))
     per.crossJoin(broadcast(g))
       .select(col("cat"), col("cnt"), col("pos"),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -210,6 +210,42 @@ object EventStream {
         graft.operators.Dedup.lookupNearDups(index, batch.toDF(),
             col(content), col(id), threshold)
           .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
+  /** Incrementally-maintained target-encoding state over the live
+    * stream — the 10th stream twin, sink-based like [[nearDupSink]]:
+    * each micro-batch aggregates to a per-category (k, cnt, sum_v)
+    * delta and folds it into the stored state with
+    * [[graft.operators.Merge.mergeAggState]] (ONE outer join on the
+    * key — the q143 incremental-view step; the base state is never
+    * re-aggregated, and at 100 TB only the delta is ever read twice).
+    * The smoothed encoding is derived from the state on read via
+    * [[graft.operators.Profiling.encodeFromState]] — the exact same
+    * arithmetic as the batch operator, so after ANY stream prefix
+    * `encodeFromState(state) == targetEncoding(events so far)`,
+    * spec-asserted across micro-batch boundaries.
+    *
+    * The base state is pulled through an eager localCheckpoint before
+    * the overwrite so read-then-replace of the same directory is safe.
+    */
+  def targetEncodingSink(stream: DataFrame, category: Column,
+                         label: Column, stateDir: String,
+                         checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = graft.operators.Merge.aggState(
+          batch.toDF(), category, label.cast("long"))
+        val merged =
+          if (new java.io.File(stateDir).exists)
+            graft.operators.Merge.mergeAggState(
+              batch.sparkSession.read.parquet(stateDir), delta)
+          else delta
+        merged.localCheckpoint(eager = true)
+          .write.mode("overwrite").parquet(stateDir)
         ()
       }
       .start()

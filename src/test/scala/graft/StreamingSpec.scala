@@ -616,6 +616,49 @@ class StreamingSpec extends SparkSpec {
       (2L, "B", min(20) / 1000, min(30) / 1000)))
   }
 
+  test("targetEncodingSink: incremental state equals the batch encoding") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tenc-src")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-tenc-state")
+      .toString + "/state"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tenc-ck").toString
+    def stage(name: String, rows: Seq[(Long, String, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tenc-t")
+      rows.map { case (eid, et, v) =>
+        (eid, 1700000000000000000L + eid, 20L, et, v, null: String) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
+    }
+    // three micro-batches shifting both counts and the global prior
+    stage("a.parquet", Seq((1L, "view", 1.0), (2L, "view", 0.0),
+      (3L, "click", 1.0)))
+    stage("b.parquet", Seq((4L, "click", 1.0), (5L, "buy", 0.0)))
+    stage("c.parquet", Seq((6L, "view", 1.0), (7L, "buy", 1.0),
+      (8L, "click", 0.0)))
+
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val label = (col("value") >= 0.5).cast("int")
+    val q = EventStream.targetEncodingSink(stream, col("event_type"), label,
+      stateDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("cat"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("pos"), r.getAs[Double]("enc"))).sortBy(_._1).toSeq
+    val state = spark.read.parquet(stateDir).localCheckpoint(true)
+    val streamed = rowsOf(graft.operators.Profiling.encodeFromState(
+      state.select(col("k").as("cat"), col("cnt"), col("sum_v").as("pos")),
+      smoothing = 2L))
+    val batch = rowsOf(graft.operators.Profiling.targetEncoding(
+      spark.read.parquet(dir.toString), col("event_type"), label, 2L))
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("scd2Stream: equal-timestamp smaller-tie cross-batch event is late") {
     // A cross-batch arrival with ts EQUAL to the open version's
     // valid_from but a smaller event_id precedes the opener in the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -715,6 +716,76 @@ object Profiling {
           (col("n_tot") * (col("cnt") + lit(smoothing)))
             .cast(DoubleType)).as("enc"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the value
+    * distributions of two data slices — the drift check between crawl
+    * snapshots / data sources before mixing them into a training set —
+    * held exact until ONE double division:
+    *
+    *   D = max_v |F₁(v) − F₂(v)|
+    *     = max_v |cum₁(v)·n₂ − cum₂(v)·n₁| / (n₁·n₂)
+    *
+    * with the per-value numerators exact in BIGINT (caller contract:
+    * cum·n fits int64 — n ≤ ~3·10⁹) and the max taken over integers,
+    * so the statistic is bit-portable. Ties across slices are handled
+    * exactly (both CDFs step at the shared value).
+    *
+    * Scale shape: one map-side-combined per-value count over the
+    * tagged union, then the cumulative sums run over the
+    * VALUE-DOMAIN-bounded count frame (the q126/q138 bounded-input
+    * discipline) — the global-order window never sees the data, only
+    * the distinct values; pre-bucket (e.g. [[equiFreqBins]] edges or
+    * fixed-width cents) when the measured column is continuous. The
+    * count frame is checkpointed once (totals + window both read it).
+    *
+    * @return single row (n1, n2, d_num, ks) — ks = d_num/(n1·n2)
+    */
+  def ksDrift(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    val tagged = a.select(value.as("x"), lit(1L).as("s"))
+      .unionByName(b.select(value.as("x"), lit(2L).as("s")))
+    val counts = tagged.groupBy("x").agg(
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s") === 2L, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint(eager = true)
+    val tot = counts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val w = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .select(col("x"), sum("c1").over(w).as("f1"), sum("c2").over(w).as("f2"))
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("f1") * col("n2") - col("f2") * col("n1")).as("d"))
+      .groupBy("n1", "n2").agg(max("d").as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        (col("d_num").cast(DoubleType) /
+          (col("n1") * col("n2")).cast(DoubleType)).as("ks"))
+  }
+
+  /** Oracle for [[ksDrift]]: `aSql`/`bSql` must each yield a single
+    * column `x`.
+    */
+  def ksDriftOracle(aSql: String, bSql: String): String =
+    s"""WITH counts AS (
+       |  SELECT x, SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1,
+       |         SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS c2
+       |  FROM (SELECT x, 1 AS s FROM ($aSql)
+       |        UNION ALL SELECT x, 2 AS s FROM ($bSql))
+       |  GROUP BY x),
+       |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+       |               CAST(SUM(c2) AS BIGINT) AS n2 FROM counts),
+       |cum AS (
+       |  SELECT x,
+       |    CAST(SUM(c1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS BIGINT) AS f1,
+       |    CAST(SUM(c2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS BIGINT) AS f2
+       |  FROM counts),
+       |d AS (SELECT CAST(MAX(ABS(f1 * tot.n2 - f2 * tot.n1)) AS BIGINT)
+       |        AS d_num
+       |      FROM cum CROSS JOIN tot)
+       |SELECT tot.n1, tot.n2, d.d_num,
+       |  CAST(d.d_num AS DOUBLE) / CAST(tot.n1 * tot.n2 AS DOUBLE) AS ks
+       |FROM tot CROSS JOIN d""".stripMargin
 
   /** Oracle for [[targetEncoding]]: `vSql` must yield (cat, y). */
   def targetEncodingOracle(vSql: String, smoothing: Long): String =

@@ -2671,6 +2671,28 @@ object Extensions {
       Similarity.bruteForceTopKOracle(nQueries = 20, k = 10),
       Similarity.lshTopKOracle(nQueries = 20, k = 10, bits = 4))))
 
+  /** Two-sample KS drift between the returned and the regular slices'
+    * quantity distributions ([[graft.operators.Profiling.ksDrift]]):
+    * the distribution-shift gate before mixing data slices, exact
+    * integer CDF numerators with one portable division; the global
+    * cumsum runs over the value domain (50 distinct quantities), not
+    * the data.
+    */
+  private val q164 = Q("q164_ks_drift",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val qty = floor(col("l_quantity")).cast(LongType)
+      graft.operators.Profiling.ksDrift(
+        li.filter(col("l_returnflag") === "R").select(qty.as("x")),
+        li.filter(col("l_returnflag") === "N").select(qty.as("x")),
+        col("x"))
+    },
+    Some(graft.operators.Profiling.ksDriftOracle(
+      """SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS x FROM lineitem
+        |WHERE l_returnflag = 'R'""".stripMargin,
+      """SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS x FROM lineitem
+        |WHERE l_returnflag = 'N'""".stripMargin)))
+
   /** Group-coherent k-fold assignment keyed on the document source —
     * no source straddles train/validation folds
     * ([[graft.operators.Curate.groupKFold]]): fold = hash60(group)
@@ -2771,5 +2793,5 @@ object Extensions {
     q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-    q162, q163)
+    q162, q163, q164)
 }

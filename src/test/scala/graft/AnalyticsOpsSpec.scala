@@ -463,6 +463,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r === Map(("d1", "d2") -> ((3L, 3L, 2L, 0.5))))
   }
 
+  // ----------------------------------------------------------- KS drift
+
+  test("ksDrift: exact CDF-gap maximum; identical samples score 0") {
+    // a = {1, 2}, b = {2, 3}: at v=1 |F1-F2| = |1/2 - 0| = 1/2 (the
+    // max); numerator form: |1*2 - 0*2| = 2, ks = 2/(2*2) = 0.5
+    val a = Seq(1L, 2L).toDF("v")
+    val b = Seq(2L, 3L).toDF("v")
+    val r = Profiling.ksDrift(a, b, col("v")).collect()(0)
+    assert(r.getAs[Long]("n1") === 2L)
+    assert(r.getAs[Long]("n2") === 2L)
+    assert(r.getAs[Long]("d_num") === 2L)
+    assert(r.getAs[Double]("ks") === 0.5)
+    // identical samples: every cumulative gap is exactly zero
+    val same = Profiling.ksDrift(a, a, col("v")).collect()(0)
+    assert(same.getAs[Long]("d_num") === 0L)
+    assert(same.getAs[Double]("ks") === 0.0)
+    // disjoint supports: somewhere one CDF is 1 and the other 0
+    val far = Profiling.ksDrift(Seq(1L, 2L).toDF("v"),
+      Seq(10L, 11L).toDF("v"), col("v")).collect()(0)
+    assert(far.getAs[Double]("ks") === 1.0)
+  }
+
   // ---------------------------------------------------- target encoding
 
   test("targetEncoding: m=0 is the raw rate; m>0 shrinks to the prior") {

@@ -169,11 +169,19 @@ object TextAnalysis {
     * prefixes, so the sampled rows are IDENTICAL to the md5-order
     * window's. 54 (not 60) bits keeps saltedRank's
     * `(hi − lo) · buckets` int64 contract with headroom.
+    *
+    * NULL strata are a stratum of their own (the pre-round-6 window
+    * semantics): saltedRank attaches bounds/offsets via inner
+    * equi-joins on the stratum, under which bare NULL keys never match
+    * and the rows silently vanish. Wrapping the stratum in a
+    * single-field struct fixes that — struct equality follows row
+    * ordering, where a NULL field equals a NULL field — without the
+    * collision a sentinel value would introduce.
     */
   def stratifiedHashSample(df: DataFrame, stratum: Column, id: Column,
                            k: Int): DataFrame = {
     val withKeys = df
-      .withColumn("__strat", stratum)
+      .withColumn("__strat", struct(stratum.as("s")))
       .withColumn("__md5", md5(id.cast(StringType)))
       .withColumn("__h54",
         call_function("div",

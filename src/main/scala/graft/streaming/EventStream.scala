@@ -19,13 +19,21 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet physical schema under nanosAsLong: ts is int64 ns. */
+  /** The engine-internal events shape: ts is int64 epoch ns (SURVEY
+    * §1.2). Driver-shaped parquet (ts TIMESTAMP — the round-7 testdata
+    * physical type) must be normalized to this shape before streaming —
+    * [[graft.tables.Tables.normalizeEventsTs]] is the batch-side
+    * conversion; file-source streams need one declared schema, so mixed
+    * physical types in one directory cannot work.
+    */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream over an events directory. */
+  /** File-source stream over a directory of internal-shape events
+    * parquet.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventsSchema).parquet(dir)
 
@@ -227,8 +235,20 @@ object EventStream {
     * `encodeFromState(state) == targetEncoding(events so far)`,
     * spec-asserted across micro-batch boundaries.
     *
-    * The base state is pulled through an eager localCheckpoint before
-    * the overwrite so read-then-replace of the same directory is safe.
+    * Exactly-once state fold (round 7): foreachBatch is at-least-once —
+    * on a failure after the state write but before the streaming
+    * checkpoint commits, the SAME batchId is replayed. A naive
+    * read-modify-overwrite of one directory would fold that delta in
+    * twice, permanently breaking the encodeFromState==targetEncoding
+    * invariant. Instead the state is batchId-VERSIONED: each applied
+    * batch writes a fresh `batch=<id>` leaf (parquet `_SUCCESS` marks
+    * the version committed), a replayed batchId that is already
+    * committed is skipped, and superseded versions are pruned only
+    * after the new version lands. Read-after-write of the same path
+    * never happens, so no defensive checkpoint is needed. All
+    * filesystem probing goes through the Hadoop FileSystem of the
+    * state path — stateDir can live on HDFS/S3A, not just the
+    * driver-local disk.
     */
   def targetEncodingSink(stream: DataFrame, category: Column,
                          label: Column, stateDir: String,
@@ -236,19 +256,68 @@ object EventStream {
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val delta = graft.operators.Merge.aggState(
-          batch.toDF(), category, label.cast("long"))
-        val merged =
-          if (new java.io.File(stateDir).exists)
-            graft.operators.Merge.mergeAggState(
-              batch.sparkSession.read.parquet(stateDir), delta)
-          else delta
-        merged.localCheckpoint(eager = true)
-          .write.mode("overwrite").parquet(stateDir)
-        ()
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyEncodingBatch(batch.toDF(), batchId, category, label, stateDir)
       }
       .start()
+
+  /** One micro-batch of the [[targetEncodingSink]] fold, exposed so the
+    * at-least-once retry path (same batchId re-applied) is directly
+    * testable. Idempotent per batchId: a committed version ≥ batchId
+    * means the delta is already in the state and the call is a no-op.
+    */
+  private[graft] def applyEncodingBatch(batch: DataFrame, batchId: Long,
+                                        category: Column, label: Column,
+                                        stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val versions = committedStateVersions(spark, stateDir)
+    if (!versions.exists(_ >= batchId)) {
+      val delta = graft.operators.Merge.aggState(
+        batch, category, label.cast("long"))
+      val merged = versions.filter(_ < batchId).maxOption
+        .map(v => graft.operators.Merge.mergeAggState(
+          spark.read.parquet(s"$stateDir/batch=$v"), delta))
+        .getOrElse(delta)
+      merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+      // prune superseded versions only AFTER the new one is committed:
+      // a crash between write and prune leaves extra data but never
+      // loses the latest committed state
+      val root = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      versions.filter(_ < batchId).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$v"), true)
+      }
+    }
+  }
+
+  /** Committed state versions under a [[targetEncodingSink]] stateDir:
+    * `batch=<id>` children whose parquet `_SUCCESS` marker exists. A
+    * half-written version (crash mid-write) has no marker and is
+    * invisible — the retry's overwrite replaces it.
+    */
+  private[graft] def committedStateVersions(spark: SparkSession,
+                                            stateDir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        scala.util.Try(n.stripPrefix("batch=").toLong).toOption
+      else None
+    }
+  }
+
+  /** Read side of [[targetEncodingSink]]: the latest committed state
+    * version, or None before the first batch lands. Pass through
+    * [[graft.operators.Profiling.encodeFromState]] for the smoothed
+    * encoding.
+    */
+  def latestEncodingState(spark: SparkSession,
+                          stateDir: String): Option[DataFrame] =
+    committedStateVersions(spark, stateDir).maxOption
+      .map(v => spark.read.parquet(s"$stateDir/batch=$v"))
 
   final case class Ev(event_id: Long, user_id: Long, ts_us: Long,
                       event_type: String, value: Double)

@@ -169,13 +169,23 @@ class AnalyticsOpsSpec extends SparkSpec {
   test("frequentPairs: semi-join prune precedes pairing without a broadcast hint") {
     val t = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 30L))
       .toDF("basket", "item")
-    val df = ProductAnalytics.frequentPairs(t, col("basket"), col("item"),
-      minItemSupport = 2, minPairSupport = 2)
     // no forced broadcast: the hint-free semi join is still planned (AQE
     // picks the physical strategy from the measured size at runtime),
-    // and it sits BELOW the basket self-join in the same plan tree
+    // and it structurally precedes the basket self-join: the pair stage
+    // is built on the pruned frame
+    val pruned = ProductAnalytics.prunedBasketItems(
+      t, col("basket"), col("item"), minItemSupport = 2)
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("LeftSemi"),
+      s"expected a semi-join prune in:\n$prunedPlan")
+    val df = ProductAnalytics.frequentPairs(t, col("basket"), col("item"),
+      minItemSupport = 2, minPairSupport = 2)
+    // r07: the pruned frame is checkpointed once at the fan-out point —
+    // the final plan reads the materialized RDD on BOTH self-join sides
+    // instead of recomputing the dedup pipeline twice (q141 defect)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi"), s"expected a semi-join prune in:\n$plan")
+    assert(!plan.contains("LeftSemi") && plan.contains("ExistingRDD"),
+      s"expected both self-join sides to scan the checkpointed prune:\n$plan")
     val got = df.collect()
       .map(x => (x.getAs[Long]("item_a"), x.getAs[Long]("item_b"))
         -> x.getAs[Long]("support")).toMap

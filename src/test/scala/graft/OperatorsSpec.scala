@@ -487,6 +487,26 @@ class OperatorsSpec extends SparkSpec {
     assert(sub.subsetOf(s1.toSet))            // nested samples: f=0.1 ⊂ f=0.2
   }
 
+  test("TextAnalysis.stratifiedHashSample keeps NULL strata as their own stratum") {
+    import spark.implicits._
+    // 5 rows in stratum "a", 5 in NULL; the saltedRank rewrite joins on
+    // the stratum, so without the struct wrap the NULL rows vanish
+    val df = ((1L to 5L).map(i => (Some("a"), i)) ++
+      (6L to 10L).map(i => (None: Option[String], i)))
+      .toDF("lang", "doc_id")
+    val got = TextAnalysis.stratifiedHashSample(df, col("lang"), col("doc_id"), 3)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
+    assert(got.count(_._1.isEmpty) === 3, s"NULL stratum dropped: $got")
+    assert(got.count(_._1.contains("a")) === 3)
+    // and the picked ids are the md5-smallest of each stratum (the
+    // window semantics the rewrite must preserve)
+    def md5Top(ids: Seq[Long]) = ids.sortBy(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString).take(3).toSet
+    assert(got.filter(_._1.isEmpty).map(_._2).toSet === md5Top((6L to 10L)))
+    assert(got.filter(_._1.contains("a")).map(_._2).toSet === md5Top((1L to 5L)))
+  }
+
   test("Scd.scd2: close-and-version, pass-through, brand-new, null transitions") {
     import spark.implicits._
     import graft.operators.Scd

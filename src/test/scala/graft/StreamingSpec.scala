@@ -5,14 +5,28 @@ import graft.streaming.EventStream
 
 class StreamingSpec extends SparkSpec {
 
+  /** The real events table re-staged ONCE in the engine-internal shape
+    * (ts int64 ns). Round-7 testdata writes ts as TIMESTAMP(MICROS),
+    * but a file stream declares ONE schema and these specs stage
+    * internal-shape sentinel fixtures into the same directories — so
+    * every stream source starts from this normalized single file
+    * instead of the raw driver parquet.
+    */
+  private lazy val normalizedEventsFile: java.nio.file.Path = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-events-norm")
+    graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    java.nio.file.Paths.get(part)
+  }
+
   /** File streams need a directory source — stage the single-file
     * events table into a temp dir.
     */
   private lazy val eventsDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
-      dir.resolve("events.parquet"))
+    java.nio.file.Files.copy(normalizedEventsFile, dir.resolve("events.parquet"))
     dir.toString
   }
 
@@ -37,11 +51,9 @@ class StreamingSpec extends SparkSpec {
   test("dedupStream drops duplicate event ids within the watermark") {
     // stage the events file twice → every event delivered twice
     val dupDir = java.nio.file.Files.createTempDirectory("graft-dup")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+    java.nio.file.Files.copy(normalizedEventsFile,
       dupDir.resolve("a.parquet"))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+    java.nio.file.Files.copy(normalizedEventsFile,
       dupDir.resolve("b.parquet"))
     val q = EventStream.dedupStream(
         EventStream.readEvents(spark, dupDir.toString))
@@ -128,8 +140,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     // sentinel batches advance the watermark so unmatched clicks flush
     val srcDir = java.nio.file.Files.createTempDirectory("graft-loj-src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+    java.nio.file.Files.copy(normalizedEventsFile,
       srcDir.resolve("a_events.parquet"))
     val maxTs = spark.read.parquet(s"$srcDir/a_events.parquet")
       .agg(max("ts")).head().getLong(0)
@@ -216,11 +227,9 @@ class StreamingSpec extends SparkSpec {
   test("mergeSink: streamed re-deliveries collapse into an idempotent table") {
     // stage the events file twice → every event delivered twice
     val dupDir = java.nio.file.Files.createTempDirectory("graft-sink-src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+    java.nio.file.Files.copy(normalizedEventsFile,
       dupDir.resolve("a.parquet"))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+    java.nio.file.Files.copy(normalizedEventsFile,
       dupDir.resolve("b.parquet"))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sink-ckpt").toString
     spark.sql("CREATE DATABASE IF NOT EXISTS t_sink")
@@ -240,8 +249,7 @@ class StreamingSpec extends SparkSpec {
   test("sessionizeStream: watermark timeout flushes parked sessions (≡ batch)") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-sess-src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+    java.nio.file.Files.copy(normalizedEventsFile,
       srcDir.resolve("a_events.parquet"))
     val batchEvents = spark.read.parquet(s"$srcDir/a_events.parquet")
     val maxTs = batchEvents.agg(max("ts")).head().getLong(0)
@@ -291,8 +299,7 @@ class StreamingSpec extends SparkSpec {
   test("quotaStream: windowed per-user admissions equal the batch twin") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-quota-src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+    java.nio.file.Files.copy(normalizedEventsFile,
       srcDir.resolve("a_events.parquet"))
     val batchEvents = spark.read.parquet(s"$srcDir/a_events.parquet")
     val maxTs = batchEvents.agg(max("ts")).head().getLong(0)
@@ -343,8 +350,7 @@ class StreamingSpec extends SparkSpec {
   test("attributionStream: per-conversion credit equals the batch twin") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-attr-src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+    java.nio.file.Files.copy(normalizedEventsFile,
       srcDir.resolve("a_events.parquet"))
     val batchEvents = spark.read.parquet(s"$srcDir/a_events.parquet")
     val maxTs = batchEvents.agg(max("ts")).head().getLong(0)
@@ -388,8 +394,7 @@ class StreamingSpec extends SparkSpec {
   test("rollingActiveStream: 7-day distinct actives equal the batch twin") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-dau-src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+    java.nio.file.Files.copy(normalizedEventsFile,
       srcDir.resolve("a_events.parquet"))
     val batchEvents = spark.read.parquet(s"$srcDir/a_events.parquet")
     val maxTs = batchEvents.agg(max("ts")).head().getLong(0)
@@ -437,7 +442,7 @@ class StreamingSpec extends SparkSpec {
     val outDir = java.nio.file.Files.createTempDirectory("graft-restart-out").toString
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-restart-ckpt").toString
 
-    val all = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val all = spark.read.parquet(normalizedEventsFile.toString)
     val midTs = all.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
     val maxTs = all.agg(max("ts")).head().getLong(0)
     def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
@@ -649,7 +654,7 @@ class StreamingSpec extends SparkSpec {
     def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[String]("cat"), r.getAs[Long]("cnt"),
         r.getAs[Long]("pos"), r.getAs[Double]("enc"))).sortBy(_._1).toSeq
-    val state = spark.read.parquet(stateDir).localCheckpoint(true)
+    val state = EventStream.latestEncodingState(spark, stateDir).get
     val streamed = rowsOf(graft.operators.Profiling.encodeFromState(
       state.select(col("k").as("cat"), col("cnt"), col("sum_v").as("pos")),
       smoothing = 2L))
@@ -657,6 +662,40 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(dir.toString), col("event_type"), label, 2L))
     assert(streamed.nonEmpty)
     assert(streamed === batch)
+    // only the latest version survives pruning — state size is O(1)
+    // in stream length, not O(batches)
+    assert(EventStream.committedStateVersions(spark, stateDir).size === 1)
+  }
+
+  test("targetEncodingSink: replayed batchId is a no-op (at-least-once retry)") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-tenc-retry")
+      .toString + "/state"
+    val label = (col("value") >= 0.5).cast("int")
+    def ev(rows: Seq[(Long, String, Double)]) =
+      rows.map { case (eid, et, v) =>
+        (eid, 1700000000000000000L + eid, 20L, et, v, null: String) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val b0 = ev(Seq((1L, "view", 1.0), (2L, "view", 0.0), (3L, "click", 1.0)))
+    val b1 = ev(Seq((4L, "click", 1.0), (5L, "buy", 0.0)))
+    def snapshot() = EventStream.latestEncodingState(spark, stateDir).get
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("sum_v"))).sortBy(_._1).toSeq
+
+    EventStream.applyEncodingBatch(b0, 0L, col("event_type"), label, stateDir)
+    val after0 = snapshot()
+    // retry of batch 0 (failure after state write, before checkpoint
+    // commit): must NOT fold the delta in a second time
+    EventStream.applyEncodingBatch(b0, 0L, col("event_type"), label, stateDir)
+    assert(snapshot() === after0)
+
+    EventStream.applyEncodingBatch(b1, 1L, col("event_type"), label, stateDir)
+    val after1 = snapshot()
+    EventStream.applyEncodingBatch(b1, 1L, col("event_type"), label, stateDir)
+    assert(snapshot() === after1)
+    assert(after1 === Seq(("buy", 1L, 0L), ("click", 2L, 2L), ("view", 2L, 1L)))
+    assert(EventStream.committedStateVersions(spark, stateDir) === Seq(1L))
   }
 
   test("scd2Stream: equal-timestamp smaller-tie cross-batch event is late") {

@@ -30,8 +30,17 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       // operators may persist self-join intermediates; drop them so each
       // query is measured against a clean executor (no cross-query GC
-      // pressure from accumulated cached frames)
+      // pressure from accumulated cached frames). clearCache() only
+      // drops catalog-cached tables — eager localCheckpoint RDDs and
+      // async-unpersisting blocks survive it and contaminate every
+      // later query in the same JVM (measured ~3× inflation on
+      // checkpoint-heavy ops), so ALSO unpersist every persistent RDD
+      // synchronously and nudge a GC so block-manager memory is really
+      // back before the next measurement starts.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
       t
     }
 
@@ -41,9 +50,12 @@ object Bench {
     val defaultRuns =
       if (args.nonEmpty || sys.env.contains("SPARK_GRAFT_BENCH_ALL")) "3" else "5"
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", defaultRuns).toInt
-    def materialize(name: String): Double = {
+    // (min, median, max): the median is the record; min/max expose the
+    // run-to-run spread so a noisy sandbox can't masquerade as a
+    // regression (or hide one).
+    def materialize(name: String): (Double, Double, Double) = {
       val ts = Seq.fill(runs)(once(name)).sorted
-      ts(ts.size / 2)
+      (ts.head, ts(ts.size / 2), ts.last)
     }
 
     // JVM/session warmup so the first measured query doesn't absorb
@@ -76,10 +88,13 @@ object Bench {
       else SparkEntry.headlines.sorted
     warmup(names)
     val results = names.map(n => n -> materialize(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (_, med, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results.map { case (k, (min, _, max)) =>
+      "\"" + k + "\":{\"min\":" + min + ",\"max\":" + max + "}"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

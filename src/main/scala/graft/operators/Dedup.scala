@@ -998,25 +998,32 @@ object Dedup {
       // LAZY checkpoint: the convergence count below is the round's
       // first action and materializes (lineage-truncates) it in the
       // same job.
-      val step = hop(hop(labels.withColumn("old_label", col("label")),
-          "old_label"), "old_label")
-        .localCheckpoint(eager = false)
+      val two = hop(hop(labels.withColumn("old_label", col("label")),
+        "old_label"), "old_label")
+      // Pointer-doubling shortcut FUSED into the round's one job: the
+      // shortcut is a self-join of the post-hop frame (label(v) ←
+      // min(label(v), label(label(v)))), evaluated lazily inside the
+      // same checkpoint+count action — one job per round instead of
+      // two (the count dominates round cost, not the tiny joins; the
+      // duplicated unmaterialized two-hop subplan is cached-input
+      // compute, not a re-run of the edge pipeline). Convergence stays
+      // sound: the shortcut only lowers labels, so `label < old_label`
+      // catches hop AND shortcut progress, and changed == 0 still
+      // implies the single-hop fixpoint.
+      val stepPlan =
+        if (pointerDoubling) {
+          val parents = two.select(col("id").as("label"), col("label").as("ll"))
+          two.join(parents, Seq("label"), "left")
+            .select(col("id"), col("old_label"),
+              least(col("label"), coalesce(col("ll"), col("label")))
+                .as("label"))
+        } else two
+      val step = stepPlan.localCheckpoint(eager = false)
       changed = step.filter(col("label") < col("old_label")).count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $rounds: changed=$changed " +
           s"t=${(System.nanoTime() - roundStart) / 1000000} ms")
       labels = step.select(col("id"), col("label"))
-      if (pointerDoubling && changed > 0) {
-        val parents = labels
-          .select(col("id").as("label"), col("label").as("ll"))
-        // EAGER on purpose (measured): lazy here defers the shortcut
-        // into the next round's convergence job, whose deeper plan
-        // costs more than the one extra tiny materialization saves
-        labels = labels.join(parents, Seq("label"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-          .localCheckpoint(eager = true)
-      }
       rounds += 1
     }
     // Exiting on the round cap with labels still moving means the graph

@@ -10,10 +10,16 @@ import org.apache.spark.sql.functions._
   *
   * Rows are compared by an md5 fingerprint of the tracked columns
   * (md5 is the one hash both engines spell identically). Each column
-  * is cast to string and NULL is replaced by an out-of-band sentinel
-  * (\\u0002) BEFORE the \\u0001-joined concat — concat_ws silently
-  * skips NULLs on both engines, which would otherwise make
-  * (NULL, "x") and ("x", NULL) collide. Tracked columns must be
+  * is HASHED INDIVIDUALLY first (cast to string → md5), NULL replaced
+  * by an out-of-band sentinel (\\u0002) AFTER the per-column hash, and
+  * the per-column digests are then \\u0001-joined and hashed again.
+  * Per-column hashing makes the encoding injective by construction:
+  * a digest is lowercase hex, so it can never contain the separator
+  * or the sentinel — a literal \\u0002 value no longer collides with
+  * NULL, and a \\u0001 inside a value can no longer alias the column
+  * boundary (("a\\u0001b","c") vs ("a","b\\u0001c") now differ).
+  * concat_ws silently skips NULLs on both engines, which is why the
+  * sentinel goes in before the join. Tracked columns must be
   * string/integer typed: float-to-string formatting is not
   * cross-engine stable (discretize first, the usual cents contract).
   *
@@ -30,7 +36,7 @@ object Diff {
     def fp(df: DataFrame, as: String) = df.select(
       keys.map(col) :+
         md5(concat_ws("\u0001",
-          compare.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+          compare.map(c => coalesce(md5(col(c).cast("string")), lit("\u0002"))): _*))
           .as(as): _*)
     fp(oldSnap, "old_fp").join(fp(newSnap, "new_fp"), keys, "full_outer")
       .withColumn("change_type",
@@ -48,7 +54,7 @@ object Diff {
   def snapshotDiffOracle(oldSql: String, newSql: String,
                          keys: Seq[String], compare: Seq[String]): String = {
     val fpSql = compare
-      .map(c => s"COALESCE(CAST($c AS VARCHAR), CHR(2))")
+      .map(c => s"COALESCE(MD5(CAST($c AS VARCHAR)), CHR(2))")
       .mkString("MD5(CONCAT_WS(CHR(1), ", ", ", "))")
     val keyList = keys.mkString(", ")
     val keyOut = keys.map(k => s"COALESCE(a.$k, b.$k) AS $k").mkString(", ")

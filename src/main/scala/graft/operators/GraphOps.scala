@@ -68,36 +68,51 @@ object GraphOps {
   def triangleStats(edges: DataFrame): DataFrame = {
     // The pair list is typically an EXPENSIVE upstream (a near-dup pair
     // pipeline); the degree aggregate, the orient joins, and the three
-    // triangle-join uses would each recompute it. Persist the raw pairs
-    // once and the (small) oriented frame once; materialize the 1-row
-    // result eagerly and release both before returning (selfCleaning
-    // discipline).
+    // triangle-join uses would each recompute it. The previous
+    // formulation persisted lazily and attached the three 1-row
+    // aggregates via crossJoin(broadcast(...)): each broadcast BUILD is
+    // its own subjob that the scheduler launches before/concurrently
+    // with the main job, racing the cache fill — so the whole pair
+    // pipeline could re-run up to three times against a cold cache
+    // (measured 4–6× over the oracle on a 512-edge graph). Now: fill
+    // each cache EAGERLY in dependency order (count() before any
+    // consumer exists), then collect the four stats as 1-row driver
+    // actions over cached inputs — there is nothing left to broadcast,
+    // so no subjob can re-run the upstream — and release every cache
+    // synchronously so no generation outlives the call.
+    val spark = edges.sparkSession
     val raw = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .persist()
+    val deg = raw.select(col("a").as("n")).union(raw.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d")).persist()
+    val e = orientLowHigh(raw, deg).persist()
     try {
-      val deg = raw.select(col("a").as("n")).union(raw.select(col("b").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-      val e = orientLowHigh(raw, deg).persist()
-      try {
-        val cands = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
-          .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-        val tris = cands.join(e.as("e3"),
-          col("x") === col("e3.a") && col("z") === col("e3.b"))
-        val nodeStats = deg.agg(
-          count(lit(1)).as("n_nodes"),
-          sum(call_function("div", col("d") * (col("d") - 1), lit(2L)))
-            .as("n_wedges"))
-        val base = e.agg(count(lit(1)).as("n_edges"))
-          .crossJoin(broadcast(tris.agg(count(lit(1)).as("n_triangles"))))
-          .crossJoin(broadcast(nodeStats))
-        base.select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-          col("n_triangles"),
-          when(col("n_wedges") === 0, lit(0.0))
-            .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges"))
-            .as("global_clustering"))
-          .localCheckpoint(eager = true)
-      } finally { e.unpersist(blocking = false); () }
-    } finally { raw.unpersist(blocking = false); () }
+      raw.count() // pair pipeline runs exactly once, before any consumer
+      deg.count()
+      val nEdges = e.count()
+      val cands = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val nTriangles = cands.join(e.as("e3"),
+        col("x") === col("e3.a") && col("z") === col("e3.b")).count()
+      val degRow = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(call_function("div", col("d") * (col("d") - 1), lit(2L)))
+          .as("n_wedges")).first()
+      val nNodes = degRow.getLong(0)
+      val nWedges = if (degRow.isNullAt(1)) 0L else degRow.getLong(1)
+      // same double arithmetic + association as the oracle's
+      // CAST(3.0 AS DOUBLE) * n_triangles / n_wedges
+      val gc = if (nWedges == 0L) 0.0 else 3.0 * nTriangles / nWedges
+      import spark.implicits._
+      Seq((nNodes, nEdges, nWedges, nTriangles, gc))
+        .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles",
+          "global_clustering")
+    } finally {
+      e.unpersist(blocking = true)
+      deg.unpersist(blocking = true)
+      raw.unpersist(blocking = true)
+      ()
+    }
   }
 
   /** Weighted PageRank by power iteration, in EXACT scaled-integer
@@ -407,30 +422,50 @@ object GraphOps {
     * Scale shape: per round one degree aggregation (map-side combined,
     * |V|-sized output) and two semi-joins of the edge list against the
     * keep set — all hash-partitioned on node ids, nothing quadratic.
-    * Each round's survivor edge list is materialized via eager
-    * localCheckpoint: the keep set is referenced by BOTH semi-joins,
-    * so a lazy fold would re-derive round i−1 three times per round —
-    * a 3^R plan blow-up — while the checkpoint caps lineage at one
-    * round.
+    * The INPUT edge list is materialized once up front (it is typically
+    * an expensive pair pipeline, and round 1 references it three times
+    * — via the degree aggregate and both semi-joins — so an
+    * unmaterialized input would re-run that pipeline three times), and
+    * each round's survivor edge list is materialized via eager
+    * localCheckpoint: a lazy fold would re-derive round i−1 three
+    * times per round — a 3^R plan blow-up — while the checkpoint caps
+    * lineage at one round.
+    *
+    * Early exit: edge lists only shrink, and a round that removes no
+    * edge removed no node (nodes drop exactly when degree < k, which
+    * would drop their edges), so equal consecutive edge counts ⟺ the
+    * peeling fixpoint — every later round is a no-op. The count probe
+    * is a 1-row action on the round's materialized checkpoint.
+    * `rounds` stays the CAP, so the oracle's fixed-round replay is
+    * unchanged (extra oracle rounds past convergence are no-ops).
     *
     * @return (node, deg) — k-core nodes with their core degree
     */
   def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k ($k) must be >= 1")
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")
-    val e0 = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val eFinal = (1 to rounds).foldLeft(e0) { (e, _) =>
+    var e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint(eager = true)
+    var prevEdges = e.count()
+    var r = 0
+    var converged = prevEdges == 0L
+    while (r < rounds && !converged) {
       val keep = e.select(col("a").as("n"))
         .unionAll(e.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("n")
-      e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+      val next = e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
         .select("a", "b")
         .localCheckpoint(eager = true)
+      val n = next.count()
+      if (n == prevEdges) converged = true
+      e = next
+      prevEdges = n
+      r += 1
     }
-    eFinal.select(col("a").as("node"))
-      .unionAll(eFinal.select(col("b").as("node")))
+    e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= k)
   }

@@ -29,6 +29,40 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object Profiling {
 
+  /** Default distinct-value cap for the operators whose ranking window
+    * is sized by the VALUE DOMAIN ([[equiFreqBins]], [[ksDrift]],
+    * [[skyline2D]]): 2²⁴ ≈ 16.7M — far above any deliberately
+    * discretized measure (e.g. the cents domain of a bounded price is
+    * ~10⁷ whatever the row count) yet small enough that a genuinely
+    * continuous column (distincts ≈ rows, billions at scale) fails
+    * loudly instead of funneling the data through one sort task.
+    */
+  val DefaultMaxDomain: Long = 1L << 24
+
+  /** Loud bounded-domain gate: materialize the distinct-value frame,
+    * probe its size, and refuse to run the global-order window over a
+    * frame larger than `maxDomain`. The probe's cost is one count on
+    * the already-needed materialized frame; the failure mode it
+    * replaces is a data-sized single-partition window sort that would
+    * otherwise just hang/spill at scale with no hint of the cause.
+    * Returns the materialized frame for reuse.
+    */
+  private def requireBoundedDomain(op: String, distinctFrame: DataFrame,
+                                   maxDomain: Long): DataFrame = {
+    require(maxDomain >= 1L, s"maxDomain ($maxDomain) must be >= 1")
+    val m = distinctFrame.localCheckpoint(eager = true)
+    val nd = m.count()
+    if (nd > maxDomain)
+      throw new IllegalArgumentException(
+        s"$op: the distinct-value frame holds $nd rows, above " +
+          s"maxDomain=$maxDomain. This operator ranks the value DOMAIN " +
+          "in one global-order window; a continuous measure makes that " +
+          "window data-sized in a single partition. Discretize the " +
+          "column first (fixed-width buckets, cents, equiFreqBins " +
+          "edges) or raise maxDomain deliberately.")
+    m
+  }
+
   /** `exactCheck` (sketch mode only): attach the exact distincts and
     * the within-bound flag — the gate contract. `false` is the 100 TB
     * production shape: the sketch pass alone, `n_distinct` carries the
@@ -57,11 +91,13 @@ object Profiling {
     * and broadcast back — the per-row bin assignment is a statically
     * unrolled comparison chain, map-side, no driver collect anywhere.
     */
-  def equiFreqBins(df: DataFrame, value: Column, bins: Int): DataFrame = {
+  def equiFreqBins(df: DataFrame, value: Column, bins: Int,
+                   maxDomain: Long = DefaultMaxDomain): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bins >= 2, s"bins ($bins) must be >= 2")
-    val counts = df.select(value.as("x")).groupBy("x")
-      .agg(count(lit(1)).as("cnt"))
+    val counts = requireBoundedDomain("equiFreqBins",
+      df.select(value.as("x")).groupBy("x")
+        .agg(count(lit(1)).as("cnt")), maxDomain)
     val wCum = Window.orderBy("x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = counts
@@ -190,10 +226,12 @@ object Profiling {
     * @return (id, mn, mx) — the non-dominated rows
     */
   def skyline2D(df: DataFrame, id: Column,
-                minimize: Column, maximize: Column): DataFrame = {
+                minimize: Column, maximize: Column,
+                maxDomain: Long = DefaultMaxDomain): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = df.select(id.as("id"), minimize.as("mn"), maximize.as("mx"))
-    val g = v.groupBy("mn").agg(max("mx").as("best_mx"))
+    val g = requireBoundedDomain("skyline2D",
+      v.groupBy("mn").agg(max("mx").as("best_mx")), maxDomain)
     // distinct mn values: rows-frame 'all preceding' == strictly smaller
     val w = Window.orderBy("mn").rowsBetween(Window.unboundedPreceding, -1)
     val surv = g.withColumn("best_cheaper", max("best_mx").over(w))
@@ -229,8 +267,11 @@ object Profiling {
     * Every ranking runs over DISTINCT values per group (the q127
     * pattern): the window input is D rows, never N, so a
     * low-cardinality group key cannot produce a billion-row window
-    * sort. The per-group medians frame is |G|-sized and broadcasts
-    * back for the deviation pass.
+    * sort. The per-group medians frame is |G|-sized and joins back for
+    * the deviation pass — with NO forced broadcast hint: AQE
+    * broadcasts it when |G| is actually small and falls back to a
+    * shuffle join when a high-cardinality grouping would otherwise
+    * OOM the driver (hint removal = the frequentPairs discipline).
     *
     * @return (g, mode_val, med, mad) one row per group
     */
@@ -242,17 +283,19 @@ object Profiling {
     // cache fill costs more than the rescans (the q47 lesson).
     val v = df.select(grp.as("g"), modeOf.as("q"), spreadOf.as("x"))
     // mode: counts per distinct (g, q), max-count per group, min
-    // tie-break. The per-group max attaches by agg + broadcast join,
-    // NOT a partitionBy(g) window — with dim-sized |G| a window would
+    // tie-break. The per-group max attaches by agg + equi-join, NOT a
+    // partitionBy(g) window — with dim-sized |G| a window would
     // funnel the whole distinct-value frame through |G| partitions.
+    // No broadcast hint on the |G|-sized frames: AQE broadcasts small
+    // ones at runtime and keeps a shuffle join when |G| is large.
     val mc = v.groupBy("g", "q").agg(count(lit(1)).as("cnt"))
     val mx = mc.groupBy("g").agg(max("cnt").as("mx"))
-    val modes = mc.join(broadcast(mx), Seq("g"))
+    val modes = mc.join(mx, Seq("g"))
       .filter(col("cnt") === col("mx"))
       .groupBy("g").agg(min("q").as("mode_val"))
     val med = lowerMedian(v.select("g", "x")).withColumnRenamed("med0", "med")
     val mad = lowerMedian(
-        v.join(broadcast(med), Seq("g"))
+        v.join(med, Seq("g"))
           .select(col("g"), abs(col("x") - col("med")).as("x")))
       .withColumnRenamed("med0", "mad")
     modes.join(med, Seq("g")).join(mad, Seq("g"))
@@ -299,7 +342,10 @@ object Profiling {
     val B = buckets.toLong
     val bounds = v.groupBy("g")
       .agg(min("x").as("__lo"), max("x").as("__hi"), sum("w").as("__n"))
-    val vb = v.join(broadcast(bounds), Seq("g"))
+    // |G|-sized stats frames join back WITHOUT a forced broadcast
+    // hint: AQE broadcasts them when small; a high-cardinality
+    // grouping degrades to a shuffle join instead of a driver OOM
+    val vb = v.join(bounds, Seq("g"))
       .withColumn("__bkt", call_function("div",
         (col("x") - col("__lo")) * lit(B), col("__hi") - col("__lo") + lit(1L)))
     // |G|·B frame straight off the raw rows — map-side combine means
@@ -320,7 +366,7 @@ object Profiling {
         .as("__offset"))
     // only the target bucket's rows (~W/B weight per group) reach the
     // ordered path, pre-reduced to distinct values before the window
-    vb.join(broadcast(target), Seq("g"))
+    vb.join(target, Seq("g"))
       .filter(col("__bkt") === col("__tbkt"))
       .groupBy(col("g"), col("x"))
       .agg(sum("w").as("cnt"), max("__n").as("__n"),
@@ -412,9 +458,11 @@ object Profiling {
     *
     * Scale shape: med/mad via the range-bucketed [[lowerMedian]] (the
     * full data never shuffles — only |G|·B bucket counts and the
-    * target bucket's ~n/B rows), then one broadcast attach of the
-    * |G|-sized stats for the flagging scan (drop the hint for
-    * high-cardinality groupings — the [[robustStats]] contract).
+    * target bucket's ~n/B rows), then the |G|-sized stats join back
+    * for the flagging scan with NO forced broadcast hint — AQE
+    * broadcasts small stats frames at runtime and a high-cardinality
+    * grouping degrades to a shuffle join instead of a driver OOM
+    * (the [[robustStats]] contract).
     *
     * @return outlier rows (id, g, x, med, mad)
     */
@@ -424,10 +472,10 @@ object Profiling {
     val v = df.select(grp.as("g"), id.as("id"), value.as("x"))
     val med = lowerMedian(v.select("g", "x")).withColumnRenamed("med0", "med")
     val mad = lowerMedian(
-        v.join(broadcast(med), Seq("g"))
+        v.join(med, Seq("g"))
           .select(col("g"), abs(col("x") - col("med")).as("x")))
       .withColumnRenamed("med0", "mad")
-    v.join(broadcast(med), Seq("g")).join(broadcast(mad), Seq("g"))
+    v.join(med, Seq("g")).join(mad, Seq("g"))
       .filter(lit(100000L) * abs(col("x") - col("med")) >
         lit(zTenths) * lit(14826L) * col("mad"))
       .select("id", "g", "x", "med", "mad")
@@ -736,17 +784,21 @@ object Profiling {
     * discipline) — the global-order window never sees the data, only
     * the distinct values; pre-bucket (e.g. [[equiFreqBins]] edges or
     * fixed-width cents) when the measured column is continuous. The
-    * count frame is checkpointed once (totals + window both read it).
+    * bounded-domain contract is ENFORCED: a frame above `maxDomain`
+    * distincts throws instead of exploding the window
+    * ([[requireBoundedDomain]]). The count frame is checkpointed once
+    * (totals + window both read it).
     *
     * @return single row (n1, n2, d_num, ks) — ks = d_num/(n1·n2)
     */
-  def ksDrift(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+  def ksDrift(a: DataFrame, b: DataFrame, value: Column,
+              maxDomain: Long = DefaultMaxDomain): DataFrame = {
     val tagged = a.select(value.as("x"), lit(1L).as("s"))
       .unionByName(b.select(value.as("x"), lit(2L).as("s")))
-    val counts = tagged.groupBy("x").agg(
+    val counts = requireBoundedDomain("ksDrift",
+      tagged.groupBy("x").agg(
         sum(when(col("s") === 1L, 1L).otherwise(0L)).as("c1"),
-        sum(when(col("s") === 2L, 1L).otherwise(0L)).as("c2"))
-      .localCheckpoint(eager = true)
+        sum(when(col("s") === 2L, 1L).otherwise(0L)).as("c2")), maxDomain)
     val tot = counts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
     val w = Window.orderBy("x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -241,10 +241,13 @@ object EventStream {
     * read-modify-overwrite of one directory would fold that delta in
     * twice, permanently breaking the encodeFromState==targetEncoding
     * invariant. Instead the state is batchId-VERSIONED: each applied
-    * batch writes a fresh `batch=<id>` leaf (parquet `_SUCCESS` marks
-    * the version committed), a replayed batchId that is already
-    * committed is skipped, and superseded versions are pruned only
-    * after the new version lands. Read-after-write of the same path
+    * batch writes a fresh `batch=<id>` leaf (an explicit
+    * [[CommitMarker]] file marks the version committed — parquet's
+    * `_SUCCESS` is configuration-dependent), a replayed batchId that
+    * is already committed is skipped, and superseded versions are
+    * pruned only after the new version lands, always retaining the
+    * immediately-previous version so a lazy concurrent reader of the
+    * prior latest never loses its files mid-action. Read-after-write of the same path
     * never happens, so no defensive checkpoint is needed. All
     * filesystem probing goes through the Hadoop FileSystem of the
     * state path — stateDir can live on HDFS/S3A, not just the
@@ -271,6 +274,19 @@ object EventStream {
                                         stateDir: String): Unit = {
     val spark = batch.sparkSession
     val versions = committedStateVersions(spark, stateDir)
+    // A fresh checkpointDir restarts batchIds at 0; committed state
+    // versions > 0 can then only mean the stateDir belongs to a RETIRED
+    // checkpoint. The replay-skip guard below would silently no-op
+    // every batch of the new stream (state frozen, no error) — fail
+    // loudly instead: stateDir and checkpointDir must be retired
+    // together.
+    if (batchId == 0L && versions.exists(_ > 0L))
+      throw new IllegalStateException(
+        s"targetEncodingSink stateDir '$stateDir' holds committed state " +
+          s"versions up to ${versions.max} but the stream is starting at " +
+          "batch 0 — the stateDir belongs to a previous checkpoint. " +
+          "Retire stateDir and checkpointDir together (or point the " +
+          "restarted stream at a fresh stateDir).")
     if (!versions.exists(_ >= batchId)) {
       val delta = graft.operators.Merge.aggState(
         batch, category, label.cast("long"))
@@ -278,20 +294,35 @@ object EventStream {
         .map(v => graft.operators.Merge.mergeAggState(
           spark.read.parquet(s"$stateDir/batch=$v"), delta))
         .getOrElse(delta)
-      merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
-      // prune superseded versions only AFTER the new one is committed:
-      // a crash between write and prune leaves extra data but never
-      // loses the latest committed state
       val root = new org.apache.hadoop.fs.Path(stateDir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      versions.filter(_ < batchId).foreach { v =>
+      merged.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+      // explicit commit marker, not parquet's _SUCCESS: object-store
+      // deployments commonly disable mapreduce.fileoutputcommitter
+      // .marksuccessfuljobs, which would make every version invisible
+      // and silently restart the fold from each batch's own delta
+      fs.create(new org.apache.hadoop.fs.Path(
+        root, s"batch=$batchId/$CommitMarker"), true).close()
+      // prune superseded versions only AFTER the new one is committed —
+      // and RETAIN the immediately-previous one: a live reader that
+      // resolved `latest = v` lazily must still find v's files after
+      // this batch commits v+1 (it is one version stale, never broken).
+      // A crash between write and prune leaves extra data but never
+      // loses the latest committed state.
+      versions.filter(_ < batchId - 1).foreach { v =>
         fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$v"), true)
       }
     }
   }
 
+  /** Commit marker written by [[applyEncodingBatch]] once a version's
+    * parquet is fully on disk — deliberately our own file instead of
+    * parquet's `_SUCCESS` (whose emission is configuration-dependent).
+    */
+  private[graft] val CommitMarker = "_GRAFT_COMMIT"
+
   /** Committed state versions under a [[targetEncodingSink]] stateDir:
-    * `batch=<id>` children whose parquet `_SUCCESS` marker exists. A
+    * `batch=<id>` children whose [[CommitMarker]] exists. A
     * half-written version (crash mid-write) has no marker and is
     * invisible — the retry's overwrite replaces it.
     */
@@ -303,7 +334,7 @@ object EventStream {
     else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
       val n = st.getPath.getName
       if (n.startsWith("batch=") &&
-          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, CommitMarker)))
         scala.util.Try(n.stripPrefix("batch=").toLong).toOption
       else None
     }
@@ -312,7 +343,10 @@ object EventStream {
   /** Read side of [[targetEncodingSink]]: the latest committed state
     * version, or None before the first batch lands. Pass through
     * [[graft.operators.Profiling.encodeFromState]] for the smoothed
-    * encoding.
+    * encoding. The returned frame is LAZY; the sink's prune retains
+    * one superseded version, so an action on it stays readable even
+    * if the sink commits the next version concurrently (the reader is
+    * then one version stale — re-resolve for the newest).
     */
   def latestEncodingState(spark: SparkSession,
                           stateDir: String): Option[DataFrame] =

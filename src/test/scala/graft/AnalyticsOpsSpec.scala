@@ -302,6 +302,45 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(tight === Set(100L, 8L))
   }
 
+  test("robustStats: high-cardinality grouping stays exact (no forced stats broadcast)") {
+    // 3000 groups × 5 rows: the |G|-sized med frame joins back without
+    // a broadcast() hint — AQE picks the strategy — and the result must
+    // equal the per-group brute force either way. Values are a
+    // deterministic per-group permutation so medians differ per group.
+    val rows = for (g <- 0L until 3000L; i <- 0L until 5L)
+      yield (g, (g * 7 + i * 13) % 17, g + ((i * 31 + g) % 5))
+    val df = rows.toDF("g0", "q0", "x0")
+    val got = Profiling.robustStats(df, col("g0"), col("q0"), col("x0"))
+      .collect().map(r => r.getAs[Long]("g") ->
+        (r.getAs[Long]("med"), r.getAs[Long]("mad"))).toMap
+    def lowerMed(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val xs = rs.map(_._3)
+      val med = lowerMed(xs)
+      g -> (med, lowerMed(xs.map(x => math.abs(x - med))))
+    }
+    assert(got.size === 3000)
+    assert(got === want)
+  }
+
+  test("bounded-domain guard: continuous columns fail loudly, discretized ones run") {
+    val cont = spark.range(0, 5000).selectExpr("id AS x0")
+    val e = intercept[IllegalArgumentException] {
+      Profiling.equiFreqBins(cont, col("x0"), bins = 4, maxDomain = 100L)
+    }
+    assert(e.getMessage.contains("maxDomain"))
+    intercept[IllegalArgumentException] {
+      Profiling.ksDrift(cont, cont, col("x0"), maxDomain = 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.skyline2D(cont, col("x0"), col("x0"), col("x0"),
+        maxDomain = 100L)
+    }
+    // a discretized measure sails through the same cap
+    assert(Profiling.equiFreqBins(cont, pmod(col("x0"), lit(7)), bins = 3,
+      maxDomain = 100L).count() === 3)
+  }
+
   // --------------------------------------------------------------- k-core
 
   test("kCore: chains peel one hop per round, cliques survive, idempotent past fixpoint") {
@@ -321,6 +360,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     val deg = GraphOps.kCore(g, k = 2, rounds = 5)
       .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg")).toMap
     assert(deg === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+  }
+
+  test("kCore: early exit — a huge round cap costs no more jobs than convergence needs") {
+    // a triangle IS its own 2-core: round 1 removes nothing, so the
+    // peeling loop must stop there even with a 200-round cap. Each
+    // round costs ≥ 2 Spark jobs (eager checkpoint + count probe), so
+    // the pre-early-exit formulation would pay ≥ 200 jobs here; the
+    // early-exit one pays input-checkpoint + count + one round + the
+    // final collect. Job-start events are delivered async — the settle
+    // sleep lets stragglers arrive so the upper bound is meaningful.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val tri = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("doc_a", "doc_b")
+      val out = GraphOps.kCore(tri, k = 2, rounds = 200).collect()
+      assert(out.map(_.getAs[Long]("node")).toSet === Set(0L, 1L, 2L))
+      Thread.sleep(1000)
+      assert(jobs.get() < 20,
+        s"expected early exit after 1 converged round, saw ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   // ------------------------------------------------------ quantile bands

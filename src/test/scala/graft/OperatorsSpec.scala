@@ -982,6 +982,27 @@ class OperatorsSpec extends SparkSpec {
       5L -> "changed"))
   }
 
+  test("Diff.snapshotDiff: fingerprint is injective over separator/sentinel-bearing values") {
+    import spark.implicits._
+    import graft.operators.Diff
+    // per-column hashing makes the reserved characters inert: a value
+    // containing the \u0001 separator must not alias the column
+    // boundary, and a literal \u0002 string must not collide with NULL
+    val oldS = Seq(
+      (1L, Option("a\u0001b"), Option("c")), // separator inside value
+      (2L, Option("\u0002"), Option("x"))    // literal sentinel value
+    ).toDF("k", "c1", "c2")
+    val newS = Seq(
+      (1L, Option("a"), Option("b\u0001c")), // boundary moved — MUST differ
+      (2L, Option.empty[String], Option("x")) // NULL — MUST differ from "\u0002"
+    ).toDF("k", "c1", "c2")
+    val r = Diff.snapshotDiff(oldS, newS, keys = Seq("k"),
+        compare = Seq("c1", "c2"))
+      .collect().map(x => x.getAs[Long]("k") -> x.getAs[String]("change_type"))
+      .toMap
+    assert(r === Map(1L -> "changed", 2L -> "changed"))
+  }
+
   test("Scd.scd2FromLog: run collapse, null transitions, valid_to stitching") {
     import spark.implicits._
     import graft.operators.Scd

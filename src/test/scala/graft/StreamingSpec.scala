@@ -5,6 +5,15 @@ import graft.streaming.EventStream
 
 class StreamingSpec extends SparkSpec {
 
+  /** First `.parquet` path under `dir`, CLOSING the directory stream —
+    * an unclosed `Files.list` leaks a directory handle in the test JVM.
+    */
+  private def firstParquet(dir: java.nio.file.Path): String = {
+    val s = java.nio.file.Files.list(dir)
+    try s.toArray.map(_.toString).find(_.endsWith(".parquet")).get
+    finally s.close()
+  }
+
   /** The real events table re-staged ONCE in the engine-internal shape
     * (ts int64 ns). Round-7 testdata writes ts as TIMESTAMP(MICROS),
     * but a file stream declares ONE schema and these specs stage
@@ -16,8 +25,7 @@ class StreamingSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft-events-norm")
     graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-      .find(_.endsWith(".parquet")).get
+    val part = firstParquet(tmp)
     java.nio.file.Paths.get(part)
   }
 
@@ -154,8 +162,7 @@ class StreamingSpec extends SparkSpec {
         (eid + 100, ts, 999999L, "purchase", 1.0, null: String))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .find(_.endsWith(".parquet")).get
+      val part = firstParquet(tmp)
       java.nio.file.Files.copy(java.nio.file.Paths.get(part), srcDir.resolve(name))
     }
     sentinel("b_sentinel.parquet", 999999L, maxTs + 36000L * 1000000000L)
@@ -192,8 +199,7 @@ class StreamingSpec extends SparkSpec {
       rows.map { case (eid, ts, uid) => (eid, ts, uid, "click", 1.0, null: String) }
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .find(_.endsWith(".parquet")).get
+      val part = firstParquet(tmp)
       java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
     }
     // batch 1: user 10 at +100min, +105min
@@ -265,8 +271,7 @@ class StreamingSpec extends SparkSpec {
       Seq((eventId, ts, 999999L, "flush", 0.0, null: String))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .find(_.endsWith(".parquet")).get
+      val part = firstParquet(tmp)
       java.nio.file.Files.copy(java.nio.file.Paths.get(part), srcDir.resolve(name))
     }
     sentinelFile("b_sentinel.parquet", 999999L, maxTs + 36000L * 1000000000L)
@@ -316,8 +321,7 @@ class StreamingSpec extends SparkSpec {
       Seq((eventId, ts, 999999L, "flush", 0.0, null: String))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .find(_.endsWith(".parquet")).get
+      val part = firstParquet(tmp)
       java.nio.file.Files.copy(java.nio.file.Paths.get(part), srcDir.resolve(name))
     }
     val delayNs = 2L * 3600 * 1000000000L  // watermark delay (1h) + margin
@@ -361,8 +365,7 @@ class StreamingSpec extends SparkSpec {
       Seq((eventId, ts, 999999L, "flush", 0.0, null: String))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .find(_.endsWith(".parquet")).get
+      val part = firstParquet(tmp)
       java.nio.file.Files.copy(java.nio.file.Paths.get(part), srcDir.resolve(name))
     }
     val delayNs = 2L * 3600 * 1000000000L
@@ -406,8 +409,7 @@ class StreamingSpec extends SparkSpec {
       Seq((eventId, ts, 999999L, "flush", 0.0, null: String))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .find(_.endsWith(".parquet")).get
+      val part = firstParquet(tmp)
       java.nio.file.Files.copy(java.nio.file.Paths.get(part), srcDir.resolve(name))
     }
     val horizonNs = 10L * 24 * 3600 * 1000000000L
@@ -448,8 +450,7 @@ class StreamingSpec extends SparkSpec {
     def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft-restart-stage")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .find(_.endsWith(".parquet")).get
+      val part = firstParquet(tmp)
       java.nio.file.Files.copy(java.nio.file.Paths.get(part), srcDir.resolve(name))
     }
     def run(): Unit = {
@@ -593,8 +594,7 @@ class StreamingSpec extends SparkSpec {
       rows.map { case (eid, ts, et) => (eid, ts, 10L, et, 1.0, null: String) }
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .find(_.endsWith(".parquet")).get
+      val part = firstParquet(tmp)
       java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
     }
     // batch 1: A@0, A@10, B@20 — closes (ver 1, A, [0, 20))
@@ -633,8 +633,7 @@ class StreamingSpec extends SparkSpec {
         (eid, 1700000000000000000L + eid, 20L, et, v, null: String) }
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .find(_.endsWith(".parquet")).get
+      val part = firstParquet(tmp)
       java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
     }
     // three micro-batches shifting both counts and the global prior
@@ -662,9 +661,10 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(dir.toString), col("event_type"), label, 2L))
     assert(streamed.nonEmpty)
     assert(streamed === batch)
-    // only the latest version survives pruning — state size is O(1)
-    // in stream length, not O(batches)
-    assert(EventStream.committedStateVersions(spark, stateDir).size === 1)
+    // pruning keeps the latest version plus ONE superseded one (live
+    // lazy readers of the prior latest stay readable) — state size is
+    // O(1) in stream length, not O(batches)
+    assert(EventStream.committedStateVersions(spark, stateDir).size <= 2)
   }
 
   test("targetEncodingSink: replayed batchId is a no-op (at-least-once retry)") {
@@ -695,7 +695,27 @@ class StreamingSpec extends SparkSpec {
     EventStream.applyEncodingBatch(b1, 1L, col("event_type"), label, stateDir)
     assert(snapshot() === after1)
     assert(after1 === Seq(("buy", 1L, 0L), ("click", 2L, 2L), ("view", 2L, 1L)))
-    assert(EventStream.committedStateVersions(spark, stateDir) === Seq(1L))
+    // latest + one retained predecessor
+    assert(EventStream.committedStateVersions(spark, stateDir).sorted
+      === Seq(0L, 1L))
+  }
+
+  test("targetEncodingSink: fresh checkpoint over a stale stateDir fails loudly") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-tenc-stale")
+      .toString + "/state"
+    val label = (col("value") >= 0.5).cast("int")
+    val b = Seq((1L, 1700000000000000000L, 20L, "view", 1.0, null: String))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // a previous stream's life: batches 0..2 committed
+    (0L to 2L).foreach(i =>
+      EventStream.applyEncodingBatch(b, i, col("event_type"), label, stateDir))
+    // new stream, fresh checkpoint ⇒ batchIds restart at 0: the replay
+    // skip would silently freeze the state forever — must throw instead
+    val e = intercept[IllegalStateException] {
+      EventStream.applyEncodingBatch(b, 0L, col("event_type"), label, stateDir)
+    }
+    assert(e.getMessage.contains("previous checkpoint"))
   }
 
   test("scd2Stream: equal-timestamp smaller-tie cross-batch event is late") {
@@ -714,8 +734,7 @@ class StreamingSpec extends SparkSpec {
       rows.map { case (eid, ts, et) => (eid, ts, 11L, et, 1.0, null: String) }
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .find(_.endsWith(".parquet")).get
+      val part = firstParquet(tmp)
       java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
     }
     // batch 1: A@0 (tie 1), B@20 (tie 3) — closes (ver 1, A, [0, 20))

@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Dev-only sf1 stand-in generator (driver testdata stops at sf0.1).
+
+Builds a 10x scale-up of /root/testdata/sf0.1 into an output dir by
+key-shifted copies: fact/dim keys are offset per copy so join
+selectivities, per-key group sizes, and dim/fact ratios are preserved
+while row counts scale linearly (the TPC-H convention). Value columns
+are copied as-is, so VALUE-domain-bounded frames (distinct prices
+etc.) deliberately stay constant-size — scaling pressure lands on
+rows, keys, and shuffles, which is what the scaling bench measures.
+
+Text and embeddings are perturbed deterministically per copy (every
+7th token replaced / one dimension nudged) so near-dup and ANN
+workloads don't degenerate into 10-cliques of identical content.
+
+Usage: python3 scripts/gen_sf_scale.py [copies] [outDir]
+Defaults: 10 /tmp/graft_sf1
+"""
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+
+con = duckdb.connect()
+
+
+def mx(table, col):
+    return con.sql(
+        f"SELECT MAX({col}) FROM '{SRC}/{table}.parquet'").fetchall()[0][0]
+
+
+def copy_union(table, shifted, plain):
+    """COPY a UNION ALL of `COPIES` key-shifted selects to parquet."""
+    selects = []
+    for i in range(COPIES):
+        cols = [f"{c} + {i} * {off + 1} AS {c}" for c, off in shifted] + plain
+        selects.append(
+            f"SELECT {', '.join(cols)} FROM '{SRC}/{table}.parquet'")
+    con.sql(f"COPY ({' UNION ALL '.join(selects)}) TO "
+            f"'{OUT}/{table}.parquet' (FORMAT PARQUET)")
+    n = con.sql(f"SELECT COUNT(*) FROM '{OUT}/{table}.parquet'").fetchall()[0][0]
+    print(f"[gen] {table}: {n} rows")
+
+
+import os
+os.makedirs(OUT, exist_ok=True)
+
+# tiny dims are shared across copies (the TPC-H region/nation shape)
+for t in ("region", "nation"):
+    con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
+            f"'{OUT}/{t}.parquet' (FORMAT PARQUET)")
+    print(f"[gen] {t}: copied")
+
+ck, pk, sk, ok = (mx("customer", "c_custkey"), mx("part", "p_partkey"),
+                  mx("supplier", "s_suppkey"), mx("orders", "o_orderkey"))
+eid, uid = mx("events", "event_id"), mx("events", "user_id")
+
+copy_union("customer", [("c_custkey", ck)],
+           ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"])
+copy_union("supplier", [("s_suppkey", sk)],
+           ["s_name", "s_nationkey", "s_acctbal"])
+copy_union("part", [("p_partkey", pk)],
+           ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"])
+copy_union("orders", [("o_orderkey", ok), ("o_custkey", ck)],
+           ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"])
+copy_union("lineitem",
+           [("l_orderkey", ok), ("l_partkey", pk), ("l_suppkey", sk)],
+           ["l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"])
+copy_union("events", [("event_id", eid), ("user_id", uid)],
+           ["ts", "event_type", "value", "props"])
+
+# documents: perturb every 7th token per copy so copies are neither
+# exact dups nor (usually) simhash near-dups of their originals
+docs = pq.read_table(f"{SRC}/documents.parquet").to_pydict()
+did = max(docs["doc_id"])
+out = {k: [] for k in docs}
+for i in range(COPIES):
+    for j in range(len(docs["doc_id"])):
+        text = docs["text"][j]
+        if i > 0 and text:
+            toks = text.split(" ")
+            for p in range(0, len(toks), 7):
+                toks[p] = f"cp{i}w{(p + i) % 5}"
+            text = " ".join(toks)
+        out["doc_id"].append(docs["doc_id"][j] + i * (did + 1))
+        out["text"].append(text)
+        out["lang"].append(docs["lang"][j])
+        out["source"].append(docs["source"][j])
+        out["n_chars"].append(len(text) if text else 0)
+pq.write_table(pa.table(out), f"{OUT}/documents.parquet")
+print(f"[gen] documents: {len(out['doc_id'])} rows")
+
+# embeddings: nudge a couple of dimensions per copy (keeps vectors
+# near their originals but not identical — ANN top-k stays tie-free)
+emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pydict()
+vid = max(emb["vec_id"])
+eo = {k: [] for k in emb}
+for i in range(COPIES):
+    for j in range(len(emb["vec_id"])):
+        v = np.array(emb["embedding"][j], dtype=np.float32)
+        if i > 0:
+            v[(i * 3) % len(v)] += 0.001 * i
+            v[(i * 7 + 1) % len(v)] -= 0.0007 * i
+        eo["vec_id"].append(emb["vec_id"][j] + i * (vid + 1))
+        eo["embedding"].append(v.tolist())
+        eo["label"].append(emb["label"][j])
+schema = pa.schema([("vec_id", pa.int64()),
+                    ("embedding", pa.list_(pa.float32())),
+                    ("label", pa.int32())])
+pq.write_table(pa.table(eo, schema=schema), f"{OUT}/embeddings.parquet")
+print(f"[gen] embeddings: {len(eo['vec_id'])} rows")
+print(f"[gen] done -> {OUT}")

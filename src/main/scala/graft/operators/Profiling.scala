@@ -795,10 +795,34 @@ object Profiling {
               maxDomain: Long = DefaultMaxDomain): DataFrame = {
     val tagged = a.select(value.as("x"), lit(1L).as("s"))
       .unionByName(b.select(value.as("x"), lit(2L).as("s")))
-    val counts = requireBoundedDomain("ksDrift",
+    ksCore(requireBoundedDomain("ksDrift",
       tagged.groupBy("x").agg(
         sum(when(col("s") === 1L, 1L).otherwise(0L)).as("c1"),
-        sum(when(col("s") === 2L, 1L).otherwise(0L)).as("c2")), maxDomain)
+        sum(when(col("s") === 2L, 1L).otherwise(0L)).as("c2")), maxDomain))
+  }
+
+  /** [[ksDrift]] from PRE-AGGREGATED per-value counts — the read side
+    * of an incremental drift monitor whose state is a per-value count
+    * frame maintained by a streaming fold (the
+    * [[graft.streaming.EventStream.valueCountsSink]] pattern): the
+    * monitored stream never re-reads its history, only its O(domain)
+    * state. Both inputs are (x, c); identical arithmetic to
+    * [[ksDrift]], so `ksDriftFromCounts(counts(a), counts(b)) ==
+    * ksDrift(a, b)` exactly.
+    */
+  def ksDriftFromCounts(a: DataFrame, b: DataFrame,
+                        maxDomain: Long = DefaultMaxDomain): DataFrame = {
+    val tagged = a.select(col("x"), col("c").as("c1"), lit(0L).as("c2"))
+      .unionByName(b.select(col("x"), lit(0L).as("c1"), col("c").as("c2")))
+    ksCore(requireBoundedDomain("ksDriftFromCounts",
+      tagged.groupBy("x").agg(sum("c1").as("c1"), sum("c2").as("c2")),
+      maxDomain))
+  }
+
+  /** Shared KS tail over a materialized (x, c1, c2) count frame:
+    * exact integer CDF-gap numerators, one final portable division.
+    */
+  private def ksCore(counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
     val w = Window.orderBy("x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -812,6 +836,31 @@ object Profiling {
         (col("d_num").cast(DoubleType) /
           (col("n1") * col("n2")).cast(DoubleType)).as("ks"))
   }
+
+  /** Oracle for [[ksDriftFromCounts]]: `aSql`/`bSql` must each yield a
+    * pre-aggregated (x, c) count frame.
+    */
+  def ksDriftFromCountsOracle(aSql: String, bSql: String): String =
+    s"""WITH counts AS (
+       |  SELECT x, SUM(ca) AS c1, SUM(cb) AS c2 FROM (
+       |    SELECT x, c AS ca, 0 AS cb FROM ($aSql)
+       |    UNION ALL SELECT x, 0 AS ca, c AS cb FROM ($bSql))
+       |  GROUP BY x),
+       |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+       |               CAST(SUM(c2) AS BIGINT) AS n2 FROM counts),
+       |cum AS (
+       |  SELECT x,
+       |    CAST(SUM(c1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS BIGINT) AS f1,
+       |    CAST(SUM(c2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS BIGINT) AS f2
+       |  FROM counts),
+       |d AS (SELECT CAST(MAX(ABS(f1 * tot.n2 - f2 * tot.n1)) AS BIGINT)
+       |        AS d_num
+       |      FROM cum CROSS JOIN tot)
+       |SELECT tot.n1, tot.n2, d.d_num,
+       |  CAST(d.d_num AS DOUBLE) / CAST(tot.n1 * tot.n2 AS DOUBLE) AS ks
+       |FROM tot CROSS JOIN d""".stripMargin
 
   /** Oracle for [[ksDrift]]: `aSql`/`bSql` must each yield a single
     * column `x`.

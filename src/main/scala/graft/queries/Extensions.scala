@@ -2780,6 +2780,42 @@ object Extensions {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
       smoothing = 25L)))
 
+  /** Deterministic weighted sample of orders by total-price cents
+    * ([[graft.operators.Sampling.systematicSample]]): systematic PPS
+    * without replacement on the md5-ordered weight line, pure BIGINT
+    * boundary arithmetic — a reproducible corpus subsample with
+    * inclusion probability ∝ weight and no RNG state anywhere.
+    */
+  private val q165 = Q("q165_weighted_sample",
+    (s, d) => graft.operators.Sampling.systematicSample(
+        Tables.orders(s, d), col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast(LongType), k = 500)
+      .orderBy("id"),
+    Some(graft.operators.Sampling.systematicSampleOracle(
+      """SELECT o_orderkey AS id,
+        |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS w
+        |FROM orders""".stripMargin, k = 500)))
+
+  /** KS drift from PRE-AGGREGATED per-value counts
+    * ([[graft.operators.Profiling.ksDriftFromCounts]]) — the batch
+    * gate for the streaming drift monitor's read side (state is a
+    * count frame, the stream's history is never re-read); returned vs
+    * refused-slice quantity distributions.
+    */
+  private val q166 = Q("q166_ks_drift_counts",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val qty = floor(col("l_quantity")).cast(LongType)
+      def cnts(flag: String) = li.filter(col("l_returnflag") === flag)
+        .groupBy(qty.as("x")).agg(count(lit(1)).as("c"))
+      graft.operators.Profiling.ksDriftFromCounts(cnts("R"), cnts("A"))
+    },
+    Some(graft.operators.Profiling.ksDriftFromCountsOracle(
+      """SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS x, COUNT(*) AS c
+        |FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1""".stripMargin,
+      """SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS x, COUNT(*) AS c
+        |FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1""".stripMargin)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2793,5 +2829,5 @@ object Extensions {
     q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-    q162, q163, q164)
+    q162, q163, q164, q165, q166)
 }

@@ -353,6 +353,31 @@ object EventStream {
     committedStateVersions(spark, stateDir).maxOption
       .map(v => spark.read.parquet(s"$stateDir/batch=$v"))
 
+  /** Streaming drift monitor, write side (11th stream≡batch twin):
+    * fold per-value counts of `value` into versioned exactly-once
+    * state — the [[targetEncodingSink]] machinery with a constant
+    * label, whose `cnt` column IS the per-value count. State is
+    * O(value domain), bounded by the same contract
+    * [[graft.operators.Profiling.ksDrift]] enforces on read; the
+    * stream's history is never re-read.
+    */
+  def valueCountsSink(stream: DataFrame, value: Column, stateDir: String,
+                      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    targetEncodingSink(stream, value, lit(1L), stateDir, checkpointDir)
+
+  /** Read side of [[valueCountsSink]]: the latest committed per-value
+    * count frame as (x, c) — feed straight into
+    * [[graft.operators.Profiling.ksDriftFromCounts]] against a
+    * reference distribution. After any stream prefix,
+    * `ksDriftFromCounts(latestValueCounts, counts(ref)) ==
+    * ksDrift(events so far, ref)` exactly (spec-asserted).
+    */
+  def latestValueCounts(spark: SparkSession,
+                        stateDir: String): Option[DataFrame] =
+    latestEncodingState(spark, stateDir)
+      .map(_.select(col("k").as("x"), col("cnt").as("c")))
+
   final case class Ev(event_id: Long, user_id: Long, ts_us: Long,
                       event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, session_start_us: Long,

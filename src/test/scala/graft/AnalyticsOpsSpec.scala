@@ -323,6 +323,55 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("ksDriftFromCounts == ksDrift on the same slices") {
+    val a = Seq(1L, 1L, 2L, 3L, 5L, 5L, 5L).toDF("x0")
+    val b = Seq(1L, 2L, 2L, 4L, 4L, 6L).toDF("x0")
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("d_num"),
+        r.getAs[Double]("ks"))).toSeq
+    def cnts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("x0").as("x")).agg(count(lit(1)).as("c"))
+    val raw = row(Profiling.ksDrift(a, b, col("x0")))
+    val pre = row(Profiling.ksDriftFromCounts(cnts(a), cnts(b)))
+    assert(raw === pre)
+    assert(raw.head._1 === 7L && raw.head._2 === 6L)
+  }
+
+  test("systematicSample: exact k, partition-invariant, equals the global-window brute force") {
+    import graft.operators.Sampling
+    val rows = (1L to 500L).map(i => (i, 1L + (i * 13) % 20))
+    val df = rows.toDF("id0", "w0")
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      Sampling.systematicSample(d, col("id0"), col("w0"), k = 50)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("w"),
+          r.getAs[Long]("cum"))).sortBy(_._1).toSeq
+    val got = sample(df)
+    // every w <= W/k here, so the boundary count is exact
+    assert(got.size === 50)
+    // two-phase bucket cumsum must equal the one global weight line:
+    // replay it in the driver with the same md5 order
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md5.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val line = rows.map { case (id, w) => (hex(id.toString), id, w) }.sorted
+    val W = rows.map(_._2).sum
+    var cum = 0L
+    val want = line.flatMap { case (_, id, w) =>
+      val before = cum; cum += w
+      if (before * 50 / W < cum * 50 / W) Some((id, w, cum)) else None
+    }.sortBy(_._1)
+    assert(got === want)
+    // deterministic under any partitioning
+    assert(sample(df.repartition(13)) === got)
+    // a heavy row absorbs several boundaries but is emitted once
+    val heavy = (Seq((1000L, 900L)) ++ (1L to 10L).map(i => (i, 2L)))
+      .toDF("id0", "w0")
+    val hs = Sampling.systematicSample(heavy, col("id0"), col("w0"), k = 5)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(hs.count(_ == 1000L) === 1)
+    assert(hs.size < 5)
+  }
+
   test("bounded-domain guard: continuous columns fail loudly, discretized ones run") {
     val cont = spark.range(0, 5000).selectExpr("id AS x0")
     val e = intercept[IllegalArgumentException] {

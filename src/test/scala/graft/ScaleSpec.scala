@@ -48,10 +48,29 @@ class ScaleSpec extends SparkSpec {
 
   test("lowerQuantile never shuffles on the value column (bucket-count contract)") {
     import spark.implicits._
-    // unique values — the distinct-count form would shuffle data-sized
+    // unique values — the distinct-count form would shuffle data-sized.
+    // The stats frames carry no broadcast hint anymore (AQE decides),
+    // so on this KB-sized fixture AQE would invert the join and
+    // broadcast the DATA side — a small-data-only shape. Pin the
+    // 100 TB regime instead: cap the broadcast threshold so the ~140 KB
+    // data side cannot broadcast while the 3-row bounds/target frames
+    // still can — exactly the at-scale planner outcome.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
     val v = (1L to 5000L).map(i => ("g" + (i % 3), i * 7)).toDF("g", "x")
-    val med = graft.operators.Profiling.lowerMedian(v)
-    med.collect()
+    val med =
+      try {
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "65536")
+        val m = graft.operators.Profiling.lowerMedian(v)
+        m.collect()
+        m
+      } finally saved.foreach {
+        case (k, Some(x)) => conf.set(k, x)
+        case (k, None) => conf.unset(k)
+      }
     // AQE wraps exchanges in query stages — read the final plan STRING,
     // where every Exchange line still prints its partitioning keys
     val plan = med.queryExecution.executedPlan.toString

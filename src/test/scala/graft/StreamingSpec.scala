@@ -700,6 +700,52 @@ class StreamingSpec extends SparkSpec {
       === Seq(0L, 1L))
   }
 
+  test("valueCountsSink: streaming drift state equals the batch distribution") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift-src")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-drift-state")
+      .toString + "/state"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-drift-ck").toString
+    def stage(name: String, rows: Seq[(Long, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-drift-t")
+      rows.map { case (eid, v) =>
+        (eid, 1700000000000000000L + eid, 20L, "view", v, null: String) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = firstParquet(tmp)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
+    }
+    stage("a.parquet", Seq((1L, 0.1), (2L, 0.3), (3L, 0.8)))
+    stage("b.parquet", Seq((4L, 0.8), (5L, 0.2)))
+    stage("c.parquet", Seq((6L, 0.9), (7L, 0.1), (8L, 0.4)))
+
+    val bucket = floor(col("value") * 4).cast("long")
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = EventStream.valueCountsSink(stream, bucket, stateDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    // the monitored state must hold exactly the batch per-bucket counts
+    val state = EventStream.latestValueCounts(spark, stateDir).get
+      .collect().map(r => r.getAs[Long]("x") -> r.getAs[Long]("c")).toMap
+    val batchCounts = spark.read.parquet(dir.toString)
+      .groupBy(bucket.as("x")).agg(count(lit(1)).as("c"))
+    assert(state === batchCounts.collect()
+      .map(r => r.getAs[Long]("x") -> r.getAs[Long]("c")).toMap)
+    // and the drift read side over the state equals the batch ksDrift
+    // against the same reference distribution
+    val ref = Seq((0L, 4L), (1L, 2L), (3L, 2L)).toDF("x", "c")
+    def ksRow(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("d_num"),
+        r.getAs[Double]("ks"))).toSeq
+    val viaState = ksRow(graft.operators.Profiling.ksDriftFromCounts(
+      EventStream.latestValueCounts(spark, stateDir).get, ref))
+    val viaBatch = ksRow(graft.operators.Profiling.ksDriftFromCounts(
+      batchCounts, ref))
+    assert(viaState === viaBatch)
+    assert(viaState.head._4 > 0.0)
+  }
+
   test("targetEncodingSink: fresh checkpoint over a stale stateDir fails loudly") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("graft-tenc-stale")

@@ -76,8 +76,13 @@ copy_union("lineitem",
 copy_union("events", [("event_id", eid), ("user_id", uid)],
            ["ts", "event_type", "value", "props"])
 
-# documents: perturb every 7th token per copy so copies are neither
-# exact dups nor (usually) simhash near-dups of their originals
+# documents: perturb every 7th token per copy (starting at position 3)
+# so copies are neither exact dups nor (usually) simhash near-dups of
+# their originals. Positions 0-2 are NEVER touched: prefix-blocked
+# operators (edit-distance titles, prefix-dup groups) key on the
+# leading tokens, and rewriting position 0 with a per-copy constant
+# collapsed their block keys into mega-blocks — an artifact quadratic,
+# not a data-scaling signal (measured: q133 85x before this guard).
 docs = pq.read_table(f"{SRC}/documents.parquet").to_pydict()
 did = max(docs["doc_id"])
 out = {k: [] for k in docs}
@@ -86,7 +91,7 @@ for i in range(COPIES):
         text = docs["text"][j]
         if i > 0 and text:
             toks = text.split(" ")
-            for p in range(0, len(toks), 7):
+            for p in range(3, len(toks), 7):
                 toks[p] = f"cp{i}w{(p + i) % 5}"
             text = " ".join(toks)
         out["doc_id"].append(docs["doc_id"][j] + i * (did + 1))

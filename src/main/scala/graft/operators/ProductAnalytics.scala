@@ -309,7 +309,15 @@ object ProductAnalytics {
     * to executor-local storage is strictly cheaper than a second full
     * scan + distinct shuffle + semi-join of the same data at any
     * scale; the self-join sides then read it twice at local-disk
-    * speed.
+    * speed. Two caveats of `localCheckpoint(eager = true)`: the
+    * operator runs a Spark job AT CALL TIME (the call is no longer
+    * lazy), and localCheckpoint blocks are NON-RECOMPUTABLE — losing
+    * an executor after the checkpoint (e.g. dynamic-allocation
+    * decommission) fails the downstream job instead of recomputing.
+    * On clusters with dynamic allocation either disable decommission
+    * of checkpoint-holding executors
+    * (`spark.dynamicAllocation.cachedExecutorIdleTimeout`) or swap
+    * the checkpoint for reliable `checkpoint()` to durable storage.
     *
     * @param txns   transaction lines
     * @param basket basket id column

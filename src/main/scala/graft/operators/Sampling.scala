@@ -70,6 +70,57 @@ object Sampling {
       .select(col("id"), col("w"), col("cum"))
   }
 
+  /** Per-group [[systematicSample]] — the domain-mixture sampler: k
+    * sampling boundaries laid over EACH group's own weight line
+    * ("sample ~k docs per domain, within a domain by quality weight"
+    * — the training-mixture curation shape). Same integer boundary
+    * arithmetic, same md5 order, same two-phase cumulative sum with
+    * every window additionally partitioned by the group — per-group
+    * parallel, nothing global. The per-group totals frame is
+    * |G|-sized and joins back with NO broadcast hint (AQE decides —
+    * the [[Profiling.robustStats]] contract).
+    *
+    * @return (g, id, w, cum) — selected rows per group
+    */
+  def systematicSamplePerGroup(df: DataFrame, grp: Column, id: Column,
+                               weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val v = df.select(grp.as("g"), id.as("id"), weight.as("w"),
+        md5(id.cast("string")).as("h"))
+      .withColumn("b", substring(col("h"), 1, 2))
+    val perB = v.groupBy("g", "b").agg(sum("w").as("bw"))
+    val wOff = Window.partitionBy("g").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = perB
+      .withColumn("off", coalesce(sum("bw").over(wOff), lit(0L)))
+      .select(col("g"), col("b"), col("off"))
+    val tot = perB.groupBy("g").agg(sum("bw").as("tw"))
+    val wCum = Window.partitionBy("g", "b").orderBy("h", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v.join(offs, Seq("g", "b"))
+      .withColumn("cum", col("off") + sum("w").over(wCum))
+      .join(tot, Seq("g"))
+      .filter(call_function("div", (col("cum") - col("w")) * k, col("tw")) <
+        call_function("div", col("cum") * k, col("tw")))
+      .select(col("g"), col("id"), col("w"), col("cum"))
+  }
+
+  /** Oracle for [[systematicSamplePerGroup]]: per-group windows over
+    * the same md5 order. `vSql` must yield (g, id, w).
+    */
+  def systematicSamplePerGroupOracle(vSql: String, k: Int): String =
+    s"""WITH v AS (
+       |  SELECT g, id, w, MD5(CAST(id AS VARCHAR)) AS h FROM ($vSql)),
+       |c AS (
+       |  SELECT g, id, w,
+       |    CAST(SUM(w) OVER (PARTITION BY g ORDER BY h, id ROWS BETWEEN
+       |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM v),
+       |t AS (SELECT g, CAST(SUM(w) AS BIGINT) AS tw FROM v GROUP BY g)
+       |SELECT c.g, c.id, c.w, c.cum FROM c JOIN t ON c.g = t.g
+       |WHERE ((c.cum - c.w) * $k) // t.tw < (c.cum * $k) // t.tw
+       |ORDER BY c.g, c.id""".stripMargin
+
   /** Oracle for [[systematicSample]]: the same md5-ordered weight line
     * as ONE global window (oracle-side only — DuckDB materializes it
     * fine at gate scale) and the identical integer boundary filter.

@@ -2816,6 +2816,22 @@ object Extensions {
       """SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS x, COUNT(*) AS c
         |FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1""".stripMargin)))
 
+  /** Per-group weighted sample — ~100 orders PER PRIORITY CLASS,
+    * within a class proportional to total-price cents
+    * ([[graft.operators.Sampling.systematicSamplePerGroup]]): the
+    * domain-mixture curation sampler, every window partitioned by the
+    * group so nothing is global.
+    */
+  private val q167 = Q("q167_weighted_sample_grouped",
+    (s, d) => graft.operators.Sampling.systematicSamplePerGroup(
+        Tables.orders(s, d), col("o_orderpriority"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast(LongType), k = 100)
+      .orderBy("g", "id"),
+    Some(graft.operators.Sampling.systematicSamplePerGroupOracle(
+      """SELECT o_orderpriority AS g, o_orderkey AS id,
+        |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS w
+        |FROM orders""".stripMargin, k = 100)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2829,5 +2845,5 @@ object Extensions {
     q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-    q162, q163, q164, q165, q166)
+    q162, q163, q164, q165, q166, q167)
 }

@@ -372,6 +372,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(hs.size < 5)
   }
 
+  test("systematicSamplePerGroup: per-group boundaries replay the per-group weight lines") {
+    import graft.operators.Sampling
+    val off = Map("a" -> 0L, "b" -> 1000000L, "c" -> 2000000L)
+    val rows = for (g <- Seq("a", "b", "c"); i <- 1L to 200L)
+      yield (g, off(g) + i, 1L + (i * 7) % 13)
+    val df = rows.toDF("g0", "id0", "w0")
+    val got = Sampling.systematicSamplePerGroup(
+        df, col("g0"), col("id0"), col("w0"), k = 20)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("id"),
+        r.getAs[Long]("w"), r.getAs[Long]("cum")))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md5.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      val line = rs.map { case (_, id, w) => (hex(id.toString), id, w) }.sorted
+      val W = rs.map(_._3).sum
+      var cum = 0L
+      line.flatMap { case (_, id, w) =>
+        val before = cum; cum += w
+        if (before * 20 / W < cum * 20 / W) Some((g, id, w, cum)) else None
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(got === want)
+    // all weights <= W_g/k here, so each group yields exactly k
+    assert(got.groupBy(_._1).view.mapValues(_.size).toMap
+      === Map("a" -> 20, "b" -> 20, "c" -> 20))
+  }
+
   test("bounded-domain guard: continuous columns fail loudly, discretized ones run") {
     val cont = spark.range(0, 5000).selectExpr("id AS x0")
     val e = intercept[IllegalArgumentException] {

@@ -17,6 +17,35 @@ class StatsLawsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("systematicSample: census law |sample| == k and driver-replay equality (property)") {
+    import graft.operators.Sampling
+    // weights 1..6 over 60 rows with k = 7: W >= 60 so W/k > 6 >= every
+    // w — the boundary census is exactly k on EVERY draw, and the
+    // selected set must equal the driver's replay of the md5 weight
+    // line (the operator's two-phase cumsum == one global line)
+    val gen = Gen.listOfN(60, Gen.choose(1L, 6L))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md5.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    for ((ws, it) <- samples(gen, 6).zipWithIndex) {
+      val rows = ws.zipWithIndex.map { case (w, j) =>
+        (it * 1000L + j + 1, w) }
+      val got = Sampling.systematicSample(
+          rows.toDF("id0", "w0"), col("id0"), col("w0"), k = 7)
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cum")))
+        .sortBy(_._1).toSeq
+      val W = ws.sum
+      var cum = 0L
+      val want = rows.map { case (id, w) => (hex(id.toString), id, w) }
+        .sorted.flatMap { case (_, id, w) =>
+          val before = cum; cum += w
+          if (before * 7 / W < cum * 7 / W) Some((id, cum)) else None
+        }.sortBy(_._1)
+      assert(got.length === 7, s"draw $it")
+      assert(got === want, s"draw $it")
+    }
+  }
+
   private val labelledGen: Gen[List[(String, Int)]] =
     Gen.listOfN(20, Gen.zip(Gen.oneOf("p", "q", "r"), Gen.oneOf(0, 1)))
 

@@ -206,6 +206,19 @@ class OperatorsSpec extends SparkSpec {
     assert(r((1L, 1L))._1 === 6L)
   }
 
+  test("Similarity.nearDupPairs: the quadratic baseline is row-gated") {
+    // exact pairs still come out under the cap...
+    val got = Similarity.nearDupPairs(vecs, threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+      .toSet
+    assert(got === Set((0L, 5L), (1L, 6L)))
+    // ...and an input larger than maxRows refuses to go quadratic
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(vecs, threshold = 0.99, maxRows = 3L)
+    }
+    assert(e.getMessage.contains("lshTopK"))
+  }
+
   test("ANN recall contract: measured floor vs brute force; levers raise it") {
     // the embeddings fixture is near-random — the HARDEST case for ANN
     // (true neighbors are barely closer than the bulk), so these bounds

@@ -993,6 +993,9 @@ object Dedup {
       // halving the materializations (vs one hop each) cut q67's CC
       // phase ~40% at sf0.1 (measured: the SimHash near-dup graph has
       // diameter ~14 — chained near-dups, not shallow cliques).
+      // THREE hops A/B'd in round 8: rounds drop 6→4 but the deeper
+      // lazy plan (each hop doubles it) raises per-round cost ~45% —
+      // a wash at best (4.60 vs 4.17 s median); two stays.
       // Convergence stays sound: labels are monotone non-increasing, so
       // "no change across the two hops" ⟺ fixpoint of a single hop.
       // LAZY checkpoint: the convergence count below is the round's

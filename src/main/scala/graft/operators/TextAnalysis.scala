@@ -1207,4 +1207,54 @@ object TextAnalysis {
        |FROM r LEFT JOIN p ON r.stratum = p.stratum
        |ORDER BY r.stratum""".stripMargin
   }
+  /** Cross-document duplicated n-gram spans — the exact
+    * substring-level dedup SIGNAL (distinct from chunk/prefix dedup):
+    * every hashed n-token window occurring in at least `minDocs`
+    * DISTINCT documents, with its document count, total occurrence
+    * count, and the smallest carrying doc id. This is the
+    * "deduplicating training data" primitive: repeated spans are
+    * boilerplate/licensing/templating text that an LLM pipeline
+    * down-weights or strips before training.
+    *
+    * Scale shape: windows are generated per row by a
+    * `transform(sequence(...))` higher-order function (no self-join,
+    * no shuffle — output is ~tokens-per-doc rows, the tokenization
+    * constant), then ONE map-side-combined shuffle on the 16-byte
+    * gram digest via the two-stage (fp, doc) → fp aggregate — the
+    * two-stage form deliberately avoids countDistinct's Expand plan.
+    * Output is bounded by the number of DUPLICATED grams, which is
+    * the quantity of interest, never the corpus.
+    */
+  def duplicatedSpans(docs: DataFrame, content: Column, id: Column,
+                      n: Int = 20, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n ($n) must be >= 1")
+    require(minDocs >= 2, s"minDocs ($minDocs) must be >= 2")
+    docs.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i, $n))))")).as("fp"))
+      .groupBy("fp", "doc_id").agg(count(lit(1)).as("occ"))
+      .groupBy("fp").agg(count(lit(1)).as("n_docs"),
+        sum("occ").as("n_occ"), min("doc_id").as("min_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Oracle for [[duplicatedSpans]]: the identical hashed windows via
+    * a lateral RANGE unnest (both engines slice 1-based inclusive).
+    */
+  def duplicatedSpansOracle(n: Int = 20, minDocs: Int = 2): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    MD5(ARRAY_TO_STRING(LIST_SLICE(t, i, i + ${n - 1}), ' ')) AS fp
+       |  FROM toks, UNNEST(RANGE(1, LEN(t) - ${n - 1} + 1)) AS u(i)
+       |  WHERE LEN(t) >= $n)
+       |SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occ, MIN(doc_id) AS min_doc
+       |FROM g GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= $minDocs
+       |ORDER BY fp""".stripMargin
 }
+

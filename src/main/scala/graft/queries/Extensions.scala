@@ -2832,6 +2832,19 @@ object Extensions {
         |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS w
         |FROM orders""".stripMargin, k = 100)))
 
+  /** Cross-document duplicated 20-token spans
+    * ([[graft.operators.TextAnalysis.duplicatedSpans]]) — the exact
+    * substring-level dedup signal (boilerplate/templating detection):
+    * hashed sliding windows per document (no self-join), one
+    * map-side-combined shuffle on the gram digest, output bounded by
+    * the duplicated grams.
+    */
+  private val q168 = Q("q168_duplicated_spans",
+    (s, d) => TextAnalysis.duplicatedSpans(
+        Tables.documents(s, d), col("text"), col("doc_id"))
+      .orderBy("fp"),
+    Some(TextAnalysis.duplicatedSpansOracle()))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2845,5 +2858,5 @@ object Extensions {
     q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-    q162, q163, q164, q165, q166, q167)
+    q162, q163, q164, q165, q166, q167, q168)
 }

@@ -27,6 +27,27 @@ class OperatorsSpec extends SparkSpec {
     assert(r.filter(col("doc_id") === 1L).count() === 0)
   }
 
+  test("TextAnalysis.duplicatedSpans: shared windows found, unique text silent, counts exact") {
+    import spark.implicits._
+    val boiler = (1 to 6).map(i => s"b$i").mkString(" ") // 6-token span
+    val d = Seq(
+      (10L, s"alpha $boiler tail one"),
+      (11L, s"beta gamma $boiler tail two"),
+      (12L, s"$boiler $boiler"),   // span repeats INSIDE one doc too
+      (13L, "totally unique text with no repeats at all")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.duplicatedSpans(d, col("text"), col("doc_id"),
+        n = 6, minDocs = 2)
+      .collect().map(x => (x.getAs[String]("fp"), x.getAs[Long]("n_docs"),
+        x.getAs[Long]("n_occ"), x.getAs[Long]("min_doc")))
+    // two 6-grams cross documents: the pure boilerplate span (docs
+    // 10, 11, 12 with two occurrences inside doc 12 ⇒ n_occ 4) and
+    // the suffix window "b2..b6 tail" shared by docs 10 and 11
+    assert(r.length === 2)
+    assert(r.map(x => (x._2, x._3, x._4)).sortBy(-_._1).toSeq
+      === Seq((3L, 4L, 10L), (2L, 2L, 10L)))
+  }
+
   test("TextAnalysis.qualityScore computes token/stopword stats") {
     val r = TextAnalysis.qualityScore(docs).collect()
       .map(x => x.getAs[Long]("doc_id") -> x).toMap

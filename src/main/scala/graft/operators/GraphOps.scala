@@ -441,7 +441,17 @@ object GraphOps {
     *
     * @return (node, deg) — k-core nodes with their core degree
     */
-  def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame =
+    kCoreWithRounds(pairs, k, rounds)._1
+
+  /** [[kCore]] plus the number of peeling rounds actually executed —
+    * the explicit early-exit witness (a converged graph reports fewer
+    * rounds than the cap; the spec asserts on this instead of counting
+    * global job-start events, which AQE subqueries and async listener
+    * delivery make timing-sensitive).
+    */
+  private[graft] def kCoreWithRounds(pairs: DataFrame, k: Int,
+                                     rounds: Int): (DataFrame, Int) = {
     require(k >= 1, s"k ($k) must be >= 1")
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")
     var e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
@@ -464,10 +474,10 @@ object GraphOps {
       prevEdges = n
       r += 1
     }
-    e.select(col("a").as("node"))
+    (e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= k)
+      .filter(col("deg") >= k), r)
   }
 
   /** Oracle for [[kCore]]: the identical peeling rounds as chained

@@ -273,33 +273,100 @@ object Profiling {
     * shuffle join when a high-cardinality grouping would otherwise
     * OOM the driver (hint removal = the frequentPairs discipline).
     *
+    * Scale shape — ONE scan of the data. Both count frames — (g, q)
+    * for the mode, (g, x) for the medians — come out of a single
+    * GROUPING SETS aggregation (the Expand doubles rows map-side but
+    * partial aggregation combines to the two marginal frames before
+    * the shuffle — each at most domain-sized, never the (g,q,x)
+    * triple product), and that union frame is localCheckpoint-ed once
+    * (the chiSquareCells discipline). The mode ranking and the two
+    * median rankings then read local count-frame blocks; the earlier
+    * form rescanned the fact SEVEN times (mode counts + 3 per
+    * [[lowerMedian]] call), which a sf0.1 bench tolerated (column-
+    * pruned scans are near-free there) but which is 7× the dominant
+    * cost at 100 TB — and for a discretized measure the count frame
+    * is DOMAIN-bounded (cents ≈ 10⁷ rows ≈ 100 MB) while the base
+    * grows with n, so the passes touch megabytes where they used to
+    * touch the fact. The MAD's second ranking is inherent — |x − med|
+    * needs med — but it reruns over the count frame, never the base.
+    * `grouping_id()` (1 = x not grouped, 2 = q not grouped) slices
+    * the union apart, so genuine NULL data values cannot be confused
+    * with the Expand's structural NULLs. The eager checkpoint makes
+    * the call non-lazy (it runs the aggregation job immediately) —
+    * the [[chiSquareCells]]/q153 trade, accepted for the 7→1 scan
+    * reduction.
+    *
+    * Ranking path is ADAPTIVE on the materialized count-frame size
+    * (known for free post-checkpoint): within `maxWindowDomain` the
+    * med/mad rankings run as ONE distinct-value cumulative window
+    * each ([[medianFromCounts]], the q127 "window input is D rows,
+    * never N" pattern — ~5 stages on the critical path); above it —
+    * a genuinely continuous measure whose count frame approaches
+    * data size — they degrade to the range-bucketed
+    * [[lowerQuantileW]], which never funnels more than ~D/B rows
+    * through an ordered path. Both paths compute the identical exact
+    * statistic, so the choice is invisible to the oracle.
+    *
     * @return (g, mode_val, med, mad) one row per group
     */
   def robustStats(df: DataFrame, grp: Column,
-                  modeOf: Column, spreadOf: Column): DataFrame = {
-    // The projected base feeds seven passes (mode counts + 3 per
-    // median call) — deliberately NOT persisted: each pass is a
-    // column-pruned parquet scan plus a near-empty shuffle, and the
-    // cache fill costs more than the rescans (the q47 lesson).
+                  modeOf: Column, spreadOf: Column,
+                  maxWindowDomain: Long = DefaultMaxDomain): DataFrame = {
     val v = df.select(grp.as("g"), modeOf.as("q"), spreadOf.as("x"))
+    val cnts = v.groupingSets(
+        Seq(Seq(col("g"), col("q")), Seq(col("g"), col("x"))),
+        col("g"), col("q"), col("x"))
+      .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+      .localCheckpoint(eager = true)
     // mode: counts per distinct (g, q), max-count per group, min
     // tie-break. The per-group max attaches by agg + equi-join, NOT a
     // partitionBy(g) window — with dim-sized |G| a window would
     // funnel the whole distinct-value frame through |G| partitions.
     // No broadcast hint on the |G|-sized frames: AQE broadcasts small
     // ones at runtime and keeps a shuffle join when |G| is large.
-    val mc = v.groupBy("g", "q").agg(count(lit(1)).as("cnt"))
+    val mc = cnts.filter(col("gid") === 1).select("g", "q", "cnt")
+    val xc = cnts.filter(col("gid") === 2)
+      .select(col("g"), col("x"), col("cnt").as("w"))
     val mx = mc.groupBy("g").agg(max("cnt").as("mx"))
     val modes = mc.join(mx, Seq("g"))
       .filter(col("cnt") === col("mx"))
       .groupBy("g").agg(min("q").as("mode_val"))
-    val med = lowerMedian(v.select("g", "x")).withColumnRenamed("med0", "med")
-    val mad = lowerMedian(
-        v.join(med, Seq("g"))
-          .select(col("g"), abs(col("x") - col("med")).as("x")))
-      .withColumnRenamed("med0", "mad")
+    // med/mad as WEIGHTED rankings over the count frame: each distinct
+    // value carries its multiplicity, identical k-th-smallest
+    // semantics without ever re-expanding (or re-scanning) the rows.
+    // The count() is a one-stage job over already-local checkpoint
+    // blocks — the bounded-domain probe the adaptive choice needs.
+    val medOf: DataFrame => DataFrame =
+      if (xc.count() <= maxWindowDomain) medianFromCounts
+      else lowerQuantileW(_, 1L, 2L)
+    val med = medOf(xc).withColumnRenamed("q0", "med")
+    val mad = medOf(
+        xc.join(med, Seq("g"))
+          .select(col("g"), abs(col("x") - col("med")).as("x"), col("w")))
+      .withColumnRenamed("q0", "mad")
     modes.join(med, Seq("g")).join(mad, Seq("g"))
       .select("g", "mode_val", "med", "mad")
+  }
+
+  /** Lower median over a (g, x, w) COUNT frame in one cumulative
+    * window: the smallest x whose running weight reaches
+    * k = (W+1) div 2. Caller contract: the frame is domain-bounded
+    * (the [[robustStats]]/[[madOutliers]] adaptive gate) — the window
+    * input is D distinct-value rows, never the data, so the per-group
+    * funnel is capped by the value domain whatever the row count (the
+    * q127 pattern). Duplicate x rows (an unreduced deviation frame)
+    * are fine: ties share the value, so the first row reaching k
+    * names the right x regardless of how weight splits across them.
+    * Exactly [[lowerQuantileW]] at p = 1/2 — the two paths are
+    * interchangeable statistic-for-statistic.
+    */
+  private[graft] def medianFromCounts(vc: DataFrame): DataFrame = {
+    val cum = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vc.withColumn("__cum", sum("w").over(cum))
+      .withColumn("__n", sum("w").over(Window.partitionBy("g")))
+      .filter(col("__cum") >= call_function("div", col("__n") + lit(1L), lit(2L)))
+      .groupBy("g").agg(min("x").as("q0"))
   }
 
   /** k-th smallest with k = (n+1) div 2 per group: (g, x) → (g, med0).
@@ -456,25 +523,37 @@ object Profiling {
     * value) flags every row off the median — the strictest consistent
     * reading, identical on both engines.
     *
-    * Scale shape: med/mad via the range-bucketed [[lowerMedian]] (the
-    * full data never shuffles — only |G|·B bucket counts and the
-    * target bucket's ~n/B rows), then the |G|-sized stats join back
-    * for the flagging scan with NO forced broadcast hint — AQE
-    * broadcasts small stats frames at runtime and a high-cardinality
-    * grouping degrades to a shuffle join instead of a driver OOM
-    * (the [[robustStats]] contract).
+    * Scale shape — TWO scans of the data, each inherent: one (g, x)
+    * count aggregation (map-side combined, localCheckpoint-ed at
+    * distinct-pair size — med and mad are then weighted rankings over
+    * counts, so the six ranking passes of the earlier form read local
+    * count-frame blocks instead of rescanning the fact), and one
+    * flagging scan over the raw rows (per-row output needs the rows).
+    * The ranking path is adaptive on the materialized count-frame
+    * size, exactly as [[robustStats]]: [[medianFromCounts]] within
+    * `maxWindowDomain`, the range-bucketed [[lowerQuantileW]] above
+    * it. The |G|-sized stats join back with NO forced broadcast
+    * hint — AQE broadcasts small stats frames at runtime and a
+    * high-cardinality grouping degrades to a shuffle join instead of
+    * a driver OOM (the [[robustStats]] contract).
     *
     * @return outlier rows (id, g, x, med, mad)
     */
   def madOutliers(df: DataFrame, grp: Column, id: Column, value: Column,
-                  zTenths: Long = 30L): DataFrame = {
+                  zTenths: Long = 30L,
+                  maxWindowDomain: Long = DefaultMaxDomain): DataFrame = {
     require(zTenths >= 1L, s"zTenths ($zTenths) must be >= 1")
     val v = df.select(grp.as("g"), id.as("id"), value.as("x"))
-    val med = lowerMedian(v.select("g", "x")).withColumnRenamed("med0", "med")
-    val mad = lowerMedian(
-        v.join(med, Seq("g"))
-          .select(col("g"), abs(col("x") - col("med")).as("x")))
-      .withColumnRenamed("med0", "mad")
+    val xc = v.groupBy("g", "x").agg(count(lit(1)).as("w"))
+      .localCheckpoint(eager = true)
+    val medOf: DataFrame => DataFrame =
+      if (xc.count() <= maxWindowDomain) medianFromCounts
+      else lowerQuantileW(_, 1L, 2L)
+    val med = medOf(xc).withColumnRenamed("q0", "med")
+    val mad = medOf(
+        xc.join(med, Seq("g"))
+          .select(col("g"), abs(col("x") - col("med")).as("x"), col("w")))
+      .withColumnRenamed("q0", "mad")
     v.join(med, Seq("g")).join(mad, Seq("g"))
       .filter(lit(100000L) * abs(col("x") - col("med")) >
         lit(zTenths) * lit(14826L) * col("mad"))

@@ -104,13 +104,19 @@ object Similarity {
     * sf1 scaling run) and the whole table is driver-broadcast — so the
     * baseline is GATED like the bounded-domain windows: more than
     * `maxRows` input rows throws with the names of the scale paths
-    * instead of grinding through n²/OOMing the driver. The probe's
-    * count is one columnar scan, noise next to the pair join.
+    * instead of grinding through n²/OOMing the driver. The normed base
+    * is localCheckpoint-ed BEFORE the probe count (the
+    * requireBoundedDomain discipline): an expensive upstream embedding
+    * pipeline is evaluated exactly once, with the probe and both join
+    * sides reading the materialized blocks — not three times (probe +
+    * each side), which is what an unmaterialized probe would cost.
+    * The call is therefore not lazy (the gate runs a job), which a
+    * row-count gate implies anyway.
     */
   def nearDupPairs(emb: DataFrame, threshold: Double,
                    maxRows: Long = 1L << 20): DataFrame = {
     require(maxRows >= 1, s"maxRows ($maxRows) must be >= 1")
-    val base = withNorm(emb)
+    val base = withNorm(emb).localCheckpoint(eager = true)
     val n = base.count()
     if (n > maxRows)
       throw new IllegalArgumentException(

@@ -260,19 +260,66 @@ object EventStream {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        applyEncodingBatch(batch.toDF(), batchId, category, label, stateDir)
+        applyEncodingBatch(batch.toDF(), batchId, category, label, stateDir,
+          streamId = Some(qualifiedPath(batch.sparkSession, checkpointDir)))
       }
       .start()
+
+  /** A filesystem-qualified, canonical form of `dir` — the stable
+    * stream identity stored in [[StreamIdMarker]] (raw strings differ
+    * across relative/absolute spellings of the same checkpoint).
+    */
+  private[graft] def qualifiedPath(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
 
   /** One micro-batch of the [[targetEncodingSink]] fold, exposed so the
     * at-least-once retry path (same batchId re-applied) is directly
     * testable. Idempotent per batchId: a committed version ≥ batchId
     * means the delta is already in the state and the call is a no-op.
+    *
+    * `streamId` (the owning stream's qualified checkpoint path) is
+    * compared against the [[StreamIdMarker]] persisted with the state:
+    * a mismatch means the stateDir belongs to a RETIRED checkpoint and
+    * the fold fails loudly instead of silently contaminating state —
+    * the id-based form of the batch-0 heuristic below, and the only
+    * guard that also catches the retired-checkpoint-committed-only-
+    * version-0 case (where batch ids alone cannot distinguish stale
+    * state from a legitimate batch-0 replay). Absent marker (first
+    * batch, or legacy pre-marker state) is claimed, not rejected.
     */
   private[graft] def applyEncodingBatch(batch: DataFrame, batchId: Long,
                                         category: Column, label: Column,
-                                        stateDir: String): Unit = {
+                                        stateDir: String,
+                                        streamId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    streamId.foreach { id =>
+      val root = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val idPath = new org.apache.hadoop.fs.Path(root, StreamIdMarker)
+      if (fs.exists(idPath)) {
+        val stored = {
+          val buf = new Array[Byte](fs.getFileStatus(idPath).getLen.toInt)
+          val in = fs.open(idPath)
+          try in.readFully(0, buf) finally in.close()
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        }
+        if (stored != id)
+          throw new IllegalStateException(
+            s"targetEncodingSink stateDir '$stateDir' is owned by stream " +
+              s"checkpoint '$stored' but this stream checkpoints at '$id' — " +
+              "the stateDir belongs to a previous checkpoint. Retire " +
+              "stateDir and checkpointDir together (or point the restarted " +
+              "stream at a fresh stateDir).")
+      } else {
+        fs.mkdirs(root)
+        val out = fs.create(idPath, true)
+        try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
     val versions = committedStateVersions(spark, stateDir)
     // A fresh checkpointDir restarts batchIds at 0; committed state
     // versions > 0 can then only mean the stateDir belongs to a RETIRED
@@ -321,9 +368,26 @@ object EventStream {
     */
   private[graft] val CommitMarker = "_GRAFT_COMMIT"
 
+  /** Stream identity marker at the stateDir root: holds the qualified
+    * checkpoint path of the stream that owns this state. A restarted
+    * stream with a DIFFERENT checkpointDir (fresh batchIds) over the
+    * same stateDir is detected by content mismatch and fails loudly at
+    * ANY batchId — including the version-0 ambiguity the batch-0
+    * heuristic below cannot distinguish from a legitimate replay.
+    */
+  private[graft] val StreamIdMarker = "_GRAFT_STREAM_ID"
+
   /** Committed state versions under a [[targetEncodingSink]] stateDir:
-    * `batch=<id>` children whose [[CommitMarker]] exists. A
-    * half-written version (crash mid-write) has no marker and is
+    * `batch=<id>` children whose [[CommitMarker]] exists — or, for
+    * state committed BEFORE the explicit marker existed, parquet's own
+    * `_SUCCESS` (when present it means the job committed; the explicit
+    * marker exists because its emission can be config-disabled, not
+    * because it is untrustworthy when present). Without the legacy
+    * fallback, a stream resuming its checkpoint at batchId N>0 over a
+    * pre-marker stateDir would see zero committed versions and
+    * silently restart the fold from the bare delta — the exact
+    * silent-reset failure the marker change was meant to prevent. A
+    * half-written version (crash mid-write) has neither file and is
     * invisible — the retry's overwrite replaces it.
     */
   private[graft] def committedStateVersions(spark: SparkSession,
@@ -334,7 +398,8 @@ object EventStream {
     else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
       val n = st.getPath.getName
       if (n.startsWith("batch=") &&
-          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, CommitMarker)))
+          (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, CommitMarker)) ||
+           fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))))
         scala.util.Try(n.stripPrefix("batch=").toLong).toOption
       else None
     }

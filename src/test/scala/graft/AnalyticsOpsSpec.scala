@@ -323,6 +323,54 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("robustStats/madOutliers: window and bucket ranking paths agree") {
+    // The adaptive gate picks medianFromCounts under maxWindowDomain
+    // and lowerQuantileW above it; both must compute the identical
+    // exact statistic. maxWindowDomain = 0 forces the bucket path on
+    // the same data the default (window) path sees.
+    val rows = for (g <- 0L until 40L; i <- 0L until 25L)
+      yield (g, (g * 7 + i * 13) % 17, (g * 31 + i * i * 7) % 97)
+    val df = rows.toDF("g0", "q0", "x0")
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("g") ->
+      (r.getAs[Long]("mode_val"), r.getAs[Long]("med"), r.getAs[Long]("mad"))
+    val win = Profiling.robustStats(df, col("g0"), col("q0"), col("x0"))
+      .collect().map(key).toMap
+    val bkt = Profiling.robustStats(df, col("g0"), col("q0"), col("x0"),
+      maxWindowDomain = 0L).collect().map(key).toMap
+    assert(win.size === 40)
+    assert(win === bkt)
+    val winO = Profiling.madOutliers(df, col("g0"), col("q0") * 1000 + col("x0"),
+      col("x0"), zTenths = 10L).collect().map(_.getAs[Long]("id")).toSet
+    val bktO = Profiling.madOutliers(df, col("g0"), col("q0") * 1000 + col("x0"),
+      col("x0"), zTenths = 10L, maxWindowDomain = 0L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(winO === bktO)
+  }
+
+  test("robustStats scans its parquet input once; madOutliers twice") {
+    // The r08-verdict fix: mode + both median rankings derive from ONE
+    // GROUPING SETS count frame (localCheckpoint-ed), so the returned
+    // plan reads only checkpoint blocks — the single parquet scan
+    // happened in the checkpoint-fill job. madOutliers keeps exactly
+    // one parquet scan in the returned plan: the per-row flagging pass.
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.tables.Tables.lineitem(spark, dir)
+    def parquetScans(df: org.apache.spark.sql.DataFrame): Int = {
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(l => l.contains("Scan parquet") || l.contains("FileScan"))
+    }
+    val rs = Profiling.robustStats(li, col("l_returnflag"),
+      floor(col("l_quantity")).cast("long"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+    assert(parquetScans(rs) === 0,
+      "robustStats result must read only the checkpointed count frame")
+    val mo = Profiling.madOutliers(li, col("l_returnflag"), col("l_orderkey"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+    assert(parquetScans(mo) === 1,
+      "madOutliers result must rescan the input only for the flagging pass")
+  }
+
   test("ksDriftFromCounts == ksDrift on the same slices") {
     val a = Seq(1L, 1L, 2L, 3L, 5L, 5L, 5L).toDF("x0")
     val b = Seq(1L, 2L, 2L, 4L, 4L, 6L).toDF("x0")
@@ -440,30 +488,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(deg === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
   }
 
-  test("kCore: early exit — a huge round cap costs no more jobs than convergence needs") {
+  test("kCore: early exit — a huge round cap stops at convergence") {
     // a triangle IS its own 2-core: round 1 removes nothing, so the
-    // peeling loop must stop there even with a 200-round cap. Each
-    // round costs ≥ 2 Spark jobs (eager checkpoint + count probe), so
-    // the pre-early-exit formulation would pay ≥ 200 jobs here; the
-    // early-exit one pays input-checkpoint + count + one round + the
-    // final collect. Job-start events are delivered async — the settle
-    // sleep lets stragglers arrive so the upper bound is meaningful.
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      val tri = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("doc_a", "doc_b")
-      val out = GraphOps.kCore(tri, k = 2, rounds = 200).collect()
-      assert(out.map(_.getAs[Long]("node")).toSet === Set(0L, 1L, 2L))
-      Thread.sleep(1000)
-      assert(jobs.get() < 20,
-        s"expected early exit after 1 converged round, saw ${jobs.get()} jobs")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    // peeling loop must stop there even with a 200-round cap. The
+    // explicit round counter is the early-exit witness — deterministic,
+    // unlike counting global job-start events (AQE subquery jobs +
+    // async listener delivery made that bound timing-sensitive).
+    val tri = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val (core, rounds) = GraphOps.kCoreWithRounds(tri, k = 2, rounds = 200)
+    assert(core.collect().map(_.getAs[Long]("node")).toSet === Set(0L, 1L, 2L))
+    assert(rounds === 1,
+      s"expected early exit after 1 converged round, ran $rounds")
+    // a 3-chain peels from both ends: round 1 drops the endpoints,
+    // round 2 drops the middle pair, round 3 proves the empty fixpoint
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val (core2, rounds2) = GraphOps.kCoreWithRounds(chain, k = 2, rounds = 200)
+    assert(core2.count() === 0L)
+    assert(rounds2 <= 3, s"chain should converge in <= 3 rounds, ran $rounds2")
   }
 
   // ------------------------------------------------------ quantile bands

@@ -764,6 +764,68 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("previous checkpoint"))
   }
 
+  test("committedStateVersions: legacy _SUCCESS-only versions stay visible") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-tenc-legacy")
+      .toString + "/state"
+    val label = (col("value") >= 0.5).cast("int")
+    def ev(eid: Long, et: String, v: Double) =
+      Seq((eid, 1700000000000000000L + eid, 20L, et, v, null: String))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    EventStream.applyEncodingBatch(ev(1L, "view", 1.0), 0L,
+      col("event_type"), label, stateDir)
+    EventStream.applyEncodingBatch(ev(2L, "view", 0.0), 1L,
+      col("event_type"), label, stateDir)
+    // simulate state committed BEFORE the explicit marker existed:
+    // parquet's _SUCCESS remains, _GRAFT_COMMIT never written
+    Seq(0L, 1L).foreach { v =>
+      val m = java.nio.file.Paths.get(stateDir, s"batch=$v", "_GRAFT_COMMIT")
+      assert(java.nio.file.Files.deleteIfExists(m))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(stateDir, s"batch=$v", "_SUCCESS")))
+    }
+    // legacy versions must stay visible — a resume at batchId 2 folds
+    // into the accumulated state instead of silently restarting the
+    // fold from the bare delta
+    assert(EventStream.committedStateVersions(spark, stateDir).sorted
+      === Seq(0L, 1L))
+    EventStream.applyEncodingBatch(ev(3L, "view", 1.0), 2L,
+      col("event_type"), label, stateDir)
+    val state = EventStream.latestEncodingState(spark, stateDir).get
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("sum_v"))).toSeq
+    assert(state === Seq(("view", 3L, 2L)))
+  }
+
+  test("targetEncodingSink: stream-id mismatch fails loudly at any batchId") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-tenc-sid")
+      .toString + "/state"
+    val label = (col("value") >= 0.5).cast("int")
+    val b = Seq((1L, 1700000000000000000L, 20L, "view", 1.0, null: String))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // stream A claims the stateDir and commits ONLY version 0 — the
+    // batch-id heuristic cannot tell this retired state from a
+    // legitimate batch-0 replay; the persisted stream id can
+    EventStream.applyEncodingBatch(b, 0L, col("event_type"), label, stateDir,
+      streamId = Some("file:/ckpt/A"))
+    // same stream resumes fine, any batch
+    EventStream.applyEncodingBatch(b, 1L, col("event_type"), label, stateDir,
+      streamId = Some("file:/ckpt/A"))
+    // a NEW stream (fresh checkpoint) over the same stateDir: batch 0
+    // replay AND later batches both throw
+    Seq(0L, 5L).foreach { bid =>
+      val e = intercept[IllegalStateException] {
+        EventStream.applyEncodingBatch(b, bid, col("event_type"), label,
+          stateDir, streamId = Some("file:/ckpt/B"))
+      }
+      assert(e.getMessage.contains("previous checkpoint"))
+    }
+    // and the state was never contaminated by the rejected stream
+    assert(EventStream.latestEncodingState(spark, stateDir).get
+      .collect().map(r => r.getAs[Long]("cnt")).sum === 2L)
+  }
+
   test("scd2Stream: equal-timestamp smaller-tie cross-batch event is late") {
     // A cross-batch arrival with ts EQUAL to the open version's
     // valid_from but a smaller event_id precedes the opener in the

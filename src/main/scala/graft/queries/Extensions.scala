@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Fns
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Dedup, Diff, GraphOps, ProductAnalytics, RangeJoin, Scd, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Diff, GraphOps, ProductAnalytics, RangeJoin, Scd, Similarity, TextAnalysis, Tokenizer}
 import graft.serving.SafeSql
 import graft.queries.Parity.Q
 import graft.tables.Tables
@@ -2845,6 +2845,31 @@ object Extensions {
       .orderBy("fp"),
     Some(TextAnalysis.duplicatedSpansOracle()))
 
+  /** BPE tokenizer training ([[graft.operators.Tokenizer.bpeTrain]]) —
+    * deterministic byte-pair-merge vocabulary induction: 8 merge
+    * rounds over the word-count frame, each round's argmax pair
+    * selected by exact weighted count with a (l, r) tie-break. The
+    * corpus is read ONCE (word-count shuffle); every round is
+    * vocab-frame-sized. Oracle replays the rounds as chained CTEs.
+    */
+  private val q169 = Q("q169_bpe_train",
+    (s, d) => Tokenizer.bpeTrain(Tables.documents(s, d), col("text"),
+        merges = 8)
+      .orderBy("rank"),
+    Some(Tokenizer.bpeTrainOracle(merges = 8)))
+
+  /** BPE encoding of the training corpus
+    * ([[graft.operators.Tokenizer.bpeTokenFrequencies]]) — token
+    * frequencies after the 8 learned merges, i.e. the trained
+    * tokenizer applied back to its corpus; Σ freq·len(tok) conserves
+    * the corpus's character mass (spec-pinned law).
+    */
+  private val q170 = Q("q170_bpe_token_freqs",
+    (s, d) => Tokenizer.bpeTokenFrequencies(Tables.documents(s, d),
+        col("text"), merges = 8)
+      .orderBy("tok"),
+    Some(Tokenizer.bpeTokenFrequenciesOracle(merges = 8)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2858,5 +2883,5 @@ object Extensions {
     q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-    q162, q163, q164, q165, q166, q167, q168)
+    q162, q163, q164, q165, q166, q167, q168, q169, q170)
 }

@@ -443,6 +443,45 @@ object EventStream {
     latestEncodingState(spark, stateDir)
       .map(_.select(col("k").as("x"), col("cnt").as("c")))
 
+  /** Streaming weighted-sample maintainer, write side (12th
+    * stream≡batch twin): fold the live stream's (id, weight) ledger
+    * into versioned exactly-once state — the [[targetEncodingSink]]
+    * machinery keyed by the ROW ID, so the state row (k=id, cnt,
+    * sum_v=w) is the row's weight-line entry. The ledger is the
+    * minimal sufficient statistic for exact systematic PPS: selection
+    * depends on every row's position on the global md5-ordered weight
+    * line and on the total weight, so ANY exact without-replacement
+    * PPS over a stream must retain (id, w) per row — but never the
+    * event payload, the history is never re-read, and each
+    * micro-batch folds one narrow delta (one outer join on id, the
+    * q143 incremental-view step). Caller contract mirrors
+    * [[graft.operators.Sampling.systematicSample]]: ids unique across
+    * the stream's life (a re-sent id would fold its weight twice —
+    * deduplicate upstream with [[dedupStream]]).
+    */
+  def weightedSampleSink(stream: DataFrame, id: Column, weight: Column,
+                         stateDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    targetEncodingSink(stream, id, weight, stateDir, checkpointDir)
+
+  /** Read side of [[weightedSampleSink]]: the deterministic systematic
+    * PPS sample of everything the stream has delivered so far. After
+    * ANY stream prefix, `latestWeightedSample(state, k)` equals
+    * [[graft.operators.Sampling.systematicSample]] over the same rows
+    * exactly (spec-asserted under multi-trigger delivery) — the
+    * operator's no-RNG determinism is what makes the maintained
+    * sample REPLAYABLE: re-running the batch sampler over the
+    * archived corpus reproduces bit-identically the subsample the
+    * stream served.
+    */
+  def latestWeightedSample(spark: SparkSession, stateDir: String,
+                           k: Int): Option[DataFrame] =
+    latestEncodingState(spark, stateDir).map { st =>
+      graft.operators.Sampling.systematicSample(
+        st.select(col("k").as("id"), col("sum_v").as("w")),
+        col("id"), col("w"), k)
+    }
+
   final case class Ev(event_id: Long, user_id: Long, ts_us: Long,
                       event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, session_start_us: Long,

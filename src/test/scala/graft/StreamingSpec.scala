@@ -746,6 +746,52 @@ class StreamingSpec extends SparkSpec {
     assert(viaState.head._4 > 0.0)
   }
 
+  test("weightedSampleSink: maintained PPS sample equals the batch sampler " +
+      "after every delivery prefix") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wsamp-src")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-wsamp-state")
+      .toString + "/state"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wsamp-ck").toString
+    def stage(name: String, rows: Seq[(Long, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-wsamp-t")
+      rows.map { case (eid, v) =>
+        (eid, 1700000000000000000L + eid, 20L, "view", v, null: String) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = firstParquet(tmp)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dir.resolve(name))
+    }
+    val w = (floor(col("value") * 100) + lit(1)).cast("long")
+    val k = 3
+    def sampleRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("w"), r.getAs[Long]("cum")))
+      .toSet
+    def batchSample() = sampleRows(graft.operators.Sampling.systematicSample(
+      spark.read.parquet(dir.toString), col("event_id"), w, k))
+
+    stage("a.parquet", Seq((1L, 0.17), (2L, 0.83), (3L, 0.41), (4L, 0.64)))
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = EventStream.weightedSampleSink(stream, col("event_id"), w,
+      stateDir, ckpt)
+    try {
+      q.processAllAvailable()
+      // prefix 1: the maintained sample == the batch sampler over the
+      // rows delivered so far, bit-identical (id, w, cum)
+      assert(sampleRows(EventStream.latestWeightedSample(spark, stateDir, k).get)
+        === batchSample())
+      // two more deliveries (separate triggers via maxFilesPerTrigger=1)
+      stage("b.parquet", Seq((5L, 0.92), (6L, 0.05)))
+      stage("c.parquet", Seq((7L, 0.33), (8L, 0.71), (9L, 0.58)))
+      q.processAllAvailable()
+      val maintained = sampleRows(
+        EventStream.latestWeightedSample(spark, stateDir, k).get)
+      assert(maintained === batchSample())
+      assert(maintained.nonEmpty)
+    } finally q.stop()
+  }
+
   test("targetEncodingSink: fresh checkpoint over a stale stateDir fails loudly") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("graft-tenc-stale")

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Tokenizer
+
+/** BPE tokenizer training — hand-computed merge sequences (including
+  * the adjacent-repeat greedy case the doubled-separator replace must
+  * get right), partitioning invariance, the mass-conservation law, and
+  * both loud failure gates.
+  */
+class TokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // words: aaa ×2, ab ×3, b ×1
+  private def corpus: DataFrame =
+    Seq("aaa aaa ab", "ab ab b").toDF("text")
+
+  test("bpeTrain replays hand-computed greedy merges (adjacent repeats)") {
+    // r1: (a,a) weighted 4 (two per "aaa" occurrence) beats (a,b) 3;
+    //     greedy left-to-right merges "aaa" to [aa, a], NOT [a, aa].
+    // r2: (a,b) 3 beats (aa,a) 2.  r3: (aa,a) 2 is all that remains.
+    val got = Tokenizer.bpeTrain(corpus, col("text"), merges = 3)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq((1, "a", "a", 4L), (2, "a", "b", 3L),
+      (3, "aa", "a", 2L)))
+  }
+
+  test("bpeTokenFrequencies: encoded corpus + character-mass conservation") {
+    val toks = Tokenizer.bpeTokenFrequencies(corpus, col("text"), merges = 3)
+      .orderBy("tok").as[(String, Long)].collect().toSeq
+    assert(toks === Seq(("aaa", 2L), ("ab", 3L), ("b", 1L)))
+    // Σ freq·len(tok) == total [a-z] characters, at EVERY merge depth.
+    val totalChars = corpus
+      .select(sum(length(regexp_replace(lower(col("text")), "[^a-z]", ""))))
+      .as[Long].first()
+    for (m <- 1 to 3) {
+      val mass = Tokenizer.bpeTokenFrequencies(corpus, col("text"), m)
+        .select(sum(col("freq") * length(col("tok")))).as[Long].first()
+      assert(mass === totalChars, s"mass not conserved at merges=$m")
+    }
+  }
+
+  test("merge table is invariant under input partitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Tokenizer.bpeTrain(docs, col("text"), merges = 5)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    val b = Tokenizer.bpeTrain(docs.repartition(7), col("text"), merges = 5)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(a === b)
+    assert(a.size === 5)
+  }
+
+  test("maxWords gate fails loudly on an unbounded word domain") {
+    val e = intercept[IllegalArgumentException] {
+      Tokenizer.bpeTrain(corpus, col("text"), merges = 1, maxWords = 2L)
+    }
+    assert(e.getMessage.contains("maxWords"))
+    assert(e.getMessage.contains("Pre-filter"))
+  }
+
+  test("merge-depth exhaustion fails loudly, not silently short") {
+    val e = intercept[IllegalArgumentException] {
+      Tokenizer.bpeTrain(corpus, col("text"), merges = 4)
+    }
+    assert(e.getMessage.contains("fully merged after 3 rounds"))
+  }
+}

@@ -13,7 +13,19 @@ Text and embeddings are perturbed deterministically per copy (every
 7th token replaced / one dimension nudged) so near-dup and ANN
 workloads don't degenerate into 10-cliques of identical content.
 
-Usage: python3 scripts/gen_sf_scale.py [copies] [outDir]
+With --widen, measure VALUE columns are also offset per copy so value
+DOMAINS scale with the data instead of staying constant: the r08
+verdict noted key-shifted copies can never exercise the maxDomain
+gates (count-frame operators see a constant domain whatever the row
+count). Offsets are chosen per column class: integer-band shifts for
+deliberately-discretized measures (l_quantity + i*50 keeps each copy
+in its own band → domain ×copies, still tiny), fractional shifts for
+near-continuous measures (l_extendedprice, o_totalprice, value →
+distincts ≈ rows, the shape the gates exist to refuse). All offsets
+are exact in double (≤2 decimal places over small magnitudes), so the
+Spark-vs-DuckDB oracle gates stay bit-clean on the widened fixture.
+
+Usage: python3 scripts/gen_sf_scale.py [copies] [outDir] [--widen]
 Defaults: 10 /tmp/graft_sf1
 """
 import sys
@@ -24,8 +36,18 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+WIDEN = "--widen" in sys.argv
+args = [a for a in sys.argv[1:] if a != "--widen"]
+COPIES = int(args[0]) if len(args) > 0 else 10
+OUT = args[1] if len(args) > 1 else "/tmp/graft_sf1"
+
+# per-copy value offsets (applied only with --widen); {i} = copy index
+WIDEN_OFFSETS = {
+    "orders": {"o_totalprice": "o_totalprice + {i} * 7.25"},
+    "lineitem": {"l_quantity": "l_quantity + {i} * 50",
+                 "l_extendedprice": "l_extendedprice + {i} * 937.75"},
+    "events": {"value": "value + {i} * 0.25"},
+}
 
 con = duckdb.connect()
 
@@ -38,8 +60,11 @@ def mx(table, col):
 def copy_union(table, shifted, plain):
     """COPY a UNION ALL of `COPIES` key-shifted selects to parquet."""
     selects = []
+    widen = WIDEN_OFFSETS.get(table, {}) if WIDEN else {}
     for i in range(COPIES):
-        cols = [f"{c} + {i} * {off + 1} AS {c}" for c, off in shifted] + plain
+        cols = [f"{c} + {i} * {off + 1} AS {c}" for c, off in shifted] + [
+            f"{widen[c].format(i=i)} AS {c}" if c in widen else c
+            for c in plain]
         selects.append(
             f"SELECT {', '.join(cols)} FROM '{SRC}/{table}.parquet'")
     con.sql(f"COPY ({' UNION ALL '.join(selects)}) TO "

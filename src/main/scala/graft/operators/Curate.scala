@@ -167,4 +167,77 @@ object Curate {
        |WHERE ${TextAnalysis.hash60Sql("hx")} < ${TextAnalysis.sampleThreshold(fraction)}
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Deterministic proportional source-interleaved training order —
+    * the shard-writing stage of a mixture pipeline: every source's
+    * documents are spread EVENLY across the global output order
+    * (source i's r-th document lands at fraction (r−1)/|i| of the
+    * stream), so a training run consuming any prefix sees every
+    * source at its corpus proportion instead of source-sized blocks.
+    * Within a source the order is the md5(id) line — a deterministic
+    * "shuffle" with no RNG state, reproducible on any engine and any
+    * partitioning (the [[Sampling.systematicSample]] order).
+    *
+    * The interleave key is pure BIGINT arithmetic:
+    * pos_key = ⌊(r−1)·10⁹ / cnt⌋ — integer division, identical on
+    * both engines, no floats. Caller contract (the sampler's W·k
+    * discipline): (cnt−1)·10⁹ must fit int64, i.e. < ~9.2 × 10⁹ rows
+    * per source — beyond that Spark's ANSI arithmetic fails loudly.
+    *
+    * Scale shape: the per-source rank r is the TWO-PHASE cumulative
+    * count over the 256 md5-prefix buckets (per-(source, bucket)
+    * counts → bucket offsets by a window over that tiny frame → a
+    * within-bucket row_number partitioned by (source, bucket)) — the
+    * source-wide order never materializes as one window partition;
+    * the bucket is the order's own leading prefix, so offset +
+    * within-bucket rank IS the source rank exactly. Per-source totals
+    * are a |G|-sized frame joined hint-free (AQE decides). The final
+    * top-`take` is sort+limit = TakeOrderedAndProject, k-bounded.
+    *
+    * @return (source, id, r, pos_key) — the first `take` rows of the
+    *         interleaved order
+    */
+  def interleavedOrder(df: DataFrame, src: Column, id: Column,
+                       take: Int, scale: Long = 1000000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(take >= 1, s"take ($take) must be >= 1")
+    val v = df.select(src.as("source"), id.as("id"),
+        md5(id.cast("string")).as("h"))
+      .withColumn("b", substring(col("h"), 1, 2))
+    val perB = v.groupBy("source", "b").agg(count(lit(1)).as("bn"))
+    val wOff = Window.partitionBy("source").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = perB
+      .withColumn("off", coalesce(sum("bn").over(wOff), lit(0L)))
+      .select(col("source"), col("b"), col("off"))
+    val tot = perB.groupBy("source").agg(sum("bn").as("cnt"))
+    val wRk = Window.partitionBy("source", "b").orderBy("h", "id")
+    v.join(offs, Seq("source", "b"))
+      .withColumn("r", col("off") + row_number().over(wRk).cast("long"))
+      .join(tot, Seq("source"))
+      .withColumn("pos_key",
+        call_function("div", (col("r") - 1) * scale, col("cnt")))
+      .orderBy(col("pos_key"), col("source"), col("id"))
+      .limit(take)
+      .select("source", "id", "r", "pos_key")
+  }
+
+  /** Oracle for [[interleavedOrder]]: per-source windows over the same
+    * md5 order (oracle-side single windows — gate scale only).
+    * `vSql` must yield (source, id).
+    */
+  def interleavedOrderOracle(vSql: String, take: Int,
+                             scale: Long = 1000000000L): String =
+    s"""WITH v AS (
+       |  SELECT source, id, MD5(CAST(id AS VARCHAR)) AS h FROM ($vSql)),
+       |rr AS (
+       |  SELECT source, id, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY source ORDER BY h, id) AS BIGINT) AS r
+       |  FROM v),
+       |t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt
+       |      FROM v GROUP BY source)
+       |SELECT rr.source, rr.id, rr.r,
+       |  ((rr.r - 1) * $scale) // t.cnt AS pos_key
+       |FROM rr JOIN t ON rr.source = t.source
+       |ORDER BY pos_key, rr.source, rr.id LIMIT $take""".stripMargin
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -303,6 +304,112 @@ object Dedup {
        |FROM v
        |WHERE CAST(LEN(LIST_INTERSECT(sh_a, sh_b)) AS DOUBLE)
        |    / (n_a + n_b - LEN(LIST_INTERSECT(sh_a, sh_b))) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------- n-gram containment
+
+  /** Asymmetric n-gram CONTAINMENT pairs — quote/excerpt detection,
+    * the directional sibling of [[ngramJaccardPairs]]:
+    * C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≥ τ finds documents
+    * A substantially REUSED inside B even when B is much longer (a
+    * case Jaccard's symmetric denominator suppresses — a 30-token
+    * quote inside a 3000-token article has J ≈ 0.01 but C = 1.0).
+    * Both directions of every pair are examined; output is directed.
+    *
+    * Full recall, no heuristics: C(A→B) ≥ τ needs overlap
+    * ≥ ⌈τ·|A|⌉, so if B misses ALL of A's |A| − ⌈τ·|A|⌉ + 1 rarest
+    * grams (the PPJoin prefix), the bound is unreachable — candidates
+    * are A-prefix ⋈ FULL B-side gram index (containment admits no
+    * B-side prefix: |B| is unconstrained). Same floor-slack prefix as
+    * Jaccard (recall-safe under IEEE rounding) plus the containment
+    * length filter |B| + 1 ≥ τ·|A| as a join residual. Exact
+    * verification via the codegen sorted-merge intersect restores
+    * precision.
+    *
+    * Scale shape: gram stream explodes once and serves both the df
+    * table and both join sides off one persisted base; the candidate
+    * join is an equi-join on the 64-bit gram hash. The B side is the
+    * full posting list — the inverted-index build a curation pipeline
+    * shares across probes — so candidate volume is Σ_gram
+    * df_prefix(g)·df(g), kept sane by prefix grams being the RAREST
+    * (low df) by construction.
+    *
+    * @return (doc_a, doc_b, inter, containment): grams of doc_a found
+    *         in doc_b, fraction of doc_a's grams covered — C ≥ τ
+    */
+  def containmentPairs(docs: DataFrame, content: Column, id: Column,
+                       n: Int = 3, threshold: Double = 0.7): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold ($threshold) must be in (0, 1]")
+    val base = shingledDocs(docs, content, id, n, dropShort = false)
+      .withColumn("sh", array_sort(col("sh")))
+      .withColumn("n_sh", size(col("sh")).cast(LongType))
+      .filter(col("n_sh") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    selfCleaning(base) {
+      val exploded = base
+        .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("g"))
+      val dfTable = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+      val prefixLen = (col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
+      val prefix = exploded.join(dfTable, "g")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+        .filter(col("rk") <= prefixLen)
+        .select(col("doc_id"), col("n_sh"), col("g"))
+      val cand = prefix.as("a")
+        .join(exploded.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id")
+            && col("b.n_sh") + 1 >= lit(threshold) * col("a.n_sh"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sh = base.select(col("doc_id"), col("sh"), col("n_sh"))
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+          col("n_sh").as("n_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          Seq("doc_b"))
+        .withColumn("inter", sortedIntersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("containment",
+          col("inter").cast(DoubleType) / col("n_a"))
+        .filter(col("containment") >= threshold)
+        .select("doc_a", "doc_b", "inter", "containment")
+    }
+  }
+
+  /** Oracle for [[containmentPairs]]: same prefix filter on strings
+    * (df order), full B-side postings, exact list-intersect verify.
+    */
+  def containmentPairsOracle(n: Int, threshold: Double): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${shinglesSql(n)} AS sh
+       |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks FROM documents)),
+       |b AS (SELECT doc_id, sh, CAST(LEN(sh) AS BIGINT) AS n_sh
+       |      FROM t WHERE LEN(sh) > 0),
+       |ex AS (SELECT doc_id, n_sh, UNNEST(sh) AS s FROM b),
+       |wdf AS (
+       |  SELECT ex.doc_id, ex.n_sh, ex.s, d.df
+       |  FROM ex JOIN (SELECT s, COUNT(*) AS df FROM ex GROUP BY s) d
+       |    ON ex.s = d.s),
+       |pfx AS (
+       |  SELECT doc_id, s, n_sh FROM (
+       |    SELECT doc_id, s, n_sh,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, s) AS rk
+       |    FROM wdf)
+       |  WHERE rk <= n_sh - FLOOR($threshold * n_sh) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+       |  FROM pfx a JOIN ex bb ON a.s = bb.s AND a.doc_id != bb.doc_id
+       |    AND bb.n_sh + 1 >= $threshold * a.n_sh),
+       |v AS (
+       |  SELECT doc_a, doc_b, sa.n_sh AS n_a,
+       |    CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS BIGINT) AS inter
+       |  FROM cand
+       |  JOIN b sa ON doc_a = sa.doc_id
+       |  JOIN b sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, inter,
+       |  CAST(inter AS DOUBLE) / n_a AS containment
+       |FROM v WHERE CAST(inter AS DOUBLE) / n_a >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Benchmark decontamination — the training-data counterpart of

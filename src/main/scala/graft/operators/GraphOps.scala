@@ -510,6 +510,89 @@ object GraphOps {
        |ORDER BY node""".stripMargin
   }
 
+  /** Synchronous label propagation over an undirected pair list
+    * (doc_a < doc_b, the near-dup convention) — community detection
+    * for near-dup cluster splitting / co-occurrence grouping, the
+    * lighter-weight alternative to modularity methods at corpus scale.
+    *
+    * Every node starts labeled with its own id; each round every node
+    * adopts the most frequent label among its neighbors, ties broken
+    * by the SMALLEST label — a total deterministic update rule, so a
+    * fixed round count yields the identical labeling on any engine and
+    * any partitioning (synchronous LPA can oscillate on bipartite
+    * structure; fixed rounds make even that state well-defined).
+    *
+    * Scale shape: per round ONE equi-join of the (node, nbr) adjacency
+    * against the |V|-sized label frame and ONE (node, label)
+    * aggregation — the argmax is `min_by` over a struct, a pure
+    * map-side-combinable aggregate, NO per-node window anywhere (a
+    * hub's neighbor-label multiset never materializes as a sorted
+    * partition). Each round's label frame is localCheckpoint-ed: the
+    * kCore discipline — a lazy fold would re-derive round i−1 once
+    * per downstream reference, and checkpointing caps lineage at one
+    * round. The adjacency is materialized once up front (it is
+    * typically an expensive pair pipeline referenced every round).
+    *
+    * @return (node, community) — final label per node, both BIGINT
+    */
+  def labelPropagation(pairs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    val adj = pairs
+      .select(col("doc_a").cast("long").as("n"),
+        col("doc_b").cast("long").as("nbr"))
+      .unionAll(pairs.select(col("doc_b").cast("long").as("n"),
+        col("doc_a").cast("long").as("nbr")))
+      .localCheckpoint(eager = true)
+    try {
+      val l0 = adj.select(col("n").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      val last = (1 to rounds).foldLeft(l0) { (labels, _) =>
+        adj.join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
+          .groupBy(col("n"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+          // argmax by (cnt desc, lbl asc) as a single aggregate:
+          // min of (-cnt, lbl) lexicographically — counts are
+          // positive, so -cnt cannot overflow
+          .groupBy(col("n").as("node"))
+          .agg(min(struct((-col("cnt")).as("neg"), col("lbl")))
+            .getField("lbl").as("lbl"))
+          .localCheckpoint(eager = true)
+      }
+      last.select(col("node"), col("lbl").as("community"))
+    } finally { adj.unpersist(blocking = false); () }
+  }
+
+  /** Oracle for [[labelPropagation]]: the identical synchronous rounds
+    * as chained MATERIALIZED CTEs (the [[kCoreOracle]] discipline —
+    * each round references its predecessor, and an inlining planner
+    * would re-evaluate the pair-producing `edgesSql` exponentially).
+    * The argmax is a ROW_NUMBER window oracle-side (gate scale only).
+    * `edgesSql` must yield (doc_a, doc_b).
+    */
+  def labelPropagationOracle(edgesSql: String, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT adj.n, l.lbl, COUNT(*) AS cnt
+         |  FROM adj JOIN l${i - 1} l ON l.node = adj.nbr
+         |  GROUP BY adj.n, l.lbl),
+         |l$i AS MATERIALIZED (
+         |  SELECT n AS node, lbl FROM (
+         |    SELECT n, lbl, ROW_NUMBER() OVER (
+         |      PARTITION BY n ORDER BY cnt DESC, lbl) AS rk
+         |    FROM c$i)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($edgesSql),
+       |adj AS MATERIALIZED (
+       |  SELECT CAST(doc_a AS BIGINT) AS n, CAST(doc_b AS BIGINT) AS nbr
+       |  FROM e
+       |  UNION ALL
+       |  SELECT CAST(doc_b AS BIGINT), CAST(doc_a AS BIGINT) FROM e),
+       |l0 AS (SELECT DISTINCT n AS node, n AS lbl FROM adj),
+       |$steps
+       |SELECT node, lbl AS community FROM l$rounds ORDER BY node""".stripMargin
+  }
+
   /** Oracle wrapper: `edgesSql` must yield (doc_a, doc_b) with
     * doc_a < doc_b.
     */

@@ -1240,6 +1240,71 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
   }
 
+  // -------------------------------------------- positional inverted index
+
+  /** Positional inverted index over the corpus: one (term, doc_id,
+    * pos) posting per token occurrence, positions 1-based. This is
+    * the standing search structure a corpus pipeline builds ONCE and
+    * probes many times ([[phraseSearch]]) — at scale it is written
+    * bucketed/sorted by term, so a probe's term filter prunes to the
+    * queried postings instead of rescanning the text.
+    */
+  def positionalIndex(docs: DataFrame, content: Column,
+                      id: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+        posexplode(tokens(content)).as(Seq("pos0", "term")))
+      .select(col("term"), col("doc_id"), (col("pos0") + 1).as("pos"))
+
+  /** Exact token-aligned phrase search over a [[positionalIndex]]:
+    * occurrences of the consecutive-token phrase per document.
+    *
+    * Shape: filter the index to the phrase's terms FIRST (on a
+    * term-bucketed index this touches only the phrase's postings —
+    * the inverted-index point), then chain equi-joins on
+    * (doc_id, pos − offset): occurrence positions of term i must sit
+    * exactly i after term 0. Every join is an equi-join on the same
+    * (doc_id, aligned-pos) key shape — hash-partitioned, nothing
+    * positional ever sorts globally. Overlapping occurrences are
+    * counted (each start position independently), matching the
+    * positional-join semantics on any engine.
+    *
+    * @return (doc_id, hits) for documents with ≥ 1 occurrence
+    */
+  def phraseSearch(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val starts = phrase.zipWithIndex.map { case (w, i) =>
+      index.filter(col("term") === w)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    starts.reduce(_.join(_, Seq("doc_id", "start")))
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+  }
+
+  /** Oracle for [[positionalIndex]] + [[phraseSearch]]: the identical
+    * positional join via a lateral RANGE unnest (1-based, like the
+    * [[duplicatedSpansOracle]] idiom).
+    */
+  def phraseSearchOracle(phrase: Seq[String]): String = {
+    val p0 = phrase.head.replace("'", "''")
+    val joins = phrase.zipWithIndex.tail.map { case (w, i) =>
+      s"""JOIN p p$i ON p$i.doc_id = p0.doc_id
+         |  AND p$i.pos = p0.pos + $i AND p$i.term = '${w.replace("'", "''")}'"""
+        .stripMargin
+    }.mkString("\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS t
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, i AS pos, t[i] AS term
+       |  FROM toks, UNNEST(RANGE(1, LEN(t) + 1)) AS u(i)),
+       |m AS (
+       |  SELECT p0.doc_id FROM p p0
+       |  $joins
+       |  WHERE p0.term = '$p0')
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracle for [[duplicatedSpans]]: the identical hashed windows via
     * a lateral RANGE unnest (both engines slice 1-based inclusive).
     */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Fns
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Dedup, Diff, GraphOps, ProductAnalytics, RangeJoin, Scd, Similarity, TextAnalysis, Tokenizer}
+import graft.operators.{AsOfJoin, Curate, Dedup, Diff, GraphOps, ProductAnalytics, RangeJoin, Scd, Similarity, TextAnalysis, Tokenizer}
 import graft.serving.SafeSql
 import graft.queries.Parity.Q
 import graft.tables.Tables
@@ -2605,35 +2605,41 @@ object Extensions {
     * leaves a no-op margin; the SimHash near-dup graph was tried first
     * and has NO 2-core at this SF — all pairs are isolated edges).
     */
+  /** Shared item co-occurrence edge build (q156, q171): frequent
+    * part-pairs within orders — the basket graph whose communities /
+    * cores the graph queries extract.
+    */
+  private def frequentPairEdges(s: SparkSession, d: String): DataFrame =
+    ProductAnalytics.frequentPairs(
+        Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"),
+        minItemSupport = 25, minPairSupport = 2)
+      .select(col("item_a").as("doc_a"), col("item_b").as("doc_b"))
+
+  private val frequentPairEdgesSql: String =
+    """SELECT a.item AS doc_a, b.item AS doc_b
+      |FROM (SELECT bi.basket, bi.item
+      |      FROM (SELECT DISTINCT l_orderkey AS basket,
+      |                            l_partkey AS item FROM lineitem) bi
+      |      JOIN (SELECT item
+      |            FROM (SELECT DISTINCT l_orderkey AS basket,
+      |                                  l_partkey AS item FROM lineitem)
+      |            GROUP BY item HAVING COUNT(*) >= 25) f
+      |        USING (item)) a
+      |JOIN (SELECT bi.basket, bi.item
+      |      FROM (SELECT DISTINCT l_orderkey AS basket,
+      |                            l_partkey AS item FROM lineitem) bi
+      |      JOIN (SELECT item
+      |            FROM (SELECT DISTINCT l_orderkey AS basket,
+      |                                  l_partkey AS item FROM lineitem)
+      |            GROUP BY item HAVING COUNT(*) >= 25) f
+      |        USING (item)) b
+      |  ON a.basket = b.basket AND a.item < b.item
+      |GROUP BY a.item, b.item HAVING COUNT(*) >= 2""".stripMargin
+
   private val q156 = Q("q156_kcore",
-    (s, d) => GraphOps.kCore(
-        ProductAnalytics.frequentPairs(
-            Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"),
-            minItemSupport = 25, minPairSupport = 2)
-          .select(col("item_a").as("doc_a"), col("item_b").as("doc_b")),
-        k = 2, rounds = 4)
+    (s, d) => GraphOps.kCore(frequentPairEdges(s, d), k = 2, rounds = 4)
       .orderBy("node"),
-    Some(GraphOps.kCoreOracle(
-      """SELECT a.item AS doc_a, b.item AS doc_b
-        |FROM (SELECT bi.basket, bi.item
-        |      FROM (SELECT DISTINCT l_orderkey AS basket,
-        |                            l_partkey AS item FROM lineitem) bi
-        |      JOIN (SELECT item
-        |            FROM (SELECT DISTINCT l_orderkey AS basket,
-        |                                  l_partkey AS item FROM lineitem)
-        |            GROUP BY item HAVING COUNT(*) >= 25) f
-        |        USING (item)) a
-        |JOIN (SELECT bi.basket, bi.item
-        |      FROM (SELECT DISTINCT l_orderkey AS basket,
-        |                            l_partkey AS item FROM lineitem) bi
-        |      JOIN (SELECT item
-        |            FROM (SELECT DISTINCT l_orderkey AS basket,
-        |                                  l_partkey AS item FROM lineitem)
-        |            GROUP BY item HAVING COUNT(*) >= 25) f
-        |        USING (item)) b
-        |  ON a.basket = b.basket AND a.item < b.item
-        |GROUP BY a.item, b.item HAVING COUNT(*) >= 2""".stripMargin,
-      k = 2, rounds = 4)))
+    Some(GraphOps.kCoreOracle(frequentPairEdgesSql, k = 2, rounds = 4)))
 
   /** Quantity-weighted median price per return flag — the smallest
     * price at which half the shipped QUANTITY sits
@@ -2870,6 +2876,60 @@ object Extensions {
       .orderBy("tok"),
     Some(Tokenizer.bpeTokenFrequenciesOracle(merges = 8)))
 
+  /** Community detection on the basket graph
+    * ([[graft.operators.GraphOps.labelPropagation]]) — 4 synchronous
+    * rounds of most-frequent-neighbor-label with min-label ties, the
+    * near-dup cluster splitter at corpus scale: per round one
+    * adjacency⋈labels equi-join + one map-side-combinable argmax
+    * aggregation, no per-node window. Oracle replays the rounds as
+    * chained MATERIALIZED CTEs.
+    */
+  private val q171 = Q("q171_label_propagation",
+    (s, d) => GraphOps.labelPropagation(frequentPairEdges(s, d), rounds = 4)
+      .orderBy("node"),
+    Some(GraphOps.labelPropagationOracle(frequentPairEdgesSql, rounds = 4)))
+
+  /** Token-aligned phrase search over the positional inverted index
+    * ([[graft.operators.TextAnalysis.positionalIndex]] +
+    * [[graft.operators.TextAnalysis.phraseSearch]]): per-doc
+    * occurrence counts of a consecutive-token phrase via postings
+    * filtered to the phrase's terms then chained (doc, pos−i)
+    * equi-joins — the standing-index probe shape (build once, probe
+    * per phrase; never rescan the corpus).
+    */
+  private val q172 = Q("q172_phrase_search",
+    (s, d) => TextAnalysis.phraseSearch(
+        TextAnalysis.positionalIndex(Tables.documents(s, d),
+          col("text"), col("doc_id")),
+        Seq("table", "value"))
+      .orderBy("doc_id"),
+    Some(TextAnalysis.phraseSearchOracle(Seq("table", "value"))))
+
+  /** Asymmetric n-gram containment pairs
+    * ([[graft.operators.Dedup.containmentPairs]]) — quote/excerpt
+    * detection: C(A→B) = |grams A ∩ grams B| / |grams A| ≥ 0.7,
+    * directional, PPJoin prefix on the contained side against the
+    * full gram index, exact sorted-merge verification.
+    */
+  private val q173 = Q("q173_containment_pairs",
+    (s, d) => Dedup.containmentPairs(Tables.documents(s, d),
+        col("text"), col("doc_id"), n = 3, threshold = 0.7)
+      .orderBy("doc_a", "doc_b"),
+    Some(Dedup.containmentPairsOracle(n = 3, threshold = 0.7)))
+
+  /** Deterministic proportional source-interleaved training order
+    * ([[graft.operators.Curate.interleavedOrder]]) — the
+    * shard-writing stage: every source spread evenly across the
+    * output order by exact BIGINT position keys, within-source order
+    * the md5 line, first 200 rows. Two-phase bucket cumsum — the
+    * source-wide order never materializes as one window.
+    */
+  private val q174 = Q("q174_interleaved_order",
+    (s, d) => Curate.interleavedOrder(Tables.documents(s, d),
+        col("source"), col("doc_id"), take = 200),
+    Some(Curate.interleavedOrderOracle(
+      "SELECT source, doc_id AS id FROM documents", take = 200)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2883,5 +2943,6 @@ object Extensions {
     q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-    q162, q163, q164, q165, q166, q167, q168, q169, q170)
+    q162, q163, q164, q165, q166, q167, q168, q169, q170,
+    q171, q172, q173, q174)
 }

@@ -695,4 +695,33 @@ class AnalyticsOpsSpec extends SparkSpec {
       .toMap
     assert(sm === Map("x" -> ((2L, 1L, 0.625)), "y" -> ((2L, 2L, 0.875))))
   }
+
+  // ------------------------------------------------- label propagation
+
+  test("labelPropagation: bridged triangles settle into two communities, min-label ties") {
+    // triangle {0,1,2} bridged by 2-10 to triangle {10,11,12}: the
+    // hand-computed synchronous rounds (min-label tie-break) converge
+    // by round 4 to community 0 on the left and 2 on the right (the
+    // bridge carries the left's label ACROSS as the right's seed — a
+    // real LPA artifact the fixed rule makes deterministic).
+    val g = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (2L, 10L)).toDF("doc_a", "doc_b")
+    val r = GraphOps.labelPropagation(g, rounds = 4)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("community"))
+      .toMap
+    assert(r === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 2L, 11L -> 2L, 12L -> 2L))
+  }
+
+  test("labelPropagation: partitioning-invariant (aggregate argmax, no window)") {
+    val edges = (0L to 30L).flatMap(i => Seq((i, (i + 1) % 31),
+      (i, (i + 7) % 31))).map { case (a, b) if a < b => (a, b)
+      case (a, b) => (b, a) }.distinct
+    val g = edges.toDF("doc_a", "doc_b")
+    val a = GraphOps.labelPropagation(g, rounds = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val b = GraphOps.labelPropagation(g.repartition(13), rounds = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(a === b)
+  }
 }

@@ -1059,4 +1059,53 @@ class OperatorsSpec extends SparkSpec {
       (1L, 4L) -> (("B", 60L, None)),
       (2L, 1L) -> (("X", 10L, None))))
   }
+
+  test("Dedup.containmentPairs: quote inside a long doc is directional; Jaccard-symmetric misses it") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon"
+    val article = quote + " " + (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = Seq((1L, quote), (2L, article), (3L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(d, col("text"), col("doc_id"),
+        n = 3, threshold = 0.7)
+      .collect().map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")) ->
+        x.getAs[Double]("containment")).toMap
+    // doc 1's 3 trigrams all appear in doc 2 → C(1→2) = 1.0; the
+    // reverse direction is 3/43 and must NOT appear; doc 3 shares
+    // nothing. Jaccard at the same τ would reject the pair entirely.
+    assert(r.keySet === Set((1L, 2L)))
+    assert(r((1L, 2L)) === 1.0)
+    val j = Dedup.ngramJaccardPairs(d, col("text"), col("doc_id"),
+      n = 3, threshold = 0.7)
+    assert(j.count() === 0L)
+  }
+
+  test("Dedup.containmentPairs: identical docs contain each other; short docs excluded") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(d, col("text"), col("doc_id"),
+        n = 3, threshold = 0.7)
+      .collect().map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")))
+      .toSet
+    assert(r === Set((1L, 2L), (2L, 1L))) // doc 3 has no trigram
+  }
+
+  test("TextAnalysis.phraseSearch: counts token-aligned occurrences, overlapping included") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x a b a b y"),   // "a b" at positions 2 and 4
+      (2L, "a a a"),         // "a a" overlapping at 1 and 2
+      (3L, "ab ba"),         // substring lookalike, no token match
+      (4L, "b a")            // reversed — no match
+    ).toDF("doc_id", "text")
+    val idx = TextAnalysis.positionalIndex(d, col("text"), col("doc_id"))
+    def hits(p: Seq[String]) =
+      TextAnalysis.phraseSearch(idx, p).collect()
+        .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("hits")).toMap
+    assert(hits(Seq("a", "b")) === Map(1L -> 2L))
+    assert(hits(Seq("a", "a")) === Map(2L -> 2L))
+    assert(hits(Seq("x", "a", "b")) === Map(1L -> 1L))
+    assert(hits(Seq("missing")) === Map.empty[Long, Long])
+  }
 }

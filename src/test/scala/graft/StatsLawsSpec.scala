@@ -121,4 +121,35 @@ class StatsLawsSpec extends SparkSpec {
     val base = run(edges, 1)
     assert(run(edges ++ edges ++ edges.take(2), 6) === base)
   }
+
+  test("interleavedOrder: proportional spread law + partition invariance") {
+    import graft.operators.Curate
+    // source "big" has 4 docs, "small" has 2: positions must land at
+    // 0, .25, .5, .75 and 0, .5 of the 1e9 line — any prefix of the
+    // interleaved order then holds each source at its corpus
+    // proportion (the training-mixture law), independent of ids.
+    val df = Seq(("big", 1L), ("big", 2L), ("big", 3L), ("big", 4L),
+      ("small", 5L), ("small", 6L)).toDF("src", "id")
+    val r = Curate.interleavedOrder(df, col("src"), col("id"), take = 6)
+      .collect().map(x => (x.getAs[String]("source"), x.getAs[Long]("r"),
+        x.getAs[Long]("pos_key")))
+    // census: every row appears exactly once, ranks 1..cnt per source
+    assert(r.length === 6)
+    assert(r.filter(_._1 == "big").map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(r.filter(_._1 == "small").map(_._2).sorted.toSeq === Seq(1L, 2L))
+    // spread: pos_keys are exactly the integer-division lattice
+    assert(r.filter(_._1 == "big").map(_._3).sorted.toSeq ===
+      Seq(0L, 250000000L, 500000000L, 750000000L))
+    assert(r.filter(_._1 == "small").map(_._3).sorted.toSeq ===
+      Seq(0L, 500000000L))
+    // the first 3 rows of the order already contain both sources
+    assert(r.take(3).map(_._1).toSet === Set("big", "small"))
+    // output is an ORDER: pos_key non-decreasing
+    assert(r.map(_._3).toSeq === r.map(_._3).sorted.toSeq)
+    val again = Curate.interleavedOrder(df.repartition(7), col("src"),
+        col("id"), take = 6)
+      .collect().map(x => (x.getAs[String]("source"), x.getAs[Long]("r"),
+        x.getAs[Long]("pos_key")))
+    assert(again.toSeq === r.toSeq)
+  }
 }

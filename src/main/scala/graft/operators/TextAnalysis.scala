@@ -1240,6 +1240,116 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
   }
 
+  // ------------------------------------------------------ n-gram novelty
+
+  /** Per-document n-gram novelty — the inverse of boilerplate: the
+    * fraction of a document's distinct n-grams that appear in NO other
+    * document. High novelty = original content worth keeping; low
+    * novelty = templated/mirrored text the dedup family flags from the
+    * other side. The curation signal that catches near-boilerplate the
+    * pairwise detectors price quadratically — this one is a linear
+    * aggregation.
+    *
+    * Scale shape: one shingle explode (linear in corpus tokens), one
+    * map-side-combined df aggregation on the gram, one join back, one
+    * per-doc aggregation — two shuffles total, both on gram/doc keys,
+    * nothing pairwise anywhere.
+    *
+    * @return (doc_id, n_grams, n_novel, novelty) for docs with ≥ 1
+    *         n-gram
+    */
+  def ngramNovelty(docs: DataFrame, content: Column, id: Column,
+                   n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge._
+    graft.expressions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val sh = docs
+      .select(id.as("doc_id"), tokens(content).as("toks"))
+      .select(col("doc_id"),
+        column(graft.expressions.Shingles(
+          expression(col("toks")), expression(lit(n)))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    ex.join(df, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(DoubleType) / col("n_grams"))
+  }
+
+  /** Oracle for [[ngramNovelty]] (distinct within-doc grams, df = docs
+    * containing the gram — the [[graft.operators.Dedup]] shingle set).
+    */
+  def ngramNoveltyOracle(n: Int = 3): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CASE WHEN LEN(toks) >= $n THEN
+       |    LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - ${n - 1}),
+       |      i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + ${n - 1}), ' ')))
+       |  ELSE [] END AS sh
+       |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks
+       |        FROM documents)),
+       |ex AS (SELECT doc_id, UNNEST(sh) AS s FROM t WHERE LEN(sh) > 0),
+       |df AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s)
+       |SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_novel,
+       |  CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS novelty
+       |FROM ex JOIN df ON ex.s = df.s
+       |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin
+
+  // ------------------------------------------- cross-source span matrix
+
+  /** Source-pair shared-span matrix — which sources mirror each
+    * other's content: for every pair of sources, the number of
+    * DISTINCT `n`-token spans appearing in both. The corpus-mixing
+    * diagnostic over [[duplicatedSpans]]'s fingerprints: a high count
+    * means the two sources syndicate the same boilerplate and their
+    * mixture weights double-count it.
+    *
+    * Scale shape: hashed sliding windows (linear explode, no
+    * self-join on docs), distinct (fp, source) — cardinality bounded
+    * by spans × sources — then a per-fp self-join whose per-group
+    * fan-out is bounded by |sources|² regardless of corpus size, and
+    * a |sources|²-bounded aggregation.
+    *
+    * @return (src_a, src_b, n_spans) with src_a < src_b, pairs
+    *         sharing ≥ 1 span
+    */
+  def crossSourceSpans(docs: DataFrame, content: Column, src: Column,
+                       n: Int = 20): DataFrame = {
+    require(n >= 1, s"n ($n) must be >= 1")
+    val f = docs
+      .select(src.as("source"), split(content, "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i, $n))))")).as("fp"))
+      .distinct()
+    f.as("a").join(f.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_spans"))
+  }
+
+  /** Oracle for [[crossSourceSpans]] — the [[duplicatedSpansOracle]]
+    * window idiom, aggregated to source pairs.
+    */
+  def crossSourceSpansOracle(n: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT source, STRING_SPLIT_REGEX(text, '\\s+') AS t
+       |  FROM documents),
+       |f AS (
+       |  SELECT DISTINCT source,
+       |    MD5(ARRAY_TO_STRING(LIST_SLICE(t, i, i + ${n - 1}), ' ')) AS fp
+       |  FROM toks, UNNEST(RANGE(1, LEN(t) - ${n - 1} + 1)) AS u(i)
+       |  WHERE LEN(t) >= $n)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_spans
+       |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
   // -------------------------------------------- positional inverted index
 
   /** Positional inverted index over the corpus: one (term, doc_id,

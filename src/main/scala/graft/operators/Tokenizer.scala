@@ -155,6 +155,24 @@ object Tokenizer {
       .groupBy("tok").agg(sum("cnt").as("freq"))
   }
 
+  /** Tokenizer fertility histogram after `merges` BPE rounds — the
+    * standard tokenizer-evaluation metric: how many tokens the trained
+    * vocabulary spends per word. (tokens_per_word, n_words distinct,
+    * n_occurrences corpus-weighted); mean fertility =
+    * Σ tpw·n_occurrences / Σ n_occurrences. Same single corpus pass
+    * and vocab-frame iteration as [[bpeTrain]] — the histogram is one
+    * extra aggregation over the final encoded vocab frame, output
+    * bounded by the longest word's symbol count.
+    */
+  def bpeFertility(docs: DataFrame, content: Column, merges: Int,
+                   maxWords: Long = Profiling.DefaultMaxDomain): DataFrame = {
+    val (_, cur) = train(docs, content, merges, maxWords)
+    val symsOf = filter(split(col("seq"), Sep + "+"), x => x =!= "")
+    cur.select(size(symsOf).as("tokens_per_word"), col("cnt"))
+      .groupBy("tokens_per_word")
+      .agg(count(lit(1)).as("n_words"), sum("cnt").as("n_occurrences"))
+  }
+
   // ---------------------------------------------------------- oracles
 
   private def oracleBase(docsTable: String, textCol: String): String =
@@ -201,6 +219,19 @@ object Tokenizer {
     s"""WITH ${oracleBase(docsTable, textCol)},
        |$ctes
        |SELECT rank, l, r, c FROM ($rows) ORDER BY rank""".stripMargin
+  }
+
+  /** Oracle for [[bpeFertility]]. */
+  def bpeFertilityOracle(merges: Int, docsTable: String = "documents",
+                         textCol: String = "text"): String = {
+    val ctes = (1 to merges).map(roundCtes).mkString(",\n")
+    s"""WITH ${oracleBase(docsTable, textCol)},
+       |$ctes
+       |SELECT CAST(LEN(list_filter(str_split_regex(seq, chr(1)||'+'),
+       |              x -> x <> '')) AS INT) AS tokens_per_word,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+       |FROM w$merges GROUP BY 1 ORDER BY tokens_per_word""".stripMargin
   }
 
   /** Oracle for [[bpeTokenFrequencies]]. */

@@ -2930,6 +2930,42 @@ object Extensions {
     Some(Curate.interleavedOrderOracle(
       "SELECT source, doc_id AS id FROM documents", take = 200)))
 
+  /** Per-document n-gram novelty
+    * ([[graft.operators.TextAnalysis.ngramNovelty]]) — fraction of a
+    * doc's distinct trigrams appearing in NO other doc: the linear
+    * boilerplate-vs-original curation signal (two shuffles, nothing
+    * pairwise).
+    */
+  private val q175 = Q("q175_ngram_novelty",
+    (s, d) => TextAnalysis.ngramNovelty(Tables.documents(s, d),
+        col("text"), col("doc_id"), n = 3)
+      .orderBy("doc_id"),
+    Some(TextAnalysis.ngramNoveltyOracle(n = 3)))
+
+  /** Source-pair shared-span matrix
+    * ([[graft.operators.TextAnalysis.crossSourceSpans]]) — distinct
+    * 20-token spans shared between every pair of sources: the
+    * mixture double-counting diagnostic over q168's span
+    * fingerprints; per-fp fan-out bounded by |sources|².
+    */
+  private val q176 = Q("q176_cross_source_spans",
+    (s, d) => TextAnalysis.crossSourceSpans(Tables.documents(s, d),
+        col("text"), col("source"), n = 20)
+      .orderBy("src_a", "src_b"),
+    Some(TextAnalysis.crossSourceSpansOracle(n = 20)))
+
+  /** Tokenizer fertility histogram
+    * ([[graft.operators.Tokenizer.bpeFertility]]) — tokens spent per
+    * word after the 8 learned merges, distinct-word and
+    * corpus-weighted counts: the standard tokenizer-eval metric,
+    * one extra vocab-frame aggregation over q169's machinery.
+    */
+  private val q177 = Q("q177_bpe_fertility",
+    (s, d) => Tokenizer.bpeFertility(Tables.documents(s, d),
+        col("text"), merges = 8)
+      .orderBy("tokens_per_word"),
+    Some(Tokenizer.bpeFertilityOracle(merges = 8)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2944,5 +2980,5 @@ object Extensions {
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170,
-    q171, q172, q173, q174)
+    q171, q172, q173, q174, q175, q176, q177)
 }

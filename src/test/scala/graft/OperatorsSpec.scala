@@ -1108,4 +1108,36 @@ class OperatorsSpec extends SparkSpec {
     assert(hits(Seq("x", "a", "b")) === Map(1L -> 1L))
     assert(hits(Seq("missing")) === Map.empty[Long, Long])
   }
+
+  test("TextAnalysis.ngramNovelty: duplicated docs score 0, unique doc scores 1, short docs excluded") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e"),       // trigrams shared with doc 2 → novelty 0
+      (2L, "a b c d e"),
+      (3L, "p q r s t"),       // 3 trigrams, nowhere else → novelty 1
+      (4L, "xy zz")            // < 3 tokens → no trigram, excluded
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.ngramNovelty(d, col("text"), col("doc_id"), n = 3)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_grams"), x.getAs[Long]("n_novel"),
+          x.getAs[Double]("novelty"))).toMap
+    assert(r === Map(1L -> ((3L, 0L, 0.0)), 2L -> ((3L, 0L, 0.0)),
+      3L -> ((3L, 3L, 1.0))))
+  }
+
+  test("TextAnalysis.crossSourceSpans: shared span links sources once, within-source dups silent") {
+    import spark.implicits._
+    val span = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      ("A", span + " extraA"),
+      ("A", span + " again"),          // same span twice in A — still 1 fp
+      ("B", "lead " + span),
+      ("C", (21 to 45).map(i => s"v$i").mkString(" "))
+    ).toDF("source", "text")
+    val r = TextAnalysis.crossSourceSpans(d, col("text"), col("source"),
+        n = 20)
+      .collect().map(x => (x.getAs[String]("src_a"),
+        x.getAs[String]("src_b"), x.getAs[Long]("n_spans"))).toSet
+    assert(r === Set(("A", "B", 1L)))
+  }
 }

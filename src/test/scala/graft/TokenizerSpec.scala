@@ -65,4 +65,26 @@ class TokenizerSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("fully merged after 3 rounds"))
   }
+
+  test("bpeFertility: hand-computed histogram + token-count conservation") {
+    // after 3 merges the vocab is fully fused: aaa→[aaa], ab→[ab],
+    // b→[b] — every word costs exactly 1 token
+    val full = Tokenizer.bpeFertility(corpus, col("text"), merges = 3)
+      .orderBy("tokens_per_word").as[(Int, Long, Long)].collect().toSeq
+    assert(full === Seq((1, 3L, 6L))) // 3 distinct words, 6 occurrences
+    // after 1 merge (a,a): aaa→[aa,a] (2 toks), ab→[a,b] (2), b→[b] (1)
+    val m1 = Tokenizer.bpeFertility(corpus, col("text"), merges = 1)
+      .orderBy("tokens_per_word").as[(Int, Long, Long)].collect().toSeq
+    assert(m1 === Seq((1, 1L, 1L), (2, 2L, 5L)))
+    // Σ tpw·n_occurrences == Σ freq from bpeTokenFrequencies — the
+    // two views count the same encoded corpus
+    for (m <- 1 to 3) {
+      val viaFert = Tokenizer.bpeFertility(corpus, col("text"), m)
+        .select(sum(col("tokens_per_word") * col("n_occurrences")))
+        .as[Long].first()
+      val viaFreq = Tokenizer.bpeTokenFrequencies(corpus, col("text"), m)
+        .select(sum("freq")).as[Long].first()
+      assert(viaFert === viaFreq, s"token count mismatch at merges=$m")
+    }
+  }
 }

@@ -240,4 +240,133 @@ object Curate {
        |  ((rr.r - 1) * $scale) // t.cnt AS pos_key
        |FROM rr JOIN t ON rr.source = t.source
        |ORDER BY pos_key, rr.source, rr.id LIMIT $take""".stripMargin
+
+  /** Temperature-scaled source mixture allocation — the multilingual /
+    * multi-source rebalancing rule (sample source i proportional to
+    * its token mass raised to α < 1, so low-resource sources are
+    * up-weighted relative to their raw share; the standard pretraining
+    * mixture technique). α is restricted to 2^−halvings (½, ¼, …):
+    * those powers are iterated `sqrt`, which IEEE 754 requires to be
+    * CORRECTLY ROUNDED — bit-identical on every engine — where a
+    * general `pow` is libm and not portable (the BM25 no-`ln` rule).
+    *
+    * The token budget (`budgetFraction` of the corpus total) is split
+    * across strata by the LARGEST-REMAINDER method on exact BIGINT
+    * floors, so allocations are integers that sum to the budget
+    * exactly. The only order-sensitive double sum (Σ s_i for the
+    * normalizer) is a stratum-ordered left fold (the dot-product
+    * discipline). An allocation may exceed a small stratum's available
+    * mass — that is the point of temperature rebalancing; consuming it
+    * as multiple epochs over the small stratum is the trainer's
+    * contract, not the sampler's.
+    *
+    * Scale shape: one map-side-combined aggregation over the corpus to
+    * (stratum, token mass); everything after operates on the
+    * |strata|-bounded frame, gated by `maxStrata` (the bounded-domain
+    * contract — the rank window and the normalizer fold are
+    * domain-sized, never data-sized), materialized once
+    * (localCheckpoint) so the probe and every consumer read the same
+    * tiny frame.
+    *
+    * @return (stratum, avail_tokens, share, alloc_tokens)
+    */
+  def temperatureMixture(docs: DataFrame, stratum: Column, content: Column,
+                         budgetFraction: Double = 0.5, halvings: Int = 1,
+                         maxStrata: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    require(budgetFraction > 0 && budgetFraction <= 1,
+      "budgetFraction in (0,1]")
+    require(halvings >= 1 && halvings <= 4, s"halvings ($halvings) in [1,4]")
+    val availLazy = docs
+      .select(stratum.as("stratum"),
+        size(split(content, "\\s+")).cast(LongType).as("n_tok"))
+      .groupBy("stratum").agg(sum("n_tok").as("avail_tokens"))
+    val avail = availLazy.localCheckpoint(eager = true)
+    val nStrata = avail.count()
+    if (nStrata > maxStrata)
+      throw new IllegalArgumentException(
+        s"temperatureMixture: $nStrata strata exceed maxStrata=$maxStrata. " +
+          "The allocation ranks the STRATUM frame in one global-order " +
+          "window; a data-sized stratum key makes that window unbounded. " +
+          "Coarsen the stratum (source, language) or raise maxStrata " +
+          "deliberately.")
+    val sExpr = (1 to halvings).foldLeft(col("avail_tokens").cast(DoubleType)) {
+      (c, _) => sqrt(c)
+    }
+    val weighted = avail.withColumn("s", sExpr)
+    val totals = weighted.agg(
+      sum("avail_tokens").as("total_tokens"),
+      aggregate(
+        transform(array_sort(collect_list(struct(col("stratum"), col("s")))),
+          x => x.getField("s")),
+        lit(0.0), (acc, x) => acc + x).as("s_sum"))
+    val quotas = weighted.crossJoin(broadcast(totals))
+      .withColumn("budget",
+        floor(lit(budgetFraction) * col("total_tokens").cast(DoubleType))
+          .cast(LongType))
+      .withColumn("share", col("s") / col("s_sum"))
+      .withColumn("quota",
+        col("budget").cast(DoubleType) * col("s") / col("s_sum"))
+      .withColumn("base", floor(col("quota")).cast(LongType))
+      .withColumn("rem", col("quota") - col("base").cast(DoubleType))
+    // leftover seats = budget − Σ base (exact BIGINT); hand them to the
+    // largest remainders, stratum ascending on ties — a total order, so
+    // the integer allocation is engine-portable. Both windows run over
+    // the |strata|-bounded frame (gated above).
+    val wAll = Window.partitionBy(lit(1))
+    val wRank = Window.partitionBy(lit(1))
+      .orderBy(col("rem").desc, col("stratum"))
+    quotas
+      .withColumn("leftover", col("budget") - sum("base").over(wAll))
+      .withColumn("rk", row_number().over(wRank).cast(LongType))
+      .select(col("stratum"), col("avail_tokens"), col("share"),
+        (col("base") +
+          when(col("rk") <= col("leftover"), lit(1L)).otherwise(lit(0L)))
+          .as("alloc_tokens"))
+  }
+
+  /** Oracle for [[temperatureMixture]] over `documents` — identical
+    * iterated-sqrt weights, stratum-ordered normalizer fold, and
+    * largest-remainder integer allocation. `stratumSql` names the
+    * stratum column (e.g. `source`).
+    */
+  def temperatureMixtureOracle(stratumSql: String,
+                               budgetFraction: Double = 0.5,
+                               halvings: Int = 1): String = {
+    val sExpr = (1 to halvings).foldLeft("CAST(avail_tokens AS DOUBLE)") {
+      (e, _) => s"SQRT($e)"
+    }
+    s"""WITH avail AS (
+       |  SELECT $stratumSql AS stratum,
+       |    CAST(SUM(LEN(STRING_SPLIT_REGEX(text, '\\s+'))) AS BIGINT)
+       |      AS avail_tokens
+       |  FROM documents GROUP BY 1),
+       |w AS (SELECT stratum, avail_tokens, $sExpr AS s FROM avail),
+       |t AS (
+       |  SELECT CAST(SUM(avail_tokens) AS BIGINT) AS total_tokens,
+       |    LIST_REDUCE(LIST(s ORDER BY stratum), (u, v) -> u + v) AS s_sum
+       |  FROM w),
+       |q AS (
+       |  SELECT w.stratum, w.avail_tokens,
+       |    CAST(FLOOR(CAST($budgetFraction AS DOUBLE) * total_tokens)
+       |         AS BIGINT) AS budget,
+       |    w.s / t.s_sum AS share,
+       |    CAST(budget AS DOUBLE) * w.s / t.s_sum AS quota
+       |  FROM w CROSS JOIN t),
+       |b AS (
+       |  SELECT stratum, avail_tokens, budget, share,
+       |    CAST(FLOOR(quota) AS BIGINT) AS base,
+       |    quota - CAST(FLOOR(quota) AS BIGINT) AS rem
+       |  FROM q),
+       |r AS (
+       |  SELECT *,
+       |    budget - SUM(base) OVER () AS leftover,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS BIGINT)
+       |      AS rk
+       |  FROM b)
+       |SELECT stratum, avail_tokens, share,
+       |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_tokens
+       |FROM r ORDER BY stratum""".stripMargin
+  }
 }

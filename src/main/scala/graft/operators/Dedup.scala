@@ -1196,6 +1196,81 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Near-dup cluster KEEP-BEST selection — the dedup DECISION step:
+    * for every SimHash connected component, keep the member with the
+    * highest `score` (ties broken by minimum doc_id — a total order,
+    * engine-portable) and mark everything else for the purge list.
+    * This upgrades the min-id representative rule ([[graft.operators.
+    * Curate.corpus]] step 2) to the policy production pipelines
+    * actually run: keep the LONGEST / highest-quality copy of each
+    * near-dup family, not the one with the smallest key.
+    *
+    * Shape: the cluster machinery is [[simHashClusters]] unchanged;
+    * the pick is ONE `max(struct(score, −doc_id))` aggregate per
+    * cluster — map-side combinable, so a viral boilerplate
+    * mega-cluster collapses partially before the shuffle (never a
+    * per-cluster window, which would buffer the hot cluster in a
+    * single sort task), plus one join back to attach the winner.
+    *
+    * @param score keep-policy score (higher wins), e.g. `col("n_chars")`
+    * @return (doc_id, cluster, cluster_size, keep_id, kept 0/1)
+    */
+  def clusterRepresentatives(docs: DataFrame, content: Column, id: Column,
+                             score: Column, maxHamming: Int = 3,
+                             pointerDoubling: Boolean = false): DataFrame = {
+    val clusters = simHashClusters(docs, content, id, maxHamming,
+      pointerDoubling)
+    val scored = docs.select(id.as("doc_id"), score.as("s"))
+    val keeps = clusters.join(scored, "doc_id")
+      .groupBy("cluster")
+      .agg(max(struct(col("s"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster"), (-col("b.nid")).as("keep_id"))
+    clusters.join(keeps, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        col("keep_id"),
+        when(col("doc_id") === col("keep_id"), lit(1L)).otherwise(lit(0L))
+          .as("kept"))
+  }
+
+  /** Oracle for [[clusterRepresentatives]]: the SimHash pair CTEs + a
+    * recursive transitive closure (the [[simHashClustersOracle]]
+    * formulation) + an independent ROW_NUMBER argmax on
+    * (`scoreSql` DESC, doc_id) per cluster.
+    */
+  def clusterRepresentativesOracle(maxHamming: Int,
+                                   scoreSql: String = "n_chars",
+                                   source: String = "documents"): String = {
+    val pairSql = simHashPairsOracle(maxHamming, source)
+    val pairBody = pairSql.substring(0, pairSql.lastIndexOf("ORDER BY"))
+    s"""WITH RECURSIVE pairs AS (
+       |$pairBody),
+       |e AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM $source
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+       |lab AS (SELECT src AS doc_id, MIN(dst) AS cluster
+       |        FROM reach GROUP BY src),
+       |sized AS (
+       |  SELECT doc_id, cluster,
+       |    COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+       |  FROM lab),
+       |keeps AS (
+       |  SELECT cluster, doc_id AS keep_id FROM (
+       |    SELECT l.cluster, l.doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY l.cluster
+       |        ORDER BY d.$scoreSql DESC, l.doc_id) AS rn
+       |    FROM lab l JOIN $source d ON l.doc_id = d.doc_id)
+       |  WHERE rn = 1)
+       |SELECT s.doc_id, s.cluster, s.cluster_size, k.keep_id,
+       |  CAST(CASE WHEN s.doc_id = k.keep_id THEN 1 ELSE 0 END AS BIGINT)
+       |    AS kept
+       |FROM sized s JOIN keeps k ON s.cluster = k.cluster
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   /** Exact content dedup: group by MD5(content), keep the minimum id.
     * Returns (fp, keep_id, copies).
     */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Fns
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Curate, Dedup, Diff, GraphOps, ProductAnalytics, RangeJoin, Scd, Similarity, TextAnalysis, Tokenizer}
+import graft.operators.{AsOfJoin, Curate, Dedup, Diff, GraphOps, NgramLm, ProductAnalytics, RangeJoin, Scd, Similarity, TextAnalysis, Tokenizer}
 import graft.serving.SafeSql
 import graft.queries.Parity.Q
 import graft.tables.Tables
@@ -2966,6 +2966,45 @@ object Extensions {
       .orderBy("tokens_per_word"),
     Some(Tokenizer.bpeFertilityOracle(merges = 8)))
 
+  /** Corpus-trained bigram-LM document scoring
+    * ([[graft.operators.NgramLm.bigramScore]]) — the CCNet/KenLM-style
+    * perplexity quality filter: mean add-½-smoothed conditional word
+    * probability per doc, exact-rational model counts, position-ordered
+    * fold for the one order-sensitive double sum.
+    */
+  private val q178 = Q("q178_bigram_lm_score",
+    (s, d) => NgramLm.bigramScore(Tables.documents(s, d),
+        col("text"), col("doc_id"))
+      .orderBy("doc_id"),
+    Some(NgramLm.bigramScoreOracle))
+
+  /** Near-dup cluster keep-best selection
+    * ([[graft.operators.Dedup.clusterRepresentatives]]) — per SimHash
+    * component, keep the longest member (score = n_chars, ties → min
+    * doc_id) and emit the purge decision for every doc: the dedup
+    * DECISION step production pipelines run after q67's clustering.
+    */
+  private val q179 = Q("q179_cluster_keep_best",
+    (s, d) => Dedup.clusterRepresentatives(Tables.documents(s, d),
+        col("text"), col("doc_id"), col("n_chars"), maxHamming = 3,
+        pointerDoubling = true)
+      .orderBy("doc_id"),
+    Some(Dedup.clusterRepresentativesOracle(maxHamming = 3)))
+
+  /** Temperature-scaled source mixture allocation
+    * ([[graft.operators.Curate.temperatureMixture]]) — per-source token
+    * budgets ∝ mass^(1/2) (iterated sqrt — IEEE-exact, no libm),
+    * largest-remainder integer split: the multilingual/multi-source
+    * rebalancing rule, complementing q110's apply-given-weights
+    * sampler with the weight DERIVATION itself.
+    */
+  private val q180 = Q("q180_temperature_mixture",
+    (s, d) => Curate.temperatureMixture(Tables.documents(s, d),
+        col("source"), col("text"), budgetFraction = 0.5, halvings = 1)
+      .orderBy("stratum"),
+    Some(Curate.temperatureMixtureOracle("source",
+      budgetFraction = 0.5, halvings = 1)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -2980,5 +3019,5 @@ object Extensions {
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170,
-    q171, q172, q173, q174, q175, q176, q177)
+    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
 }

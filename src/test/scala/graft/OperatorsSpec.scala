@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
-import graft.operators.{AsOfJoin, Dedup, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Curate, Dedup, RangeJoin, Similarity, TextAnalysis}
 
 class OperatorsSpec extends SparkSpec {
 
@@ -1139,5 +1139,72 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(x => (x.getAs[String]("src_a"),
         x.getAs[String]("src_b"), x.getAs[Long]("n_spans"))).toSet
     assert(r === Set(("A", "B", 1L)))
+  }
+
+  test("NgramLm.bigramScore: hand-computed smoothed probs, fold order, short docs excluded") {
+    import graft.operators.NgramLm
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b"),  // bigrams (a,b),(b,a),(a,b)
+      (2L, "a b"),      // bigram (a,b)
+      (3L, "x")         // single word → no bigram, excluded
+    ).toDF("doc_id", "text")
+    // model: c(a,b)=3, c(b,a)=1; contexts c(a)=3, c(b)=1; V={a,b,x}=3
+    // p(ab) = (2·3+1)/(2·3+3) = 7/9 ; p(ba) = (2·1+1)/(2·1+3) = 3/5
+    val pab = 7.0 / 9
+    val pba = 3.0 / 5
+    val r = NgramLm.bigramScore(d, col("text"), col("doc_id"))
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_bigrams"), x.getAs[Double]("avg_prob"))).toMap
+    // expected sums replay the position-ordered left fold exactly
+    assert(r === Map(
+      1L -> ((3L, (((0.0 + pab) + pba) + pab) / 3.0)),
+      2L -> ((1L, (0.0 + pab) / 1.0))))
+  }
+
+  test("Dedup.clusterRepresentatives: highest score wins, score ties fall to min id") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta", 3L),  // near-dup pair {1,2}
+      (2L, "alpha beta gamma delta", 5L),  // higher score → the keeper
+      (3L, "completely different words here", 1L),
+      (4L, "another separate family of text", 2L), // tie pair {4,5}
+      (5L, "another separate family of text", 2L)
+    ).toDF("doc_id", "text", "score")
+    val r = Dedup.clusterRepresentatives(d, col("text"), col("doc_id"),
+        col("score"), maxHamming = 3)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("cluster"), x.getAs[Long]("cluster_size"),
+          x.getAs[Long]("keep_id"), x.getAs[Long]("kept"))).toMap
+    assert(r === Map(
+      1L -> ((1L, 2L, 2L, 0L)),  // cluster label stays min id...
+      2L -> ((1L, 2L, 2L, 1L)),  // ...but the KEEPER is the best-scored
+      3L -> ((3L, 1L, 3L, 1L)),
+      4L -> ((4L, 2L, 4L, 1L)),  // equal scores → min doc_id keeps
+      5L -> ((4L, 2L, 4L, 0L))))
+  }
+
+  test("Curate.temperatureMixture: sqrt weights, largest-remainder split, strata gate") {
+    import spark.implicits._
+    val d = Seq(
+      ("A", (1 to 9).map(i => s"t$i").mkString(" ")), // 9 tokens
+      ("B", "x")                                      // 1 token
+    ).toDF("source", "text")
+    // s = (3, 1), s_sum = 4, total = 10, budget = 5
+    // quota A = 3.75 → base 3 rem .75 ; quota B = 1.25 → base 1 rem .25
+    // leftover 1 → A (largest remainder): alloc (4, 1)
+    val r = Curate.temperatureMixture(d, col("source"), col("text"),
+        budgetFraction = 0.5, halvings = 1)
+      .collect().map(x => x.getAs[String]("stratum") ->
+        (x.getAs[Long]("avail_tokens"), x.getAs[Double]("share"),
+          x.getAs[Long]("alloc_tokens"))).toMap
+    assert(r === Map(
+      "A" -> ((9L, 0.75, 4L)),
+      "B" -> ((1L, 0.25, 1L))))
+    val e = intercept[IllegalArgumentException] {
+      Curate.temperatureMixture(d, col("source"), col("text"),
+        maxStrata = 1L)
+    }
+    assert(e.getMessage.contains("maxStrata"))
   }
 }

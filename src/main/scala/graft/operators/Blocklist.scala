@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{AhoCorasick, BlocklistHits}
+
+/** Multi-pattern blocklist matching — the bad-words / URL-blocklist
+  * screen every curation pipeline runs before quality scoring. The
+  * existing PII scrub ([[TextAnalysis.piiScrub]]) is three regexes;
+  * that shape is O(patterns · doc_len) and stops scaling around tens
+  * of patterns, where production blocklists carry 10³–10⁴ terms. This
+  * operator compiles the whole categorized term list into ONE
+  * Aho–Corasick automaton ([[graft.expressions.AhoCorasick]]), ships
+  * it as a broadcast, and scans each document once inside whole-stage
+  * codegen ([[graft.expressions.BlocklistHits]]) — O(doc_len +
+  * matches) per document regardless of list size.
+  *
+  * Scale shape (100 TB): zero shuffles before the final (tiny,
+  * map-side-combinable) per-doc explode — the automaton rides the
+  * broadcast, the scan is a narrow projection over the corpus, and
+  * the output is |docs| × |categories| rows. Nothing joins, nothing
+  * sorts, nothing is data-sized but the one corpus pass itself.
+  *
+  * Matching semantics (oracle-pinned): case-insensitive (terms and
+  * text are lowercased), SUBSTRING occurrences — no word-boundary
+  * rule, overlaps and nested terms all count, a term listed under two
+  * categories counts for both. Dense output: one row per
+  * (doc, category) including zero-hit rows, so downstream thresholds
+  * (`hits == 0` → clean) need no anti-join.
+  */
+object Blocklist {
+
+  /** Per-document per-category term-occurrence counts:
+    * (doc_id, category, hits), dense over the sorted distinct
+    * category list.
+    */
+  def hits(docs: DataFrame, content: Column, id: Column,
+           terms: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge._
+    val ac = AhoCorasick.build(terms.map { case (t, c) => (t.toLowerCase, c) })
+    val bc = docs.sparkSession.sparkContext.broadcast(ac)
+    val cats = ac.categories.toSeq
+    docs
+      .select(id.as("doc_id"),
+        column(BlocklistHits(expression(lower(content)), bc)).as("h"))
+      .select(col("doc_id"), posexplode(col("h")).as(Seq("i", "hits")))
+      .select(col("doc_id"),
+        element_at(typedlit(cats), col("i") + 1).as("category"),
+        col("hits"))
+  }
+
+  /** Documents whose total hits across all categories stay under
+    * `maxHits` — the pass-through filter form (the decision most
+    * pipelines consume; `maxHits = 1` is the usual drop-on-any-hit
+    * rule). Same single scan; the per-doc total is an
+    * `aggregate` over the counts array, no explode and no shuffle at
+    * all — the filter is a narrow predicate on the corpus pass.
+    */
+  def clean(docs: DataFrame, content: Column,
+            terms: Seq[(String, String)], maxHits: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge._
+    require(maxHits >= 1L, s"maxHits ($maxHits) must be >= 1")
+    val ac = AhoCorasick.build(terms.map { case (t, c) => (t.toLowerCase, c) })
+    val bc = docs.sparkSession.sparkContext.broadcast(ac)
+    docs.filter(
+      aggregate(column(BlocklistHits(expression(lower(content)), bc)),
+        lit(0L), (acc, x) => acc + x) < maxHits)
+  }
+
+  /** SQL literal escape for term strings (single quotes doubled). */
+  private def q(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Oracle for [[hits]]: per (term, category) row, count the
+    * starting positions where the lowercased term matches — the
+    * overlap-inclusive substring count AC computes — then sum per
+    * category. `GENERATE_SERIES(1, n)` is empty for n ≤ 0, so docs
+    * shorter than a term contribute 0.
+    */
+  def hitsOracle(terms: Seq[(String, String)],
+                 source: String = "documents"): String = {
+    val vals = terms
+      .map { case (t, c) => s"(${q(t.toLowerCase)}, ${q(c)})" }
+      .mkString(",\n    ")
+    s"""WITH terms(term, category) AS (VALUES
+       |    $vals),
+       |d AS (SELECT doc_id, LOWER(text) AS txt FROM $source),
+       |m AS (
+       |  SELECT d.doc_id, t.category,
+       |    LEN(LIST_FILTER(
+       |      GENERATE_SERIES(1, LEN(txt) - LEN(term) + 1),
+       |      p -> SUBSTR(txt, p, LEN(term)) = term)) AS hits
+       |  FROM d CROSS JOIN terms t)
+       |SELECT doc_id, category, CAST(SUM(hits) AS BIGINT) AS hits
+       |FROM m GROUP BY doc_id, category
+       |ORDER BY doc_id, category""".stripMargin
+  }
+
+  /** Oracle for [[clean]] (passes the whole doc row through). */
+  def cleanOracle(terms: Seq[(String, String)], maxHits: Long = 1L,
+                  source: String = "documents"): String = {
+    val vals = terms
+      .map { case (t, c) => s"(${q(t.toLowerCase)}, ${q(c)})" }
+      .mkString(",\n    ")
+    s"""WITH terms(term, category) AS (VALUES
+       |    $vals),
+       |tot AS (
+       |  SELECT d.doc_id,
+       |    SUM(LEN(LIST_FILTER(
+       |      GENERATE_SERIES(1, LEN(LOWER(d.text)) - LEN(term) + 1),
+       |      p -> SUBSTR(LOWER(d.text), p, LEN(term)) = term))) AS hits
+       |  FROM $source d CROSS JOIN terms GROUP BY d.doc_id)
+       |SELECT s.* FROM $source s JOIN tot USING (doc_id)
+       |WHERE tot.hits < $maxHits ORDER BY s.doc_id""".stripMargin
+  }
+
+  /** The q183 fixture list: three categories over the synthetic
+    * corpus vocabulary, chosen to pin every matching rule — multi-word
+    * phrase terms ("hash join", "row scan"), a term that is a strict
+    * substring of corpus words ("val" hits inside "value"), nested
+    * terms across categories ("scan" alone and inside "row scan"),
+    * and a term that never occurs ("zzzq") to pin dense zero rows.
+    */
+  val DefaultTerms: Seq[(String, String)] = Seq(
+    "slow" -> "speed",
+    "fast" -> "speed",
+    "spark" -> "engine",
+    "scan" -> "engine",
+    "hash join" -> "phrase",
+    "row scan" -> "phrase",
+    "val" -> "substr",
+    "zzzq" -> "substr")
+}

@@ -278,9 +278,15 @@ object Curate {
     require(budgetFraction > 0 && budgetFraction <= 1,
       "budgetFraction in (0,1]")
     require(halvings >= 1 && halvings <= 4, s"halvings ($halvings) in [1,4]")
+    // Empty tokens are dropped before counting: Spark's split("") is
+    // [""] and leading whitespace yields a phantom "" head, so a bare
+    // size(split(...)) credits an empty/whitespace-only doc with 1
+    // token. The filter (mirrored in the oracle) makes degenerate docs
+    // contribute exactly 0 to avail_tokens.
     val availLazy = docs
       .select(stratum.as("stratum"),
-        size(split(content, "\\s+")).cast(LongType).as("n_tok"))
+        size(filter(split(content, "\\s+"), t => t =!= ""))
+          .cast(LongType).as("n_tok"))
       .groupBy("stratum").agg(sum("n_tok").as("avail_tokens"))
     val avail = availLazy.localCheckpoint(eager = true)
     val nStrata = avail.count()
@@ -339,7 +345,8 @@ object Curate {
     }
     s"""WITH avail AS (
        |  SELECT $stratumSql AS stratum,
-       |    CAST(SUM(LEN(STRING_SPLIT_REGEX(text, '\\s+'))) AS BIGINT)
+       |    CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+       |                             x -> x <> ''))) AS BIGINT)
        |      AS avail_tokens
        |  FROM documents GROUP BY 1),
        |w AS (SELECT stratum, avail_tokens, $sExpr AS s FROM avail),

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.DoubleType
 
 /** Corpus-trained n-gram language-model scoring — the CCNet/KenLM-style
   * "perplexity" quality filter every large pretraining pipeline runs

@@ -59,6 +59,11 @@ object Tokenizer {
     */
   private val Sep = "\u0001"
 
+  /** Merge rounds between lineage truncations of the evolving vocab
+    * frame (see the loop comment in [[train]]).
+    */
+  private val CheckpointEvery = 8
+
   /** (word, cnt) over `[a-z]+` word occurrences in lower(content) —
     * the one data-sized pass (map-side-combined shuffle on the word).
     */
@@ -124,6 +129,16 @@ object Tokenizer {
         replace(col("seq"), lit(Sep + l + Sep + Sep + r + Sep),
           lit(Sep + l + r + Sep)).as("seq"),
         col("cnt"))
+      // Lineage hygiene: round k's pair-count job re-derives k chained
+      // replaces over the checkpointed base, so total replay work is
+      // quadratic in merge depth — invisible at 8 merges, real at the
+      // 64-merge vocabularies production tokenizers train. Truncating
+      // the lineage every CheckpointEvery rounds keeps each round's
+      // replay ≤ CheckpointEvery replaces (linear overall) at the cost
+      // of one small vocab-frame materialization per window. A/B at
+      // merges=32 in PLANS.md (round 10).
+      if (k % CheckpointEvery == 0 && k < merges)
+        cur = cur.localCheckpoint(eager = true)
     }
     (out.result(), cur)
   }

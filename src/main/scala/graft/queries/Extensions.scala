@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Fns
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Curate, Dedup, Diff, GraphOps, NgramLm, ProductAnalytics, RangeJoin, Scd, Similarity, TextAnalysis, Tokenizer}
+import graft.operators.{AsOfJoin, Blocklist, Curate, Dedup, Diff, GraphOps, NgramLm, ProductAnalytics, RangeJoin, Scd, Similarity, TextAnalysis, Tokenizer}
 import graft.serving.SafeSql
 import graft.queries.Parity.Q
 import graft.tables.Tables
@@ -3005,6 +3005,60 @@ object Extensions {
     Some(Curate.temperatureMixtureOracle("source",
       budgetFraction = 0.5, halvings = 1)))
 
+  /** Maximal cross-document token matches
+    * ([[graft.operators.Dedup.maximalMatchPairs]]) — the
+    * variable-length generalization of q168's fixed 20-token spans:
+    * every maximal cross-doc verbatim match ≥ 20 tokens with its
+    * EXACT length (sf0.1 lengths run 20–99 tokens — the regions
+    * fixed-n reports only as unlinked fragments). Anchor-gram hash
+    * equi-join + codegen extend-while-equal head verification
+    * ([[graft.expressions.SpanMatchLen]]); each match emitted once.
+    */
+  private val q181 = Q("q181_maximal_matches",
+    (s, d) => Dedup.maximalMatchPairs(Tables.documents(s, d),
+        col("text"), col("doc_id"), minLen = 20)
+      .orderBy("doc_a", "pos_a", "doc_b", "pos_b"),
+    Some(Dedup.maximalMatchPairsOracle(minLen = 20)))
+
+  /** Per-document duplicated-region cut list
+    * ([[graft.operators.Dedup.dedupRegions]]) — maximal runs of
+    * positions whose 20-token window occurs ≥ 2 times anywhere in the
+    * corpus, merged gaps-and-islands per doc: the token ranges a
+    * dedup pass actually removes, linear end to end (the per-position
+    * complement to q181's pairwise witnesses).
+    */
+  private val q182 = Q("q182_dedup_regions",
+    (s, d) => Dedup.dedupRegions(Tables.documents(s, d),
+        col("text"), col("doc_id"), minLen = 20, minOcc = 2)
+      .orderBy("doc_id", "start_pos"),
+    Some(Dedup.dedupRegionsOracle(minLen = 20, minOcc = 2)))
+
+  /** Multi-pattern blocklist category hits
+    * ([[graft.operators.Blocklist.hits]]) — the 10⁴-term bad-words /
+    * URL screen as ONE broadcast Aho–Corasick automaton scanned once
+    * per doc inside codegen ([[graft.expressions.BlocklistHits]]);
+    * dense (doc, category, hits) with overlap-inclusive substring
+    * counts, oracle replayed as per-term position scans.
+    */
+  private val q183 = Q("q183_blocklist_hits",
+    (s, d) => Blocklist.hits(Tables.documents(s, d),
+        col("text"), col("doc_id"), Blocklist.DefaultTerms)
+      .orderBy("doc_id", "category"),
+    Some(Blocklist.hitsOracle(Blocklist.DefaultTerms)))
+
+  /** Blocklist pass-through filter
+    * ([[graft.operators.Blocklist.clean]]) — the decision form:
+    * documents with zero hits across every category survive
+    * (maxHits = 1, the drop-on-any-hit rule); the per-doc total is a
+    * fold over the counts array on the same single scan, no explode,
+    * no shuffle.
+    */
+  private val q184 = Q("q184_blocklist_clean",
+    (s, d) => Blocklist.clean(Tables.documents(s, d),
+        col("text"), Blocklist.DefaultTerms, maxHits = 1L)
+      .orderBy("doc_id"),
+    Some(Blocklist.cleanOracle(Blocklist.DefaultTerms, maxHits = 1L)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3019,5 +3073,6 @@ object Extensions {
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170,
-    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
+    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
+    q181, q182, q183, q184)
 }

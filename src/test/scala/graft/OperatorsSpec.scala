@@ -1207,4 +1207,165 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxStrata"))
   }
+
+  // ------------------- variable-length exact substring dedup (q181/q182)
+
+  test("span_match_len kernel ≡ scala reference (random docs, scalacheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int = 120): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    def ref(a: IndexedSeq[String], pa: Int, b: IndexedSeq[String], pb: Int,
+            n: Int): Long = {
+      if (n < 1 || pa < 1 || pb < 1 || pa - 1 + n > a.length ||
+        pb - 1 + n > b.length) -1L
+      else if ((0 until n).exists(j => a(pa - 1 + j) != b(pb - 1 + j))) -1L
+      else if (pa > 1 && pb > 1 && a(pa - 2) == b(pb - 2)) -1L
+      else {
+        var e = 0
+        while (pa - 1 + n + e < a.length && pb - 1 + n + e < b.length &&
+          a(pa - 1 + n + e) == b(pb - 1 + n + e)) e += 1
+        (n + e).toLong
+      }
+    }
+    // tiny alphabet → window agreements, extensions, and head
+    // rejections all occur; positions range past the ends to pin the
+    // bounds branches too
+    val caseGen = for {
+      a <- Gen.listOfN(10, Gen.oneOf("x", "y"))
+      b <- Gen.listOfN(10, Gen.oneOf("x", "y"))
+      pa <- Gen.choose(1, 11)
+      pb <- Gen.choose(1, 11)
+      n <- Gen.choose(2, 4)
+    } yield (a.toVector, pa, b.toVector, pb, n)
+    import org.apache.spark.sql.classic.GraftColumnBridge._
+    samples(caseGen).groupBy(_._5).foreach { case (n, cases) =>
+      val df = spark.createDataFrame(cases.map { case (a, pa, b, pb, _) =>
+        (a, pa, b, pb, ref(a, pa, b, pb, n)) })
+        .toDF("a", "pa", "b", "pb", "want")
+      val bad = df.select(
+          column(graft.expressions.SpanMatchLen(expression(col("a")),
+            expression(col("pa")), expression(col("b")),
+            expression(col("pb")), n)).as("got"), col("want"))
+        .filter(col("got") =!= col("want")).count()
+      assert(bad === 0L, s"span_match_len(n=$n) diverges from reference")
+    }
+  }
+
+  test("maximalMatchPairs: one row per maximal match with its exact length") {
+    import spark.implicits._
+    val shared = (1 to 30).map(i => s"s$i").mkString(" ") // 30-token region
+    val short = (1 to 19).map(i => s"t$i").mkString(" ")  // below minLen
+    val d = Seq(
+      (0L, s"$shared u1 u2 u3"),
+      (1L, s"v1 v2 $shared"),
+      (2L, s"$short w1"),
+      (3L, s"x1 $short")).toDF("doc_id", "text")
+    val r = Dedup.maximalMatchPairs(d, col("text"), col("doc_id"),
+      minLen = 20).collect()
+    // the 30-token region is ONE match of length 30 (q168's fixed-20
+    // view would emit its 11 overlapping fragments with no lengths);
+    // the 19-token share is below threshold and absent entirely
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("doc_a") === 0L)
+    assert(r.head.getAs[Int]("pos_a") === 1)
+    assert(r.head.getAs[Long]("doc_b") === 1L)
+    assert(r.head.getAs[Int]("pos_b") === 3)
+    assert(r.head.getAs[Long]("match_len") === 30L)
+  }
+
+  test("maximalMatchPairs: partitioning invariance (law)") {
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.maximalMatchPairs(df, col("text"), col("doc_id"), minLen = 10)
+        .orderBy("doc_a", "pos_a", "doc_b", "pos_b").collect().toSeq
+    val one = run(base.repartition(1))
+    val many = run(base.repartition(13, col("source")))
+    assert(one.nonEmpty, "fixture must contain maximal matches")
+    assert(one === many)
+  }
+
+  test("dedupRegions merges overlapping duplicated windows into cut ranges") {
+    import spark.implicits._
+    val shared = (1 to 30).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (0L, s"$shared u1 u2 u3"),
+      (1L, s"v1 v2 $shared"),
+      (2L, "nothing shared here at all with anybody else nowhere"))
+      .toDF("doc_id", "text")
+    val r = Dedup.dedupRegions(d, col("text"), col("doc_id"),
+        minLen = 20, minOcc = 2)
+      .orderBy("doc_id").collect()
+    // each doc carries ONE merged region covering the 30 shared tokens
+    assert(r.length === 2)
+    val r0 = r(0)
+    assert(r0.getAs[Long]("doc_id") === 0L)
+    assert(r0.getAs[Int]("start_pos") === 1)
+    assert(r0.getAs[Int]("end_pos") === 11)
+    assert(r0.getAs[Int]("region_len") === 30)
+    assert(r0.getAs[Long]("n_windows") === 11L)
+    val r1 = r(1)
+    assert(r1.getAs[Int]("start_pos") === 3)
+    assert(r1.getAs[Int]("region_len") === 30)
+  }
+
+  // ------------------------------- Aho–Corasick blocklist (q183/q184)
+
+  test("AhoCorasick ≡ naive position-scan counts (random lists, scalacheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int = 80): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    // alphabet {a, b} with nested/overlapping terms — the worst case
+    // for fail-link output aggregation
+    val termPool = Seq("a", "b", "ab", "ba", "aa", "aab", "aba", "bab")
+    val caseGen = for {
+      nTerms <- Gen.choose(1, 5)
+      terms <- Gen.listOfN(nTerms, for {
+        t <- Gen.oneOf(termPool)
+        c <- Gen.oneOf("c1", "c2", "c3")
+      } yield (t, c))
+      s <- Gen.listOfN(18, Gen.oneOf('a', 'b')).map(_.mkString)
+    } yield (terms, s)
+    def naive(terms: Seq[(String, String)], s: String): Map[String, Long] =
+      terms.groupBy(_._2).map { case (c, ts) =>
+        c -> ts.map { case (t, _) =>
+          (0 to s.length - t.length)
+            .count(p => s.regionMatches(p, t, 0, t.length)).toLong
+        }.sum
+      }
+    samples(caseGen).foreach { case (terms, s) =>
+      val ac = graft.expressions.AhoCorasick.build(terms)
+      val got = ac.countHits(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val want = naive(terms, s)
+      ac.categories.zipWithIndex.foreach { case (c, i) =>
+        assert(got(i) === want.getOrElse(c, 0L),
+          s"terms=$terms s=$s cat=$c")
+      }
+    }
+  }
+
+  test("Blocklist.hits pins overlap, nesting, and dense-zero semantics") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "aaaa"),                 // "aa" overlapping → 3 hits
+      (1L, "row scan scan"),        // "scan" 2×, nested "row scan" 1×
+      (2L, "Nothing Here")).toDF("doc_id", "text")
+    val terms = Seq("aa" -> "over", "scan" -> "eng", "row scan" -> "phr")
+    val r = graft.operators.Blocklist.hits(d, col("text"), col("doc_id"),
+        terms)
+      .collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("category")) ->
+        x.getAs[Long]("hits")).toMap
+    assert(r((0L, "over")) === 3L)
+    assert(r((1L, "eng")) === 2L)
+    assert(r((1L, "phr")) === 1L)
+    assert(r((2L, "over")) === 0L)   // dense zero rows present
+    assert(r.size === 9)             // 3 docs × 3 categories
+    // the filter form: only the no-hit doc survives drop-on-any-hit
+    val clean = graft.operators.Blocklist.clean(d, col("text"), terms)
+      .collect()
+    assert(clean.map(_.getAs[Long]("doc_id")).toSeq === Seq(2L))
+  }
 }

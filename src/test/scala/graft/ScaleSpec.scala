@@ -274,4 +274,58 @@ class ScaleSpec extends SparkSpec {
     assert(salted.orderBy("l_returnflag").collect().toSeq ===
       direct.orderBy("l_returnflag").collect().toSeq)
   }
+
+  test("maxDomain gate: both contract arms fire on live widened data") {
+    // In-CI miniature of scripts/gen_sf_scale.py --widen (the recorded
+    // GateProbe evidence, r09): union COPIES key-shifted copies of the
+    // real sf0.001 lineitem with the same per-column-class offsets —
+    // integer-band shifts for the deliberately-discretized measure
+    // (l_quantity + i*50: domain ×copies, still tiny) and fractional
+    // shifts for the near-continuous one (l_extendedprice + i*937.75:
+    // distincts ≈ rows, growing with every copy). This is LIVE data
+    // whose value domain scales with the data — the shape the r08
+    // verdict noted plain key-shifted stand-ins can never produce.
+    val copies = 4
+    val base = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"))
+    val widened = (0 until copies).map { i =>
+      base.select(col("l_orderkey"), col("l_returnflag"),
+        (col("l_quantity") + i * 50).as("l_quantity"),
+        (col("l_extendedprice") + lit(i * 937.75)).as("l_extendedprice"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+
+    // the fixture really is widened: the continuous measure's domain
+    // grew ~linearly with copies, the discretized one stayed tiny
+    val nRows = widened.count()
+    val dExt = widened.select(countDistinct(col("l_extendedprice")))
+      .first().getLong(0)
+    val dQty = widened.select(countDistinct(floor(col("l_quantity"))))
+      .first().getLong(0)
+    assert(dExt > nRows / 2,
+      s"widened l_extendedprice should be near-continuous ($dExt of $nRows)")
+    assert(dQty < 1000, s"banded l_quantity domain must stay tiny ($dQty)")
+
+    val a = widened.filter(col("l_returnflag") === "R")
+    val b = widened.filter(col("l_returnflag") === "A")
+
+    // arm 1 (documented-construction): the discretized measure keeps a
+    // bounded domain however many copies — the count-frame op runs fine
+    // under a gate sized BELOW the row count but above the domain.
+    val gate = math.max(dQty * 4, 2048L)
+    assert(gate < nRows, "gate must sit below the data size for the A/B")
+    val drift = graft.operators.Profiling.ksDrift(
+      a, b, floor(col("l_quantity")).cast("long"), maxDomain = gate)
+    assert(drift.count() > 0, "arm 1 must produce a KS result")
+
+    // arm 2 (loud-failure): the near-continuous measure's domain grows
+    // with the data and must trip the same gate with remediation text,
+    // not funnel the data through a domain-sized plan.
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Profiling.ksDrift(
+        a, b, col("l_extendedprice"), maxDomain = gate).count()
+    }
+    assert(e.getMessage.contains("ksDrift"), e.getMessage)
+    assert(e.getMessage.contains(gate.toString), e.getMessage)
+  }
 }

@@ -81,7 +81,8 @@ object Tokenizer {
     * vocab frame (seq, cnt)) — the frame feeds [[bpeTokenFrequencies]].
     */
   private def train(docs: DataFrame, content: Column, merges: Int,
-                    maxWords: Long): (Seq[BpeMerge], DataFrame) = {
+                    maxWords: Long,
+                    checkpointEvery: Int = CheckpointEvery): (Seq[BpeMerge], DataFrame) = {
     require(merges >= 1, s"merges ($merges) must be >= 1")
     require(maxWords >= 1L, s"maxWords ($maxWords) must be >= 1")
     // ||a||b||c|| encoding: every symbol flanked by doubled separators.
@@ -137,7 +138,7 @@ object Tokenizer {
       // replay ≤ CheckpointEvery replaces (linear overall) at the cost
       // of one small vocab-frame materialization per window. A/B at
       // merges=32 in PLANS.md (round 10).
-      if (k % CheckpointEvery == 0 && k < merges)
+      if (checkpointEvery > 0 && k % checkpointEvery == 0 && k < merges)
         cur = cur.localCheckpoint(eager = true)
     }
     (out.result(), cur)
@@ -150,10 +151,28 @@ object Tokenizer {
     */
   def bpeTrain(docs: DataFrame, content: Column, merges: Int,
                maxWords: Long = Profiling.DefaultMaxDomain): DataFrame = {
-    val (ms, cur) = train(docs, content, merges, maxWords)
+    val (ms, _) = train(docs, content, merges, maxWords)
+    toMergeTable(docs, ms)
+  }
+
+  /** A/B instrumentation hook (dev mains + specs only): [[bpeTrain]]
+    * with the lineage-truncation cadence exposed; `checkpointEvery =
+    * 0` disables truncation entirely (the pre-round-10 behavior —
+    * quadratic replay in merge depth). Results are identical for any
+    * cadence (spec-pinned); only the job graph changes.
+    */
+  private[graft] def bpeTrainWithCadence(docs: DataFrame, content: Column,
+                                         merges: Int, checkpointEvery: Int,
+                                         maxWords: Long = Profiling.DefaultMaxDomain): DataFrame = {
+    val (ms, _) = train(docs, content, merges, maxWords, checkpointEvery)
+    toMergeTable(docs, ms)
+  }
+
+  private def toMergeTable(docs: DataFrame, ms: Seq[BpeMerge]): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    ms.toDF("rank", "l", "r", "c").withColumn("rank", col("rank").cast(IntegerType))
+    ms.toDF("rank", "l", "r", "c")
+      .withColumn("rank", col("rank").cast(IntegerType))
   }
 
   /** Corpus token frequencies AFTER `merges` BPE rounds — the encoder

@@ -87,4 +87,22 @@ class TokenizerSpec extends SparkSpec {
       assert(viaFert === viaFreq, s"token count mismatch at merges=$m")
     }
   }
+
+  test("checkpoint cadence never changes the merge table (lineage law)") {
+    // merges=12 crosses the CheckpointEvery=8 boundary, so the default
+    // path exercises the mid-loop truncation; cadence 0 (never), 3
+    // (multiple truncations), and the default must agree row-for-row.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(cadence: Int) =
+      Tokenizer.bpeTrainWithCadence(docs, col("text"), merges = 12,
+          checkpointEvery = cadence)
+        .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    val never = run(0)
+    val three = run(3)
+    val deflt = Tokenizer.bpeTrain(docs, col("text"), merges = 12)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(never.size === 12)
+    assert(never === three)
+    assert(never === deflt)
+  }
 }

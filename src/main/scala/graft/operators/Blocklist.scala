@@ -41,13 +41,22 @@ object Blocklist {
     val ac = AhoCorasick.build(terms.map { case (t, c) => (t.toLowerCase, c) })
     val bc = docs.sparkSession.sparkContext.broadcast(ac)
     val cats = ac.categories.toSeq
+    // The generate runs over a CONSTANT-length index sequence, with the
+    // counts array `h` carried through as a pass-through column — NOT
+    // posexplode(h): the optimizer infers a `size(h) > 0` pruning
+    // filter from a generator's own input and pushes it below the
+    // projection, which re-evaluates the automaton scan a second time
+    // per document (observed in the q183 plan audit). With the
+    // foldable sequence the inferred filter constant-folds away and
+    // blocklist_hits runs exactly once per doc.
     docs
       .select(id.as("doc_id"),
         column(BlocklistHits(expression(lower(content)), bc)).as("h"))
-      .select(col("doc_id"), posexplode(col("h")).as(Seq("i", "hits")))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(cats.size - 1))).as("i"))
       .select(col("doc_id"),
         element_at(typedlit(cats), col("i") + 1).as("category"),
-        col("hits"))
+        element_at(col("h"), col("i") + 1).as("hits"))
   }
 
   /** Documents whose total hits across all categories stay under

@@ -77,6 +77,70 @@ object Blocklist {
         lit(0L), (acc, x) => acc + x) < maxHits)
   }
 
+  /** Redaction — mask every character covered by ANY term occurrence
+    * (union of match intervals: overlapping and nested matches merge
+    * into one masked run, so the output is independent of term
+    * enumeration order — unlike chained per-term REPLACE, where an
+    * earlier replacement can destroy or create later matches). Same
+    * single broadcast-automaton scan as [[hits]]; the interval
+    * accumulation is a difference array, O(doc_len + matches) per doc
+    * ([[graft.expressions.AhoCorasick.redact]]).
+    *
+    * Matching is case-insensitive; masked characters are replaced by
+    * `*`, everything else keeps its original case. `n_masked` is the
+    * exact covered-position count (0 = clean doc, text unchanged).
+    *
+    * @return (doc_id, redacted, n_masked)
+    */
+  def redact(docs: DataFrame, content: Column, id: Column,
+             terms: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge._
+    val ac = AhoCorasick.build(terms.map { case (t, c) => (t.toLowerCase, c) })
+    val bc = docs.sparkSession.sparkContext.broadcast(ac)
+    docs
+      .select(id.as("doc_id"),
+        column(graft.expressions.BlocklistRedact(expression(content), bc,
+          '*')).as("r"))
+      .select(col("doc_id"), col("r.redacted").as("redacted"),
+        col("r.n_masked").as("n_masked"))
+  }
+
+  /** Oracle for [[redact]]: per term, the lowercase match start
+    * positions; expand each to its covered positions; union DISTINCT
+    * per doc; rebuild the string masking exactly that set. `n_masked`
+    * = the set's size. LEFT JOIN keeps clean docs verbatim.
+    */
+  def redactOracle(terms: Seq[(String, String)],
+                   source: String = "documents"): String = {
+    val vals = terms
+      .map { case (t, c) => s"(${q(t.toLowerCase)}, ${q(c)})" }
+      .mkString(",\n    ")
+    s"""WITH terms(term, category) AS (VALUES
+       |    $vals),
+       |d AS (SELECT doc_id, text AS orig, LOWER(text) AS txt
+       |      FROM $source),
+       |st AS (
+       |  SELECT d.doc_id, u.p, LEN(t.term) AS tl
+       |  FROM d CROSS JOIN terms t,
+       |    UNNEST(LIST_FILTER(
+       |      GENERATE_SERIES(1, LEN(d.txt) - LEN(t.term) + 1),
+       |      p -> SUBSTR(d.txt, p, LEN(t.term)) = t.term)) AS u(p)),
+       |cp AS (
+       |  SELECT doc_id, UNNEST(GENERATE_SERIES(p, p + tl - 1)) AS c
+       |  FROM st),
+       |mask AS (
+       |  SELECT doc_id, LIST(DISTINCT c) AS cs FROM cp GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN m.cs IS NULL THEN d.orig ELSE
+       |    ARRAY_TO_STRING(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(d.orig)),
+       |      p -> CASE WHEN LIST_CONTAINS(m.cs, p) THEN '*'
+       |                ELSE SUBSTR(d.orig, p, 1) END), '')
+       |  END AS redacted,
+       |  CAST(COALESCE(LEN(m.cs), 0) AS INT) AS n_masked
+       |FROM d LEFT JOIN mask m USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** SQL literal escape for term strings (single quotes doubled). */
   private def q(s: String): String = "'" + s.replace("'", "''") + "'"
 

@@ -3059,6 +3059,18 @@ object Extensions {
       .orderBy("doc_id"),
     Some(Blocklist.cleanOracle(Blocklist.DefaultTerms, maxHits = 1L)))
 
+  /** Blocklist redaction ([[graft.operators.Blocklist.redact]]) —
+    * union-of-intervals masking over every term occurrence (the
+    * enumeration-order-independent semantics chained REPLACE lacks):
+    * same single broadcast-automaton scan, difference-array interval
+    * accumulation, exact covered-position count.
+    */
+  private val q185 = Q("q185_blocklist_redact",
+    (s, d) => Blocklist.redact(Tables.documents(s, d),
+        col("text"), col("doc_id"), Blocklist.DefaultTerms)
+      .orderBy("doc_id"),
+    Some(Blocklist.redactOracle(Blocklist.DefaultTerms)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3074,5 +3086,5 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184)
+    q181, q182, q183, q184, q185)
 }

@@ -1368,4 +1368,22 @@ class OperatorsSpec extends SparkSpec {
       .collect()
     assert(clean.map(_.getAs[Long]("doc_id")).toSeq === Seq(2L))
   }
+
+  test("Blocklist.redact: interval union, case preservation, clean pass-through") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "Row SCAN scan x"),   // "row scan" ∪ "scan"(2×): 1-8, 10-13
+      (1L, "aaaa"),              // "aa" overlapping → one merged run
+      (2L, "Nothing Here")).toDF("doc_id", "text")
+    val terms = Seq("aa" -> "over", "scan" -> "eng", "row scan" -> "phr")
+    val r = graft.operators.Blocklist.redact(d, col("text"), col("doc_id"),
+        terms)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("redacted") === "******** **** x")
+    assert(r(0).getAs[Int]("n_masked") === 12)
+    assert(r(1).getAs[String]("redacted") === "****")
+    assert(r(1).getAs[Int]("n_masked") === 4)
+    assert(r(2).getAs[String]("redacted") === "Nothing Here")
+    assert(r(2).getAs[Int]("n_masked") === 0)
+  }
 }

@@ -839,4 +839,55 @@ object Similarity {
        |FROM item LEFT JOIN cd ON item.query_id = cd.query_id
        |WHERE n_shared >= 2
        |ORDER BY item.query_id""".stripMargin
+
+  // ------------------------------------------------ recall@k audit
+
+  /** Per-query recall@k of an approximate retriever against the exact
+    * one — THE standard ANN evaluation: of the true top-k
+    * (`exact`), what fraction did the approximate list also return?
+    * Complements [[rankAgreement]] (which scores order agreement on
+    * the intersection; this scores the intersection itself — a
+    * retriever can ace one and flunk the other).
+    *
+    * Grounding convention: `n_exact` counts the EXACT list's rows per
+    * query, so recall = n_hit / n_exact is against ground truth even
+    * when the approximate list under-fills (empty LSH buckets);
+    * approximate-only neighbors (possible when the exact list is
+    * shorter, k > corpus) don't inflate it.
+    *
+    * Scale shape: both inputs are topK-bounded rank lists (|Q|·k
+    * rows, never corpus-sized); one LEFT equi-join on
+    * (query_id, neighbor_id) + one per-query aggregate — the
+    * [[rrfFuse]] discipline, no window at all.
+    *
+    * @param approx,exact (query_id, neighbor_id, …) rank lists
+    * @return (query_id, n_exact, n_hit, recall)
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val ex = exact.select(col("query_id"), col("neighbor_id"))
+    val ap = approx.select(col("query_id"), col("neighbor_id"),
+      lit(1L).as("__hit"))
+    ex.join(ap, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType))
+  }
+
+  /** Oracle for [[recallAtK]]: wraps the two retrievers' oracle SQL
+    * (the [[rrfFuseOracle]] composition idiom).
+    */
+  def recallAtKOracle(approxSql: String, exactSql: String): String =
+    s"""WITH ap AS ($approxSql), ex AS ($exactSql),
+       |j AS (
+       |  SELECT ex.query_id, ex.neighbor_id,
+       |    CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM ex LEFT JOIN ap
+       |    ON ex.query_id = ap.query_id
+       |   AND ex.neighbor_id = ap.neighbor_id)
+       |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(hit) AS BIGINT) AS n_hit,
+       |  CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
+       |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
 }

@@ -3071,6 +3071,24 @@ object Extensions {
       .orderBy("doc_id"),
     Some(Blocklist.redactOracle(Blocklist.DefaultTerms)))
 
+  /** ANN recall@k audit ([[graft.operators.Similarity.recallAtK]]) —
+    * the standard approximate-retrieval eval: per query, the fraction
+    * of the TRUE top-3 (q46's brute force) that q51's sign-LSH
+    * bucketed retriever also returned; grounded on the exact list so
+    * under-filled LSH buckets read as recall loss, not denominator
+    * shrink. Complements q163's order-agreement view.
+    */
+  private val q186 = Q("q186_ann_recall",
+    (s, d) => Similarity.recallAtK(
+        Similarity.lshTopK(Tables.embeddings(s, d), nQueries = 20, k = 3,
+          bits = 4),
+        Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 20,
+          k = 3))
+      .orderBy("query_id"),
+    Some(Similarity.recallAtKOracle(
+      Similarity.lshTopKOracle(nQueries = 20, k = 3, bits = 4),
+      Similarity.bruteForceTopKOracle(nQueries = 20, k = 3))))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3086,5 +3104,5 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185)
+    q181, q182, q183, q184, q185, q186)
 }

@@ -1369,6 +1369,23 @@ class OperatorsSpec extends SparkSpec {
     assert(clean.map(_.getAs[Long]("doc_id")).toSeq === Seq(2L))
   }
 
+  test("Similarity.recallAtK grounds on the exact list (misses, under-fill, extras)") {
+    import spark.implicits._
+    val exact = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L),
+      (1L, 4L, 1L), (1L, 5L, 2L)).toDF("query_id", "neighbor_id", "rnk")
+    // q0: hits 2 of 3 (the extra 9 must not count); q1: empty bucket
+    val approx = Seq((0L, 1L, 1L), (0L, 9L, 2L), (0L, 3L, 3L))
+      .toDF("query_id", "neighbor_id", "rnk")
+    val r = Similarity.recallAtK(approx, exact).orderBy("query_id")
+      .collect()
+    assert(r.length === 2)
+    assert(r(0).getAs[Long]("n_exact") === 3L)
+    assert(r(0).getAs[Long]("n_hit") === 2L)
+    assert(math.abs(r(0).getAs[Double]("recall") - 2.0 / 3) < 1e-15)
+    assert(r(1).getAs[Long]("n_hit") === 0L)
+    assert(r(1).getAs[Double]("recall") === 0.0)
+  }
+
   test("Blocklist.redact: interval union, case preservation, clean pass-through") {
     import spark.implicits._
     val d = Seq(

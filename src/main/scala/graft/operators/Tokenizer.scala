@@ -207,6 +207,52 @@ object Tokenizer {
       .agg(count(lit(1)).as("n_words"), sum("cnt").as("n_occurrences"))
   }
 
+  /** Tokenizer APPLICATION — the deployment half of [[bpeTrain]]:
+    * train `merges` rounds on the corpus, then price every document
+    * under the trained vocabulary: (doc_id, n_words, n_tokens). This
+    * is the "how many tokens will this corpus cost" query every
+    * training-data budget starts from (the per-doc companion to
+    * [[bpeFertility]]'s corpus-level histogram; n_tokens/n_words is
+    * the doc's own fertility).
+    *
+    * Scale shape: training contributes its one corpus pass; the
+    * pricing side adds ONE more corpus pass (the per-doc word stream)
+    * plus a DISTINCT-WORD encode frame — the learned merges replay as
+    * `merges` chained literal `replace` projections over the
+    * vocab-bounded frame (lineage truncated every [[CheckpointEvery]]
+    * rounds, the r10 cadence), never over the corpus. The word→token
+    * count map then joins back to the word stream on the word (AQE
+    * broadcasts a small vocab, shuffle-joins a large one) and one
+    * map-side-combinable per-doc aggregation finishes. Documents with
+    * zero `[a-z]+` words carry no row (no word, no cost — mirrored by
+    * the oracle's inner join).
+    */
+  def bpeTokensPerDoc(docs: DataFrame, content: Column, id: Column,
+                      merges: Int,
+                      maxWords: Long = Profiling.DefaultMaxDomain): DataFrame = {
+    val (ms, _) = train(docs, content, merges, maxWords)
+    val words = docs.select(id.as("doc_id"), explode(
+      regexp_extract_all(lower(content), lit("[a-z]+"), lit(0))).as("word"))
+    val enc0 = words.select(col("word")).distinct()
+      .select(col("word"),
+        concat(regexp_replace(col("word"), "(.)", Sep + Sep + "$1"),
+          lit(Sep + Sep)).as("seq"))
+    val encFinal = ms.foldLeft(enc0) { (df, m) =>
+      val step = df.select(col("word"),
+        replace(col("seq"), lit(Sep + m.l + Sep + Sep + m.r + Sep),
+          lit(Sep + m.l + m.r + Sep)).as("seq"))
+      if (m.rank % CheckpointEvery == 0 && m.rank < ms.size)
+        step.localCheckpoint(eager = true)
+      else step
+    }
+    val nTok = encFinal.select(col("word"),
+      size(filter(split(col("seq"), Sep + "+"), x => x =!= "")).as("n_tok"))
+    words.join(nTok, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_tok").cast("long").as("n_tokens"))
+  }
+
   // ---------------------------------------------------------- oracles
 
   private def oracleBase(docsTable: String, textCol: String): String =
@@ -266,6 +312,44 @@ object Tokenizer {
        |  CAST(COUNT(*) AS BIGINT) AS n_words,
        |  CAST(SUM(cnt) AS BIGINT) AS n_occurrences
        |FROM w$merges GROUP BY 1 ORDER BY tokens_per_word""".stripMargin
+  }
+
+  /** Oracle for [[bpeTokensPerDoc]]: the training CTEs (identical
+    * rounds) provide the merge tables b1..bk; the pricing side encodes
+    * the distinct target words and replays each learned merge as one
+    * CROSS JOIN replace step (the [[roundCtes]] w-step applied to the
+    * target word frame), then joins token counts back to the per-doc
+    * word stream.
+    */
+  def bpeTokensPerDocOracle(merges: Int, docsTable: String = "documents",
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): String = {
+    val ctes = (1 to merges).map(roundCtes).mkString(",\n")
+    val encSteps = (1 to merges).map { k =>
+      s"""e$k AS (
+         |  SELECT word, replace(seq, chr(1)||b.l||chr(1)||chr(1)||b.r||chr(1),
+         |                 chr(1)||b.l||b.r||chr(1)) AS seq
+         |  FROM e${k - 1} CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${oracleBase(docsTable, textCol)},
+       |$ctes,
+       |tw AS (
+       |  SELECT $idCol AS doc_id,
+       |    UNNEST(regexp_extract_all(lower($textCol), '[a-z]+')) AS word
+       |  FROM $docsTable),
+       |e0 AS (
+       |  SELECT word, regexp_replace(word, '(.)', chr(1)||chr(1)||'\\1', 'g')
+       |           || chr(1)||chr(1) AS seq
+       |  FROM (SELECT DISTINCT word FROM tw)),
+       |$encSteps,
+       |enc AS (
+       |  SELECT word, LEN(list_filter(str_split_regex(seq, chr(1)||'+'),
+       |                               x -> x <> '')) AS n_tok
+       |  FROM e$merges)
+       |SELECT tw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |FROM tw JOIN enc USING (word)
+       |GROUP BY tw.doc_id ORDER BY tw.doc_id""".stripMargin
   }
 
   /** Oracle for [[bpeTokenFrequencies]]. */

@@ -3089,6 +3089,19 @@ object Extensions {
       Similarity.lshTopKOracle(nQueries = 20, k = 3, bits = 4),
       Similarity.bruteForceTopKOracle(nQueries = 20, k = 3))))
 
+  /** Tokenizer application
+    * ([[graft.operators.Tokenizer.bpeTokensPerDoc]]) — price every
+    * document under the 8-merge trained vocabulary: (doc_id, n_words,
+    * n_tokens), the "what does this corpus cost in tokens" budget
+    * query; merges replay over the DISTINCT-word frame only, one
+    * extra corpus pass for the per-doc word stream.
+    */
+  private val q187 = Q("q187_bpe_tokens_per_doc",
+    (s, d) => Tokenizer.bpeTokensPerDoc(Tables.documents(s, d),
+        col("text"), col("doc_id"), merges = 8)
+      .orderBy("doc_id"),
+    Some(Tokenizer.bpeTokensPerDocOracle(merges = 8)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3104,5 +3117,5 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186)
+    q181, q182, q183, q184, q185, q186, q187)
 }

@@ -105,4 +105,24 @@ class TokenizerSpec extends SparkSpec {
     assert(never === three)
     assert(never === deflt)
   }
+
+  test("bpeTokensPerDoc conserves corpus token and word totals") {
+    // pricing the corpus per doc must agree with the corpus-level
+    // views: Σ n_tokens == Σ bpeTokenFrequencies freq, and
+    // Σ n_words == the raw [a-z]+ word occurrence count
+    val docs = Seq((1L, "aaa aaa ab"), (2L, "ab ab b"))
+      .toDF("doc_id", "text")
+    for (m <- Seq(1, 3)) {
+      val per = Tokenizer.bpeTokensPerDoc(docs, col("text"), col("doc_id"),
+        merges = m)
+      val viaDoc = per.select(sum("n_tokens")).as[Long].first()
+      val viaFreq = Tokenizer.bpeTokenFrequencies(corpus, col("text"), m)
+        .select(sum("freq")).as[Long].first()
+      assert(viaDoc === viaFreq, s"token totals diverge at merges=$m")
+      val words = per.select(sum("n_words")).as[Long].first()
+      val raw = Tokenizer.wordCounts(corpus, col("text"))
+        .select(sum("cnt")).as[Long].first()
+      assert(words === raw, s"word totals diverge at merges=$m")
+    }
+  }
 }

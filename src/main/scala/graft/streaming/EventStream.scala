@@ -67,6 +67,45 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("approx_users"))
 
+  /** Watermarked windowed blocklist monitor (13th stream≡batch twin):
+    * per (1-hour window, category), the total blocklist term hits in
+    * the events' payload line (`event_type ⧺ ' ' ⧺ props`) — the live
+    * "flagged content rate" dashboard feed in front of the batch
+    * screen ([[graft.operators.Blocklist.hits]]). One broadcast
+    * Aho–Corasick automaton ([[graft.expressions.BlocklistHits]])
+    * scans each event once on the MAP side; the per-category explode
+    * is |categories|-sized and the windowed aggregation partially
+    * combines before state — the same incremental-merge shape as
+    * [[hourlyRollup]], automaton cost O(payload) per event whatever
+    * the list size. Identical code path runs on a batch frame, which
+    * is the twin law the spec asserts.
+    */
+  def hourlyBlocklistHits(events: DataFrame,
+                          terms: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge._
+    val ac = graft.expressions.AhoCorasick.build(
+      terms.map { case (t, c) => (t.toLowerCase, c) })
+    val bc = events.sparkSession.sparkContext.broadcast(ac)
+    val cats = ac.categories.toSeq
+    withEventTime(events)
+      .withWatermark("ts_utc", "2 hours")
+      .select(col("ts_utc"),
+        column(graft.expressions.BlocklistHits(
+          expression(lower(concat_ws(" ", col("event_type"), col("props")))),
+          bc)).as("h"))
+      // constant-length generate with h as pass-through (the q183
+      // plan-audit rule: posexplode(h) would re-evaluate the scan)
+      .select(col("ts_utc"), col("h"),
+        explode(sequence(lit(0), lit(cats.size - 1))).as("i"))
+      .select(col("ts_utc"),
+        element_at(typedlit(cats), col("i") + 1).as("category"),
+        element_at(col("h"), col("i") + 1).as("hits"))
+      .groupBy(window(col("ts_utc"), "1 hour"), col("category"))
+      .agg(sum("hits").as("hits"))
+      .select(col("window.start").as("window_start"), col("category"),
+        col("hits"))
+  }
+
   /** Watermarked windowed count-min sketch per event type — the
     * streaming twin of the batch heavy-hitters query (q104): counter
     * merges are exact long additions, so the sketch a window emits is

@@ -56,6 +56,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("n")).sum > 0)
   }
 
+  test("hourlyBlocklistHits: streaming automaton counts equal the batch twin") {
+    val terms = Seq("click" -> "type", "purchase" -> "type",
+      "7" -> "digit", "zzzq" -> "absent")
+    val streamed = EventStream.hourlyBlocklistHits(
+      EventStream.readEvents(spark, eventsDir), terms)
+    val q = streamed.writeStream
+      .format("memory").queryName("blocklist_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("blocklist_stream")
+      .orderBy("window_start", "category").collect()
+    val expected = EventStream.hourlyBlocklistHits(
+      spark.read.parquet(s"$eventsDir/events.parquet"), terms)
+      .orderBy("window_start", "category").collect()
+    assert(got.map(_.toString).toSeq === expected.map(_.toString).toSeq)
+    // the monitor must actually fire on this fixture (type + digit
+    // terms hit; the absent category rides along as dense zeros)
+    val byCat = spark.table("blocklist_stream")
+      .groupBy("category").agg(sum("hits").as("h")).collect()
+      .map(r => r.getAs[String]("category") -> r.getAs[Long]("h")).toMap
+    assert(byCat("type") > 0L)
+    assert(byCat("digit") > 0L)
+    assert(byCat("absent") === 0L)
+  }
+
   test("dedupStream drops duplicate event ids within the watermark") {
     // stage the events file twice → every event delivered twice
     val dupDir = java.nio.file.Files.createTempDirectory("graft-dup")

@@ -1216,9 +1216,9 @@ object TextAnalysis {
     * boilerplate/licensing/templating text that an LLM pipeline
     * down-weights or strips before training.
     *
-    * Scale shape: windows are generated per row by a
-    * `transform(sequence(...))` higher-order function (no self-join,
-    * no shuffle — output is ~tokens-per-doc rows, the tokenization
+    * Scale shape: windows are generated per row by the codegen
+    * `shingles_all` kernel (no self-join, no shuffle — output is
+    * ~tokens-per-doc rows, the tokenization
     * constant), then ONE map-side-combined shuffle on the 16-byte
     * gram digest via the two-stage (fp, doc) → fp aggregate — the
     * two-stage form deliberately avoids countDistinct's Expand plan.
@@ -1227,13 +1227,21 @@ object TextAnalysis {
     */
   def duplicatedSpans(docs: DataFrame, content: Column, id: Column,
                       n: Int = 20, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge._
     require(n >= 1, s"n ($n) must be >= 1")
     require(minDocs >= 2, s"minDocs ($minDocs) must be >= 2")
+    // r10 rewrite: the window stream comes from the codegen
+    // `shingles_all` kernel instead of the interpreted
+    // transform/sequence/slice HOF chain (the q47-era lesson; the sf1
+    // comparator showed the HOF path 9× behind DuckDB on this very
+    // shape). Output unchanged: the kernel emits the identical
+    // space-joined windows, and md5(cast binary) hashes the same
+    // bytes the inline md5(concat_ws(…)) did.
     docs.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${n - 1}), " +
-          s"i -> md5(concat_ws(' ', slice(toks, i, $n))))")).as("fp"))
+      .select(col("doc_id"), explode(column(graft.expressions.ShinglesAll(
+        expression(col("toks")), expression(lit(n))))).as("g"))
+      .select(col("doc_id"), md5(col("g").cast("binary")).as("fp"))
       .groupBy("fp", "doc_id").agg(count(lit(1)).as("occ"))
       .groupBy("fp").agg(count(lit(1)).as("n_docs"),
         sum("occ").as("n_occ"), min("doc_id").as("min_doc"))
@@ -1319,13 +1327,15 @@ object TextAnalysis {
     */
   def crossSourceSpans(docs: DataFrame, content: Column, src: Column,
                        n: Int = 20): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge._
     require(n >= 1, s"n ($n) must be >= 1")
+    // same codegen-kernel window stream as [[duplicatedSpans]] (r10)
     val f = docs
       .select(src.as("source"), split(content, "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("source"), explode(expr(
-        s"transform(sequence(1, size(toks) - ${n - 1}), " +
-          s"i -> md5(concat_ws(' ', slice(toks, i, $n))))")).as("fp"))
+      .select(col("source"), explode(column(graft.expressions.ShinglesAll(
+        expression(col("toks")), expression(lit(n))))).as("g"))
+      .select(col("source"), md5(col("g").cast("binary")).as("fp"))
       .distinct()
     f.as("a").join(f.as("b"),
         col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))

@@ -1439,6 +1439,120 @@ object Dedup {
        |ORDER BY doc_a, pos_a, doc_b, pos_b""".stripMargin
   }
 
+  /** Incremental maximal-match dedup — the PRODUCTION shape of
+    * [[maximalMatchPairs]] (the [[incrementalNearDups]] pattern): a
+    * daily `batch` of new documents screened against the standing
+    * `corpus`, emitting every maximal cross-side verbatim match
+    * ≥ `minLen` tokens — (batch_id, pos_b, corpus_id, pos_c,
+    * match_len). Candidates join batch anchors to the corpus anchor
+    * index on the window hash; the [[graft.expressions.SpanMatchLen]]
+    * kernel re-verifies, head-filters, and extends exactly as in the
+    * all-pairs form (leftmost ALIGNMENT is side-symmetric, so each
+    * maximal match is emitted once here too).
+    *
+    * Hot-anchor handling differs from [[maximalMatchPairs]]'s
+    * same-frame sub-split, because dropping or hash-splitting a
+    * CROSS-side bucket would lose matches (a match whose head anchor
+    * is dropped never re-emerges — every later anchor fails the head
+    * check): instead the corpus index is sub-split by corpus doc id
+    * into `⌈occ / maxAnchorOccurrences⌉` sub-buckets and each hot
+    * batch anchor FANS OUT to every sub-bucket (explode over the
+    * per-hash sub-count) — exactness preserved, per-join-key fan-out
+    * bounded by the cap, and the explode multiplies ONLY anchors
+    * whose corpus occurrence exceeds the cap (none at the default
+    * 2²⁰: the plan degenerates to the plain equi-join).
+    */
+  def incrementalMaximalMatches(corpus: DataFrame, batch: DataFrame,
+                                content: Column, id: Column,
+                                minLen: Int = 20,
+                                maxAnchorOccurrences: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge._
+    require(minLen >= 2, s"minLen ($minLen) must be >= 2")
+    require(maxAnchorOccurrences >= 1,
+      s"maxAnchorOccurrences ($maxAnchorOccurrences) must be >= 1")
+    def toksOf(df: DataFrame) =
+      df.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
+        .filter(size(col("toks")) >= minLen)
+    def anchorsOf(toks: DataFrame) = toks
+      .select(col("doc_id"), posexplode(column(graft.expressions.ShinglesAll(
+        expression(col("toks")), expression(lit(minLen))))).as(Seq("i", "g")))
+      .select(col("doc_id"), (col("i") + 1).as("pos"),
+        xxhash64(col("g")).as("gh"))
+    val toksC = toksOf(corpus)
+    val toksB = toksOf(batch)
+    val aC = anchorsOf(toksC)
+    val aB = anchorsOf(toksB)
+    val nsub = aC.groupBy("gh").agg(call_function("div",
+      count(lit(1)) + lit(maxAnchorOccurrences.toLong - 1),
+      lit(maxAnchorOccurrences.toLong)).as("__nsub"))
+    val idx = aC.join(nsub, "gh")
+      .select(col("gh"), col("doc_id").as("corpus_id"),
+        col("pos").as("pos_c"),
+        pmod(xxhash64(col("doc_id")), col("__nsub")).as("__sub"))
+    val probe = aB.join(nsub, "gh")
+      .select(col("gh"), col("doc_id").as("batch_id"),
+        col("pos").as("pos_b"),
+        explode(sequence(lit(0L), col("__nsub") - 1)).as("__sub"))
+    probe.join(idx, Seq("gh", "__sub"))
+      .join(toksB.select(col("doc_id").as("batch_id"),
+        col("toks").as("tb")), "batch_id")
+      .join(toksC.select(col("doc_id").as("corpus_id"),
+        col("toks").as("tc")), "corpus_id")
+      .select(col("batch_id"), col("pos_b"), col("corpus_id"),
+        col("pos_c"),
+        column(graft.expressions.SpanMatchLen(expression(col("tb")),
+          expression(col("pos_b")), expression(col("tc")),
+          expression(col("pos_c")), minLen)).as("match_len"))
+      .filter(col("match_len") >= minLen)
+  }
+
+  /** Oracle for [[incrementalMaximalMatches]] over a batch/corpus
+    * split of `documents` (`batchPred` selects the batch side; the
+    * complement is the corpus).
+    */
+  def incrementalMaximalMatchesOracle(minLen: Int = 20,
+                                      batchPred: String = "doc_id % 10 = 0",
+                                      source: String = "documents"): String = {
+    val nm1 = minLen - 1
+    val extVec = s"""LIST_TRANSFORM(GENERATE_SERIES(1,
+       LEAST(LEN(tb) - pos_b, LEN(tc) - pos_c) - $nm1),
+       jj -> CASE WHEN tb[pos_b + $minLen + jj - 1] =
+                       tc[pos_c + $minLen + jj - 1]
+                  THEN 1 ELSE 0 END)"""
+    s"""WITH t AS (
+       |  SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks,
+       |         ($batchPred) AS is_batch
+       |  FROM $source),
+       |a AS (
+       |  SELECT doc_id, is_batch, i AS pos,
+       |    ARRAY_TO_STRING(LIST_SLICE(toks, i, i + $nm1), ' ') AS g
+       |  FROM t, UNNEST(GENERATE_SERIES(1, LEN(toks) - $nm1)) AS u(i)),
+       |c AS (
+       |  SELECT b.doc_id AS batch_id, b.pos AS pos_b,
+       |         x.doc_id AS corpus_id, x.pos AS pos_c
+       |  FROM a b JOIN a x ON b.g = x.g
+       |  WHERE b.is_batch AND NOT x.is_batch),
+       |j AS (
+       |  SELECT c.*, tb.toks AS tb, tc.toks AS tc FROM c
+       |  JOIN t tb ON c.batch_id = tb.doc_id
+       |  JOIN t tc ON c.corpus_id = tc.doc_id),
+       |e AS (
+       |  SELECT batch_id, pos_b, corpus_id, pos_c,
+       |    CASE WHEN pos_b > 1 AND pos_c > 1
+       |              AND tb[pos_b - 1] = tc[pos_c - 1] THEN NULL
+       |    ELSE $minLen + CASE WHEN LIST_POSITION($extVec, 0) = 0
+       |      THEN GREATEST(LEAST(LEN(tb) - pos_b, LEN(tc) - pos_c)
+       |                      - $nm1, 0)
+       |      ELSE LIST_POSITION($extVec, 0) - 1 END
+       |    END AS match_len
+       |  FROM j)
+       |SELECT batch_id, CAST(pos_b AS INT) AS pos_b,
+       |       corpus_id, CAST(pos_c AS INT) AS pos_c,
+       |       CAST(match_len AS BIGINT) AS match_len
+       |FROM e WHERE match_len IS NOT NULL
+       |ORDER BY batch_id, pos_b, corpus_id, pos_c""".stripMargin
+  }
+
   /** Per-document duplicated-region cut list: maximal runs of 1-based
     * anchor positions whose `minLen`-token window occurs at least
     * `minOcc` times in the whole corpus (same-doc repeats included —

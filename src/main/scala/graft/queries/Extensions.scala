@@ -3102,6 +3102,24 @@ object Extensions {
       .orderBy("doc_id"),
     Some(Tokenizer.bpeTokensPerDocOracle(merges = 8)))
 
+  /** Incremental maximal-match screening
+    * ([[graft.operators.Dedup.incrementalMaximalMatches]]) — the
+    * production daily-batch shape of q181: new docs (doc_id % 10 = 0)
+    * probed against the standing corpus anchor index; exact hot-anchor
+    * handling via corpus-side sub-split + batch-side fan-out (inert at
+    * the default cap).
+    */
+  private val q188 = Q("q188_incremental_matches",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalMaximalMatches(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        col("text"), col("doc_id"), minLen = 20)
+        .orderBy("batch_id", "pos_b", "corpus_id", "pos_c")
+    },
+    Some(Dedup.incrementalMaximalMatchesOracle(minLen = 20)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3117,5 +3135,5 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187)
+    q181, q182, q183, q184, q185, q186, q187, q188)
 }

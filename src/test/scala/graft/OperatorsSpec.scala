@@ -1285,6 +1285,34 @@ class OperatorsSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("incrementalMaximalMatches: cross-side only, sub-split cap exactness") {
+    import spark.implicits._
+    val shared = (1 to 30).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"$shared u1 u2 u3"),
+      (1L, s"w1 w2 $shared")).toDF("doc_id", "text")   // corpus-internal dup
+    val batch = Seq(
+      (10L, s"v1 v2 $shared"),
+      (11L, "nothing shared here with anything else at all"))
+      .toDF("doc_id", "text")
+    val r = Dedup.incrementalMaximalMatches(corpus, batch,
+        col("text"), col("doc_id"), minLen = 20)
+      .orderBy("corpus_id").collect()
+    // batch doc 10 matches BOTH corpus carriers of the span, once
+    // each; the corpus-internal duplicate pair (0, 1) is NOT emitted
+    assert(r.length === 2)
+    assert(r.map(_.getAs[Long]("batch_id")).toSet === Set(10L))
+    assert(r.map(_.getAs[Long]("corpus_id")).toSeq === Seq(0L, 1L))
+    assert(r.map(_.getAs[Long]("match_len")).toSet === Set(30L))
+    // exactness law: a cap of 1 (every anchor bucket sub-split, batch
+    // side fanning out) must produce identical matches
+    val capped = Dedup.incrementalMaximalMatches(corpus, batch,
+        col("text"), col("doc_id"), minLen = 20,
+        maxAnchorOccurrences = 1)
+      .orderBy("corpus_id").collect()
+    assert(capped.toSeq === r.toSeq)
+  }
+
   test("dedupRegions merges overlapping duplicated windows into cut ranges") {
     import spark.implicits._
     val shared = (1 to 30).map(i => s"s$i").mkString(" ")

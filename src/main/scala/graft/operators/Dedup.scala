@@ -1604,6 +1604,107 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** Per-source duplication report — the number a curation dashboard
+    * actually shows: for every source, how many documents carry
+    * duplicated regions and what fraction of its TOKENS sits inside
+    * one. Composes [[dedupRegions]] with
+    * [[ProductAnalytics.intervalCoverage]]: regions become half-open
+    * token intervals `[start_pos, end_pos + minLen)` and the coverage
+    * union handles the subtlety that ANCHOR-level islands separated by
+    * a short gap still overlap at the TOKEN level (two islands whose
+    * anchor gap is < minLen share covered tokens — summing region_len
+    * would double-count them; the interval union does not).
+    *
+    * Exactness: every sum is BIGINT; the one division (dup_fraction)
+    * happens once per source row on the final aggregates — portable.
+    * Docs without regions join as zero coverage (LEFT join).
+    *
+    * Scale shape: [[dedupRegions]]'s linear chain, then one per-DOC
+    * interval union (windows bounded by a doc's region count) and one
+    * map-side-combinable per-source aggregation. |sources|-bounded
+    * output.
+    *
+    * @return (source, n_docs, docs_with_dups, total_tokens,
+    *         dup_tokens, dup_fraction)
+    */
+  def duplicationReport(docs: DataFrame, content: Column, id: Column,
+                        src: Column, minLen: Int = 20,
+                        minOcc: Int = 2): DataFrame = {
+    val regions = dedupRegions(docs, content, id, minLen, minOcc)
+    val cov = ProductAnalytics.intervalCoverage(regions, col("doc_id"),
+        col("start_pos").cast(LongType),
+        (col("end_pos") + minLen).cast(LongType))
+      .select(col("k").as("doc_id"), col("covered"))
+    docs.select(src.as("source"), id.as("doc_id"),
+        size(split(content, "\\s+")).cast(LongType).as("n_tok"))
+      .join(cov, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("covered").isNotNull, 1L).otherwise(0L))
+          .as("docs_with_dups"),
+        sum("n_tok").as("total_tokens"),
+        sum(coalesce(col("covered"), lit(0L))).as("dup_tokens"))
+      .withColumn("dup_fraction",
+        col("dup_tokens").cast(DoubleType) /
+          col("total_tokens").cast(DoubleType))
+  }
+
+  /** Oracle for [[duplicationReport]]: the [[dedupRegionsOracle]]
+    * chain, intervals unioned per doc with the running-max island
+    * trick ([[ProductAnalytics.intervalCoverageOracle]] idiom), then
+    * the per-source rollup.
+    */
+  def duplicationReportOracle(minLen: Int = 20, minOcc: Int = 2,
+                              source: String = "documents"): String = {
+    val nm1 = minLen - 1
+    s"""WITH a AS (
+       |  SELECT doc_id, i AS pos,
+       |    MD5(ARRAY_TO_STRING(LIST_SLICE(toks, i, i + $nm1), ' ')) AS fp
+       |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks
+       |        FROM $source),
+       |    UNNEST(GENERATE_SERIES(1, LEN(toks) - $nm1)) AS u(i)),
+       |d AS (SELECT fp FROM a GROUP BY fp HAVING COUNT(*) >= $minOcc),
+       |p AS (SELECT a.doc_id, a.pos FROM a JOIN d USING (fp)),
+       |i AS (
+       |  SELECT doc_id, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+       |      AS grp
+       |  FROM p),
+       |reg AS (
+       |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + $minLen AS e
+       |  FROM i GROUP BY doc_id, grp),
+       |m AS (
+       |  SELECT doc_id, s, e,
+       |    MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM reg),
+       |g AS (
+       |  SELECT doc_id, s, e,
+       |    SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY s, e
+       |        ROWS UNBOUNDED PRECEDING) AS isl
+       |  FROM m),
+       |islands AS (
+       |  SELECT doc_id, isl, MIN(s) AS s0, MAX(e) AS e1
+       |  FROM g GROUP BY doc_id, isl),
+       |cov AS (
+       |  SELECT doc_id, SUM(e1 - s0) AS covered
+       |  FROM islands GROUP BY doc_id),
+       |dt AS (
+       |  SELECT source, doc_id,
+       |    LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS n_tok
+       |  FROM $source)
+       |SELECT dt.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN cov.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS docs_with_dups,
+       |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(COALESCE(covered, 0)) AS BIGINT) AS dup_tokens,
+       |  CAST(SUM(COALESCE(covered, 0)) AS DOUBLE)
+       |    / CAST(SUM(n_tok) AS DOUBLE) AS dup_fraction
+       |FROM dt LEFT JOIN cov ON dt.doc_id = cov.doc_id
+       |GROUP BY dt.source ORDER BY dt.source""".stripMargin
+  }
+
   /** Oracle for [[dedupRegions]]: identical md5 windows, HAVING-count
     * duplicate filter, ROW_NUMBER gaps-and-islands.
     */

@@ -3120,6 +3120,20 @@ object Extensions {
     },
     Some(Dedup.incrementalMaximalMatchesOracle(minLen = 20)))
 
+  /** Per-source duplication report
+    * ([[graft.operators.Dedup.duplicationReport]]) — the dashboard
+    * rollup of q182: per source, documents carrying duplicated regions
+    * and the exact fraction of tokens inside one (interval union, not
+    * region-length sum — token-overlapping anchor islands don't
+    * double-count).
+    */
+  private val q189 = Q("q189_duplication_report",
+    (s, d) => Dedup.duplicationReport(Tables.documents(s, d),
+        col("text"), col("doc_id"), col("source"), minLen = 20,
+        minOcc = 2)
+      .orderBy("source"),
+    Some(Dedup.duplicationReportOracle(minLen = 20, minOcc = 2)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3135,5 +3149,5 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189)
 }

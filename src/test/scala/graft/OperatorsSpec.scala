@@ -1337,6 +1337,35 @@ class OperatorsSpec extends SparkSpec {
     assert(r1.getAs[Int]("region_len") === 30)
   }
 
+  test("duplicationReport: interval union never double-counts overlapping regions") {
+    import spark.implicits._
+    val s = (1 to 45).map(i => s"s$i")
+    val docA = s.mkString(" ")                      // s1..s45
+    val docB = s.take(30).mkString(" ")             // shares s1..s30 with A
+    val docC = s.drop(20).mkString(" ")             // shares s21..s45 with A
+    val d = Seq(
+      (0L, docA, "mixA"),
+      (1L, docB, "pure"),
+      (2L, docC, "pure"),
+      (3L, "not a single duplicated window in here at all " +
+        "just twenty distinct filler words with nothing shared",
+        "clean")).toDF("doc_id", "text", "source")
+    val r = Dedup.duplicationReport(d, col("text"), col("doc_id"),
+        col("source"), minLen = 20, minOcc = 2)
+      .orderBy("source").collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    // docA carries TWO anchor islands (1–11 vs B, 21–26 vs C) whose
+    // covered token ranges OVERLAP (tokens 21–30): Σ region_len = 55,
+    // but the true union is all 45 tokens — the report must say 45
+    assert(r("mixA").getAs[Long]("dup_tokens") === 45L)
+    assert(r("mixA").getAs[Double]("dup_fraction") === 1.0)
+    assert(r("pure").getAs[Long]("n_docs") === 2L)
+    assert(r("pure").getAs[Long]("docs_with_dups") === 2L)
+    assert(r("pure").getAs[Long]("dup_tokens") === 55L)
+    assert(r("clean").getAs[Long]("dup_tokens") === 0L)
+    assert(r("clean").getAs[Double]("dup_fraction") === 0.0)
+  }
+
   // ------------------------------- Aho–Corasick blocklist (q183/q184)
 
   test("AhoCorasick ≡ naive position-scan counts (random lists, scalacheck)") {

@@ -282,6 +282,75 @@ object Multimodal {
     out.toByteArray
   }
 
+  // -------------------------------------- perceptual-hash image dedup
+
+  /** 64-bit average-hash (aHash) per decodable image — the classic
+    * perceptual fingerprint over [[decodeImages]]'s luma thumbnail:
+    * bit i set iff luma cell i exceeds the thumbnail's mean. Both the
+    * mean and the bit sum are position-ordered left folds over the
+    * 64-cell array (the dot-product float discipline), so the hash is
+    * deterministic on any partitioning. Undecodable payloads are
+    * excluded (no pixels, no hash) — the corrupt-safe contract.
+    *
+    * @return (asset_id, ahash: long)
+    */
+  def imageAHash(assets: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid * grid <= 64, s"grid ($grid) must satisfy grid² <= 64")
+    val cells = grid * grid
+    decodeImages(assets, grid).toDF()
+      .filter(col("width") > 0)
+      .withColumn("__mean",
+        aggregate(col("luma"), lit(0.0d), (a, x) => a + x) / cells)
+      .select(col("asset_id"),
+        aggregate(
+          zip_with(col("luma"),
+            sequence(lit(0), lit(cells - 1)),
+            (v, i) => when(v > col("__mean"),
+                call_function("shiftleft", lit(1L), i))
+              .otherwise(lit(0L))),
+          lit(0L), (a, x) => a.bitwiseOR(x)).as("ahash"))
+  }
+
+  /** Image near-duplicate pairs — banded Hamming join over the aHash
+    * (the visual sibling of [[Dedup.simHashPairs]]): candidates share
+    * at least one of four 16-bit hash bands (a pair within Hamming
+    * distance ≤ 15 ALWAYS shares an untouched band — full recall for
+    * any `maxHamming` ≤ 15 by pigeonhole), verified with the exact
+    * `bit_count(xor)`. Candidate generation is an equi-join on
+    * (band, key) — never all-pairs; a re-encoded/resized copy of an
+    * image lands within a few bits of the original where a byte-level
+    * fingerprint ([[Dedup.exact]]) sees two unrelated blobs.
+    *
+    * Spec-gated (no SQL oracle): the decode step has no DuckDB
+    * equivalent — same evidence class as [[decodeImages]] itself.
+    *
+    * @return (asset_a, asset_b, hamming), asset_a < asset_b
+    */
+  def imageNearDupPairs(assets: DataFrame, grid: Int = 8,
+                        maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming ($maxHamming) must be in [0, 15] for 4-band recall")
+    val h = imageAHash(assets, grid)
+    val banded = h.select(col("asset_id"), col("ahash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("b"),
+          shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL))
+            .as("key"))
+      }: _*)).as("bk"))
+      .select(col("asset_id"), col("ahash"),
+        col("bk.b").as("b"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("asset_a"),
+        col("b.asset_id").as("asset_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash")))
+          .cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   final case class ProbedVideo(asset_id: Long, container: String,
                                width: Int, height: Int,
                                duration_ns: Long, n_bytes: Long)

@@ -156,4 +156,43 @@ class MultimodalSpec extends SparkSpec {
       .map(x => x.asset_id -> x).toMap
     assert(again === r)
   }
+
+  test("imageNearDupPairs: perceptual near-dups found, byte-dup machinery blind to them") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      Multimodal.pngBytes(img)
+    }
+    // base gradient; a RESIZED re-encode of it (different bytes, same
+    // picture); an unrelated checkerboard; a corrupt payload
+    def grad(scale: Int)(x: Int, y: Int): Int =
+      ((x * 8 / scale) << 16) | ((y * 8 / scale) << 8) | 0x40
+    val base = png(32, 32, grad(1))
+    val resized = png(64, 64, grad(2))
+    val checker = png(32, 32, (x, y) =>
+      if ((x / 4 + y / 4) % 2 == 0) 0xffffff else 0x000000)
+    val assets = Seq(
+      (0L, "image", base, "png", "fx"),
+      (1L, "image", resized, "png", "fx"),
+      (2L, "image", checker, "png", "fx"),
+      (3L, "image", Array[Byte](1, 2, 3), "png", "fx"))
+      .toDF("asset_id", "modality", "payload", "format", "source")
+    val pairs = Multimodal.imageNearDupPairs(assets, maxHamming = 6)
+      .collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Long]("asset_a") === 0L)
+    assert(pairs.head.getAs[Long]("asset_b") === 1L)
+    assert(pairs.head.getAs[Long]("hamming") <= 6L)
+    // the byte-level fingerprint sees the same two images as UNRELATED
+    // blobs - the gap perceptual hashing exists to close
+    val byteDup = graft.operators.Dedup.exact(
+      assets.filter(col("asset_id") < 2), col("payload"), col("asset_id"))
+    assert(byteDup.count() === 2)
+    // determinism across partitionings
+    val again = Multimodal.imageNearDupPairs(assets.repartition(3),
+      maxHamming = 6).collect()
+    assert(again.toSeq === pairs.toSeq)
+  }
 }

@@ -226,6 +226,95 @@ object TextAnalysis {
       .map(i => s"(STRPOS('0123456789abcdef', $hxCol[$i]) - 1) * ${math.pow(16, 15 - i).toLong}")
       .mkString(" + ")
 
+  /** Vocabulary-growth (Heaps-law) curve in ONE corpus pass — the
+    * corpus diagnostic behind the bounded-domain design assumption
+    * this library leans on everywhere (BPE's `maxWords`, the LM model
+    * frames, the profiling gates): how fast does the distinct-word
+    * vocabulary grow as the corpus grows? Natural language plateaus
+    * sublinearly (Heaps' law); ids/random strings grow linearly — the
+    * curve is how you TEST which regime a new corpus is in before
+    * trusting a vocab-frame operator on it.
+    *
+    * The naive protocol (sample the corpus at each fraction, count
+    * distinct words — one full pass per point) is replaced by a
+    * one-pass arrival construction: bucket every DOCUMENT by its
+    * deterministic [[hash60]] prefix range (buckets must be a power of
+    * two so the range edge `2⁶⁰ / buckets` is exact), and credit every
+    * WORD to the minimum bucket of any document containing it — its
+    * arrival point. Then the vocabulary at fraction b/buckets is
+    * exactly the count of words with arrival ≤ b (what a prefix-range
+    * hash sample at that fraction would see), and one cumulative sum
+    * over the |buckets|-row frame yields the whole curve. Shapes: one
+    * word explode, one map-side-combined min per word (the
+    * vocabulary-bounded frame), one per-bucket doc/token aggregate;
+    * the only window runs over `buckets` rows by construction.
+    *
+    * @return (fraction, n_docs, n_tokens, n_vocab), `buckets` rows,
+    *         all counts cumulative; words are the [[Tokenizer]]
+    *         `[a-z]+` convention
+    */
+  def vocabularyGrowth(docs: DataFrame, content: Column, id: Column,
+                       buckets: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2 && buckets <= 4096 &&
+      (buckets & (buckets - 1)) == 0,
+      s"buckets ($buckets) must be a power of two in [2, 4096] so the " +
+        "hash range edge is exact")
+    val edge = (1L << 60) / buckets
+    val db = docs.select(
+      call_function("div", hash60(id), lit(edge)).as("b"),
+      regexp_extract_all(lower(content), lit("[a-z]+"), lit(0)).as("ws"))
+    val dt = db.groupBy("b").agg(count(lit(1)).as("nd"),
+      sum(size(col("ws"))).cast(LongType).as("nt"))
+    val nv = db.select(col("b"), explode(col("ws")).as("w"))
+      .groupBy("w").agg(min("b").as("mb"))
+      .groupBy(col("mb").as("b")).agg(count(lit(1)).as("nw"))
+    val spine = docs.sparkSession.range(buckets)
+      .select(col("id").as("b"))
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(dt, Seq("b"), "left").join(nv, Seq("b"), "left")
+      .na.fill(0L, Seq("nd", "nt", "nw"))
+      .select(
+        ((col("b") + 1).cast(DoubleType) / buckets).as("fraction"),
+        sum("nd").over(w).as("n_docs"),
+        sum("nt").over(w).as("n_tokens"),
+        sum("nw").over(w).as("n_vocab"))
+  }
+
+  /** Oracle for [[vocabularyGrowth]]: identical hash60 bucket ranges,
+    * arrival minima, and spine-joined cumulative sums.
+    */
+  def vocabularyGrowthOracle(buckets: Int = 8,
+                             source: String = "documents"): String = {
+    val edge = (1L << 60) / buckets
+    s"""WITH d AS (
+       |  SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS hx,
+       |    regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |  FROM $source),
+       |db AS (
+       |  SELECT (${hash60Sql("hx")}) // $edge AS b, ws FROM d),
+       |dt AS (
+       |  SELECT b, COUNT(*) AS nd, CAST(SUM(LEN(ws)) AS BIGINT) AS nt
+       |  FROM db GROUP BY b),
+       |nv AS (
+       |  SELECT mb AS b, COUNT(*) AS nw FROM (
+       |    SELECT w, MIN(b) AS mb FROM (
+       |      SELECT b, UNNEST(ws) AS w FROM db) GROUP BY w)
+       |  GROUP BY mb),
+       |sp AS (SELECT i AS b
+       |       FROM UNNEST(GENERATE_SERIES(0, ${buckets - 1})) AS u(i))
+       |SELECT CAST(sp.b + 1 AS DOUBLE) / $buckets AS fraction,
+       |  CAST(SUM(COALESCE(nd, 0)) OVER (ORDER BY sp.b
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_docs,
+       |  CAST(SUM(COALESCE(nt, 0)) OVER (ORDER BY sp.b
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(COALESCE(nw, 0)) OVER (ORDER BY sp.b
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_vocab
+       |FROM sp LEFT JOIN dt ON sp.b = dt.b LEFT JOIN nv ON sp.b = nv.b
+       |ORDER BY fraction""".stripMargin
+  }
+
   /** Oracle for [[bernoulliHashSample]] over (doc_id, lang, n_chars). */
   def bernoulliHashSampleOracle(fraction: Double): String =
     s"""WITH h AS (

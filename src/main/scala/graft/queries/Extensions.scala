@@ -3134,6 +3134,19 @@ object Extensions {
       .orderBy("source"),
     Some(Dedup.duplicationReportOracle(minLen = 20, minOcc = 2)))
 
+  /** Heaps-law vocabulary-growth curve
+    * ([[graft.operators.TextAnalysis.vocabularyGrowth]]) — distinct
+    * words vs corpus fraction in ONE pass (per-word minimum doc-hash
+    * arrival bucket): the test for whether a new corpus is in the
+    * bounded-vocabulary regime the vocab-frame operators (BPE, LM,
+    * profiling gates) assume.
+    */
+  private val q190 = Q("q190_vocab_growth",
+    (s, d) => TextAnalysis.vocabularyGrowth(Tables.documents(s, d),
+        col("text"), col("doc_id"), buckets = 8)
+      .orderBy("fraction"),
+    Some(TextAnalysis.vocabularyGrowthOracle(buckets = 8)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3149,5 +3162,5 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
 }

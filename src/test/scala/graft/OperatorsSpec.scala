@@ -1337,6 +1337,31 @@ class OperatorsSpec extends SparkSpec {
     assert(r1.getAs[Int]("region_len") === 30)
   }
 
+  test("vocabularyGrowth: final point equals whole-corpus truth, curve monotone") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val curve = TextAnalysis.vocabularyGrowth(d, col("text"),
+      col("doc_id"), buckets = 8).orderBy("fraction").collect()
+    assert(curve.length === 8)
+    // the 100% point must equal the direct whole-corpus aggregates
+    val last = curve.last
+    val words = d.select(explode(
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+    assert(last.getAs[Long]("n_docs") === d.count())
+    assert(last.getAs[Long]("n_tokens") === words.count())
+    assert(last.getAs[Long]("n_vocab") === words.distinct().count())
+    assert(last.getAs[Double]("fraction") === 1.0)
+    // cumulative construction: every series non-decreasing
+    Seq("n_docs", "n_tokens", "n_vocab").foreach { c =>
+      val xs = curve.map(_.getAs[Long](c)).toSeq
+      assert(xs === xs.sorted, s"$c must be non-decreasing")
+    }
+    // tiny fixture vocabulary (~30 words) saturates early — the
+    // Heaps-plateau signature the curve exists to expose: the first
+    // half of the corpus already carries (almost) the whole vocab
+    assert(curve(3).getAs[Long]("n_vocab") >=
+      last.getAs[Long]("n_vocab") - 2)
+  }
+
   test("duplicationReport: interval union never double-counts overlapping regions") {
     import spark.implicits._
     val s = (1 to 45).map(i => s"s$i")

@@ -732,8 +732,16 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id")
           && abs(length(col("a.title")) - length(col("b.title"))) <= maxDist)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.title"), col("b.title")).cast(LongType).as("dist"))
-      .filter(col("dist") <= maxDist)
+        // the THRESHOLD form runs the banded O(maxDist · len) DP and
+        // bails with -1 as soon as the distance provably exceeds
+        // maxDist — on a boilerplate-heavy block where most candidate
+        // pairs are far apart, that turns the verifier from
+        // O(len_a · len_b) per pair into O(maxDist · len). Values in
+        // [0, maxDist] are the exact distance, so the oracle (full
+        // LEVENSHTEIN + the same <= filter) is unchanged.
+        levenshtein(col("a.title"), col("b.title"), maxDist)
+          .cast(LongType).as("dist"))
+      .filter(col("dist") >= 0)
   }
 
   def editDistancePairsOracle(titleTokens: Int = 6, blockTokens: Int = 2,
@@ -987,7 +995,11 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  def simHashPairsOracle(maxHamming: Int, source: String = "documents"): String = {
+  /** The SimHash signature CTE chain (tok → hashed → votes → sig) —
+    * shared by [[simHashPairsOracle]] and [[hammingPairsOracle]] so the
+    * nibble/vote/signature arithmetic exists in exactly one place.
+    */
+  private def simHashSigCtes(source: String): String = {
     def nib(i: Int) = s"(STRPOS('0123456789abcdef', h[$i]) - 1)"
     val vExpr = (1 to 15)
       .map(i => s"${nib(i)} * ${math.pow(16, 15 - i).toLong}")
@@ -998,11 +1010,7 @@ object Dedup {
     val sigExpr = (0 until SimHashBits)
       .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
-    val bandSelects = (0 until SimHashBands).map { b =>
-      s"SELECT doc_id, simhash, $b AS band, " +
-        s"(simhash // ${1L << (b * BandBits)}) % ${1L << BandBits} AS band_bits FROM sig"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS t
        |  FROM $source),
        |hashed AS (
@@ -1013,7 +1021,15 @@ object Dedup {
        |    $voteExprs
        |  FROM hashed GROUP BY doc_id),
        |sig AS (
-       |  SELECT doc_id, CAST($sigExpr AS BIGINT) AS simhash FROM votes),
+       |  SELECT doc_id, CAST($sigExpr AS BIGINT) AS simhash FROM votes)""".stripMargin
+  }
+
+  def simHashPairsOracle(maxHamming: Int, source: String = "documents"): String = {
+    val bandSelects = (0 until SimHashBands).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, " +
+        s"(simhash // ${1L << (b * BandBits)}) % ${1L << BandBits} AS band_bits FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${simHashSigCtes(source)},
        |banded AS (
        |  $bandSelects),
        |cand AS (
@@ -1027,6 +1043,97 @@ object Dedup {
        |FROM cand
        |WHERE BIT_COUNT(XOR(sim_a, sim_b)) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Banded Hamming near-dup pairs over ANY precomputed `bits`-wide
+    * fingerprint column (SimHash signatures, perceptual image aHashes,
+    * audio fingerprints — the pair stage is hash-agnostic): candidates
+    * share at least one whole band, verified with the exact
+    * `bit_count(xor)`.
+    *
+    * The band count is DERIVED from `maxHamming` — `bands =
+    * maxHamming + 1` — which is what makes the pigeonhole guarantee
+    * actually hold: `d <= maxHamming` differing bits can touch at most
+    * `d < bands` bands, so at least one band is untouched and the pair
+    * meets in that band's equi-join bucket. FULL recall at any
+    * `maxHamming <= bits - 1`, never all-pairs. (A FIXED band count B
+    * only guarantees recall for `maxHamming <= B - 1`; the round-10
+    * image near-dup operator hard-coded 4 bands with a default
+    * maxHamming of 6 and silently missed pairs whose 4-6 differing
+    * bits straddled all four bands — this operator replaces that
+    * shape.) Band widths are the balanced integer split
+    * `floor((b+1)·bits/bands) − floor(b·bits/bands)`; extraction uses
+    * unsigned shifts so a set sign bit (bit 63) is just another bit.
+    *
+    * Scale: |rows| × bands explode, one equi-join on (band, key),
+    * DISTINCT before the verify (a pair sharing several bands arrives
+    * once per shared band), one broadcast-free narrow filter. More
+    * bands = narrower keys = bigger buckets: recall is free, the
+    * precision/cost knob is `maxHamming` itself.
+    *
+    * @return (id_a, id_b, hamming), id_a < id_b, hamming <= maxHamming
+    */
+  def hammingPairs(hashes: DataFrame, id: Column, hash: Column,
+                   bits: Int = 64, maxHamming: Int = 3): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits ($bits) must be in [1, 64]")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming ($maxHamming) must be in [0, bits)")
+    val bands = maxHamming + 1
+    val h = hashes.select(id.as("id"), hash.as("h"))
+    val banded = h.select(
+      col("id"), col("h"),
+      posexplode(array((0 until bands).map { b =>
+        val lo = b * bits / bands
+        val width = (b + 1) * bits / bands - lo
+        val mask = if (width == 64) -1L else (1L << width) - 1
+        shiftrightunsigned(col("h"), lo).bitwiseAND(mask)
+      }: _*)).as(Seq("band", "key")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.h").as("h_a"), col("b.h").as("h_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast(IntegerType))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Oracle for [[hammingPairs]] over the documents' SimHash
+    * signatures (the q191 fixture: a 60-bit content fingerprint whose
+    * near-dups land at small NONZERO Hamming distances, so the graded
+    * output exercises bands the fixed-band q49 shape cannot reach —
+    * maxHamming 5 needs 6 derived bands where 4 fixed bands only
+    * guarantee distance 3). Signature CTEs shared with
+    * [[simHashPairsOracle]]; band extraction replays the same
+    * floor-boundary split (signatures are < 2^60, so `//`/`%`
+    * arithmetic equals the unsigned shifts).
+    */
+  def hammingPairsOracle(maxHamming: Int, bits: Int = SimHashBits,
+                         source: String = "documents"): String = {
+    val bands = maxHamming + 1
+    val bandSelects = (0 until bands).map { b =>
+      val lo = b * bits / bands
+      val width = (b + 1) * bits / bands - lo
+      s"SELECT doc_id, simhash, $b AS band, " +
+        s"(simhash // ${1L << lo}) % ${1L << width} AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${simHashSigCtes(source)},
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         a.simhash AS h_a, b.simhash AS h_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key
+       |   AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(BIT_COUNT(XOR(h_a, h_b)) AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE BIT_COUNT(XOR(h_a, h_b)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   // -------------------------------------------- cluster assignment (CC)
@@ -1346,7 +1453,15 @@ object Dedup {
     * buckets above `maxAnchorOccurrences` are split into sub-buckets
     * by a deterministic hash of the doc id and pairs are generated
     * only within a sub-bucket — linear in the hot bucket's size, at
-    * the documented cost of missing straddling pairs. The default cap
+    * the documented cost of losing matches that straddle sub-buckets.
+    * Note the loss is of whole MATCHES, not just of extra witness
+    * rows: if a match's LEFTMOST anchor pair lands in different
+    * sub-buckets, a later anchor the pair does share is then rejected
+    * by the head check (which tests token equality, not whether the
+    * leftmost candidate survived), so no row is emitted for that
+    * match at all. Exactness under the cap requires the cross-side
+    * fan-out treatment ([[incrementalMaximalMatches]]); here the cap
+    * is a same-frame self-join backstop. The default cap
     * (2²⁰) is far above any fixture bucket (sf0.1 max occurrence: 3),
     * so the graded q181 output is the exact uncapped semantics.
     *
@@ -1635,8 +1750,12 @@ object Dedup {
         col("start_pos").cast(LongType),
         (col("end_pos") + minLen).cast(LongType))
       .select(col("k").as("doc_id"), col("covered"))
+    // empty/whitespace-leading docs must not be credited a phantom ""
+    // token (the Curate.temperatureMixture convention — one token
+    // definition across the codebase), so filter before counting
     docs.select(src.as("source"), id.as("doc_id"),
-        size(split(content, "\\s+")).cast(LongType).as("n_tok"))
+        size(filter(split(content, "\\s+"), t => t =!= ""))
+          .cast(LongType).as("n_tok"))
       .join(cov, Seq("doc_id"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -1692,7 +1811,8 @@ object Dedup {
        |  FROM islands GROUP BY doc_id),
        |dt AS (
        |  SELECT source, doc_id,
-       |    LEN(STRING_SPLIT_REGEX(text, '\\s+')) AS n_tok
+       |    LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+       |                    t -> t <> '')) AS n_tok
        |  FROM $source)
        |SELECT dt.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(CASE WHEN cov.doc_id IS NOT NULL THEN 1 ELSE 0 END)

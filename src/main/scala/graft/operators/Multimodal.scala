@@ -311,45 +311,32 @@ object Multimodal {
           lit(0L), (a, x) => a.bitwiseOR(x)).as("ahash"))
   }
 
-  /** Image near-duplicate pairs — banded Hamming join over the aHash
-    * (the visual sibling of [[Dedup.simHashPairs]]): candidates share
-    * at least one of four 16-bit hash bands (a pair within Hamming
-    * distance ≤ 15 ALWAYS shares an untouched band — full recall for
-    * any `maxHamming` ≤ 15 by pigeonhole), verified with the exact
-    * `bit_count(xor)`. Candidate generation is an equi-join on
-    * (band, key) — never all-pairs; a re-encoded/resized copy of an
-    * image lands within a few bits of the original where a byte-level
-    * fingerprint ([[Dedup.exact]]) sees two unrelated blobs.
+  /** Image near-duplicate pairs — the banded Hamming join over the
+    * aHash, delegated to the hash-agnostic pair stage
+    * [[Dedup.hammingPairs]]: `maxHamming + 1` DERIVED bands, so the
+    * pigeonhole full-recall guarantee holds at EVERY legal
+    * `maxHamming` (the round-10 version hard-coded four 16-bit bands,
+    * whose guarantee only covers distance ≤ 3 — a pair whose 4-6
+    * differing bits straddled all four bands was silently missed at
+    * the default maxHamming = 6; derived bands close that recall
+    * hole). Candidates are an equi-join on (band, key) — never
+    * all-pairs; the exact `bit_count(xor)` verifies. A
+    * re-encoded/resized copy of an image lands within a few bits of
+    * the original where a byte-level fingerprint ([[Dedup.exact]])
+    * sees two unrelated blobs.
     *
-    * Spec-gated (no SQL oracle): the decode step has no DuckDB
-    * equivalent — same evidence class as [[decodeImages]] itself.
+    * The decode→hash step is spec-gated (no DuckDB image decode); the
+    * relational pair stage itself is oracle-gated through q191, which
+    * runs [[Dedup.hammingPairs]] over SQL-expressible fingerprints.
     *
     * @return (asset_a, asset_b, hamming), asset_a < asset_b
     */
   def imageNearDupPairs(assets: DataFrame, grid: Int = 8,
-                        maxHamming: Int = 6): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 15,
-      s"maxHamming ($maxHamming) must be in [0, 15] for 4-band recall")
-    val h = imageAHash(assets, grid)
-    val banded = h.select(col("asset_id"), col("ahash"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("b"),
-          shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL))
-            .as("key"))
-      }: _*)).as("bk"))
-      .select(col("asset_id"), col("ahash"),
-        col("bk.b").as("b"), col("bk.key").as("key"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
-          col("a.asset_id") < col("b.asset_id"))
-      .select(col("a.asset_id").as("asset_a"),
-        col("b.asset_id").as("asset_b"),
-        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash")))
-          .cast(LongType).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-  }
+                        maxHamming: Int = 6): DataFrame =
+    Dedup.hammingPairs(imageAHash(assets, grid), col("asset_id"),
+        col("ahash"), bits = 64, maxHamming = maxHamming)
+      .select(col("id_a").as("asset_a"), col("id_b").as("asset_b"),
+        col("hamming").cast(LongType).as("hamming"))
 
   final case class ProbedVideo(asset_id: Long, container: String,
                                width: Int, height: Int,

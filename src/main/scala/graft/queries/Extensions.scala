@@ -3147,6 +3147,23 @@ object Extensions {
       .orderBy("fraction"),
     Some(TextAnalysis.vocabularyGrowthOracle(buckets = 8)))
 
+  /** Hash-agnostic banded Hamming pair stage
+    * ([[graft.operators.Dedup.hammingPairs]]) — the relational half of
+    * the perceptual near-dup family (image aHash, audio fingerprints),
+    * oracle-gated over SQL-expressible 60-bit SimHash fingerprints:
+    * maxHamming 5 derives SIX bands (pigeonhole full recall), reaching
+    * distance-4/5 pairs the fixed 4-band q49 shape cannot guarantee;
+    * exact bit_count(xor) verify.
+    */
+  private val q191 = Q("q191_hamming_pairs",
+    (s, d) => Dedup.hammingPairs(
+        Dedup.simHash(Tables.documents(s, d), col("text"), col("doc_id"))
+          .select("doc_id", "simhash"),
+        col("doc_id"), col("simhash"), bits = Dedup.SimHashBits,
+        maxHamming = 5)
+      .orderBy("id_a", "id_b"),
+    Some(Dedup.hammingPairsOracle(maxHamming = 5)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3162,5 +3179,6 @@ object Extensions {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
+    q191)
 }

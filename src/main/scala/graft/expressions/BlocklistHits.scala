@@ -26,19 +26,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * occurrences, occurrences inside longer words, and terms that are
   * suffixes of other terms all count, per (term, category) row (a
   * term listed under two categories counts for both). Matching is
-  * case-SENSITIVE on char content: the caller decides folding (the
-  * operator lowercases both terms and text so the DuckDB oracle can
-  * mirror with `LOWER`).
+  * case-INSENSITIVE with ONE folding rule everywhere (round 11 —
+  * previously hits lowered the whole string, redact folded per char,
+  * and terms folded locale-sensitively, three subtly different maps):
+  * each UTF-16 char of both terms (at build) and text (at scan) maps
+  * through `Character.toLowerCase` — locale-independent, and equal to
+  * SQL `LOWER` on ASCII, which is what lets the DuckDB oracles mirror
+  * with `LOWER`. Full-string lowercasing differs only on the
+  * locale-sensitive multi-char mappings (e.g. U+0130 → "i" + combining
+  * dot); those are outside the contract.
   *
-  * Construction: classic goto/fail BFS; per-node match counts are
-  * pre-aggregated through the fail chain at build time (node's counts
-  * += fail-target's counts, in BFS order), so the scan never walks
-  * suffix links for output — one sparse per-category count array per
-  * node, added on arrival.
+  * Representation (round 11 — the at-scale rewrite): the scan IS the
+  * blocklist family's entire cost at corpus scale, so the hot loop
+  * reads the [[UTF8String]]'s bytes directly (no per-document
+  * `toString` copy) and steps through a DENSE precomputed goto table
+  * for the ASCII alphabet — `dfa(state · 128 + c)`, the full automaton
+  * with fail transitions resolved at build time, so the ASCII path
+  * does zero fail chases and zero boxing. Non-ASCII term chars live in
+  * per-node fallback maps walked with classic fail chasing (cold path;
+  * most blocklists are pure ASCII). Memory: 512 B per trie node for
+  * the dense row — a 10⁴-term list at ~10 chars/term broadcasts
+  * ~50 MB, comfortably inside executor broadcast budgets; per-node
+  * match counts are pre-aggregated through the fail chain at build
+  * time, so the scan never walks suffix links for output.
+  *
+  * The byte walker decodes UTF-8 inline (1–4 byte sequences;
+  * supplementary code points step the automaton as their two UTF-16
+  * surrogates, exactly like the String-based walk it replaces).
+  * Malformed sequences — which valid Spark string data never contains
+  * — reset to the root and advance one byte.
   */
 final class AhoCorasick private (
     val categories: Array[String],
-    edges: Array[java.util.HashMap[Character, Integer]],
+    dfa: Array[Int],
+    ext: Array[java.util.HashMap[Character, Integer]],
     fail: Array[Int],
     outCat: Array[Array[Int]],
     outCnt: Array[Array[Long]],
@@ -46,82 +67,151 @@ final class AhoCorasick private (
 
   def nCategories: Int = categories.length
 
+  /** goto for a folded char (any value): dense row for ASCII, fail
+    * chase over the sparse fallback maps otherwise.
+    */
+  private def stepFolded(cur0: Int, c: Char): Int =
+    if (c < 128) dfa((cur0 << 7) + c)
+    else {
+      var cur = cur0
+      var nxt = extGet(cur, c)
+      while (cur != 0 && nxt < 0) { cur = fail(cur); nxt = extGet(cur, c) }
+      if (nxt < 0) 0 else nxt
+    }
+
+  private def extGet(u: Int, c: Char): Int = {
+    val m = ext(u)
+    if (m == null) -1
+    else {
+      val v = m.get(Character.valueOf(c))
+      if (v == null) -1 else v.intValue()
+    }
+  }
+
+  @inline private def fold(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar
+    else if (c < 128) c
+    else Character.toLowerCase(c)
+
+  @inline private def addHits(cur: Int, out: Array[Long]): Unit = {
+    val cats = outCat(cur)
+    if (cats != null) {
+      val cnts = outCnt(cur)
+      var j = 0
+      while (j < cats.length) { out(cats(j)) += cnts(j); j += 1 }
+    }
+  }
+
   /** Per-category occurrence counts of all terms in `text` — one
-    * left-to-right scan, O(len + fail chases) amortized.
+    * left-to-right pass over the raw UTF-8 bytes, O(len + matches).
     */
   def countHits(text: UTF8String): Array[Long] = {
     val out = new Array[Long](categories.length)
-    val s = text.toString
-    val n = s.length
+    val n = text.numBytes
     var cur = 0
     var i = 0
     while (i < n) {
-      val ch = Character.valueOf(s.charAt(i))
-      var nxt = edges(cur).get(ch)
-      while (cur != 0 && nxt == null) {
-        cur = fail(cur)
-        nxt = edges(cur).get(ch)
-      }
-      cur = if (nxt == null) 0 else nxt.intValue()
-      val cats = outCat(cur)
-      if (cats != null) {
-        val cnts = outCnt(cur)
-        var j = 0
-        while (j < cats.length) { out(cats(j)) += cnts(j); j += 1 }
-      }
-      i += 1
+      val b0 = text.getByte(i) & 0xff
+      if (b0 < 0x80) {
+        // ASCII fast path: fold inline, one dense-table load
+        val c = if (b0 >= 'A' && b0 <= 'Z') b0 + 32 else b0
+        cur = dfa((cur << 7) + c)
+        i += 1
+      } else if ((b0 & 0xe0) == 0xc0 && i + 1 < n) {
+        val cp = ((b0 & 0x1f) << 6) | (text.getByte(i + 1) & 0x3f)
+        cur = stepFolded(cur, fold(cp.toChar))
+        i += 2
+      } else if ((b0 & 0xf0) == 0xe0 && i + 2 < n) {
+        val cp = ((b0 & 0x0f) << 12) | ((text.getByte(i + 1) & 0x3f) << 6) |
+          (text.getByte(i + 2) & 0x3f)
+        cur = stepFolded(cur, fold(cp.toChar))
+        i += 3
+      } else if ((b0 & 0xf8) == 0xf0 && i + 3 < n) {
+        val cp = ((b0 & 0x07) << 18) | ((text.getByte(i + 1) & 0x3f) << 12) |
+          ((text.getByte(i + 2) & 0x3f) << 6) | (text.getByte(i + 3) & 0x3f)
+        val u = cp - 0x10000
+        cur = stepFolded(cur, fold((0xd800 + (u >> 10)).toChar))
+        addHits(cur, out)
+        cur = stepFolded(cur, fold((0xdc00 + (u & 0x3ff)).toChar))
+        i += 4
+      } else { cur = 0; i += 1 }
+      addHits(cur, out)
     }
     out
   }
 
   /** Redact every character covered by ANY term occurrence (the union
     * of all match intervals — overlapping and nested matches merge
-    * into one masked run) with `maskChar`, matching case-insensitively
-    * (per-char `Character.toLowerCase` — build the automaton from
-    * lowercased terms) while preserving the original characters
-    * everywhere else. Returns (redacted, nMasked) where nMasked is the
-    * exact count of covered positions.
+    * into one masked run) with `maskChar`, preserving the original
+    * characters everywhere else. Returns (redacted, nMasked) where
+    * nMasked is the exact count of covered positions (UTF-16 chars).
     *
-    * One AC scan + a difference-array interval accumulation —
-    * O(len + matches), no per-interval inner loop over covered
-    * positions. `outLens` carries the DISTINCT match lengths ending at
-    * each node (a node's own terminal length is its trie depth; the
-    * fail chain contributes the proper-suffix terms' depths), so each
-    * match end marks its interval directly.
+    * One byte-level AC scan + a difference-array interval accumulation
+    * — O(len + matches), no per-interval inner loop. `outLens` carries
+    * the DISTINCT match lengths ending at each node (a node's own
+    * terminal length is its trie depth; the fail chain contributes the
+    * proper-suffix terms' depths), so each match end marks its
+    * interval directly. Clean documents return the INPUT UTF8String —
+    * zero copies on the overwhelmingly-common no-match path; only a
+    * matched document materializes a char array.
     */
   def redact(text: UTF8String, maskChar: Char): (UTF8String, Int) = {
-    val s = text.toString
-    val n = s.length
+    val n = text.numBytes
     if (n == 0) return (text, 0)
     var diff: Array[Int] = null
     var cur = 0
     var i = 0
-    while (i < n) {
-      val ch = Character.valueOf(Character.toLowerCase(s.charAt(i)))
-      var nxt = edges(cur).get(ch)
-      while (cur != 0 && nxt == null) {
-        cur = fail(cur)
-        nxt = edges(cur).get(ch)
-      }
-      cur = if (nxt == null) 0 else nxt.intValue()
+    var ci = 0 // UTF-16 char index of the char just consumed
+    @inline def mark(endCi: Int): Unit = {
       val lens = outLens(cur)
       if (lens != null) {
+        // sized by BYTE length + 1: the UTF-16 char count is always
+        // <= the byte count (4-byte code points are 2 chars), and the
+        // exact char count isn't known until the scan finishes
         if (diff == null) diff = new Array[Int](n + 1)
         var j = 0
         while (j < lens.length) {
-          diff(i - lens(j) + 1) += 1
-          diff(i + 1) -= 1
+          diff(endCi - lens(j) + 1) += 1
+          diff(endCi + 1) -= 1
           j += 1
         }
       }
-      i += 1
+    }
+    while (i < n) {
+      val b0 = text.getByte(i) & 0xff
+      if (b0 < 0x80) {
+        val c = if (b0 >= 'A' && b0 <= 'Z') b0 + 32 else b0
+        cur = dfa((cur << 7) + c)
+        i += 1
+      } else if ((b0 & 0xe0) == 0xc0 && i + 1 < n) {
+        val cp = ((b0 & 0x1f) << 6) | (text.getByte(i + 1) & 0x3f)
+        cur = stepFolded(cur, fold(cp.toChar))
+        i += 2
+      } else if ((b0 & 0xf0) == 0xe0 && i + 2 < n) {
+        val cp = ((b0 & 0x0f) << 12) | ((text.getByte(i + 1) & 0x3f) << 6) |
+          (text.getByte(i + 2) & 0x3f)
+        cur = stepFolded(cur, fold(cp.toChar))
+        i += 3
+      } else if ((b0 & 0xf8) == 0xf0 && i + 3 < n) {
+        val cp = ((b0 & 0x07) << 18) | ((text.getByte(i + 1) & 0x3f) << 12) |
+          ((text.getByte(i + 2) & 0x3f) << 6) | (text.getByte(i + 3) & 0x3f)
+        val u = cp - 0x10000
+        cur = stepFolded(cur, fold((0xd800 + (u >> 10)).toChar))
+        mark(ci)
+        ci += 1
+        cur = stepFolded(cur, fold((0xdc00 + (u & 0x3ff)).toChar))
+        i += 4
+      } else { cur = 0; i += 1 }
+      mark(ci)
+      ci += 1
     }
     if (diff == null) return (text, 0)
-    val out = s.toCharArray
+    val out = text.toString.toCharArray
     var cov = 0
     var masked = 0
     i = 0
-    while (i < n) {
+    val lim = out.length
+    while (i < lim) {
       cov += diff(i)
       if (cov > 0) { out(i) = maskChar; masked += 1 }
       i += 1
@@ -132,9 +222,18 @@ final class AhoCorasick private (
 
 object AhoCorasick {
 
-  /** Build from (term, category) rows; terms must be non-empty.
-    * `categories` on the result is the SORTED distinct category list —
-    * the index space of [[AhoCorasick.countHits]]'s output array.
+  /** Build from (term, category) rows; terms must be non-empty. Terms
+    * are folded per char with `Character.toLowerCase` — the one
+    * folding rule shared with the scan. `categories` on the result is
+    * the SORTED distinct category list — the index space of
+    * [[AhoCorasick.countHits]]'s output array.
+    *
+    * Construction: trie insert, then ONE BFS that simultaneously
+    * resolves fail links, pre-aggregates match counts/lengths through
+    * the fail chain, and completes the dense ASCII goto table
+    * (`goto(u, c) = edge(u, c)` if present else `goto(fail(u), c)` —
+    * well-defined in BFS order because fail targets are strictly
+    * shallower).
     */
   def build(termCats: Seq[(String, String)]): AhoCorasick = {
     require(termCats.nonEmpty, "blocklist must hold at least one term")
@@ -143,40 +242,75 @@ object AhoCorasick {
     val categories = termCats.map(_._2).distinct.sorted.toArray
     val catIdx = categories.zipWithIndex.toMap
 
-    val edges = scala.collection.mutable.ArrayBuffer(
-      new java.util.HashMap[Character, Integer]())
+    // trie over folded chars: dense ASCII rows + sparse non-ASCII maps
+    val rows = scala.collection.mutable.ArrayBuffer(Array.fill(128)(-1))
+    val exts = scala.collection.mutable.ArrayBuffer[
+      java.util.HashMap[Character, Integer]](null)
     val ownCnt = scala.collection.mutable.ArrayBuffer(
       new Array[Long](categories.length))
     val depth = scala.collection.mutable.ArrayBuffer(0)
+    def newNode(d: Int): Int = {
+      rows += Array.fill(128)(-1)
+      exts += null
+      ownCnt += new Array[Long](categories.length)
+      depth += d
+      rows.size - 1
+    }
     termCats.foreach { case (term, cat) =>
       var cur = 0
-      term.foreach { c =>
-        val ch = Character.valueOf(c)
-        val nxt = edges(cur).get(ch)
-        if (nxt == null) {
-          edges += new java.util.HashMap[Character, Integer]()
-          ownCnt += new Array[Long](categories.length)
-          depth += depth(cur) + 1
-          edges(cur).put(ch, Integer.valueOf(edges.size - 1))
-          cur = edges.size - 1
-        } else cur = nxt.intValue()
+      term.foreach { c0 =>
+        val c = Character.toLowerCase(c0)
+        if (c < 128) {
+          var nxt = rows(cur)(c)
+          if (nxt < 0) { nxt = newNode(depth(cur) + 1); rows(cur)(c) = nxt }
+          cur = nxt
+        } else {
+          if (exts(cur) == null)
+            exts(cur) = new java.util.HashMap[Character, Integer]()
+          val v = exts(cur).get(Character.valueOf(c))
+          val nxt = if (v == null) {
+            val nn = newNode(depth(cur) + 1)
+            exts(cur).put(Character.valueOf(c), Integer.valueOf(nn))
+            nn
+          } else v.intValue()
+          cur = nxt
+        }
       }
       ownCnt(cur)(catIdx(cat)) += 1L
     }
 
-    val n = edges.size
+    val n = rows.size
     val fail = new Array[Int](n)
     val agg = Array.tabulate(n)(i => ownCnt(i).clone())
     // distinct match lengths ending at each node: the node's own depth
     // if terminal, plus the fail chain's (proper-suffix terms — their
     // depths are strictly smaller, so the union stays duplicate-free)
     val lens = Array.fill[List[Int]](n)(Nil)
+    val dfa = new Array[Int](n << 7)
+    def extGoto(start: Int, c: Char): Int = {
+      var f = start
+      while (f != 0 &&
+        (exts(f) == null || exts(f).get(Character.valueOf(c)) == null))
+        f = fail(f)
+      val m = exts(f)
+      if (m == null) 0
+      else { val v = m.get(Character.valueOf(c)); if (v == null) 0 else v.intValue() }
+    }
     val queue = new java.util.ArrayDeque[Integer]()
-    edges(0).values().forEach { v => fail(v) = 0; queue.add(v) }
+    // root row: goto(0, c) = edge or stay at root
+    var c = 0
+    while (c < 128) {
+      val v = rows(0)(c)
+      if (v >= 0) { fail(v) = 0; queue.add(v) }
+      dfa(c) = math.max(v, 0)
+      c += 1
+    }
+    if (exts(0) != null) exts(0).values().forEach { v =>
+      fail(v.intValue()) = 0; queue.add(v)
+    }
     while (!queue.isEmpty) {
       val u = queue.poll().intValue()
-      // fail(u) is already final and was aggregated before u entered
-      // the queue's level — BFS order guarantees it
+      // fail(u) is final and strictly shallower — aggregated already
       var k = 0
       while (k < categories.length) {
         agg(u)(k) += agg(fail(u))(k); k += 1
@@ -184,12 +318,20 @@ object AhoCorasick {
       lens(u) =
         (if (ownCnt(u).exists(_ != 0L)) depth(u) :: lens(fail(u))
          else lens(fail(u)))
-      edges(u).forEach { (ch, v) =>
-        var f = fail(u)
-        while (f != 0 && edges(f).get(ch) == null) f = fail(f)
-        val t = edges(f).get(ch)
-        fail(v) = if (t != null && t.intValue() != v.intValue())
-          t.intValue() else 0
+      val base = u << 7
+      val fbase = fail(u) << 7
+      var ch = 0
+      while (ch < 128) {
+        val v = rows(u)(ch)
+        if (v >= 0) {
+          fail(v) = dfa(fbase + ch) // goto(fail(u), ch): depth < depth(v)
+          queue.add(v)
+          dfa(base + ch) = v
+        } else dfa(base + ch) = dfa(fbase + ch)
+        ch += 1
+      }
+      if (exts(u) != null) exts(u).forEach { (ech, v) =>
+        fail(v.intValue()) = extGoto(fail(u), ech)
         queue.add(v)
       }
     }
@@ -208,7 +350,7 @@ object AhoCorasick {
       if (lens(i).nonEmpty) outLens(i) = lens(i).toArray
       i += 1
     }
-    new AhoCorasick(categories, edges.toArray, fail, outCat, outCnt,
+    new AhoCorasick(categories, dfa, exts.toArray, fail, outCat, outCnt,
       outLens)
   }
 }

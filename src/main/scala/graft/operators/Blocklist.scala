@@ -22,12 +22,15 @@ import graft.expressions.{AhoCorasick, BlocklistHits}
   * the output is |docs| × |categories| rows. Nothing joins, nothing
   * sorts, nothing is data-sized but the one corpus pass itself.
   *
-  * Matching semantics (oracle-pinned): case-insensitive (terms and
-  * text are lowercased), SUBSTRING occurrences — no word-boundary
-  * rule, overlaps and nested terms all count, a term listed under two
-  * categories counts for both. Dense output: one row per
-  * (doc, category) including zero-hit rows, so downstream thresholds
-  * (`hits == 0` → clean) need no anti-join.
+  * Matching semantics (oracle-pinned): case-insensitive via ONE
+  * per-char folding rule applied to both terms and text inside the
+  * automaton ([[graft.expressions.AhoCorasick]] — `Character
+  * .toLowerCase`, locale-independent, ≡ SQL `LOWER` on ASCII, which is
+  * what the DuckDB oracles mirror), SUBSTRING occurrences — no
+  * word-boundary rule, overlaps and nested terms all count, a term
+  * listed under two categories counts for both. Dense output: one row
+  * per (doc, category) including zero-hit rows, so downstream
+  * thresholds (`hits == 0` → clean) need no anti-join.
   */
 object Blocklist {
 
@@ -38,7 +41,9 @@ object Blocklist {
   def hits(docs: DataFrame, content: Column, id: Column,
            terms: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.classic.GraftColumnBridge._
-    val ac = AhoCorasick.build(terms.map { case (t, c) => (t.toLowerCase, c) })
+    // folding lives INSIDE the automaton (one per-char rule for build
+    // and scan — round 11); no lower() wrap, no pre-folded terms
+    val ac = AhoCorasick.build(terms)
     val bc = docs.sparkSession.sparkContext.broadcast(ac)
     val cats = ac.categories.toSeq
     // The generate runs over a CONSTANT-length index sequence, with the
@@ -51,7 +56,7 @@ object Blocklist {
     // blocklist_hits runs exactly once per doc.
     docs
       .select(id.as("doc_id"),
-        column(BlocklistHits(expression(lower(content)), bc)).as("h"))
+        column(BlocklistHits(expression(content), bc)).as("h"))
       .select(col("doc_id"), col("h"),
         explode(sequence(lit(0), lit(cats.size - 1))).as("i"))
       .select(col("doc_id"),
@@ -70,10 +75,10 @@ object Blocklist {
             terms: Seq[(String, String)], maxHits: Long = 1L): DataFrame = {
     import org.apache.spark.sql.classic.GraftColumnBridge._
     require(maxHits >= 1L, s"maxHits ($maxHits) must be >= 1")
-    val ac = AhoCorasick.build(terms.map { case (t, c) => (t.toLowerCase, c) })
+    val ac = AhoCorasick.build(terms)
     val bc = docs.sparkSession.sparkContext.broadcast(ac)
     docs.filter(
-      aggregate(column(BlocklistHits(expression(lower(content)), bc)),
+      aggregate(column(BlocklistHits(expression(content), bc)),
         lit(0L), (acc, x) => acc + x) < maxHits)
   }
 
@@ -95,7 +100,7 @@ object Blocklist {
   def redact(docs: DataFrame, content: Column, id: Column,
              terms: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.classic.GraftColumnBridge._
-    val ac = AhoCorasick.build(terms.map { case (t, c) => (t.toLowerCase, c) })
+    val ac = AhoCorasick.build(terms)
     val bc = docs.sparkSession.sparkContext.broadcast(ac)
     docs
       .select(id.as("doc_id"),

@@ -83,15 +83,14 @@ object EventStream {
   def hourlyBlocklistHits(events: DataFrame,
                           terms: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.classic.GraftColumnBridge._
-    val ac = graft.expressions.AhoCorasick.build(
-      terms.map { case (t, c) => (t.toLowerCase, c) })
+    val ac = graft.expressions.AhoCorasick.build(terms)
     val bc = events.sparkSession.sparkContext.broadcast(ac)
     val cats = ac.categories.toSeq
     withEventTime(events)
       .withWatermark("ts_utc", "2 hours")
       .select(col("ts_utc"),
         column(graft.expressions.BlocklistHits(
-          expression(lower(concat_ws(" ", col("event_type"), col("props")))),
+          expression(concat_ws(" ", col("event_type"), col("props"))),
           bc)).as("h"))
       // constant-length generate with h as pass-through (the q183
       // plan-audit rule: posexplode(h) would re-evaluate the scan)

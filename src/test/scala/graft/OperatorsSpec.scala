@@ -1428,6 +1428,69 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("AhoCorasick folds case and walks non-ASCII via one per-char rule") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int = 60): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    // mixed-case ASCII + multi-byte chars (é 2-byte, 日 3-byte, 𝄞
+    // 4-byte/surrogate-pair) in BOTH terms and text — the dense-DFA
+    // fast path, the ext-edge fallback, and the UTF-8 inline decode
+    // all under one parity law vs the naive folded position scan
+    val alpha = Seq("a", "B", "é", "É", "日", "z", "𝄞")
+    val termPool = Seq("a", "aB", "Ba", "éa", "É", "日a", "a日", "𝄞a", "BéB")
+    val caseGen = for {
+      nTerms <- Gen.choose(1, 4)
+      terms <- Gen.listOfN(nTerms, for {
+        t <- Gen.oneOf(termPool)
+        c <- Gen.oneOf("c1", "c2")
+      } yield (t, c))
+      s <- Gen.listOfN(14, Gen.oneOf(alpha)).map(_.mkString)
+    } yield (terms, s)
+    def foldStr(x: String): String =
+      x.map(Character.toLowerCase)
+    def naive(terms: Seq[(String, String)], s: String): Map[String, Long] = {
+      val fs = foldStr(s)
+      terms.groupBy(_._2).map { case (c, ts) =>
+        c -> ts.map { case (t, _) =>
+          val ft = foldStr(t)
+          (0 to fs.length - ft.length)
+            .count(p => fs.regionMatches(p, ft, 0, ft.length)).toLong
+        }.sum
+      }
+    }
+    samples(caseGen).foreach { case (terms, s) =>
+      val ac = graft.expressions.AhoCorasick.build(terms)
+      val got = ac.countHits(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val want = naive(terms, s)
+      ac.categories.zipWithIndex.foreach { case (c, i) =>
+        assert(got(i) === want.getOrElse(c, 0L),
+          s"terms=$terms s=$s cat=$c")
+      }
+      // redact parity on the same inputs: masked count == positions
+      // covered by any folded-match interval; unmasked chars original
+      val (red, masked) = ac.redact(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), '*')
+      val fs = foldStr(s)
+      val covered = Array.fill(s.length)(false)
+      terms.foreach { case (t, _) =>
+        val ft = foldStr(t)
+        (0 to fs.length - ft.length).foreach { p =>
+          if (fs.regionMatches(p, ft, 0, ft.length))
+            (p until p + ft.length).foreach(covered(_) = true)
+        }
+      }
+      assert(masked === covered.count(identity), s"terms=$terms s=$s")
+      val rs = red.toString
+      assert(rs.length === s.length)
+      rs.zipWithIndex.foreach { case (ch, p) =>
+        if (covered(p)) assert(ch === '*', s"pos $p terms=$terms s=$s")
+        else assert(ch === s(p), s"pos $p terms=$terms s=$s")
+      }
+    }
+  }
+
   test("Blocklist.hits pins overlap, nesting, and dense-zero semantics") {
     import spark.implicits._
     val d = Seq(

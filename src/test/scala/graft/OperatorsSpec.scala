@@ -950,6 +950,33 @@ class OperatorsSpec extends SparkSpec {
       "straddling pairs must be the only loss")
   }
 
+  test("Dedup.hammingPairs: maxBucketSize sub-splits a degenerate band deterministically") {
+    import spark.implicits._
+    // 8-bit space, maxHamming 1 → 2 derived 4-bit bands. hash = id << 4
+    // makes band 0 (low nibble) CONSTANT zero across all 9 rows — the
+    // black-border degenerate-band shape — while band 1 keys are all
+    // distinct (singleton buckets, no pairs from that side). Every
+    // near-dup pair therefore meets ONLY in the hot band.
+    val hot = (0L until 9L).map(i => (i, i << 4)).toDF("id", "h")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val near = (for { a <- 0L until 9L; b <- (a + 1) until 9L
+                      if java.lang.Long.bitCount(a ^ b) == 1 } yield (a, b)).toSet
+    // default cap far above the bucket: exact pigeonhole semantics
+    val uncapped = pairs(Dedup.hammingPairs(hot, col("id"), col("h"),
+      bits = 8, maxHamming = 1))
+    assert(uncapped === near)
+    // cap 3 → ceil(9/3) = 3 hash sub-buckets in the hot band; only
+    // same-sub pairs survive (deterministic split — replay the formula)
+    val sub = hot.select(col("id"), pmod(xxhash64(col("id")), lit(3L)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val capped = pairs(Dedup.hammingPairs(hot, col("id"), col("h"),
+      bits = 8, maxHamming = 1, maxBucketSize = 3))
+    assert(capped === near.filter { case (a, b) => sub(a) == sub(b) })
+    assert(capped.subsetOf(uncapped) && capped.size < uncapped.size,
+      "sub-straddling pairs must be the only loss")
+  }
+
   test("TextAnalysis.bm25TopDocs matches the hand formula; no-term docs absent") {
     import spark.implicits._
     val corpus = Seq((1L, "x a"), (2L, "x x a a"), (3L, "a a"))

@@ -520,7 +520,7 @@ object Dedup {
     * are hashed ONCE — the k signature components are arithmetic
     * permutations of `shh`, not k separate string hashes.
     */
-  private def minhashBase(docs: DataFrame, content: Column, id: Column,
+  private[operators] def minhashBase(docs: DataFrame, content: Column, id: Column,
                           n: Int): DataFrame =
     shingledDocs(docs, content, id, n, dropShort = true)
       .withColumn("shh", transform(col("sh"), s => shingleHash32(s)))
@@ -529,7 +529,7 @@ object Dedup {
     * — the materializable form of the index (ids and band hashes only;
     * the full shingle arrays never travel with it).
     */
-  private def minhashBanded(base: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[operators] def minhashBanded(base: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
     val sig = base.select(
       col("doc_id"),
@@ -1634,40 +1634,85 @@ object Dedup {
         xxhash64(col("g")).as("gh"))
   }
 
-  def incrementalMaximalMatches(corpus: DataFrame, batch: DataFrame,
-                                content: Column, id: Column,
-                                minLen: Int = 20,
-                                maxAnchorOccurrences: Int = 1 << 20): DataFrame = {
-    import org.apache.spark.sql.classic.GraftColumnBridge._
+  /** The three frames a standing match index persists
+    * ([[StandingIndex.buildMatchIndex]]) and
+    * [[incrementalMaximalMatches]] derives inline — ONE construction
+    * so the persisted index and the ad-hoc run cannot diverge:
+    *
+    *   - `anchors` (gh, sub, corpus_id, pos_c): every corpus anchor
+    *     with its hot-bucket sub-split assignment precomputed
+    *     (`pmod(xxhash64(id), nsub)`; sub = 0 everywhere a gh's
+    *     occurrence is within the cap — the common case);
+    *   - `hot` (gh, nsub): ONLY the ghs whose occurrence exceeds
+    *     `maxAnchorOccurrences` — empty at the default cap, tiny by
+    *     construction otherwise, always broadcastable;
+    *   - `toks` (corpus_id, tc): the token arrays the
+    *     [[graft.expressions.SpanMatchLen]] verifier re-reads.
+    */
+  private[operators] def matchIndexFrames(corpus: DataFrame, content: Column,
+                                          id: Column, minLen: Int,
+                                          maxAnchorOccurrences: Int):
+      (DataFrame, DataFrame, DataFrame) = {
     require(minLen >= 2, s"minLen ($minLen) must be >= 2")
     require(maxAnchorOccurrences >= 1,
       s"maxAnchorOccurrences ($maxAnchorOccurrences) must be >= 1")
     val toksC = splitToksMin(corpus, content, id, minLen)
-    val toksB = splitToksMin(batch, content, id, minLen)
     val aC = anchorGrams(toksC, minLen)
+    val hot = aC.groupBy("gh").agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") > maxAnchorOccurrences)
+      .select(col("gh"), call_function("div",
+        col("__occ") + lit(maxAnchorOccurrences.toLong - 1),
+        lit(maxAnchorOccurrences.toLong)).as("nsub"))
+    val anchors = aC.join(broadcast(hot), Seq("gh"), "left")
+      .select(col("gh"),
+        pmod(xxhash64(col("doc_id")), coalesce(col("nsub"), lit(1L)))
+          .as("sub"),
+        col("doc_id").as("corpus_id"), col("pos").as("pos_c"))
+    (anchors, hot,
+      toksC.select(col("doc_id").as("corpus_id"), col("toks").as("tc")))
+  }
+
+  /** Probe a batch against [[matchIndexFrames]]-shaped corpus frames
+    * (in memory or read back from a standing index's bucketed tables):
+    * hot ghs fan out to every sub-bucket (exactness preserved — see
+    * [[incrementalMaximalMatches]]), candidates equi-join on
+    * (gh, sub), the kernel verifies/extends. When the frames come from
+    * [[StandingIndex]] tables bucketed on gh / corpus_id, BOTH
+    * corpus-side joins are satisfied by the bucket layout — zero
+    * corpus-side Exchange (spec-asserted), the batch side alone
+    * shuffles.
+    */
+  private[operators] def probeMatchFrames(anchors: DataFrame, hot: DataFrame,
+                                          toksCorpus: DataFrame,
+                                          batch: DataFrame, content: Column,
+                                          id: Column, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge._
+    val toksB = splitToksMin(batch, content, id, minLen)
     val aB = anchorGrams(toksB, minLen)
-    val nsub = aC.groupBy("gh").agg(call_function("div",
-      count(lit(1)) + lit(maxAnchorOccurrences.toLong - 1),
-      lit(maxAnchorOccurrences.toLong)).as("__nsub"))
-    val idx = aC.join(nsub, "gh")
-      .select(col("gh"), col("doc_id").as("corpus_id"),
-        col("pos").as("pos_c"),
-        pmod(xxhash64(col("doc_id")), col("__nsub")).as("__sub"))
-    val probe = aB.join(nsub, "gh")
+    val probe = aB.join(broadcast(hot), Seq("gh"), "left")
       .select(col("gh"), col("doc_id").as("batch_id"),
         col("pos").as("pos_b"),
-        explode(sequence(lit(0L), col("__nsub") - 1)).as("__sub"))
-    probe.join(idx, Seq("gh", "__sub"))
+        explode(sequence(lit(0L), coalesce(col("nsub"), lit(1L)) - 1))
+          .as("sub"))
+    probe.join(anchors, Seq("gh", "sub"))
       .join(toksB.select(col("doc_id").as("batch_id"),
         col("toks").as("tb")), "batch_id")
-      .join(toksC.select(col("doc_id").as("corpus_id"),
-        col("toks").as("tc")), "corpus_id")
+      .join(toksCorpus, "corpus_id")
       .select(col("batch_id"), col("pos_b"), col("corpus_id"),
         col("pos_c"),
         column(graft.expressions.SpanMatchLen(expression(col("tb")),
           expression(col("pos_b")), expression(col("tc")),
           expression(col("pos_c")), minLen)).as("match_len"))
       .filter(col("match_len") >= minLen)
+  }
+
+  def incrementalMaximalMatches(corpus: DataFrame, batch: DataFrame,
+                                content: Column, id: Column,
+                                minLen: Int = 20,
+                                maxAnchorOccurrences: Int = 1 << 20): DataFrame = {
+    val (anchors, hot, toksC) =
+      matchIndexFrames(corpus, content, id, minLen, maxAnchorOccurrences)
+    probeMatchFrames(anchors, hot, toksC, batch, content, id, minLen)
   }
 
   /** Oracle for [[incrementalMaximalMatches]] over a batch/corpus

@@ -1,0 +1,267 @@
+package graft.operators
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Standing probe indexes — the PERSISTED form of the incremental
+  * dedup operators' corpus side. The ad-hoc incremental operators
+  * (`Dedup.incrementalMaximalMatches` q188,
+  * `TextAnalysis.chunkDedupIncremental` q116,
+  * `Dedup.incrementalNearDups` q106) recompute the corpus half of
+  * their pipeline on every call: tokenize, shingle/hash, aggregate —
+  * a full corpus pass per daily batch. At 100 TB that pass IS the
+  * cost; a standing index pays it once per corpus publish and lets
+  * every probe read the prepared, pre-bucketed tables instead:
+  *
+  *   - **match index** ([[buildMatchIndex]]/[[probeMatches]]): the
+  *     anchor table (gh, sub, corpus_id, pos_c) bucketed+sorted on
+  *     gh, the token-array table (corpus_id, tc) bucketed on
+  *     corpus_id, and the (usually empty) hot-anchor sub-split table
+  *     — `Dedup.matchIndexFrames`, shared with q188 so the persisted
+  *     and inline derivations are structurally identical;
+  *   - **chunk index** ([[buildChunkIndex]]/[[probeChunks]]): the
+  *     distinct chunk-digest table (fp) bucketed on fp —
+  *     `TextAnalysis.corpusChunkFps`;
+  *   - **near-dup index** ([[buildNearDupIndex]]/[[probeNearDups]]):
+  *     the MinHash-LSH band table (doc_id, band, bucket) bucketed on
+  *     bucket and the shingle-set table (doc_id, sh) bucketed on
+  *     doc_id — `Dedup.minhashBase`/`minhashBanded`, the
+  *     materialization `Dedup.MinHashIndex` documents as "the
+  *     caller's lifecycle".
+  *
+  * Zero-corpus-exchange probes: every corpus-side table is bucketed
+  * on exactly the key its probe join needs, so the scan's
+  * HashPartitioning satisfies the join's required distribution and
+  * EnsureRequirements shuffles ONLY the (small) batch side —
+  * StandingIndexSpec asserts no ShuffleExchange feeds off an index
+  * scan pre-join. The anchor/toks tables are additionally
+  * repartitioned to one file per bucket before the write (the
+  * `Skew.bucketed` rule) and sorted on the join keys, so sort-merge
+  * probes read the buckets as-is.
+  *
+  * Versioned exactly-once commit: all member tables of a build are
+  * written under `<name>__v<N>__<member>` names first; the COMMIT
+  * POINT is one atomic `CREATE OR REPLACE VIEW <db>.<name>` of the
+  * manifest — a constant one-row view carrying the live version
+  * number and the build parameters. A crash anywhere before the flip
+  * leaves the manifest on the last complete version with every one of
+  * its member tables intact (a later rebuild overwrites the orphaned
+  * `__v<N>` members); probes resolve the version through the manifest
+  * and can never observe a half-built index. After the flip the
+  * previous version's members are retained for one publish cycle
+  * (concurrent probes planned against them drain; the ctasSwap
+  * retention argument, `Lakehouse.ctasSwap`), older ones are dropped.
+  *
+  * Refresh semantics: a rebuild is a full re-derivation from the
+  * corpus frame passed in — publish cadence = corpus publish cadence.
+  * Probes between publishes see the old version (stale by exactly the
+  * not-yet-published delta, the standard trade); probes after the
+  * flip see the new one. Append-only growth (merge a day's documents
+  * into the standing tables without rewriting them) is deliberately
+  * NOT offered: bucketed `saveAsTable` cannot append in place without
+  * re-clustering, and a wrong "cheap append" that silently broke the
+  * one-file-per-bucket sort contract would cost every future probe a
+  * per-bucket sort — rebuild-and-flip is the correctness-preserving
+  * cadence.
+  */
+object StandingIndex {
+
+  /** One persisted member table of an index build. `bucketKeys` empty
+    * = plain small table (the hot list).
+    */
+  private final case class Member(suffix: String, df: DataFrame,
+                                  bucketKeys: Seq[String] = Nil,
+                                  nBuckets: Int = 0,
+                                  sortKeys: Seq[String] = Nil)
+
+  private def fq(db: String, name: String, v: Int, suffix: String) =
+    s"$db.${name}__v${v}__$suffix"
+
+  /** Version numbers with at least one member table present. */
+  private def versions(spark: SparkSession, db: String,
+                       name: String): Seq[Int] = {
+    val re = (Pattern.quote(name) + "__v(\\d+)__.+").r
+    if (!spark.catalog.databaseExists(db)) Nil
+    else spark.catalog.listTables(db).collect().toSeq
+      .flatMap(t => re.unapplySeq(t.name).flatMap(_.headOption))
+      .map(_.toInt).distinct.sorted
+  }
+
+  /** The live manifest row (version + build parameters), or None if
+    * the index has never been committed.
+    */
+  def manifest(spark: SparkSession, db: String,
+               name: String): Option[Row] =
+    if (!spark.catalog.databaseExists(db) ||
+        !spark.catalog.tableExists(s"$db.$name")) None
+    else Some(spark.table(s"$db.$name").collect().head)
+
+  private def manifestOrThrow(spark: SparkSession, db: String, name: String,
+                              expectKind: String): Row = {
+    val m = manifest(spark, db, name).getOrElse(throw new
+      IllegalArgumentException(s"no standing index at $db.$name — run " +
+        s"the matching build$expectKind first"))
+    val kind = m.getAs[String]("kind")
+    require(kind == expectKind,
+      s"$db.$name is a $kind index, not a $expectKind index")
+    m
+  }
+
+  /** Resolve a member table of the LIVE version through the manifest. */
+  private def member(spark: SparkSession, db: String, name: String,
+                     m: Row, suffix: String): DataFrame =
+    spark.table(fq(db, name, m.getAs[Int]("version"), suffix))
+
+  /** Write every member at version N, flip the manifest view (THE
+    * commit), GC versions older than the superseded one.
+    */
+  private def commit(spark: SparkSession, db: String, name: String,
+                     kind: String, members: Seq[Member],
+                     metaSql: Seq[String]): Int = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val prev = manifest(spark, db, name).map(_.getAs[Int]("version"))
+    val next = versions(spark, db, name).maxOption.getOrElse(-1) + 1
+    members.foreach { mm =>
+      val frame =
+        if (mm.bucketKeys.isEmpty) mm.df
+        // one file per bucket, or Spark re-sorts every bucket at read
+        // time and the no-Sort half of the co-located probe is lost
+        else mm.df.repartition(mm.nBuckets, mm.bucketKeys.map(col): _*)
+      val base = frame.write.mode("overwrite")
+      val w =
+        if (mm.bucketKeys.isEmpty) base
+        else {
+          val sk = if (mm.sortKeys.nonEmpty) mm.sortKeys else mm.bucketKeys
+          base.bucketBy(mm.nBuckets, mm.bucketKeys.head,
+              mm.bucketKeys.tail: _*)
+            .sortBy(sk.head, sk.tail: _*)
+        }
+      w.saveAsTable(fq(db, name, next, mm.suffix))
+    }
+    val meta = (Seq(s"$next AS version", s"'$kind' AS kind") ++ metaSql)
+      .mkString(", ")
+    spark.sql(s"CREATE OR REPLACE VIEW $db.$name AS SELECT $meta")
+    // retain the superseded version for in-flight probes; GC the rest
+    val keep = Set(next) ++ prev
+    versions(spark, db, name).filterNot(keep).foreach { v =>
+      spark.catalog.listTables(db).collect()
+        .filter(_.name.startsWith(s"${name}__v${v}__"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.${t.name}"))
+    }
+    next
+  }
+
+  // ------------------------------------------------- maximal matches
+
+  /** Build/refresh the standing anchor index for
+    * [[Dedup.incrementalMaximalMatches]]-style screening. Returns the
+    * committed version.
+    */
+  def buildMatchIndex(spark: SparkSession, corpus: DataFrame,
+                      content: Column, id: Column, minLen: Int = 20,
+                      maxAnchorOccurrences: Int = 1 << 20,
+                      nBuckets: Int = 64, db: String = "graft_idx",
+                      name: String = "match_idx"): Int = {
+    val (anchors, hot, toks) = Dedup.matchIndexFrames(corpus, content, id,
+      minLen, maxAnchorOccurrences)
+    commit(spark, db, name, "match", Seq(
+      // bucketed on BOTH probe-join keys: bucket keys must equal the
+      // join keys for EnsureRequirements to accept the bucket layout
+      // as the join's partitioning (a gh-only bucketing is merely a
+      // subset and Spark re-shuffles both sides); (gh, sub) also
+      // spreads a capped hot gh's rows across buckets
+      Member("anchors", anchors, Seq("gh", "sub"), nBuckets),
+      Member("toks", toks, Seq("corpus_id"), nBuckets),
+      Member("hot", hot)),
+      Seq(s"$minLen AS min_len",
+        s"$maxAnchorOccurrences AS max_anchor_occurrences",
+        s"$nBuckets AS n_buckets"))
+  }
+
+  /** Probe a batch against the live match index: every maximal
+    * cross-side verbatim match ≥ min_len tokens — (batch_id, pos_b,
+    * corpus_id, pos_c, match_len), `Dedup.incrementalMaximalMatches`'s
+    * exact output, with the corpus side read from the bucketed tables
+    * (no corpus tokenize/shingle/shuffle at probe time).
+    */
+  def probeMatches(spark: SparkSession, batch: DataFrame, content: Column,
+                   id: Column, db: String = "graft_idx",
+                   name: String = "match_idx"): DataFrame = {
+    val m = manifestOrThrow(spark, db, name, "match")
+    Dedup.probeMatchFrames(
+      member(spark, db, name, m, "anchors"),
+      member(spark, db, name, m, "hot"),
+      member(spark, db, name, m, "toks"),
+      batch, content, id, m.getAs[Int]("min_len"))
+  }
+
+  // ------------------------------------------------------ chunk dedup
+
+  /** Build/refresh the standing distinct chunk-digest index for
+    * [[TextAnalysis.chunkDedupIncremental]]-style screening.
+    */
+  def buildChunkIndex(spark: SparkSession, corpus: DataFrame,
+                      content: Column, id: Column, chunkTokens: Int = 8,
+                      nBuckets: Int = 64, db: String = "graft_idx",
+                      name: String = "chunk_idx"): Int =
+    commit(spark, db, name, "chunk", Seq(
+      Member("fps", TextAnalysis.corpusChunkFps(corpus, content, id,
+        chunkTokens), Seq("fp"), nBuckets)),
+      Seq(s"$chunkTokens AS chunk_tokens", s"$nBuckets AS n_buckets"))
+
+  /** Probe a batch against the live chunk index —
+    * `TextAnalysis.chunkDedupIncremental`'s exact output (per batch
+    * doc: chunk counts and the reassembled dedup_text), corpus side =
+    * one anti-join against the bucketed digest table.
+    */
+  def probeChunks(spark: SparkSession, batch: DataFrame, content: Column,
+                  id: Column, db: String = "graft_idx",
+                  name: String = "chunk_idx"): DataFrame = {
+    val m = manifestOrThrow(spark, db, name, "chunk")
+    TextAnalysis.chunkDedupAgainstFps(member(spark, db, name, m, "fps"),
+      batch, content, id, m.getAs[Int]("chunk_tokens"))
+  }
+
+  // -------------------------------------------------- near-dup (LSH)
+
+  /** Build/refresh the standing MinHash-LSH index for
+    * [[Dedup.incrementalNearDups]]-style screening: the band table
+    * (candidate generation) and the shingle-set table (exact Jaccard
+    * verification).
+    */
+  def buildNearDupIndex(spark: SparkSession, corpus: DataFrame,
+                        content: Column, id: Column, n: Int = 3,
+                        k: Int = 8, bands: Int = 4, nBuckets: Int = 64,
+                        db: String = "graft_idx",
+                        name: String = "neardup_idx"): Int = {
+    require(k % bands == 0, "k must divide into bands")
+    val base = Dedup.minhashBase(corpus, content, id, n)
+    commit(spark, db, name, "neardup", Seq(
+      Member("banded", Dedup.minhashBanded(base, k, bands),
+        Seq("bucket"), nBuckets),
+      Member("base", base.select(col("doc_id"), col("sh")),
+        Seq("doc_id"), nBuckets)),
+      Seq(s"$n AS n", s"$k AS k", s"$bands AS bands",
+        s"$nBuckets AS n_buckets"))
+  }
+
+  /** Probe a batch against the live near-dup index —
+    * `Dedup.incrementalNearDups`'s exact output (new_id, dup_of,
+    * jaccard ≥ threshold); the batch's band table broadcasts, the
+    * corpus tables stream from their buckets.
+    */
+  def probeNearDups(spark: SparkSession, batch: DataFrame, content: Column,
+                    id: Column, threshold: Double = 0.8,
+                    db: String = "graft_idx",
+                    name: String = "neardup_idx"): DataFrame = {
+    val m = manifestOrThrow(spark, db, name, "neardup")
+    Dedup.lookupNearDups(
+      Dedup.MinHashIndex(
+        member(spark, db, name, m, "base"),
+        member(spark, db, name, m, "banded"),
+        m.getAs[Int]("n"), m.getAs[Int]("k"), m.getAs[Int]("bands")),
+      batch, content, id, threshold)
+  }
+}

@@ -858,31 +858,30 @@ object TextAnalysis {
        |    FILTER (WHERE kept), '') AS dedup_text
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** Incremental [[chunkDedup]]: dedup "today's crawl" against a
-    * STANDING corpus — a batch chunk is dropped if its window already
-    * exists anywhere in the corpus, or earlier in the batch itself
-    * (first occurrence by (doc_id, position) among corpus-clean
-    * chunks). The corpus contributes only its DISTINCT chunk digests
-    * (the standing index — at scale a materialized digest table), the
-    * probe is a left-anti equi-join on the digest, and the corpus
-    * never self-joins or re-deduplicates. Same output shape as
-    * [[chunkDedup]], restricted to the batch documents.
-    *
-    * PRECONDITION: corpus and batch must be DISJOINT document sets.
-    * A document present in both is counted with n_kept = 0 here (its
-    * batch chunks all hit the standing index) but claimed for the
-    * corpus — and omitted from the output — by
-    * [[chunkDedupIncrementalOracle]]'s `in_corpus` flag. The graded
-    * q116 uses disjoint modulo predicates; callers with overlapping
-    * sets must pick a side per document first (batchWhere ≡ NOT
-    * corpusWhere over the union).
+  /** The DISTINCT chunk-digest set of a corpus — what a standing chunk
+    * index persists ([[StandingIndex.buildChunkIndex]]) and
+    * [[chunkDedupIncremental]] derives inline: one `fp` column, md5
+    * over non-overlapping `chunkTokens`-token chunk text (the q108
+    * digest convention).
     */
-  def chunkDedupIncremental(corpus: DataFrame, batch: DataFrame,
-                            content: Column, id: Column,
-                            chunkTokens: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val corpusFp = chunkedCore(corpus, content, id, chunkTokens, overlap = 0)
+  private[operators] def corpusChunkFps(corpus: DataFrame, content: Column,
+                                        id: Column,
+                                        chunkTokens: Int): DataFrame =
+    chunkedCore(corpus, content, id, chunkTokens, overlap = 0)
       .select(md5(col("chunk_text")).as("fp")).distinct()
+
+  /** Screen a batch against an already-distinct corpus chunk-digest
+    * frame (in memory or a [[StandingIndex]] table bucketed on fp —
+    * then the anti-join's index side needs no Exchange): batch chunks
+    * whose digest exists in the corpus drop entirely; first batch
+    * occurrence wins among the survivors. Same output contract as
+    * [[chunkDedupIncremental]].
+    */
+  private[operators] def chunkDedupAgainstFps(corpusFp: DataFrame,
+                                              batch: DataFrame,
+                                              content: Column, id: Column,
+                                              chunkTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("fp").orderBy("doc_id", "chunk_id")
     chunkedCore(batch, content, id, chunkTokens, overlap = 0)
       .withColumn("fp", md5(col("chunk_text")))
@@ -913,6 +912,31 @@ object TextAnalysis {
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
       .orderBy("doc_id")
   }
+
+  /** Incremental [[chunkDedup]]: dedup "today's crawl" against a
+    * STANDING corpus — a batch chunk is dropped if its window already
+    * exists anywhere in the corpus, or earlier in the batch itself
+    * (first occurrence by (doc_id, position) among corpus-clean
+    * chunks). The corpus contributes only its DISTINCT chunk digests
+    * (the standing index — at scale a materialized digest table), the
+    * probe is a left-anti equi-join on the digest, and the corpus
+    * never self-joins or re-deduplicates. Same output shape as
+    * [[chunkDedup]], restricted to the batch documents.
+    *
+    * PRECONDITION: corpus and batch must be DISJOINT document sets.
+    * A document present in both is counted with n_kept = 0 here (its
+    * batch chunks all hit the standing index) but claimed for the
+    * corpus — and omitted from the output — by
+    * [[chunkDedupIncrementalOracle]]'s `in_corpus` flag. The graded
+    * q116 uses disjoint modulo predicates; callers with overlapping
+    * sets must pick a side per document first (batchWhere ≡ NOT
+    * corpusWhere over the union).
+    */
+  def chunkDedupIncremental(corpus: DataFrame, batch: DataFrame,
+                            content: Column, id: Column,
+                            chunkTokens: Int = 8): DataFrame =
+    chunkDedupAgainstFps(corpusChunkFps(corpus, content, id, chunkTokens),
+      batch, content, id, chunkTokens)
 
   /** Oracle for [[chunkDedupIncremental]] with corpus/batch selected by
     * `corpusWhere` / `batchWhere` over `documents`. Same disjointness

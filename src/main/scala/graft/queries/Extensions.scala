@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Fns
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, Blocklist, Curate, Dedup, Diff, GraphOps, NgramLm, ProductAnalytics, RangeJoin, Scd, Similarity, TextAnalysis, Tokenizer}
+import graft.operators.{AsOfJoin, Blocklist, Curate, Dedup, Diff, GraphOps, NgramLm, ProductAnalytics, RangeJoin, Scd, Similarity, StandingIndex, TextAnalysis, Tokenizer}
 import graft.serving.SafeSql
 import graft.queries.Parity.Q
 import graft.tables.Tables
@@ -3164,6 +3164,73 @@ object Extensions {
       .orderBy("id_a", "id_b"),
     Some(Dedup.hammingPairsOracle(maxHamming = 5)))
 
+  // ---- standing probe indexes (q192-q194): the persisted, bucketed,
+  // manifest-versioned corpus side of the three incremental operators.
+  // Built once per session+dataset (the q90 session-cache idiom — the
+  // tables live in a SESSION's catalog/warehouse) with fixture-sized
+  // bucket counts; every probe then reads the bucketed tables with
+  // zero corpus-side exchange (StandingIndexSpec's plan assertion).
+  private val idxBuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private def standingIndexes(s: SparkSession, d: String): Unit =
+    if (idxBuiltFor.get != d || !s.catalog.tableExists("graft_idx.docs_match")) {
+      val docs = Tables.documents(s, d)
+      // q188's split: batch = doc_id % 10 = 0
+      StandingIndex.buildMatchIndex(s, docs.filter(col("doc_id") % 10 =!= 0),
+        col("text"), col("doc_id"), minLen = 20, nBuckets = 8,
+        name = "docs_match")
+      // q116/q106's split: corpus = doc_id % 10 < 8
+      val corpus8 = docs.filter(col("doc_id") % 10 < 8)
+      StandingIndex.buildChunkIndex(s, corpus8, col("text"), col("doc_id"),
+        chunkTokens = 8, nBuckets = 8, name = "docs_chunk")
+      StandingIndex.buildNearDupIndex(s, corpus8, col("text"), col("doc_id"),
+        n = 3, k = 8, bands = 4, nBuckets = 8, name = "docs_neardup")
+      idxBuiltFor.set(d)
+    }
+
+  /** q188 through the standing index: same oracle, same output, but
+    * the corpus side is the persisted anchor/toks/hot tables — probe
+    * cost is batch-bounded (the corpus is never re-tokenized).
+    */
+  private val q192 = Q("q192_index_probe_matches",
+    (s, d) => {
+      standingIndexes(s, d)
+      StandingIndex.probeMatches(s,
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+        col("text"), col("doc_id"), name = "docs_match")
+        .orderBy("batch_id", "pos_b", "corpus_id", "pos_c")
+    },
+    Some(Dedup.incrementalMaximalMatchesOracle(minLen = 20)))
+
+  /** q116 through the standing index: anti-join against the bucketed
+    * distinct-digest table.
+    */
+  private val q193 = Q("q193_index_probe_chunks",
+    (s, d) => {
+      standingIndexes(s, d)
+      StandingIndex.probeChunks(s,
+        Tables.documents(s, d).filter(col("doc_id") % 10 >= 8),
+        col("text"), col("doc_id"), name = "docs_chunk")
+    },
+    Some(TextAnalysis.chunkDedupIncrementalOracle(chunkTokens = 8,
+      corpusWhere = "doc_id % 10 < 8", batchWhere = "doc_id % 10 >= 8")))
+
+  /** q106 through the standing index: candidates from the persisted
+    * band table, exact Jaccard from the persisted shingle sets.
+    */
+  private val q194 = Q("q194_index_probe_neardups",
+    (s, d) => {
+      standingIndexes(s, d)
+      StandingIndex.probeNearDups(s,
+        Tables.documents(s, d).filter(col("doc_id") % 10 >= 8),
+        col("text"), col("doc_id"), threshold = 0.8, name = "docs_neardup")
+        .orderBy("new_id", "dup_of")
+    },
+    Some(Dedup.incrementalNearDupsOracle(n = 3, k = 8, bands = 4,
+      threshold = 0.8, corpusWhere = "doc_id % 10 < 8",
+      batchWhere = "doc_id % 10 >= 8")))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3180,5 +3247,5 @@ object Extensions {
     q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
-    q191)
+    q191, q192, q193, q194)
 }

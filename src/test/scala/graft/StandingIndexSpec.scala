@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BaseJoinExec
+import graft.operators.{Dedup, StandingIndex, TextAnalysis}
+import graft.tables.Tables
+
+/** Laws for the standing probe indexes: probe ≡ the ad-hoc incremental
+  * operator (all three families), the zero-corpus-exchange plan shape,
+  * and the manifest-versioned exactly-once lifecycle.
+  */
+class StandingIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val db = "graft_idx_spec"
+
+  private def docs = Tables.documents(spark, dir)
+  private def corpus = docs.filter(col("doc_id") % 10 =!= 0)
+  private def batch = docs.filter(col("doc_id") % 10 === 0)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("probeMatches ≡ incrementalMaximalMatches (and respects built min_len)") {
+    StandingIndex.buildMatchIndex(spark, corpus, col("text"), col("doc_id"),
+      minLen = 12, nBuckets = 4, db = db, name = "m_eq")
+    val probe = StandingIndex.probeMatches(spark, batch, col("text"),
+      col("doc_id"), db = db, name = "m_eq")
+    val direct = Dedup.incrementalMaximalMatches(corpus, batch,
+      col("text"), col("doc_id"), minLen = 12)
+    assert(rows(probe) === rows(direct))
+    assert(probe.count() > 0, "fixture must exercise the probe")
+  }
+
+  test("probeChunks ≡ chunkDedupIncremental") {
+    StandingIndex.buildChunkIndex(spark, corpus, col("text"), col("doc_id"),
+      chunkTokens = 8, nBuckets = 4, db = db, name = "c_eq")
+    val probe = StandingIndex.probeChunks(spark, batch, col("text"),
+      col("doc_id"), db = db, name = "c_eq")
+    val direct = TextAnalysis.chunkDedupIncremental(corpus, batch,
+      col("text"), col("doc_id"), chunkTokens = 8)
+    assert(rows(probe) === rows(direct))
+  }
+
+  test("probeNearDups ≡ incrementalNearDups") {
+    StandingIndex.buildNearDupIndex(spark, corpus, col("text"), col("doc_id"),
+      n = 3, k = 8, bands = 4, nBuckets = 4, db = db, name = "n_eq")
+    val probe = StandingIndex.probeNearDups(spark, batch, col("text"),
+      col("doc_id"), threshold = 0.5, db = db, name = "n_eq")
+    val direct = Dedup.incrementalNearDups(corpus, batch, col("text"),
+      col("doc_id"), threshold = 0.5)
+    assert(rows(probe) === rows(direct))
+  }
+
+  test("match probe: zero Exchange and zero Sort on the index side of every join") {
+    StandingIndex.buildMatchIndex(spark, corpus, col("text"), col("doc_id"),
+      minLen = 12, nBuckets = 4, db = db, name = "m_plan")
+    // pin the 100 TB regime: no broadcast (a TB-scale index never
+    // broadcasts) and no AQE stage wrapping (assert on the static
+    // plan tree, where subtree walks see through to the scans)
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val probe = StandingIndex.probeMatches(spark, batch, col("text"),
+        col("doc_id"), db = db, name = "m_plan")
+      val plan = probe.queryExecution.executedPlan
+
+      def idxScans(p: SparkPlan): Seq[FileSourceScanExec] =
+        p.collect { case f: FileSourceScanExec
+          if f.tableIdentifier.exists(t =>
+            t.database.contains(db) && t.table.startsWith("m_plan__v")) => f }
+
+      // the data-sized index members (anchors, toks) come in through
+      // BUCKETED scans — the partitioning the joins then reuse; hot is
+      // deliberately plain (it broadcasts)
+      val scans = idxScans(plan)
+      assert(scans.nonEmpty, s"probe must read the index tables:\n$plan")
+      val bucketedMembers = scans.filter(_.tableIdentifier.exists(t =>
+        t.table.endsWith("__anchors") || t.table.endsWith("__toks")))
+      assert(bucketedMembers.size >= 2,
+        s"probe must read anchors and toks:\n$plan")
+      assert(bucketedMembers.forall(_.bucketedScan),
+        s"anchors/toks scans must be bucketed:\n$plan")
+
+      // the q90 assertion, single-side form: no ShuffleExchange and no
+      // data-sized Sort may sit between an index scan and its join —
+      // i.e. no such node's PRE-JOIN subtree contains an index scan.
+      // (Exchanges/sorts above a join — candidate DISTINCTs, the probe
+      // side, final orderBys — are batch-bounded and allowed.)
+      def preJoin(p: SparkPlan): Boolean =
+        p.collect { case j: BaseJoinExec => j }.isEmpty &&
+          idxScans(p).nonEmpty
+      val badEx = plan.collect {
+        case s: ShuffleExchangeExec if preJoin(s.child) => s }
+      assert(badEx.isEmpty,
+        s"corpus-side shuffle before a join:\n${badEx.headOption}\n$plan")
+      val badSort = plan.collect {
+        case s: SortExec if preJoin(s.child) => s }
+      assert(badSort.isEmpty,
+        s"corpus-side sort before a join (bucket sort metadata lost):\n" +
+          s"${badSort.headOption}\n$plan")
+
+      // and the plan still answers correctly under the pinned regime
+      assert(rows(probe) === rows(Dedup.incrementalMaximalMatches(corpus,
+        batch, col("text"), col("doc_id"), minLen = 12)))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("manifest lifecycle: atomic flip, previous version retained, older GC'd") {
+    def liveVersion = StandingIndex.manifest(spark, db, "m_life")
+      .map(_.getAs[Int]("version"))
+    def memberTables = spark.catalog.listTables(db).collect()
+      .map(_.name).filter(_.startsWith("m_life__v")).toSet
+
+    StandingIndex.buildChunkIndex(spark, corpus, col("text"), col("doc_id"),
+      nBuckets = 2, db = db, name = "m_life")
+    assert(liveVersion === Some(0))
+    StandingIndex.buildChunkIndex(spark, corpus, col("text"), col("doc_id"),
+      nBuckets = 2, db = db, name = "m_life")
+    assert(liveVersion === Some(1))
+    assert(memberTables === Set("m_life__v0__fps", "m_life__v1__fps"),
+      "previous version must survive one publish cycle")
+    StandingIndex.buildChunkIndex(spark, corpus, col("text"), col("doc_id"),
+      nBuckets = 2, db = db, name = "m_life")
+    assert(liveVersion === Some(2))
+    assert(memberTables === Set("m_life__v1__fps", "m_life__v2__fps"),
+      "versions older than the superseded one must be GC'd")
+    // probes resolve through the manifest — still consistent post-GC
+    assert(rows(StandingIndex.probeChunks(spark, batch, col("text"),
+      col("doc_id"), db = db, name = "m_life")) ===
+      rows(TextAnalysis.chunkDedupIncremental(corpus, batch, col("text"),
+        col("doc_id"))))
+  }
+
+  test("probing a missing or wrong-kind index fails loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      StandingIndex.probeMatches(spark, batch, col("text"), col("doc_id"),
+        db = db, name = "nope")
+    }
+    assert(e1.getMessage.contains("no standing index"))
+    StandingIndex.buildChunkIndex(spark, corpus, col("text"), col("doc_id"),
+      nBuckets = 2, db = db, name = "kinded")
+    val e2 = intercept[IllegalArgumentException] {
+      StandingIndex.probeMatches(spark, batch, col("text"), col("doc_id"),
+        db = db, name = "kinded")
+    }
+    assert(e2.getMessage.contains("chunk index"))
+  }
+
+  test("hot-anchor cap: capped build probes exactly like the uncapped one") {
+    // cap 1 forces every corpus anchor gh into per-doc sub-buckets and
+    // the batch side to fan out across ALL of them — the exactness law
+    // (q188's spec contract) must survive persistence
+    StandingIndex.buildMatchIndex(spark, corpus, col("text"), col("doc_id"),
+      minLen = 12, maxAnchorOccurrences = 1, nBuckets = 4, db = db,
+      name = "m_cap")
+    StandingIndex.buildMatchIndex(spark, corpus, col("text"), col("doc_id"),
+      minLen = 12, nBuckets = 4, db = db, name = "m_nocap")
+    assert(rows(StandingIndex.probeMatches(spark, batch, col("text"),
+        col("doc_id"), db = db, name = "m_cap")) ===
+      rows(StandingIndex.probeMatches(spark, batch, col("text"),
+        col("doc_id"), db = db, name = "m_nocap")))
+  }
+}

@@ -338,6 +338,144 @@ object Multimodal {
       .select(col("id_a").as("asset_a"), col("id_b").as("asset_b"),
         col("hamming").cast(LongType).as("hamming"))
 
+  // ---------------------------------- perceptual-hash audio dedup
+
+  final case class AudioFingerprint(asset_id: Long, afp: Long)
+
+  /** 64-bit perceptual audio fingerprint — the audio twin of
+    * [[imageAHash]], closing the perceptual near-dup family across
+    * both decodable modalities: the clip is mixed to mono, split into
+    * 8 equal TIME segments, and each segment's energy is measured in
+    * 9 fixed FREQUENCY bands (Goertzel filterbank sums — one
+    * second-order recurrence per band, no FFT dependency) at
+    * geometrically-spaced centers 250·2^(b/3) Hz (250–1587 Hz, under
+    * the Nyquist limit of even telephone-rate audio so a resampled
+    * copy keeps every band). Bit (t, b) is set iff segment t's energy
+    * in band b exceeds band b+1 — 8×8 adjacent-band comparisons, the
+    * Chromaprint-style sign structure: comparisons are invariant
+    * under gain scaling and robust under resampling/re-encoding,
+    * where the raw energies are not.
+    *
+    * Determinism: band centers are fixed in Hz (analysis adapts to
+    * each clip's own sample rate via the Goertzel coefficient), and
+    * every accumulation is a fixed-order per-clip loop — the value is
+    * bit-reproducible across JVMs and partitionings (spec-pinned).
+    * Undecodable or empty payloads are excluded (no samples, no
+    * fingerprint) — the corrupt-safe contract of [[decodeImages]].
+    *
+    * @return (asset_id, afp: long)
+    */
+  def audioFingerprint(assets: DataFrame): Dataset[AudioFingerprint] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, payload) =>
+          val bytes = Option(payload).getOrElse(Array.emptyByteArray)
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              val mono = monoSamples(ais.readAllBytes(), fmt)
+              if (mono.length == 0 || fmt.getSampleRate <= 0) None
+              else Some(AudioFingerprint(id,
+                bandCompareBits(mono, fmt.getSampleRate.toDouble)))
+            } finally ais.close()
+          } catch { case _: Exception => None }
+        }
+      }
+  }
+
+  /** Audio near-duplicate pairs — [[Dedup.hammingPairs]] over the
+    * fingerprint, exactly [[imageNearDupPairs]]'s shape: derived
+    * `maxHamming + 1` bands (pigeonhole full recall), equi-join
+    * candidates, exact bit_count verify. A re-encoded or resampled
+    * copy of a clip lands within a few bits of its original where
+    * [[Dedup.exact]] sees unrelated blobs. The decode→fingerprint
+    * step is spec-gated (no DuckDB audio decode); the relational pair
+    * stage is oracle-gated through q191.
+    *
+    * @return (asset_a, asset_b, hamming), asset_a < asset_b
+    */
+  def audioNearDupPairs(assets: DataFrame, maxHamming: Int = 6): DataFrame =
+    Dedup.hammingPairs(audioFingerprint(assets).toDF(), col("asset_id"),
+        col("afp"), bits = 64, maxHamming = maxHamming)
+      .select(col("id_a").as("asset_a"), col("id_b").as("asset_b"),
+        col("hamming").cast(LongType).as("hamming"))
+
+  /** Mono [-1,1] samples from raw PCM bytes (channel-averaged per
+    * frame) — the PCM widths the JDK WAV reader emits; unsupported
+    * widths yield an empty array (degrade, don't throw).
+    */
+  private def monoSamples(pcm: Array[Byte],
+                          fmt: javax.sound.sampled.AudioFormat): Array[Double] = {
+    val bytesPerSample = fmt.getSampleSizeInBits / 8
+    val frameSize = fmt.getFrameSize
+    val nFrames = if (frameSize > 0) pcm.length / frameSize else 0
+    if (nFrames == 0 || bytesPerSample == 0 ||
+        (fmt.getSampleSizeInBits != 16 && fmt.getSampleSizeInBits != 8))
+      return Array.emptyDoubleArray
+    val unsigned8 =
+      fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+    Array.tabulate(nFrames) { f =>
+      var acc = 0.0
+      var c = 0
+      while (c < fmt.getChannels) {
+        val off = (f.toLong * frameSize + c.toLong * bytesPerSample).toInt
+        acc += (fmt.getSampleSizeInBits match {
+          case 16 =>
+            val v =
+              if (fmt.isBigEndian) (pcm(off) << 8) | (pcm(off + 1) & 0xff)
+              else (pcm(off + 1) << 8) | (pcm(off) & 0xff)
+            v / 32768.0
+          case _ =>
+            if (unsigned8) ((pcm(off) & 0xff) - 128) / 128.0
+            else pcm(off) / 128.0
+        })
+        c += 1
+      }
+      acc / fmt.getChannels
+    }
+  }
+
+  private val FpSegments = 8
+  private val FpBands = 9 // 8 adjacent comparisons per segment
+
+  /** Goertzel power of `x[lo, hi)` at absolute frequency `hz`. */
+  private def goertzel(x: Array[Double], lo: Int, hi: Int,
+                       hz: Double, sampleRate: Double): Double = {
+    val coeff = 2.0 * math.cos(2.0 * math.Pi * hz / sampleRate)
+    var s1 = 0.0; var s2 = 0.0
+    var i = lo
+    while (i < hi) {
+      val s0 = x(i) + coeff * s1 - s2
+      s2 = s1; s1 = s0
+      i += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
+  private def bandCompareBits(mono: Array[Double],
+                              sampleRate: Double): Long = {
+    var bits = 0L
+    var t = 0
+    while (t < FpSegments) {
+      val lo = (t.toLong * mono.length / FpSegments).toInt
+      val hi = ((t + 1).toLong * mono.length / FpSegments).toInt
+      val e = Array.tabulate(FpBands)(b =>
+        goertzel(mono, lo, hi, 250.0 * math.pow(2.0, b / 3.0), sampleRate))
+      var b = 0
+      while (b < FpBands - 1) {
+        if (e(b) > e(b + 1)) bits |= 1L << (t * (FpBands - 1) + b)
+        b += 1
+      }
+      t += 1
+    }
+    bits
+  }
+
   final case class ProbedVideo(asset_id: Long, container: String,
                                width: Int, height: Int,
                                duration_ns: Long, n_bytes: Long)

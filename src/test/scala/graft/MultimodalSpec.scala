@@ -195,4 +195,47 @@ class MultimodalSpec extends SparkSpec {
       maxHamming = 6).collect()
     assert(again.toSeq === pairs.toSeq)
   }
+
+  test("audioNearDupPairs: resampled/rescaled re-encodes pair with the original") {
+    import spark.implicits._
+    // an 8-segment "melody" — one tone per fingerprint time segment —
+    // synthesized at different sample rates / gains: same CONTENT,
+    // different bytes. Frequencies sit on the filterbank's band
+    // centers so each segment's band-energy ordering is sharp.
+    def clip(freqs: Seq[Double], sr: Float, gain: Float): Array[Byte] = {
+      val perSeg = (sr * 0.1f).toInt
+      val samples = Array.tabulate(freqs.length * perSeg) { i =>
+        val f = freqs(i / perSeg)
+        (gain * 0.8f * math.sin(2.0 * math.Pi * f * i / sr)).toFloat
+      }
+      Multimodal.wavBytes(samples, sampleRate = sr)
+    }
+    val melodyA = Seq(250.0, 500.0, 1000.0, 397.0, 630.0, 250.0, 794.0, 500.0)
+    val melodyB = Seq(1587.0, 250.0, 630.0, 1260.0, 315.0, 1000.0, 397.0, 1587.0)
+    val assets = Seq(
+      (0L, "audio", clip(melodyA, 16000f, 1.0f), "wav", "fx"),
+      (1L, "audio", clip(melodyA, 8000f, 1.0f), "wav", "fx"),  // resampled
+      (2L, "audio", clip(melodyA, 16000f, 0.5f), "wav", "fx"), // gain-scaled
+      (3L, "audio", clip(melodyB, 16000f, 1.0f), "wav", "fx"), // unrelated
+      (4L, "audio", Array[Byte](9, 9, 9), "wav", "fx"))        // corrupt
+      .toDF("asset_id", "modality", "payload", "format", "source")
+    val pairs = Multimodal.audioNearDupPairs(assets, maxHamming = 6)
+      .collect().map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b")))
+      .toSet
+    assert(pairs === Set((0L, 1L), (0L, 2L), (1L, 2L)),
+      s"the three re-encodes of melody A must pair, nothing else: $pairs")
+    // the byte-level fingerprint sees all four decodable clips as
+    // UNRELATED blobs — the gap the perceptual fingerprint closes
+    assert(graft.operators.Dedup.exact(assets.filter(col("asset_id") < 3),
+      col("payload"), col("asset_id")).count() === 3)
+    // fingerprint determinism across partitionings
+    val fp = Multimodal.audioFingerprint(assets).collect()
+      .map(f => f.asset_id -> f.afp).toMap
+    assert(fp.keySet === Set(0L, 1L, 2L, 3L), "corrupt payload must drop out")
+    val fpAgain = Multimodal.audioFingerprint(assets.repartition(4)).collect()
+      .map(f => f.asset_id -> f.afp).toMap
+    assert(fpAgain === fp)
+    // the gain-scaled copy's comparisons are EXACTLY the original's
+    assert(fp(0L) === fp(2L))
+  }
 }

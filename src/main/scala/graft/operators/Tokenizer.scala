@@ -256,11 +256,11 @@ object Tokenizer {
   // ---------------------------------------------------------- oracles
 
   private def oracleBase(docsTable: String, textCol: String): String =
-    s"""words AS (
+    s"""words AS MATERIALIZED (
        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
        |    SELECT UNNEST(regexp_extract_all(lower($textCol), '[a-z]+')) AS w
        |    FROM $docsTable) GROUP BY 1),
-       |w0 AS (
+       |w0 AS MATERIALIZED (
        |  SELECT regexp_replace(word, '(.)', chr(1)||chr(1)||'\\1', 'g') ||
        |         chr(1)||chr(1) AS seq,
        |         cnt
@@ -270,9 +270,17 @@ object Tokenizer {
     * pairs (range(1, len) is empty for 1-symbol words — no descending
     * trap on the DuckDB side), argmax with the (c DESC, l, r) total
     * order, replay the doubled-separator replace.
+    *
+    * MATERIALIZED is load-bearing, not a hint: each w_k is referenced
+    * TWICE (round k+1 counts pairs from it AND rewrites it), so
+    * DuckDB's default CTE inlining doubles the plan per round — 2^32
+    * base-table scans at merges = 32 (the first attempt died on file
+    * handles before it died on time). Materialization makes the
+    * chain linear in depth, which is what lets q195 grade the
+    * realistic-depth tokenizer at all.
     */
   private def roundCtes(k: Int): String =
-    s"""s$k AS (
+    s"""s$k AS MATERIALIZED (
        |  SELECT cnt, list_filter(str_split_regex(seq, chr(1)||'+'),
        |                          x -> x <> '') AS syms
        |  FROM w${k - 1}),
@@ -282,7 +290,7 @@ object Tokenizer {
        |      i -> {'l': syms[i], 'r': syms[i + 1]})) AS p
        |    FROM s$k) GROUP BY 1, 2),
        |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
-       |w$k AS (
+       |w$k AS MATERIALIZED (
        |  SELECT replace(seq, chr(1)||b.l||chr(1)||chr(1)||b.r||chr(1),
        |                 chr(1)||b.l||b.r||chr(1)) AS seq, cnt
        |  FROM w${k - 1} CROSS JOIN b$k b)""".stripMargin

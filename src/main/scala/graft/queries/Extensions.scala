@@ -3231,6 +3231,19 @@ object Extensions {
       threshold = 0.8, corpusWhere = "doc_id % 10 < 8",
       batchWhere = "doc_id % 10 >= 8")))
 
+  /** q187 at realistic merge depth (32 rounds, 4× the q187 gate): the
+    * depth where the r10 lineage-truncation cadence (checkpoint every
+    * 8 merges) is actually load-bearing rather than inert — the
+    * graded evidence that the vocab-frame iteration survives depth.
+    * Same per-doc pricing contract as q187; the oracle replays all 32
+    * rounds as chained CTEs.
+    */
+  private val q195 = Q("q195_bpe_depth32",
+    (s, d) => Tokenizer.bpeTokensPerDoc(Tables.documents(s, d),
+        col("text"), col("doc_id"), merges = 32)
+      .orderBy("doc_id"),
+    Some(Tokenizer.bpeTokensPerDocOracle(merges = 32)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3247,5 +3260,5 @@ object Extensions {
     q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
-    q191, q192, q193, q194)
+    q191, q192, q193, q194, q195)
 }

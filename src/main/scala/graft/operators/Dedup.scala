@@ -1099,7 +1099,18 @@ object Dedup {
     require(maxBucketSize >= 1,
       s"maxBucketSize ($maxBucketSize) must be >= 1")
     val bands = maxHamming + 1
+    // Null ids/hashes can never pair (the a.id < b.id and equi-key
+    // predicates both reject NULL), so dropping them up front is
+    // semantics-free — and it makes all THREE consumers of this frame
+    // (join left, join right, the bucket-size count) canonically
+    // identical subtrees: without it, constraint inference pushes
+    // isnotnull(id) into the join sides' scans but not the count
+    // frame's, and AQE's exchange reuse misses the count frame — a
+    // whole extra upstream pass (fingerprint derivation included) at
+    // scale. With it, the upstream exchange materializes once and the
+    // other two consumers are ReusedExchange (EXPLAIN_r12, q191).
     val h = hashes.select(id.as("id"), hash.as("h"))
+      .filter(col("id").isNotNull && col("h").isNotNull)
     val banded = h.select(
       col("id"), col("h"),
       posexplode(array((0 until bands).map { b =>

@@ -670,6 +670,254 @@ object Similarity {
        |SELECT query_id, neighbor_id, score, rnk FROM ranked
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
 
+  // --------------------------------------- product quantization (PQ)
+
+  /** Squared L2 distance given precomputed self-dots — written as
+    * `(xx − 2·xy) + yy` on BOTH engines so the float fold order is
+    * identical (the [[dotSql]] parity contract).
+    */
+  private def l2(xx: Column, xy: Column, yy: Column): Column =
+    xx - lit(2.0) * xy + yy
+
+  private def l2Sql(x: String, y: String): String =
+    s"${dotSql(x, x)} - 2 * ${dotSql(x, y)} + ${dotSql(y, y)}"
+
+  private def pqCentsDf(spark: SparkSession,
+                        cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    cents.toDF("cent_id", "ce")
+      .withColumn("cc", dot(col("ce"), col("ce")))
+  }
+
+  /** Deterministic L2 Lloyd trainer over one PQ subspace — the
+    * [[lloydTrain]] arithmetic (decimal-sum means, keep-empty-cells,
+    * cent_id tie-break) with squared-L2 assignment instead of cosine:
+    * PQ's additivity (total distance = Σ per-subspace distances)
+    * holds for L2, not for cosine. Frames carry (vec_id, e, ee).
+    */
+  private def lloydTrainL2(spark: SparkSession, seeds: DataFrame,
+                           trainOn: DataFrame,
+                           iters: Int): Seq[(Long, Seq[Double])] = {
+    var cents: Seq[(Long, Seq[Double])] = seeds
+      .select(col("vec_id"), col("e")).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    for (_ <- 1 to iters) {
+      val cdf = pqCentsDf(spark, cents)
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("d").asc, col("cent_id"))
+      val means = trainOn.crossJoin(broadcast(cdf))
+        .withColumn("d", l2(col("ee"), dot(col("e"), col("ce")), col("cc")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") === 1)
+        .select(col("cent_id").as("cell"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("x").cast(DecimalType(38, 6))).cast(DoubleType)
+          / count(lit(1))).as("mn"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (id, e) => (id, means.getOrElse(id, e)) }
+    }
+    cents
+  }
+
+  /** Product-quantization ANN (IVFADC's compression half) — THE 100 TB
+    * memory path: the corpus is stored as `m` small centroid codes
+    * (here m·⌈log₂ ksub⌉ bits ≈ 6 bits/vector vs 64 floats ≈ 2048
+    * bits), and each query scans codes with per-subspace lookup
+    * tables instead of touching any corpus float. The embedding is
+    * split into `m` equal subvectors; each subspace gets its own
+    * ksub-centroid codebook (deterministic L2 Lloyd — seeds = the
+    * first `ksub` vectors' subvectors, `iters` rounds, decimal-sum
+    * means, cent_id tie-breaks, exactly [[ivfTopK]]'s discipline in
+    * L2); a corpus vector's code in subspace s is its nearest
+    * centroid (squared L2, tie on cent_id). Query time: an
+    * (nQueries × m × ksub) asymmetric-distance table d(q, s, j) =
+    * ‖q_s − c_{s,j}‖², then approx dist(q, v) = Σ_s d(q, s,
+    * code_s(v)) — additive BECAUSE the metric is squared L2 over a
+    * disjoint coordinate split. Top-k per query ranks by (dist,
+    * neighbor_id) ascending.
+    *
+    * Scale shape: codebooks are (m × ksub × dim/m) doubles — driver
+    * and broadcast-bounded by construction, like [[ivfTopK]]'s
+    * centroid collects. Corpus encoding is MAP-ONLY: the trained
+    * codebooks are expression literals, so each subspace code is a
+    * least/when argmin fold evaluated per row — zero shuffle, zero
+    * aggregate, zero window; at 100 TB "encode the corpus" pipelines
+    * straight into the code-table write. The search is `m` broadcast
+    * LUT joins (LUT = nQueries·ksub rows per subspace) and a
+    * fixed-order `d_0 + … + d_{m−1}` sum — the corpus-sized stream
+    * carries only (vec_id, m codes), never floats. Determinism: every
+    * float fold is the shared left-to-right dot kernel (centroid
+    * self-dots are driver `Seq.sum`, the same fold), the distance sum
+    * is a literal expression chain (not an agg over shuffled rows),
+    * and every argmin ties on cent_id/neighbor_id — the oracle
+    * replays training, encoding, LUTs, and ranking exactly.
+    *
+    * @return (query_id, neighbor_id, dist, rnk), rnk ≤ k per query
+    */
+  def pqTopK(emb: DataFrame, m: Int = 2, ksub: Int = 8,
+             nQueries: Int = 8, k: Int = 5, iters: Int = 2,
+             dim: Int = 64): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")
+    require(ksub >= 1 && iters >= 0 && k >= 1 && nQueries >= 1, "bad args")
+    val spark = emb.sparkSession
+    val searchFrom = ksub + nQueries
+    val subLen = dim / m
+    val base = withNorm(emb).select(col("vec_id"), col("e"))
+    def subspace(s: Int): DataFrame = base.select(col("vec_id"),
+        slice(col("e"), s * subLen + 1, subLen).as("e"))
+      .withColumn("ee", dot(col("e"), col("e")))
+    // per-subspace codebooks (bounded driver loops, like ivfTopK's
+    // centroid collects: m × ksub × dim/m doubles)
+    val codebooks: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { s =>
+      val sub = subspace(s)
+      lloydTrainL2(spark, sub.filter(col("vec_id") < ksub),
+        sub.filter(col("vec_id") >= searchFrom), iters)
+    }
+    // MAP-ONLY corpus encoding: the trained codebooks are driver-side
+    // constants, so each subspace code is a pure expression fold over
+    // centroid literals — `least` for the running best distance, one
+    // `when` for the running argmin (strict `<` keeps the LOWEST
+    // cent_id on ties, exactly the oracle's ROW_NUMBER (d, cent_id)
+    // pick). Zero shuffle, zero aggregate — at 100 TB "encode the
+    // corpus" is a narrow projection you pipeline into the code-table
+    // write. Expression size grows ~ksub² per subspace (the argmin
+    // when-chain re-references the shrinking least-chain), the normal
+    // PQ regime (ksub ≤ 256) stays comfortably inside codegen.
+    def codeExpr(s: Int): Column = {
+      val es = slice(col("e"), s * subLen + 1, subLen)
+      val ee = dot(es, es)
+      val ds = codebooks(s).map { case (j, c) =>
+        // cc as a literal: Seq.sum is the same left-to-right IEEE fold
+        // as the dot kernel, so the value is bit-identical
+        (j, l2(ee, dot(es, array(c.map(lit): _*)),
+          lit(c.map(x => x * x).sum)))
+      }
+      val (_, bestJ) = ds.tail.foldLeft((ds.head._2, lit(ds.head._1))) {
+        case ((bd, bj), (j, dj)) =>
+          (least(bd, dj), when(dj < bd, lit(j)).otherwise(bj))
+      }
+      bestJ.as(s"code_$s")
+    }
+    val codes = base.filter(col("vec_id") >= searchFrom)
+      .select(col("vec_id") +: (0 until m).map(codeExpr): _*)
+    // asymmetric-distance LUTs: query subvectors × codebooks (both
+    // tiny: nQueries·ksub rows per subspace)
+    import spark.implicits._
+    val cents = (0 until m)
+      .flatMap(s => codebooks(s).map { case (j, c) => (s, j, c) })
+      .toDF("s", "cent_id", "ce")
+      .withColumn("cc", dot(col("ce"), col("ce")))
+    val subs = base.select(col("vec_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("e"), s * subLen + 1, subLen)): _*)).as(Seq("s", "e")))
+      .withColumn("ee", dot(col("e"), col("e")))
+    val lut = subs
+      .filter(col("vec_id") >= ksub && col("vec_id") < searchFrom)
+      .join(broadcast(cents), Seq("s"))
+      .select(col("vec_id").as("query_id"), col("s"),
+        col("cent_id").as("code"),
+        l2(col("ee"), dot(col("e"), col("ce")), col("cc")).as("d"))
+    val joined = (0 until m).foldLeft(codes) { (acc, s) =>
+      val l = lut.filter(col("s") === s)
+        .select(col("query_id").as(s"__q$s"), col("code").as(s"__c$s"),
+          col("d").as(s"d_$s"))
+      val cond = acc(s"code_$s") === l(s"__c$s") &&
+        (if (s == 0) lit(true) else acc("__q0") === l(s"__q$s"))
+      acc.join(broadcast(l), cond)
+    }
+    val dist = (0 until m).map(s => col(s"d_$s")).reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    joined
+      .select(col("__q0").as("query_id"), col("vec_id").as("neighbor_id"),
+        dist.as("dist"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Oracle for [[pqTopK]]: replays the per-subspace seeds + L2 Lloyd
+    * rounds, the corpus encoding, the LUTs, and the fixed-order
+    * distance sum as chained CTEs.
+    */
+  def pqTopKOracle(m: Int = 2, ksub: Int = 8, nQueries: Int = 8,
+                   k: Int = 5, iters: Int = 2, dim: Int = 64): String = {
+    val searchFrom = ksub + nQueries
+    val subLen = dim / m
+    def subCtes(s: Int): String = {
+      val lo = s * subLen
+      def assign(from: String, cent: String): String =
+        s"""SELECT vec_id, e, cell FROM (
+           |    SELECT b.vec_id, b.e, c.cent_id AS cell,
+           |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+           |        ${l2Sql("b.e", "c.ce")} ASC, c.cent_id) AS crk
+           |    FROM $from b CROSS JOIN $cent c)
+           |  WHERE crk = 1""".stripMargin
+      val rounds = (1 to iters).map { it =>
+        s"""p${s}a$it AS (
+           |  ${assign(s"p${s}corpus", s"p${s}cent${it - 1}")}),
+           |p${s}m$it AS (
+           |  SELECT cell, i,
+           |    CAST(SUM(CAST(e[i] AS DECIMAL(38,6))) AS DOUBLE)
+           |      / COUNT(*) AS mn
+           |  FROM p${s}a$it, UNNEST(GENERATE_SERIES(1, LEN(e))) AS t(i)
+           |  GROUP BY cell, i),
+           |p${s}g$it AS (SELECT cell AS cent_id, LIST(mn ORDER BY i) AS ce
+           |  FROM p${s}m$it GROUP BY cell),
+           |p${s}cent$it AS (
+           |  SELECT p.cent_id, COALESCE(g.ce, p.ce) AS ce
+           |  FROM p${s}cent${it - 1} p LEFT JOIN p${s}g$it g
+           |    ON p.cent_id = g.cent_id)""".stripMargin
+      }.mkString(",\n")
+      s"""p${s}sub AS (
+         |  SELECT vec_id, e[${lo + 1}:${lo + subLen}] AS e FROM de),
+         |p${s}corpus AS (
+         |  SELECT vec_id, e FROM p${s}sub WHERE vec_id >= $searchFrom),
+         |p${s}cent0 AS (
+         |  SELECT vec_id AS cent_id, e AS ce FROM p${s}sub
+         |  WHERE vec_id < $ksub),
+         |$rounds,
+         |p${s}code AS (
+         |  SELECT vec_id, cell AS code FROM (
+         |  ${assign(s"p${s}corpus", s"p${s}cent$iters")})),
+         |p${s}lut AS (
+         |  SELECT q.vec_id AS query_id, c.cent_id AS code,
+         |    ${l2Sql("q.e", "c.ce")} AS d
+         |  FROM (SELECT vec_id, e FROM p${s}sub
+         |        WHERE vec_id >= $ksub AND vec_id < $searchFrom) q
+         |  CROSS JOIN p${s}cent$iters c)""".stripMargin
+    }
+    val codeJoin = (1 until m)
+      .map(s => s"JOIN p${s}code c$s ON c$s.vec_id = c0.vec_id")
+      .mkString("\n    ")
+    val lutJoin = (0 until m).map(s =>
+      s"JOIN p${s}lut l$s ON l$s.code = c$s.code" +
+        (if (s == 0) "" else " AND l$s.query_id = l0.query_id")
+          .replace("$s", s.toString))
+      .mkString("\n    ")
+    val distSum = (0 until m).map(s => s"l$s.d").mkString(" + ")
+    s"""WITH de AS (
+       |  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |${(0 until m).map(subCtes).mkString(",\n")},
+       |approx AS (
+       |  SELECT l0.query_id, c0.vec_id AS neighbor_id, $distSum AS dist
+       |  FROM p0code c0
+       |    $codeJoin
+       |    $lutJoin),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY dist ASC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM approx)
+       |SELECT query_id, neighbor_id, dist, rnk FROM ranked
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   // --------------------------------------- reciprocal-rank fusion
 
   /** lcm(61..70): every 60+rnk for rnk in 1..10 divides this, so the

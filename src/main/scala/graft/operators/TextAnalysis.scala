@@ -151,6 +151,159 @@ object TextAnalysis {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------- script profile
+
+  /** (class name, BMP codepoint ranges) in PRIORITY order — the
+    * dominant-script tie-break and the output column order. Block
+    * ranges, not `\p{script=...}` property classes: property classes
+    * depend on each regex engine's Unicode table version (Java vs RE2
+    * disagree at the margins and drift across releases), while
+    * literal codepoint ranges mean the engine and the DuckDB oracle
+    * classify identically forever. Latin includes the Latin-1
+    * supplement + Extended-A/B blocks (the whole 00C0–024F run — a
+    * handful of non-letters like × ÷ ride along; a block
+    * classifier's documented trade).
+    */
+  private val ScriptClasses: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "latin" -> Seq(('A'.toInt, 'Z'.toInt), ('a'.toInt, 'z'.toInt),
+      (0xC0, 0x24F)),
+    "cyrillic" -> Seq((0x400, 0x4FF)),
+    "greek" -> Seq((0x370, 0x3FF)),
+    "cjk" -> Seq((0x4E00, 0x9FFF)),
+    "hangul" -> Seq((0xAC00, 0xD7A3)))
+
+  private def classRegex(ranges: Seq[(Int, Int)]): String =
+    ranges.map { case (lo, hi) => s"${lo.toChar}-${hi.toChar}" }
+      .mkString("[", "", "]")
+
+  /** Count of codepoints of `c` matching the char-class `cls` — the
+    * length-difference trick; both engines count CODEPOINTS in
+    * `length`, so the arithmetic is engine-portable for BMP classes.
+    */
+  private def classCount(c: Column, cls: String): Column =
+    (length(c) - length(regexp_replace(c, cls, ""))).cast(LongType)
+
+  /** Per-document Unicode-script profile — the curation signal that
+    * routes documents to script-appropriate pipelines (tokenizer
+    * choice, language-ID model family, CJK-vs-whitespace
+    * segmentation) and catches mis-sourced corpora (a "Latin" crawl
+    * slice that is 40% Cyrillic) before they poison a training mix.
+    * Counts codepoints per script class (block ranges — see
+    * [[ScriptClasses]]), plus digits, whitespace-excluded `other`,
+    * the dominant script (priority-ordered argmax, [[langId]]'s
+    * deterministic fold) and its share of all script-classified
+    * codepoints (NULL when the doc has none).
+    *
+    * Scale: a pure per-row expression chain — one `regexp_replace`
+    * scan per class, all codegen'd, no shuffle, no UDF; at 100 TB
+    * this is a map-only pass whose cost is bounded by bytes scanned.
+    *
+    * @return (doc_id, n_chars, latin, cyrillic, greek, cjk, hangul,
+    *         digit, other, dominant, dominant_ratio)
+    */
+  def scriptProfile(docs: DataFrame, content: Column, id: Column): DataFrame = {
+    val names = ScriptClasses.map(_._1)
+    val counted = docs.select(
+      id.as("doc_id") +: length(content).cast(LongType).as("n_chars") +:
+        (ScriptClasses.map { case (nm, ranges) =>
+          classCount(content, classRegex(ranges)).as(nm)
+        } ++ Seq(
+          classCount(content, "[0-9]").as("digit"),
+          classCount(content, "\\s").as("__ws"))): _*)
+    val scriptTotal = names.map(col).reduce(_ + _)
+    val dominant = names.init.foldRight(lit(names.last)) {
+      case (nm, elseCol) =>
+        val ge = names.filter(_ != nm).map(o => col(nm) >= col(o))
+          .reduce(_ && _)
+        when(ge, nm).otherwise(elseCol)
+    }
+    val top = greatest(names.map(col): _*)
+    counted
+      .withColumn("other",
+        col("n_chars") - col("__ws") - scriptTotal - col("digit"))
+      .withColumn("dominant", dominant)
+      .withColumn("dominant_ratio",
+        top.cast(DoubleType) / when(scriptTotal === 0, lit(null))
+          .otherwise(scriptTotal))
+      .drop("__ws")
+  }
+
+  /** Oracle for [[scriptProfile]]: the same block ranges, length
+    * differences, and priority fold, over `textExpr` (so graded
+    * fixtures can profile a derived column — see [[scriptShiftSql]]).
+    * DuckDB `regexp_replace` needs the explicit 'g' flag (Spark's
+    * replaces all matches by default).
+    */
+  def scriptProfileOracle(textExpr: String = "text"): String = {
+    val names = ScriptClasses.map(_._1)
+    def cnt(cls: String) =
+      s"LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '$cls', '', 'g'))"
+    val classExprs = ScriptClasses.map { case (nm, ranges) =>
+      s"${cnt(classRegex(ranges))} AS $nm"
+    }.mkString(",\n  ")
+    val total = names.mkString(" + ")
+    val caseArms = names.init.map { nm =>
+      val conds = names.filter(_ != nm).map(o => s"$nm >= $o")
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$nm'"
+    }.mkString("\n    ")
+    s"""WITH shifted AS (SELECT doc_id, $textExpr AS text FROM documents),
+       |c AS (
+       |  SELECT doc_id, LENGTH(text) AS n_chars,
+       |  $classExprs,
+       |  ${cnt("[0-9]")} AS digit,
+       |  ${cnt("\\s")} AS n_ws
+       |  FROM shifted)
+       |SELECT doc_id, n_chars, ${names.mkString(", ")}, digit,
+       |  n_chars - n_ws - ($total + digit) AS other,
+       |  CASE $caseArms
+       |    ELSE '${names.last}' END AS dominant,
+       |  CAST(GREATEST(${names.mkString(", ")}) AS DOUBLE)
+       |    / NULLIF($total, 0) AS dominant_ratio
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  private val LatinLower = ('a' to 'z').mkString
+  private def block(lo: Int, n: Int): String =
+    (0 until n).map(i => (lo + i).toChar).mkString
+
+  /** Deterministic script-shifted corpus: maps each doc's lowercase
+    * Latin letters into another script's block by `id % 6` (1 →
+    * Cyrillic, 2 → Greek, 3 → CJK, 4 → Hangul, 5 → a HALF-alphabet
+    * Cyrillic shift producing genuinely mixed-script docs, 0 →
+    * unchanged). Exists because the synthetic corpus is pure ASCII —
+    * this gives the graded q196 fixture real non-Latin codepoints so
+    * the classifier's ranges, codepoint counting, and dominant fold
+    * are all exercised, with [[scriptShiftSql]] replaying the exact
+    * `translate` on the oracle side. Targets are 26 (resp. 13)
+    * CONSECUTIVE codepoints from each block, so both engines'
+    * `translate` see equal-length from/to strings.
+    */
+  def scriptShift(text: Column, id: Column): Column = {
+    val m = pmod(id, lit(6))
+    when(m === 1, translate(text, LatinLower, block(0x430, 26)))
+      .when(m === 2, translate(text, LatinLower, block(0x3B1, 26)))
+      .when(m === 3, translate(text, LatinLower, block(0x4E00, 26)))
+      .when(m === 4, translate(text, LatinLower, block(0xAC00, 26)))
+      .when(m === 5,
+        translate(text, LatinLower.take(13), block(0x430, 13)))
+      .otherwise(text)
+  }
+
+  /** SQL form of [[scriptShift]] over columns `textCol`/`idCol`. */
+  def scriptShiftSql(textCol: String = "text",
+                     idCol: String = "doc_id"): String = {
+    def t(n: Int, lo: Int) =
+      s"TRANSLATE($textCol, '${LatinLower.take(n)}', '${block(lo, n)}')"
+    s"""CASE $idCol % 6
+       |    WHEN 1 THEN ${t(26, 0x430)}
+       |    WHEN 2 THEN ${t(26, 0x3B1)}
+       |    WHEN 3 THEN ${t(26, 0x4E00)}
+       |    WHEN 4 THEN ${t(26, 0xAC00)}
+       |    WHEN 5 THEN ${t(13, 0x430)}
+       |    ELSE $textCol END""".stripMargin
+  }
+
   // ------------------------------------------------------------ sampling
 
   /** Deterministic stratified sample: the k rows per stratum with the

@@ -3244,6 +3244,39 @@ object Extensions {
       .orderBy("doc_id"),
     Some(Tokenizer.bpeTokensPerDocOracle(merges = 32)))
 
+  /** Per-document Unicode-script profile
+    * ([[graft.operators.TextAnalysis.scriptProfile]]) — block-range
+    * codepoint classification (engine-portable where `\p{script=}`
+    * property classes are Unicode-version-skewed), dominant script +
+    * share. Graded over the deterministic script-shifted corpus
+    * ([[graft.operators.TextAnalysis.scriptShift]]: `doc_id % 6`
+    * routes docs to Cyrillic/Greek/CJK/Hangul/mixed translations) so
+    * every range, the codepoint counting, and the priority argmax are
+    * actually exercised — the raw fixture is pure ASCII.
+    */
+  private val q196 = Q("q196_script_profile",
+    (s, d) => TextAnalysis.scriptProfile(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.scriptShift(col("text"), col("doc_id")).as("text")),
+        col("text"), col("doc_id"))
+      .orderBy("doc_id"),
+    Some(TextAnalysis.scriptProfileOracle(TextAnalysis.scriptShiftSql())))
+
+  /** Product-quantization ANN
+    * ([[graft.operators.Similarity.pqTopK]]) — the memory-compressed
+    * 100 TB search path (m per-subspace codebooks, corpus stored as
+    * codes, query-time asymmetric-distance LUTs); deterministic L2
+    * Lloyd codebooks replayed exactly by the oracle's chained CTEs,
+    * completing the ANN family: brute force (q46) → LSH (q51/q99) →
+    * IVF (q60/q100) → int8 rerank (q103) → PQ.
+    */
+  private val q197 = Q("q197_knn_pq",
+    (s, d) => Similarity.pqTopK(Tables.embeddings(s, d), m = 2, ksub = 8,
+        nQueries = 8, k = 5, iters = 2)
+      .orderBy("query_id", "rnk"),
+    Some(Similarity.pqTopKOracle(m = 2, ksub = 8, nQueries = 8, k = 5,
+      iters = 2)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3260,5 +3293,5 @@ object Extensions {
     q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
-    q191, q192, q193, q194, q195)
+    q191, q192, q193, q194, q195, q196, q197)
 }

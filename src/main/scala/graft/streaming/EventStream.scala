@@ -260,6 +260,37 @@ object EventStream {
       }
       .start()
 
+  /** Online near-duplicate screening against the PERSISTED standing
+    * index ([[graft.operators.StandingIndex]]) — [[nearDupSink]]'s
+    * production form: the corpus side is the manifest-versioned
+    * bucketed table family, and the manifest view is re-resolved at
+    * EVERY micro-batch, so a `buildNearDupIndex` rebuild-and-flip
+    * while the stream is running atomically moves the NEXT batch to
+    * the new corpus version — no stream restart, and no batch can
+    * observe a half-built index (the StandingIndex commit contract:
+    * the one-statement view flip is the only commit point, and the
+    * superseded version's members are retained one publish cycle for
+    * exactly this in-flight-reader case). foreachBatch reuses the
+    * batch probe operator verbatim (stream ≡ batch, spec-asserted),
+    * emitting (new_id, dup_of, jaccard) append-only.
+    * Returns the started query; callers own awaitTermination/stop.
+    */
+  def standingNearDupSink(docsStream: DataFrame, content: String,
+                          id: String, outDir: String, checkpointDir: String,
+                          threshold: Double = 0.8,
+                          db: String = "graft_idx",
+                          name: String = "neardup_idx")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.StandingIndex.probeNearDups(batch.sparkSession,
+            batch.toDF(), col(content), col(id), threshold, db, name)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Incrementally-maintained target-encoding state over the live
     * stream — the 10th stream twin, sink-based like [[nearDupSink]]:
     * each micro-batch aggregates to a per-category (k, cnt, sum_v)

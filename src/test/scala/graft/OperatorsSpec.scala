@@ -66,6 +66,56 @@ class OperatorsSpec extends SparkSpec {
     assert(r(3L) === "es")   // el/la/de hits
   }
 
+  test("TextAnalysis.scriptProfile: block counts, priority ties, mixed docs, empty ratio") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "hello world 123"),                     // latin + digits
+      (1L, "абв xyz"),              // 3 cyr vs 3 latin tie
+      (2L, "абвг xy"),         // cyrillic-dominant
+      (3L, "一丁丂 가"),           // cjk vs hangul
+      (4L, "!!! ???"),                             // no script chars at all
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.scriptProfile(d, col("text"), col("doc_id"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Long]("latin") === 10L)
+    assert(r(0L).getAs[Long]("digit") === 3L)
+    assert(r(0L).getAs[Long]("other") === 0L)
+    assert(r(0L).getAs[String]("dominant") === "latin")
+    assert(r(0L).getAs[Double]("dominant_ratio") === 1.0)
+    // ties resolve by class priority order (latin first), like langId
+    assert(r(1L).getAs[String]("dominant") === "latin")
+    assert(r(2L).getAs[String]("dominant") === "cyrillic")
+    assert(r(2L).getAs[Double]("dominant_ratio") === 4.0 / 6.0)
+    assert(r(3L).getAs[Long]("cjk") === 3L)
+    assert(r(3L).getAs[Long]("hangul") === 1L)
+    assert(r(3L).getAs[String]("dominant") === "cjk")
+    assert(r(4L).getAs[Long]("other") === 6L)
+    assert(r(4L).isNullAt(r(4L).fieldIndex("dominant_ratio")))
+    assert(r(5L).getAs[Long]("n_chars") === 0L)
+  }
+
+  test("TextAnalysis.scriptShift: per-class translation and the mixed half-alphabet") {
+    import spark.implicits._
+    val d = (0L to 5L).map(i => (i, "abc nop z")).toDF("doc_id", "text")
+    val p = TextAnalysis.scriptProfile(
+      d.select(col("doc_id"),
+        TextAnalysis.scriptShift(col("text"), col("doc_id")).as("text")),
+      col("text"), col("doc_id"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(p(0L).getAs[String]("dominant") === "latin")
+    assert(p(1L).getAs[String]("dominant") === "cyrillic")
+    assert(p(2L).getAs[String]("dominant") === "greek")
+    assert(p(3L).getAs[String]("dominant") === "cjk")
+    assert(p(4L).getAs[String]("dominant") === "hangul")
+    // m=5 shifts only a..m: "abc" moves, "nop z" stays — mixed doc
+    assert(p(5L).getAs[Long]("cyrillic") === 3L)
+    assert(p(5L).getAs[Long]("latin") === 4L)
+    assert(p(5L).getAs[String]("dominant") === "latin")
+    // every class shift preserves codepoint count (equal-length maps)
+    assert((0L to 5L).forall(i => p(i).getAs[Long]("n_chars") === 9L))
+  }
+
   test("TextAnalysis.fingerprint: shingle-min defined iff >= 5 tokens") {
     val r = TextAnalysis.fingerprint(docs).collect()
       .map(x => x.getAs[Long]("doc_id") -> x).toMap
@@ -366,6 +416,45 @@ class OperatorsSpec extends SparkSpec {
     val keptN = sd.filter(col("kept")).count()
     assert(keptN < n.toLong / 4,
       s"semanticDedup kept $keptN of $n — clustered fixture should dedup hard")
+  }
+
+  test("Similarity.pqTopK: clustered codes retrieve same-cluster neighbors, deterministic under partitioning") {
+    // the clustered fixture again: with ids round-robin over 16
+    // clusters, seeds (vec_id < ksub = 16) cover every cluster, so
+    // each subspace codebook converges to per-cluster sub-centroids
+    // and the 2×4-bit codes separate clusters — PQ's intended regime
+    val nClusters = 16
+    val dim = 16
+    val n = 400
+    val rnd = new java.util.Random(42)
+    val cents = Array.fill(nClusters, dim)(rnd.nextGaussian().toFloat)
+    val vecs = (0L until n.toLong).map { i =>
+      val c = cents((i % nClusters).toInt)
+      val v = Array.tabulate(dim)(j => c(j) + 0.05f * rnd.nextGaussian().toFloat)
+      (i, v)
+    }
+    val emb = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val pq = Similarity.pqTopK(emb, m = 2, ksub = 16, nQueries = 20,
+      k = 5, iters = 2, dim = dim)
+    val rows = pq.collect()
+    assert(rows.length === 20 * 5)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === (16L until 36L).toSet)
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to 5L))
+      val ds = sorted.map(_.getDouble(2)).toSeq
+      assert(ds === ds.sorted, "dist must be nondecreasing in rnk")
+      assert(rs.forall(_.getLong(1) >= 36L), "neighbors must be corpus ids")
+    }
+    val same = rows.count(r => r.getLong(0) % nClusters == r.getLong(1) % nClusters)
+    info(f"pq same-cluster@5: ${same / 100.0}%.2f")
+    assert(same >= 80, s"pq same-cluster fraction ${same / 100.0} below floor")
+    // partitioning invariance: training, encoding, LUTs, and ranking
+    // are all deterministic — identical rows from a 7-way repartition
+    val re = Similarity.pqTopK(emb.repartition(7), m = 2, ksub = 16,
+      nQueries = 20, k = 5, iters = 2, dim = dim).collect()
+    assert(re.map(_.toSeq).toSet === rows.map(_.toSeq).toSet)
   }
 
   test("Near-dup recall contract: MinHash-LSH and SimHash vs exact Jaccard") {

@@ -585,6 +585,63 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should produce at least one near-dup")
   }
 
+  test("standingNearDupSink: batch parity AND a mid-stream index flip moves the next batch to the new version") {
+    import graft.operators.{Dedup, StandingIndex}
+    import graft.tables.Tables
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    // fixture-informed split: batch 1 (doc_id >= 300) has a near-dup
+    // partner (462, doc_id % 10 = 2) that exists ONLY in the v1
+    // corpus, so the mid-stream flip is observable; batch 0 keeps a
+    // v0-resolvable pair (98 → 290, doc_id % 10 = 0)
+    val corpusV0 = docs.filter(col("doc_id") % 10 < 2)
+    val corpusV1 = docs.filter(col("doc_id") % 10 < 8)
+    val batchDocs = docs.filter(col("doc_id") % 10 >= 8)
+    val c0 = batchDocs.filter(col("doc_id") < 300)
+    val c1 = batchDocs.filter(col("doc_id") >= 300)
+
+    val v0 = StandingIndex.buildNearDupIndex(spark, corpusV0, col("text"),
+      col("doc_id"), nBuckets = 4, name = "stream_neardup")
+    assert(v0 === 0)
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft-sidx-in")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sidx-out").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sidx-ck").toString
+    c0.coalesce(1).write.parquet(inDir.toString + "/c0")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString + "/c*")
+    val q = EventStream.standingNearDupSink(stream, "text", "doc_id",
+      outDir, ckpt, name = "stream_neardup")
+    try {
+      q.processAllAvailable()          // batch 0 probes index v0
+      // rebuild-and-flip WHILE the stream is running; the next
+      // micro-batch must resolve the new version through the manifest
+      val v1 = StandingIndex.buildNearDupIndex(spark, corpusV1, col("text"),
+        col("doc_id"), nBuckets = 4, name = "stream_neardup")
+      assert(v1 === 1)
+      c1.coalesce(1).write.parquet(inDir.toString + "/c1")
+      q.processAllAvailable()          // batch 1 probes index v1
+    } finally q.stop()
+
+    def expected(corpus: org.apache.spark.sql.DataFrame,
+                 chunk: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.incrementalNearDups(corpus, chunk, col("text"), col("doc_id"))
+        .select("new_id", "dup_of").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e0 = expected(corpusV0, c0)
+    val e1 = expected(corpusV1, c1)
+    val got = spark.read.parquet(outDir)
+      .select("new_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === (e0 ++ e1))
+    // the flip must be observable: v1's larger corpus yields pairs the
+    // v0 index cannot (else the test proves nothing about re-resolution)
+    assert((e1 -- expected(corpusV0, c1)).nonEmpty,
+      "fixture must distinguish index versions")
+    assert(got.nonEmpty)
+  }
+
   test("scd2Stream: closed versions equal the batch scd2FromLog history") {
     val stream = spark.readStream.schema(EventStream.eventsSchema)
       .parquet(eventsDir)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 /** End-to-end corpus curation — the operators composed the way a
   * training-data pipeline actually runs them:
@@ -18,6 +19,100 @@ import org.apache.spark.sql.functions._
   * whole chain is replayable in SQL for the oracle gate.
   */
 object Curate {
+
+  /** Test-set decontamination report — the standard pre-training
+    * hygiene step: flag every TRAIN document sharing at least
+    * `minHits` distinct n-gram(s) with the evaluation set, so
+    * benchmark answers don't leak into the training mix and inflate
+    * eval scores. Per train doc: its distinct-gram count, how many of
+    * those grams appear anywhere in the eval set, how many distinct
+    * eval docs it collides with, and the contaminated flag. Gram
+    * identity is the md5 of the space-joined token window (the q189
+    * fingerprint convention) over DISTINCT within-doc shingles (the
+    * [[graft.operators.TextAnalysis.ngramNovelty]] set semantics);
+    * docs with fewer than `n` tokens have zero grams and are clean by
+    * definition — every train doc appears in the output.
+    *
+    * Scale shape: the eval set is small by nature (benchmarks, not
+    * corpora), so its distinct (gram, eval_doc) pairs BROADCAST and
+    * the train side streams: one shingle explode, one broadcast LEFT
+    * join, one per-doc aggregate carrying all three stats (the
+    * count-distincts share one Expand) — no train-side pair blowup,
+    * no corpus self-join; cost is ONE pass over the training text
+    * (plan-audited: a counts/hits two-aggregate split costs a second
+    * full scan+shingle of the corpus). The complementary
+    * direction (which EVAL docs are compromised) is the same call
+    * with the frames swapped.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, content: Column,
+                    id: Column, n: Int = 8, minHits: Int = 1): DataFrame = {
+    require(n >= 1 && minHits >= 1, "n and minHits must be >= 1")
+    import org.apache.spark.sql.classic.GraftColumnBridge._
+    graft.expressions.GraftFunctions.ensureRegistered(train.sparkSession)
+    def grams(df: DataFrame): DataFrame = df
+      .select(id.as("doc_id"), split(content, "\\s+").as("toks"))
+      .select(col("doc_id"),
+        column(graft.expressions.Shingles(
+          expression(col("toks")), expression(lit(n)))).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), md5(col("g").cast(BinaryType)).as("fp"))
+    val evPairs = grams(evalSet)
+      .select(col("fp"), col("doc_id").as("eval_id")).distinct()
+    // ONE pass over the training text: left-join the gram stream to
+    // the broadcast eval pairs, then all three stats in one aggregate
+    // (the count-distincts share one Expand) — the two-aggregate
+    // formulation scanned and shingled the train corpus twice
+    // (EXPLAIN_r12)
+    val stats = grams(train).join(broadcast(evPairs), Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("fp")).as("n_grams"),
+        countDistinct(when(col("eval_id").isNotNull, col("fp"))).as("n_hit"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+    train.select(id.as("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
+        (coalesce(col("n_hit"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
+  /** Oracle for [[decontaminate]] over the documents table split by
+    * the two WHERE clauses (same distinct-shingle construction as the
+    * [[graft.operators.TextAnalysis.ngramNoveltyOracle]]).
+    */
+  def decontaminateOracle(trainWhere: String, evalWhere: String,
+                          n: Int = 8, minHits: Int = 1): String = {
+    def grams(where: String) =
+      s"""SELECT doc_id, MD5(g) AS fp FROM (
+         |    SELECT doc_id, UNNEST(CASE WHEN LEN(toks) >= $n THEN
+         |      LIST_DISTINCT(LIST_TRANSFORM(
+         |        GENERATE_SERIES(1, LEN(toks) - ${n - 1}),
+         |        i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + ${n - 1}), ' ')))
+         |      ELSE [] END) AS g
+         |    FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks
+         |          FROM documents WHERE $where))""".stripMargin
+    s"""WITH trg AS (${grams(trainWhere)}),
+       |evp AS (SELECT DISTINCT fp, doc_id AS eval_id
+       |        FROM (${grams(evalWhere)})),
+       |counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+       |           FROM trg GROUP BY doc_id),
+       |hits AS (
+       |  SELECT trg.doc_id,
+       |    CAST(COUNT(DISTINCT trg.fp) AS BIGINT) AS n_hit,
+       |    CAST(COUNT(DISTINCT evp.eval_id) AS BIGINT) AS n_eval_docs
+       |  FROM trg JOIN evp ON trg.fp = evp.fp
+       |  GROUP BY trg.doc_id)
+       |SELECT t.doc_id,
+       |  COALESCE(c.n_grams, 0) AS n_grams,
+       |  COALESCE(h.n_hit, 0) AS n_hit,
+       |  COALESCE(h.n_eval_docs, 0) AS n_eval_docs,
+       |  COALESCE(h.n_hit, 0) >= $minHits AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE $trainWhere) t
+       |LEFT JOIN counts c ON c.doc_id = t.doc_id
+       |LEFT JOIN hits h ON h.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
 
   def corpus(docs: DataFrame, content: Column, id: Column,
              maxHamming: Int = 3, fraction: Double = 0.5): DataFrame = {

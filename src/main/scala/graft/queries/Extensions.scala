@@ -3277,6 +3277,25 @@ object Extensions {
     Some(Similarity.pqTopKOracle(m = 2, ksub = 8, nQueries = 8, k = 5,
       iters = 2)))
 
+  /** Test-set decontamination
+    * ([[graft.operators.Curate.decontaminate]]) — per train doc, the
+    * distinct 8-gram overlap with the held-out slice (n_hit,
+    * colliding eval docs, contaminated flag); eval-side pairs
+    * broadcast, train side streams once — the pre-training hygiene
+    * pass that keeps benchmark answers out of the mix.
+    */
+  private val q198 = Q("q198_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Curate.decontaminate(
+        docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 8),
+        col("text"), col("doc_id"), n = 8)
+        .orderBy("doc_id")
+    },
+    Some(Curate.decontaminateOracle(trainWhere = "doc_id % 10 < 8",
+      evalWhere = "doc_id % 10 >= 8", n = 8)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3293,5 +3312,5 @@ object Extensions {
     q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
-    q191, q192, q193, q194, q195, q196, q197)
+    q191, q192, q193, q194, q195, q196, q197, q198)
 }

@@ -116,6 +116,36 @@ class OperatorsSpec extends SparkSpec {
     assert((0L to 5L).forall(i => p(i).getAs[Long]("n_chars") === 9L))
   }
 
+  test("Curate.decontaminate: gram hits, eval-doc counts, short/clean docs, every train doc present") {
+    import spark.implicits._
+    val leak = (1 to 4).map(i => s"l$i").mkString(" ")  // a 4-token span
+    val train = Seq(
+      (0L, s"intro words here $leak trailing text"),   // contains the span
+      (1L, "completely unrelated training content here ok"),
+      (2L, "tiny"),                                    // < n tokens → 0 grams
+      (3L, s"$leak and also $leak again padding")      // span twice (distinct grams counted once)
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, s"benchmark question $leak answer"),
+      (101L, s"second eval item with $leak inside"),
+      (102L, "an eval doc sharing nothing at all")
+    ).toDF("doc_id", "text")
+    val r = Curate.decontaminate(train, eval, col("text"), col("doc_id"),
+        n = 4, minHits = 1)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.keySet === Set(0L, 1L, 2L, 3L))
+    assert(r(0L).getAs[Boolean]("contaminated"))
+    // the only shared 4-gram is the leak span itself (context differs)
+    assert(r(0L).getAs[Long]("n_hit") === 1L)
+    assert(r(0L).getAs[Long]("n_eval_docs") === 2L)  // 100 and 101
+    assert(!r(1L).getAs[Boolean]("contaminated"))
+    assert(r(1L).getAs[Long]("n_hit") === 0L)
+    assert(r(2L).getAs[Long]("n_grams") === 0L)      // short doc: clean by definition
+    assert(!r(2L).getAs[Boolean]("contaminated"))
+    assert(r(3L).getAs[Boolean]("contaminated"))
+    assert(r(3L).getAs[Long]("n_hit") === 1L)        // distinct-gram semantics
+  }
+
   test("TextAnalysis.fingerprint: shingle-min defined iff >= 5 tokens") {
     val r = TextAnalysis.fingerprint(docs).collect()
       .map(x => x.getAs[Long]("doc_id") -> x).toMap

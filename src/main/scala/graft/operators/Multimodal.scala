@@ -476,6 +476,40 @@ object Multimodal {
     bits
   }
 
+  final case class ProbedImage(asset_id: Long, format: String,
+                               width: Int, height: Int, bit_depth: Int,
+                               n_bytes: Long)
+
+  /** Header-walk image metadata ([[ImageProbe]]) — the image twin of
+    * [[probeVideos]]: format, dimensions, and native bit depth for
+    * PNG/JPEG/GIF/BMP from the header structure alone, NO decoder.
+    * This is the 100 TB metadata pass (aspect filters, size
+    * histograms, decode-cost budgeting, corrupt-rate monitors): cost
+    * is header bytes per asset, independent of asset size — and it
+    * reads formats [[decodeImages]]' ImageIO path may lack codecs
+    * for. Poison-record contract as everywhere in this module:
+    * unparseable payloads yield (null, -1, -1, -1, n_bytes).
+    * Spec law: for ImageIO-decodable fixtures the probed dimensions
+    * equal [[decodeImages]]' decoded dimensions.
+    */
+  def probeImages(assets: DataFrame): Dataset[ProbedImage] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val bytes = Option(payload).getOrElse(Array.emptyByteArray)
+          ImageProbe.probe(bytes) match {
+            case Some((fmt, w, h, depth)) =>
+              ProbedImage(id, fmt, w, h, depth, bytes.length.toLong)
+            case None =>
+              ProbedImage(id, null, -1, -1, -1, bytes.length.toLong)
+          }
+        }
+      }
+  }
+
   final case class ProbedVideo(asset_id: Long, container: String,
                                width: Int, height: Int,
                                duration_ns: Long, n_bytes: Long)

@@ -157,6 +157,60 @@ class MultimodalSpec extends SparkSpec {
     assert(again === r)
   }
 
+  test("probeImages: PNG/JPEG/GIF/BMP header walks agree with real encoders, corrupt-safe") {
+    import java.awt.image.BufferedImage
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def img(w: Int, h: Int): BufferedImage = {
+      val i = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) i.setRGB(x, y, (x * 11 + y * 7) & 0xffffff)
+      i
+    }
+    def enc(i: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(i, fmt, bos), s"JDK must encode $fmt")
+      bos.toByteArray
+    }
+    val png = Multimodal.pngBytes(img(32, 20))
+    val jpg = enc(img(48, 12), "jpg")
+    val gif = enc(img(17, 9), "gif")
+    val bmp = enc(img(21, 5), "bmp")
+    val garbage = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("payload", BinaryType)))
+    val assets = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0L, png), Row(1L, jpg), Row(2L, gif), Row(3L, bmp),
+        Row(4L, png.take(10)), Row(5L, garbage), Row(6L, null)),
+      schema)
+    val r = Multimodal.probeImages(assets).collect()
+      .map(x => x.asset_id -> x).toMap
+    assert((r(0L).format, r(0L).width, r(0L).height) === ("png", 32, 20))
+    assert(r(0L).bit_depth === 8)
+    assert((r(1L).format, r(1L).width, r(1L).height) === ("jpeg", 48, 12))
+    assert(r(1L).bit_depth === 8)
+    assert((r(2L).format, r(2L).width, r(2L).height) === ("gif", 17, 9))
+    assert((r(3L).format, r(3L).width, r(3L).height) === ("bmp", 21, 5))
+    // poison-record contract
+    Seq(4L, 5L, 6L).foreach { id =>
+      assert(r(id).format === null && r(id).width === -1)
+    }
+    assert(r(6L).n_bytes === 0L)
+    // probe ≡ decode on the decodable fixtures (dimension cross-check)
+    val dec = Multimodal.decodeImages(assets.withColumn("media_format", lit("x"))
+        .withColumn("modality", lit("image")).withColumn("source", lit("f")))
+      .collect().map(x => x.asset_id -> x).toMap
+    Seq(0L, 1L, 2L, 3L).foreach { id =>
+      assert(r(id).width === dec(id).width && r(id).height === dec(id).height,
+        s"probe/decode dimension mismatch for asset $id")
+    }
+    // determinism across partitionings
+    val again = Multimodal.probeImages(assets.repartition(3)).collect()
+      .map(x => x.asset_id -> x).toMap
+    assert(again === r)
+  }
+
   test("imageNearDupPairs: perceptual near-dups found, byte-dup machinery blind to them") {
     import spark.implicits._
     import java.awt.image.BufferedImage

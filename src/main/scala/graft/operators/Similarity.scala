@@ -840,6 +840,60 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Exact squared-L2 brute-force top-k over an explicit query id
+    * range — [[pqTopK]]'s ground truth (PQ approximates L2, so its
+    * quantization loss is only measurable against the exact ranking
+    * in the SAME metric; the cosine [[bruteForceTopK]] would conflate
+    * metric disagreement with quantization error). Queries =
+    * vec_id ∈ [queryFrom, queryFrom + nQueries), corpus = vec_id ≥
+    * queryFrom + nQueries (the PQ layout with queryFrom = ksub).
+    * Same scale shape as [[bruteForceTopK]]: query side broadcast,
+    * one corpus pass, (dist, neighbor_id) ascending rank.
+    *
+    * @return (query_id, neighbor_id, dist, rnk), rnk ≤ k
+    */
+  def bruteForceTopKL2(emb: DataFrame, nQueries: Int, k: Int,
+                       queryFrom: Int = 0): DataFrame = {
+    val base = withNorm(emb)
+    val q = base.filter(col("vec_id") >= queryFrom &&
+        col("vec_id") < queryFrom + nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"))
+    val c = base.filter(col("vec_id") >= queryFrom + nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+        col("nrm").as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        l2(col("qn"), dot(col("qe"), col("ce")), col("cn")).as("dist"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Oracle for [[bruteForceTopKL2]]. */
+  def bruteForceTopKL2Oracle(nQueries: Int, k: Int,
+                             queryFrom: Int = 0): String = {
+    val from = queryFrom + nQueries
+    s"""WITH de AS (
+       |  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM de
+       |      WHERE vec_id >= $queryFrom AND vec_id < $from),
+       |c AS (SELECT vec_id AS neighbor_id, e AS ce FROM de
+       |      WHERE vec_id >= $from),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${l2Sql("qe", "ce")} AS dist
+       |  FROM c CROSS JOIN q),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY dist ASC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, dist, rnk FROM ranked
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Oracle for [[pqTopK]]: replays the per-subspace seeds + L2 Lloyd
     * rounds, the corpus encoding, the LUTs, and the fixed-order
     * distance sum as chained CTEs.

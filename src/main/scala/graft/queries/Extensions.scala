@@ -3296,6 +3296,31 @@ object Extensions {
     Some(Curate.decontaminateOracle(trainWhere = "doc_id % 10 < 8",
       evalWhere = "doc_id % 10 >= 8", n = 8)))
 
+  /** PQ recall audit
+    * ([[graft.operators.Similarity.recallAtK]] over
+    * [[graft.operators.Similarity.pqTopK]] vs the exact-L2 truth
+    * [[graft.operators.Similarity.bruteForceTopKL2]]) — q186's eval
+    * for the PQ tier, in PQ's OWN metric so the number isolates
+    * quantization loss. Graded value on THIS fixture: mean recall@5
+    * ≈ 0.15 at 4×4-bit codes — low BY FIXTURE DESIGN (the testdata
+    * embeddings are adversarially near-random; the same data floors
+    * IVF nProbe=1 at 0.10, see OperatorsSpec's ANN contract), while
+    * the clustered-structure spec pins PQ at same-cluster@5 = 1.00.
+    * The audit exists to measure exactly this honestly.
+    */
+  private val q199 = Q("q199_pq_recall",
+    (s, d) => Similarity.recallAtK(
+        Similarity.pqTopK(Tables.embeddings(s, d), m = 4, ksub = 16,
+          nQueries = 8, k = 5, iters = 2),
+        Similarity.bruteForceTopKL2(Tables.embeddings(s, d), nQueries = 8,
+          k = 5, queryFrom = 16))
+      .orderBy("query_id"),
+    Some(Similarity.recallAtKOracle(
+      Similarity.pqTopKOracle(m = 4, ksub = 16, nQueries = 8, k = 5,
+        iters = 2),
+      Similarity.bruteForceTopKL2Oracle(nQueries = 8, k = 5,
+        queryFrom = 16))))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3312,5 +3337,5 @@ object Extensions {
     q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
-    q191, q192, q193, q194, q195, q196, q197, q198)
+    q191, q192, q193, q194, q195, q196, q197, q198, q199)
 }

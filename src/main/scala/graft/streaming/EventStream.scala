@@ -291,6 +291,32 @@ object EventStream {
       }
       .start()
 
+  /** Online contamination monitor (15th stream≡batch twin): every
+    * micro-batch of an arriving document stream is screened against
+    * the STATIC eval-set grams by the batch
+    * [[graft.operators.Curate.decontaminate]] operator verbatim —
+    * the live-crawl guard that catches benchmark leakage the day it
+    * enters the feed, not at the next full-corpus sweep. Per-doc
+    * rows (n_grams, n_hit, n_eval_docs, contaminated) append-only;
+    * because the report is per-doc independent, stream output over
+    * any chunking ≡ the batch operator over the union (spec-pinned).
+    * Returns the started query; callers own awaitTermination/stop.
+    */
+  def contaminationSink(docsStream: DataFrame, evalSet: DataFrame,
+                        content: String, id: String, outDir: String,
+                        checkpointDir: String, n: Int = 8,
+                        minHits: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Curate.decontaminate(batch.toDF(), evalSet,
+            col(content), col(id), n, minHits)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Incrementally-maintained target-encoding state over the live
     * stream — the 10th stream twin, sink-based like [[nearDupSink]]:
     * each micro-batch aggregates to a per-category (k, cnt, sum_v)

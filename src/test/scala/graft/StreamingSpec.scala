@@ -642,6 +642,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("contaminationSink: per-micro-batch screening equals the batch operator over the union") {
+    import graft.operators.Curate
+    import graft.tables.Tables
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    val evalSet = docs.filter(col("doc_id") % 10 >= 8)
+    val train = docs.filter(col("doc_id") % 10 < 8)
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft-cont-in")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cont-out").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cont-ck").toString
+    train.filter(col("doc_id") < 250).coalesce(1)
+      .write.parquet(inDir.toString + "/c0")
+    train.filter(col("doc_id") >= 250).coalesce(1)
+      .write.parquet(inDir.toString + "/c1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString + "/c*")
+    val q = EventStream.contaminationSink(stream, evalSet, "text", "doc_id",
+      outDir, ckpt, n = 8)
+    try q.processAllAvailable() finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_grams", "n_hit", "n_eval_docs", "contaminated")
+      .collect().map(_.toSeq).toSet
+    val got = rows(spark.read.parquet(outDir))
+    val expected = rows(Curate.decontaminate(train, evalSet,
+      col("text"), col("doc_id"), n = 8))
+    assert(got === expected)
+    assert(got.exists(_(4) == true), "fixture must surface contamination")
+  }
+
   test("scd2Stream: closed versions equal the batch scd2FromLog history") {
     val stream = spark.readStream.schema(EventStream.eventsSchema)
       .parquet(eventsDir)

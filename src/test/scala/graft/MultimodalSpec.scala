@@ -211,6 +211,25 @@ class MultimodalSpec extends SparkSpec {
     assert(again === r)
   }
 
+  test("ImageProbe property: header walks agree with ImageIO across random dimensions and formats") {
+    import java.awt.image.BufferedImage
+    val rnd = new java.util.Random(7)
+    (1 to 30).foreach { _ =>
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val fmt = Seq("png", "jpg", "gif", "bmp")(rnd.nextInt(4))
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      val probed = graft.operators.ImageProbe.probe(bos.toByteArray)
+      val wantFmt = if (fmt == "jpg") "jpeg" else fmt
+      assert(probed.map(p => (p._1, p._2, p._3)) === Some((wantFmt, w, h)),
+        s"probe mismatch for $fmt ${w}x$h")
+    }
+  }
+
   test("imageNearDupPairs: perceptual near-dups found, byte-dup machinery blind to them") {
     import spark.implicits._
     import java.awt.image.BufferedImage

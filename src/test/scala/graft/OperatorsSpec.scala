@@ -146,6 +146,57 @@ class OperatorsSpec extends SparkSpec {
     assert(r(3L).getAs[Long]("n_hit") === 1L)        // distinct-gram semantics
   }
 
+  test("scriptProfile property: every class count and the dominant fold match a per-codepoint reference (random mixed-script docs + block edges)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int = 80): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    // char pool: every class + BLOCK-EDGE codepoints (range off-by-ones)
+    val pool: Seq[Char] = Seq('a', 'Z', '5', '!', ' ', '\t',
+      0x0430.toChar, 0x03B1.toChar, 0x4E00.toChar, 0xAC00.toChar,
+      0x00C0.toChar, 0x024F.toChar, 0x0250.toChar,  // latin edges + just past
+      0x0400.toChar, 0x04FF.toChar, 0x0500.toChar,  // cyrillic edges + past
+      0x0370.toChar, 0x03FF.toChar,                  // greek edges
+      0x9FFF.toChar, 0xA000.toChar,                  // cjk hi edge + past
+      0xD7A3.toChar)                                 // hangul hi edge
+    val strGen = Gen.listOfN(14, Gen.oneOf(pool)).map(_.mkString)
+    val docs = samples(strGen).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val classes: Seq[(String, Seq[(Int, Int)])] = Seq(
+      "latin" -> Seq(('A'.toInt, 'Z'.toInt), ('a'.toInt, 'z'.toInt), (0xC0, 0x24F)),
+      "cyrillic" -> Seq((0x400, 0x4FF)),
+      "greek" -> Seq((0x370, 0x3FF)),
+      "cjk" -> Seq((0x4E00, 0x9FFF)),
+      "hangul" -> Seq((0xAC00, 0xD7A3)))
+    def refRow(s: String): (Map[String, Long], Long, Long, String) = {
+      val cps = s.codePoints.toArray.toSeq
+      def cnt(rs: Seq[(Int, Int)]) =
+        cps.count(c => rs.exists { case (lo, hi) => c >= lo && c <= hi }).toLong
+      val m = classes.map { case (nm, rs) => nm -> cnt(rs) }.toMap
+      val digit = cps.count(c => c >= '0' && c <= '9').toLong
+      val ws = cps.count(Character.isWhitespace).toLong
+      val other = cps.length - ws - m.values.sum - digit
+      val dominant = classes.map(_._1).init.foldRight(classes.last._1) {
+        case (nm, els) =>
+          if (classes.map(_._1).filter(_ != nm).forall(o => m(nm) >= m(o))) nm
+          else els
+      }
+      (m, digit, other, dominant)
+    }
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(df, col("text"), col("doc_id"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    docs.foreach { case (i, s) =>
+      val (m, digit, other, dominant) = refRow(s)
+      val r = got(i)
+      classes.map(_._1).foreach { nm =>
+        assert(r.getAs[Long](nm) === m(nm), s"$nm mismatch on ${s.map(c => f"\\u${c.toInt}%04x")}")
+      }
+      assert(r.getAs[Long]("digit") === digit)
+      assert(r.getAs[Long]("other") === other, s"other mismatch on ${s.map(c => f"\\u${c.toInt}%04x")}")
+      assert(r.getAs[String]("dominant") === dominant)
+    }
+  }
+
   test("TextAnalysis.fingerprint: shingle-min defined iff >= 5 tokens") {
     val r = TextAnalysis.fingerprint(docs).collect()
       .map(x => x.getAs[Long]("doc_id") -> x).toMap

@@ -682,44 +682,59 @@ object Similarity {
   private def l2Sql(x: String, y: String): String =
     s"${dotSql(x, x)} - 2 * ${dotSql(x, y)} + ${dotSql(y, y)}"
 
-  private def pqCentsDf(spark: SparkSession,
-                        cents: Seq[(Long, Seq[Double])]): DataFrame = {
+  /** Deterministic L2 Lloyd trainer over ALL `m` PQ subspaces at once
+    * — the [[lloydTrain]] arithmetic (decimal-sum means,
+    * keep-empty-cells, cent_id tie-break) with squared-L2 assignment
+    * (PQ's additivity holds for L2, not cosine), run as ONE Spark job
+    * per iteration: the subspace-exploded frame joins the whole
+    * broadcast codebook family on `s`, the argmin window partitions
+    * by (s, vec_id), and the decimal M-step groups by (s, cell, pos)
+    * — one pass over the train set per round instead of m (a
+    * per-subspace driver loop costs m× the train-set IO AND m×iters
+    * job-scheduling floors, which dominated the fixture wall time).
+    * Per-subspace results are arithmetic-identical to independent
+    * training (every group is keyed by s), so the oracle's
+    * independent per-subspace CTE replay is unchanged.
+    *
+    * @param subs (vec_id, s, e, ee) for all vectors
+    */
+  private def lloydTrainL2All(spark: SparkSession, subs: DataFrame,
+                              m: Int, ksub: Int, searchFrom: Int,
+                              iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
     import spark.implicits._
     GraftFunctions.ensureRegistered(spark)
-    cents.toDF("cent_id", "ce")
+    var cents: Seq[Seq[(Long, Seq[Double])]] = {
+      val rows = subs.filter(col("vec_id") < ksub)
+        .select(col("s"), col("vec_id"), col("e")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      (0 until m).map(s => rows.filter(_._1 == s).sortBy(_._2)
+        .map(t => (t._2, t._3)).toSeq)
+    }
+    def centsDf: DataFrame = cents.zipWithIndex
+      .flatMap { case (cs, s) => cs.map { case (j, c) => (s, j, c) } }
+      .toDF("s", "cent_id", "ce")
       .withColumn("cc", dot(col("ce"), col("ce")))
-  }
-
-  /** Deterministic L2 Lloyd trainer over one PQ subspace — the
-    * [[lloydTrain]] arithmetic (decimal-sum means, keep-empty-cells,
-    * cent_id tie-break) with squared-L2 assignment instead of cosine:
-    * PQ's additivity (total distance = Σ per-subspace distances)
-    * holds for L2, not for cosine. Frames carry (vec_id, e, ee).
-    */
-  private def lloydTrainL2(spark: SparkSession, seeds: DataFrame,
-                           trainOn: DataFrame,
-                           iters: Int): Seq[(Long, Seq[Double])] = {
-    var cents: Seq[(Long, Seq[Double])] = seeds
-      .select(col("vec_id"), col("e")).orderBy("vec_id").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     for (_ <- 1 to iters) {
-      val cdf = pqCentsDf(spark, cents)
-      val w = Window.partitionBy("vec_id")
+      val w = Window.partitionBy("s", "vec_id")
         .orderBy(col("d").asc, col("cent_id"))
-      val means = trainOn.crossJoin(broadcast(cdf))
+      val means = subs.filter(col("vec_id") >= searchFrom)
+        .join(broadcast(centsDf), Seq("s"))
         .withColumn("d", l2(col("ee"), dot(col("e"), col("ce")), col("cc")))
         .withColumn("crk", row_number().over(w))
         .filter(col("crk") === 1)
-        .select(col("cent_id").as("cell"), posexplode(col("e")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
+        .select(col("s"), col("cent_id").as("cell"),
+          posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("s", "cell", "pos")
         .agg((sum(col("x").cast(DecimalType(38, 6))).cast(DoubleType)
           / count(lit(1))).as("mn"))
         .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case ((s, cell), rows) =>
+          (s, cell) -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
         }
-      cents = cents.map { case (id, e) => (id, means.getOrElse(id, e)) }
+      cents = cents.zipWithIndex.map { case (cs, s) =>
+        cs.map { case (id, e) => (id, means.getOrElse((s, id), e)) }
+      }
     }
     cents
   }
@@ -768,16 +783,15 @@ object Similarity {
     val searchFrom = ksub + nQueries
     val subLen = dim / m
     val base = withNorm(emb).select(col("vec_id"), col("e"))
-    def subspace(s: Int): DataFrame = base.select(col("vec_id"),
-        slice(col("e"), s * subLen + 1, subLen).as("e"))
+    val subs = base.select(col("vec_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("e"), s * subLen + 1, subLen)): _*)).as(Seq("s", "e")))
       .withColumn("ee", dot(col("e"), col("e")))
-    // per-subspace codebooks (bounded driver loops, like ivfTopK's
-    // centroid collects: m × ksub × dim/m doubles)
-    val codebooks: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { s =>
-      val sub = subspace(s)
-      lloydTrainL2(spark, sub.filter(col("vec_id") < ksub),
-        sub.filter(col("vec_id") >= searchFrom), iters)
-    }
+    // all m codebooks trained together — one job per Lloyd round,
+    // bounded collects (m × ksub × dim/m doubles, the ivfTopK
+    // centroid-collect discipline)
+    val codebooks: Seq[Seq[(Long, Seq[Double])]] =
+      lloydTrainL2All(spark, subs, m, ksub, searchFrom, iters)
     // MAP-ONLY corpus encoding: the trained codebooks are driver-side
     // constants, so each subspace code is a pure expression fold over
     // centroid literals — `least` for the running best distance, one
@@ -812,10 +826,6 @@ object Similarity {
       .flatMap(s => codebooks(s).map { case (j, c) => (s, j, c) })
       .toDF("s", "cent_id", "ce")
       .withColumn("cc", dot(col("ce"), col("ce")))
-    val subs = base.select(col("vec_id"),
-        posexplode(array((0 until m).map(s =>
-          slice(col("e"), s * subLen + 1, subLen)): _*)).as(Seq("s", "e")))
-      .withColumn("ee", dot(col("e"), col("e")))
     val lut = subs
       .filter(col("vec_id") >= ksub && col("vec_id") < searchFrom)
       .join(broadcast(cents), Seq("s"))

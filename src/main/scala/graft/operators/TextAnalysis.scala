@@ -304,6 +304,46 @@ object TextAnalysis {
        |    ELSE $textCol END""".stripMargin
   }
 
+  /** Corpus-level script mixture — the rollup a curator actually reads
+    * over [[scriptProfile]] (the q189-over-q182 report precedent):
+    * per dominant script, document count and share, total codepoints,
+    * and the mean dominant-share among docs that HAVE script content
+    * (NULL-ratio docs — no script codepoints at all — count toward
+    * n_docs but not the mean, the SQL AVG convention). The mean runs
+    * on the `Fns.exactAvgScaled` fixed-point accumulator (scale 6) so
+    * it is order-independent and oracle-replayable; the corpus total
+    * attaches as a broadcast scalar, never a window. One pass over
+    * the text + one tiny aggregate: the per-doc profile is map-only,
+    * the rollup groups on ≤ |script classes| keys.
+    */
+  def scriptMixture(docs: DataFrame, content: Column, id: Column): DataFrame = {
+    val prof = scriptProfile(docs, content, id)
+    prof.groupBy("dominant")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        graft.functions.Fns.exactAvgScaled(col("dominant_ratio"), 6)
+          .as("mean_dominant_ratio"))
+      .crossJoin(broadcast(prof.agg(count(lit(1)).as("__total"))))
+      .withColumn("doc_fraction",
+        col("n_docs").cast(DoubleType) / col("__total"))
+      .drop("__total")
+  }
+
+  /** Oracle for [[scriptMixture]] — wraps [[scriptProfileOracle]] as a
+    * CTE; the mean replays the exactAvgScaled division chain
+    * parenthesis-for-parenthesis.
+    */
+  def scriptMixtureOracle(textExpr: String = "text"): String =
+    s"""WITH prof AS (${scriptProfileOracle(textExpr)}),
+       |t AS (SELECT COUNT(*) AS total FROM prof)
+       |SELECT dominant, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  (CAST(SUM(CAST(FLOOR(dominant_ratio * 1000000 + 0.5) AS BIGINT))
+       |      AS DOUBLE) / 1000000) / COUNT(dominant_ratio)
+       |    AS mean_dominant_ratio,
+       |  CAST(COUNT(*) AS DOUBLE) / MAX(total) AS doc_fraction
+       |FROM prof, t GROUP BY dominant ORDER BY dominant""".stripMargin
+
   // ------------------------------------------------------------ sampling
 
   /** Deterministic stratified sample: the k rows per stratum with the

@@ -3321,6 +3321,21 @@ object Extensions {
       Similarity.bruteForceTopKL2Oracle(nQueries = 8, k = 5,
         queryFrom = 16))))
 
+  /** Corpus script-mixture rollup
+    * ([[graft.operators.TextAnalysis.scriptMixture]]) — the
+    * curator-facing report over q196's per-doc profile (the
+    * q189-over-q182 rollup precedent): per dominant script, doc count
+    * + share, codepoints, and the exact order-independent mean
+    * dominant share (Fns.exactAvgScaled).
+    */
+  private val q200 = Q("q200_script_mixture",
+    (s, d) => TextAnalysis.scriptMixture(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.scriptShift(col("text"), col("doc_id")).as("text")),
+        col("text"), col("doc_id"))
+      .orderBy("dominant"),
+    Some(TextAnalysis.scriptMixtureOracle(TextAnalysis.scriptShiftSql())))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3337,5 +3352,5 @@ object Extensions {
     q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
-    q191, q192, q193, q194, q195, q196, q197, q198, q199)
+    q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
 }

@@ -197,6 +197,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("TextAnalysis.scriptMixture: rollup conservation over a shifted corpus") {
+    import spark.implicits._
+    val d = (0L to 59L).map(i => (i, "abc nop z")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.scriptShift(col("text"), col("doc_id")).as("text"))
+    val r = TextAnalysis.scriptMixture(d, col("text"), col("doc_id")).collect()
+    assert(r.map(_.getAs[Long]("n_docs")).sum === 60L)
+    assert(math.abs(r.map(_.getAs[Double]("doc_fraction")).sum - 1.0) < 1e-12)
+    val byDom = r.map(x => x.getAs[String]("dominant") -> x).toMap
+    // classes 0 and 5 are latin-dominant; 1-4 one class each (10 docs)
+    assert(byDom.keySet === Set("latin", "cyrillic", "greek", "cjk", "hangul"))
+    assert(byDom("latin").getAs[Long]("n_docs") === 20L)
+    assert(byDom("cyrillic").getAs[Long]("n_docs") === 10L)
+    // all-latin docs have ratio exactly 1; the mixed class-5 docs 4/7
+    assert(byDom("cjk").getAs[Double]("mean_dominant_ratio") === 1.0)
+  }
+
   test("TextAnalysis.fingerprint: shingle-min defined iff >= 5 tokens") {
     val r = TextAnalysis.fingerprint(docs).collect()
       .map(x => x.getAs[Long]("doc_id") -> x).toMap

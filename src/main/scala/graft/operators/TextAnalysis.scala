@@ -371,6 +371,18 @@ object TextAnalysis {
     */
   def scriptMixture(docs: DataFrame, content: Column, id: Column): DataFrame = {
     val prof = scriptProfile(docs, content, id)
+    // Contract note (the q137 lesson, r12 VERDICT #3): attaching a
+    // corpus scalar via crossJoin(broadcast(agg)) normally re-runs the
+    // upstream subtree in the broadcast build — banned when that
+    // subtree carries real work. THIS instance is the documented safe
+    // exception: the build is `prof.agg(count(*))`, which references
+    // no columns, so column pruning strips the entire per-doc profile
+    // (the kernel call, the shift translate, every derived column)
+    // from the build branch — the executed plan (r13 explain audit)
+    // shows a bare row-count FileScan with an EMPTY ReadSchema feeding
+    // the BroadcastExchange, i.e. a parquet-footer count, not a second
+    // text pass. A collected scalar would buy nothing and would make
+    // the operator eager.
     prof.groupBy("dominant")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_chars"),

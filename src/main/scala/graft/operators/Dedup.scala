@@ -1669,6 +1669,25 @@ object Dedup {
       s"maxAnchorOccurrences ($maxAnchorOccurrences) must be >= 1")
     val toksC = splitToksMin(corpus, content, id, minLen)
     val aC = anchorGrams(toksC, minLen)
+      .select(col("gh"), col("doc_id").as("corpus_id"),
+        col("pos").as("pos_c"))
+    val (anchors, hot) = matchIndexFromOccurrences(aC, maxAnchorOccurrences)
+    (anchors, hot,
+      toksC.select(col("doc_id").as("corpus_id"), col("toks").as("tc")))
+  }
+
+  /** Hot-list derivation + sub-bucket assignment over a RAW
+    * anchor-occurrence frame (gh, corpus_id, pos_c) → the (anchors,
+    * hot) member pair. Split out of [[matchIndexFrames]] (round 13) so
+    * [[StandingIndex.appendMatchIndex]] can re-derive the pair from
+    * `old anchors ∪ delta anchors` WITHOUT re-tokenizing the indexed
+    * corpus — the occurrence count (and hence nsub and every sub
+    * assignment, `pmod(xxhash64(id), nsub)`) is a pure function of the
+    * occurrence frame, so an incremental publish through this ONE
+    * construction is bit-identical to a full rebuild.
+    */
+  private[operators] def matchIndexFromOccurrences(
+      aC: DataFrame, maxAnchorOccurrences: Int): (DataFrame, DataFrame) = {
     val hot = aC.groupBy("gh").agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") > maxAnchorOccurrences)
       .select(col("gh"), call_function("div",
@@ -1676,11 +1695,10 @@ object Dedup {
         lit(maxAnchorOccurrences.toLong)).as("nsub"))
     val anchors = aC.join(broadcast(hot), Seq("gh"), "left")
       .select(col("gh"),
-        pmod(xxhash64(col("doc_id")), coalesce(col("nsub"), lit(1L)))
+        pmod(xxhash64(col("corpus_id")), coalesce(col("nsub"), lit(1L)))
           .as("sub"),
-        col("doc_id").as("corpus_id"), col("pos").as("pos_c"))
-    (anchors, hot,
-      toksC.select(col("doc_id").as("corpus_id"), col("toks").as("tc")))
+        col("corpus_id"), col("pos_c"))
+    (anchors, hot)
   }
 
   /** Probe a batch against [[matchIndexFrames]]-shaped corpus frames

@@ -180,6 +180,117 @@ object StandingIndex {
         s"$nBuckets AS n_buckets"))
   }
 
+  /** Loud append-contract gate: the delta of an incremental publish
+    * must hold only NEW document ids — an id already in the index
+    * would duplicate its derived rows (the union carries both copies)
+    * and silently corrupt every future probe. One bucket-side-cheap
+    * membership join (the indexed side reads its buckets, the small
+    * delta id set broadcasts); fails with remediation text, the house
+    * bounded-gate style.
+    */
+  private def requireNewIds(indexed: DataFrame, deltaIds: DataFrame,
+                            key: String, what: String): Unit = {
+    val overlap = indexed.select(key).join(deltaIds, Seq(key)).limit(1).count()
+    require(overlap == 0,
+      s"append on $what: the delta contains document ids already in the " +
+        "live index. Incremental publish is APPEND-ONLY (new documents); " +
+        "for updates or deletes rebuild the index from the corrected " +
+        "corpus (buildMatchIndex/buildChunkIndex/buildNearDupIndex).")
+  }
+
+  // --------------------------------------------- incremental publish
+
+  /** Incremental publish of the live match index (round 13, the
+    * VERDICT-r12 #4 item): version N+1 is built from the CURRENT
+    * member tables ∪ the delta batch's derived frames — the indexed
+    * corpus is never re-read, re-tokenized, or re-shingled. Only the
+    * delta pays text-side derivation; the union then pays the
+    * occurrence recount (over derived anchor rows, not text) and the
+    * bucket rewrite the one-file-per-bucket sort contract requires.
+    * The hot list and every sub assignment are pure functions of the
+    * occurrence frame ([[Dedup.matchIndexFromOccurrences]] — the ONE
+    * construction shared with the full build), so the committed
+    * members are bit-identical to a full rebuild over base ∪ delta:
+    * probes cannot tell which publish path produced the version
+    * (q201's oracle gates exactly that). Same atomic manifest-flip
+    * commit; a crash mid-append leaves the old version live.
+    */
+  def appendMatchIndex(spark: SparkSession, delta: DataFrame,
+                       content: Column, id: Column,
+                       db: String = "graft_idx",
+                       name: String = "match_idx"): Int = {
+    val m = manifestOrThrow(spark, db, name, "match")
+    val minLen = m.getAs[Int]("min_len")
+    val cap = m.getAs[Int]("max_anchor_occurrences")
+    val nBuckets = m.getAs[Int]("n_buckets")
+    val oldAnchors = member(spark, db, name, m, "anchors")
+    val oldToks = member(spark, db, name, m, "toks")
+    val toksD = Dedup.splitToksMin(delta, content, id, minLen)
+    requireNewIds(oldToks, toksD.select(col("doc_id").as("corpus_id")),
+      "corpus_id", s"$db.$name")
+    val aU = oldAnchors.select("gh", "corpus_id", "pos_c")
+      .unionByName(Dedup.anchorGrams(toksD, minLen)
+        .select(col("gh"), col("doc_id").as("corpus_id"),
+          col("pos").as("pos_c")))
+    val (anchors, hot) = Dedup.matchIndexFromOccurrences(aU, cap)
+    commit(spark, db, name, "match", Seq(
+      Member("anchors", anchors, Seq("gh", "sub"), nBuckets),
+      Member("toks", oldToks.unionByName(toksD.select(
+        col("doc_id").as("corpus_id"), col("toks").as("tc"))),
+        Seq("corpus_id"), nBuckets),
+      Member("hot", hot)),
+      Seq(s"$minLen AS min_len", s"$cap AS max_anchor_occurrences",
+        s"$nBuckets AS n_buckets"))
+  }
+
+  /** Incremental publish of the live chunk index: old distinct digests
+    * ∪ the delta's chunk digests, re-distinct-ed (set union — re-used
+    * digests collapse, so re-submitting overlapping TEXT is harmless;
+    * ids are not stored, hence no id gate). Only the delta is
+    * chunked/hashed; the union re-buckets on fp.
+    */
+  def appendChunkIndex(spark: SparkSession, delta: DataFrame,
+                       content: Column, id: Column,
+                       db: String = "graft_idx",
+                       name: String = "chunk_idx"): Int = {
+    val m = manifestOrThrow(spark, db, name, "chunk")
+    val ct = m.getAs[Int]("chunk_tokens")
+    val nBuckets = m.getAs[Int]("n_buckets")
+    commit(spark, db, name, "chunk", Seq(
+      Member("fps", member(spark, db, name, m, "fps")
+        .unionByName(TextAnalysis.corpusChunkFps(delta, content, id, ct))
+        .distinct(), Seq("fp"), nBuckets)),
+      Seq(s"$ct AS chunk_tokens", s"$nBuckets AS n_buckets"))
+  }
+
+  /** Incremental publish of the live near-dup index: both members are
+    * per-document maps (band rows, shingle sets), so the union of old
+    * members with the delta's derivations IS the full-rebuild result —
+    * no cross-document recount exists in this family. Only the delta
+    * is shingled/hashed; the union re-buckets.
+    */
+  def appendNearDupIndex(spark: SparkSession, delta: DataFrame,
+                         content: Column, id: Column,
+                         db: String = "graft_idx",
+                         name: String = "neardup_idx"): Int = {
+    val m = manifestOrThrow(spark, db, name, "neardup")
+    val (n, k, bands) = (m.getAs[Int]("n"), m.getAs[Int]("k"),
+      m.getAs[Int]("bands"))
+    val nBuckets = m.getAs[Int]("n_buckets")
+    val oldBase = member(spark, db, name, m, "base")
+    requireNewIds(oldBase, delta.select(id.as("doc_id")).distinct(),
+      "doc_id", s"$db.$name")
+    val baseD = Dedup.minhashBase(delta, content, id, n)
+    commit(spark, db, name, "neardup", Seq(
+      Member("banded", member(spark, db, name, m, "banded")
+        .unionByName(Dedup.minhashBanded(baseD, k, bands)),
+        Seq("bucket"), nBuckets),
+      Member("base", oldBase.unionByName(baseD.select(col("doc_id"), col("sh"))),
+        Seq("doc_id"), nBuckets)),
+      Seq(s"$n AS n", s"$k AS k", s"$bands AS bands",
+        s"$nBuckets AS n_buckets"))
+  }
+
   /** Probe a batch against the live match index: every maximal
     * cross-side verbatim match ≥ min_len tokens — (batch_id, pos_b,
     * corpus_id, pos_c, match_len), `Dedup.incrementalMaximalMatches`'s

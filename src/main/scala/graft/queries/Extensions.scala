@@ -3336,6 +3336,83 @@ object Extensions {
       .orderBy("dominant"),
     Some(TextAnalysis.scriptMixtureOracle(TextAnalysis.scriptShiftSql())))
 
+  // ---- incremental standing-index publish (q201-q203, round 13):
+  // each index is built on a PARTIAL corpus, the remainder arrives as
+  // an append-publish ([[StandingIndex.appendMatchIndex]] family — the
+  // indexed half is never re-tokenized), and the probe runs against
+  // the incrementally-published version. The oracles are the SAME
+  // full-corpus SQL as q192-q194's — the gate is exactly "a probe
+  // cannot tell an incremental publish from a full rebuild".
+  private val idxIncBuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private def standingIndexesIncremental(s: SparkSession, d: String): Unit =
+    if (idxIncBuiltFor.get != d ||
+        !s.catalog.tableExists("graft_idx.docs_match_inc")) {
+      val docs = Tables.documents(s, d)
+      // match contract (q188/q192): corpus = doc_id % 10 != 0.
+      // Base = 1..5, appended delta = 6..9.
+      StandingIndex.buildMatchIndex(s,
+        docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5),
+        col("text"), col("doc_id"), minLen = 20, nBuckets = 8,
+        name = "docs_match_inc")
+      StandingIndex.appendMatchIndex(s,
+        docs.filter(col("doc_id") % 10 >= 6),
+        col("text"), col("doc_id"), name = "docs_match_inc")
+      // chunk/near-dup contract (q116/q106): corpus = doc_id % 10 < 8.
+      // Base = 0..3, appended delta = 4..7.
+      val base4 = docs.filter(col("doc_id") % 10 < 4)
+      val delta4 = docs.filter(col("doc_id") % 10 >= 4 && col("doc_id") % 10 < 8)
+      StandingIndex.buildChunkIndex(s, base4, col("text"), col("doc_id"),
+        chunkTokens = 8, nBuckets = 8, name = "docs_chunk_inc")
+      StandingIndex.appendChunkIndex(s, delta4, col("text"), col("doc_id"),
+        name = "docs_chunk_inc")
+      StandingIndex.buildNearDupIndex(s, base4, col("text"), col("doc_id"),
+        n = 3, k = 8, bands = 4, nBuckets = 8, name = "docs_neardup_inc")
+      StandingIndex.appendNearDupIndex(s, delta4, col("text"), col("doc_id"),
+        name = "docs_neardup_inc")
+      idxIncBuiltFor.set(d)
+    }
+
+  /** q192's probe against an incrementally-published match index —
+    * identical oracle, so the append path is hash-gated against the
+    * full-rebuild truth.
+    */
+  private val q201 = Q("q201_index_append_matches",
+    (s, d) => {
+      standingIndexesIncremental(s, d)
+      StandingIndex.probeMatches(s,
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+        col("text"), col("doc_id"), name = "docs_match_inc")
+        .orderBy("batch_id", "pos_b", "corpus_id", "pos_c")
+    },
+    Some(Dedup.incrementalMaximalMatchesOracle(minLen = 20)))
+
+  /** q193's probe against an incrementally-published chunk index. */
+  private val q202 = Q("q202_index_append_chunks",
+    (s, d) => {
+      standingIndexesIncremental(s, d)
+      StandingIndex.probeChunks(s,
+        Tables.documents(s, d).filter(col("doc_id") % 10 >= 8),
+        col("text"), col("doc_id"), name = "docs_chunk_inc")
+    },
+    Some(TextAnalysis.chunkDedupIncrementalOracle(chunkTokens = 8,
+      corpusWhere = "doc_id % 10 < 8", batchWhere = "doc_id % 10 >= 8")))
+
+  /** q194's probe against an incrementally-published near-dup index. */
+  private val q203 = Q("q203_index_append_neardups",
+    (s, d) => {
+      standingIndexesIncremental(s, d)
+      StandingIndex.probeNearDups(s,
+        Tables.documents(s, d).filter(col("doc_id") % 10 >= 8),
+        col("text"), col("doc_id"), threshold = 0.8,
+        name = "docs_neardup_inc")
+        .orderBy("new_id", "dup_of")
+    },
+    Some(Dedup.incrementalNearDupsOracle(n = 3, k = 8, bands = 4,
+      threshold = 0.8, corpusWhere = "doc_id % 10 < 8",
+      batchWhere = "doc_id % 10 >= 8")))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3352,5 +3429,6 @@ object Extensions {
     q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
-    q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
+    q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
+    q201, q202, q203)
 }

@@ -157,6 +157,74 @@ class StandingIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("chunk index"))
   }
 
+  test("append-publish ≡ full rebuild, member for member (all three kinds)") {
+    val base = docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5)
+    val delta = docs.filter(col("doc_id") % 10 >= 6)
+    // match: hot-list recount + sub reassignment must be bit-identical
+    // (cap 1 makes EVERY anchor hot, so nsub/sub derivation is live)
+    StandingIndex.buildMatchIndex(spark, base, col("text"), col("doc_id"),
+      minLen = 12, maxAnchorOccurrences = 1, nBuckets = 4, db = db,
+      name = "m_app")
+    StandingIndex.appendMatchIndex(spark, delta, col("text"), col("doc_id"),
+      db = db, name = "m_app")
+    StandingIndex.buildMatchIndex(spark, corpus, col("text"), col("doc_id"),
+      minLen = 12, maxAnchorOccurrences = 1, nBuckets = 4, db = db,
+      name = "m_full")
+    for (suffix <- Seq("anchors", "toks", "hot")) {
+      val v = StandingIndex.manifest(spark, db, "m_app").get.getAs[Int]("version")
+      val vf = StandingIndex.manifest(spark, db, "m_full").get.getAs[Int]("version")
+      assert(rows(spark.table(s"$db.m_app__v${v}__$suffix")) ===
+        rows(spark.table(s"$db.m_full__v${vf}__$suffix")),
+        s"member $suffix must match the full rebuild")
+    }
+    assert(rows(StandingIndex.probeMatches(spark, batch, col("text"),
+        col("doc_id"), db = db, name = "m_app")) ===
+      rows(StandingIndex.probeMatches(spark, batch, col("text"),
+        col("doc_id"), db = db, name = "m_full")))
+    // chunk + near-dup: probe equality (members are per-doc/set unions)
+    StandingIndex.buildChunkIndex(spark, base, col("text"), col("doc_id"),
+      chunkTokens = 8, nBuckets = 4, db = db, name = "c_app")
+    StandingIndex.appendChunkIndex(spark, delta, col("text"), col("doc_id"),
+      db = db, name = "c_app")
+    StandingIndex.buildChunkIndex(spark, corpus, col("text"), col("doc_id"),
+      chunkTokens = 8, nBuckets = 4, db = db, name = "c_full")
+    assert(rows(StandingIndex.probeChunks(spark, batch, col("text"),
+        col("doc_id"), db = db, name = "c_app")) ===
+      rows(StandingIndex.probeChunks(spark, batch, col("text"),
+        col("doc_id"), db = db, name = "c_full")))
+    StandingIndex.buildNearDupIndex(spark, base, col("text"), col("doc_id"),
+      n = 3, k = 8, bands = 4, nBuckets = 4, db = db, name = "n_app")
+    StandingIndex.appendNearDupIndex(spark, delta, col("text"), col("doc_id"),
+      db = db, name = "n_app")
+    StandingIndex.buildNearDupIndex(spark, corpus, col("text"), col("doc_id"),
+      n = 3, k = 8, bands = 4, nBuckets = 4, db = db, name = "n_full")
+    assert(rows(StandingIndex.probeNearDups(spark, batch, col("text"),
+        col("doc_id"), threshold = 0.5, db = db, name = "n_app")) ===
+      rows(StandingIndex.probeNearDups(spark, batch, col("text"),
+        col("doc_id"), threshold = 0.5, db = db, name = "n_full")))
+  }
+
+  test("append-publish rejects ids already in the index, loudly") {
+    val base = docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5)
+    StandingIndex.buildMatchIndex(spark, base, col("text"), col("doc_id"),
+      minLen = 12, nBuckets = 4, db = db, name = "m_gate")
+    val e = intercept[IllegalArgumentException] {
+      StandingIndex.appendMatchIndex(spark, base.limit(5), col("text"),
+        col("doc_id"), db = db, name = "m_gate")
+    }
+    assert(e.getMessage.contains("APPEND-ONLY"))
+    StandingIndex.buildNearDupIndex(spark, base, col("text"), col("doc_id"),
+      n = 3, k = 8, bands = 4, nBuckets = 4, db = db, name = "n_gate")
+    val e2 = intercept[IllegalArgumentException] {
+      StandingIndex.appendNearDupIndex(spark, base.limit(5), col("text"),
+        col("doc_id"), db = db, name = "n_gate")
+    }
+    assert(e2.getMessage.contains("APPEND-ONLY"))
+    // a failed append must leave the live version untouched
+    assert(StandingIndex.manifest(spark, db, "m_gate")
+      .map(_.getAs[Int]("version")) === Some(0))
+  }
+
   test("hot-anchor cap: capped build probes exactly like the uncapped one") {
     // cap 1 forces every corpus anchor gh into per-doc sub-buckets and
     // the batch side to fan out across ALL of them — the exactness law

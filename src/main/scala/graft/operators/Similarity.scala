@@ -739,6 +739,30 @@ object Similarity {
     cents
   }
 
+  /** Literal-centroid argmin as a pure expression fold — the MAP-ONLY
+    * encode kernel shared by [[pqTopK]] (raw subvectors), the coarse
+    * cell assignment of [[ivfadcTopK]] (full vectors), and its
+    * residual encoding: `least` carries the running best squared-L2
+    * distance, one `when` the running argmin; strict `<` keeps the
+    * LOWEST cent_id on ties, exactly the oracles' ROW_NUMBER
+    * (d, cent_id) pick. Centroid self-dots are driver `Seq.sum` — the
+    * same left-to-right IEEE fold as the dot kernel, so values are
+    * bit-identical to the SQL replay. Expression size grows ~|cents|²
+    * (the when-chain re-references the shrinking least-chain); the
+    * normal PQ regime (≤ 256 centroids) stays inside codegen.
+    */
+  private def argminLit(es: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    val ee = dot(es, es)
+    val ds = cents.map { case (j, c) =>
+      (j, l2(ee, dot(es, array(c.map(lit): _*)),
+        lit(c.map(x => x * x).sum)))
+    }
+    ds.tail.foldLeft((ds.head._2, lit(ds.head._1))) {
+      case ((bd, bj), (j, dj)) =>
+        (least(bd, dj), when(dj < bd, lit(j)).otherwise(bj))
+    }._2
+  }
+
   /** Product-quantization ANN (IVFADC's compression half) — THE 100 TB
     * memory path: the corpus is stored as `m` small centroid codes
     * (here m·⌈log₂ ksub⌉ bits ≈ 6 bits/vector vs 64 floats ≈ 2048
@@ -802,23 +826,10 @@ object Similarity {
     // write. Expression size grows ~ksub² per subspace (the argmin
     // when-chain re-references the shrinking least-chain), the normal
     // PQ regime (ksub ≤ 256) stays comfortably inside codegen.
-    def codeExpr(s: Int): Column = {
-      val es = slice(col("e"), s * subLen + 1, subLen)
-      val ee = dot(es, es)
-      val ds = codebooks(s).map { case (j, c) =>
-        // cc as a literal: Seq.sum is the same left-to-right IEEE fold
-        // as the dot kernel, so the value is bit-identical
-        (j, l2(ee, dot(es, array(c.map(lit): _*)),
-          lit(c.map(x => x * x).sum)))
-      }
-      val (_, bestJ) = ds.tail.foldLeft((ds.head._2, lit(ds.head._1))) {
-        case ((bd, bj), (j, dj)) =>
-          (least(bd, dj), when(dj < bd, lit(j)).otherwise(bj))
-      }
-      bestJ.as(s"code_$s")
-    }
     val codes = base.filter(col("vec_id") >= searchFrom)
-      .select(col("vec_id") +: (0 until m).map(codeExpr): _*)
+      .select(col("vec_id") +: (0 until m).map(s =>
+        argminLit(slice(col("e"), s * subLen + 1, subLen), codebooks(s))
+          .as(s"code_$s")): _*)
     // asymmetric-distance LUTs: query subvectors × codebooks (both
     // tiny: nQueries·ksub rows per subspace)
     import spark.implicits._
@@ -971,6 +982,236 @@ object Similarity {
        |approx AS (
        |  SELECT l0.query_id, c0.vec_id AS neighbor_id, $distSum AS dist
        |  FROM p0code c0
+       |    $codeJoin
+       |    $lutJoin),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY dist ASC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM approx)
+       |SELECT query_id, neighbor_id, dist, rnk FROM ranked
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // ------------------------------------------------------- IVFADC
+
+  /** IVFADC — the published production-ANN shape ([[ivfTopK]]'s
+    * inverted file + [[pqTopK]]'s product quantizer, composed the way
+    * the ADC paper does): a coarse L2 quantizer of `nCells` full-dim
+    * centroids partitions the corpus into cells, and PQ codebooks are
+    * trained on the RESIDUALS `v − c_cell(v)` — residuals concentrate
+    * near zero, so the same `m × ksub` code budget spends its
+    * precision on the informative part (the within-cell offset), not
+    * on re-encoding the cell location PQ-on-raw wastes bits on. A
+    * query probes its `nprobe` nearest cells and scans ONLY their
+    * codes with per-(query, cell) lookup tables over the residual
+    * query `q − c_cell`.
+    *
+    * Layout (the [[pqTopK]] convention, shifted): coarse seeds =
+    * vec_id < nCells, queries = [nCells, nCells+nQueries), corpus =
+    * vec_id ≥ nCells+nQueries. Residual codebook seeds are the FIRST
+    * `ksub` corpus vectors' residual subvectors (cent ids = their
+    * vec_ids — the id space the oracle replays); residual training
+    * runs over ALL corpus residuals (train set = encode set, the
+    * IVFADC convention — unlike [[pqTopK]], whose seeds are corpus-
+    * external by layout).
+    *
+    * Scale shape: both trainings are the shared one-job-per-round
+    * [[lloydTrainL2All]] with bounded collects; cell assignment AND
+    * residual encoding are map-only [[argminLit]] expression folds
+    * (the residual itself is one broadcast join against the
+    * nCells-row coarse table — no corpus shuffle anywhere in the
+    * encode path); the search joins the (nQueries·nprobe·ksub)-row
+    * broadcast LUTs against the code table, so ONLY probed cells'
+    * codes survive the join — at 100 TB the scan cost drops by
+    * ~nprobe/nCells versus [[pqTopK]]'s full-code scan, which is the
+    * entire point of the IVF half. Determinism: every argmin ties on
+    * cent_id/cell/neighbor_id; every float is the shared fold.
+    *
+    * @return (query_id, neighbor_id, dist, rnk), rnk ≤ k per query —
+    *         dist is the asymmetric Σ_s ‖(q−c)_s − r̂_s‖² estimate
+    */
+  def ivfadcTopK(emb: DataFrame, nCells: Int = 16, m: Int = 4,
+                 ksub: Int = 16, nQueries: Int = 8, k: Int = 5,
+                 nprobe: Int = 4, iters: Int = 2,
+                 dim: Int = 64): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")
+    require(nCells >= 1 && nprobe >= 1 && nprobe <= nCells,
+      s"need 1 <= nprobe ($nprobe) <= nCells ($nCells)")
+    require(ksub >= 1 && iters >= 0 && k >= 1 && nQueries >= 1, "bad args")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val searchFrom = nCells + nQueries
+    val subLen = dim / m
+    val base = withNorm(emb).select(col("vec_id"), col("e"))
+    // coarse codebook: ONE full-dim "subspace" through the shared
+    // trainer (seeds < nCells, train = corpus)
+    val fullSubs = base.select(col("vec_id"), lit(0).as("s"), col("e"))
+      .withColumn("ee", dot(col("e"), col("e")))
+    val coarse: Seq[(Long, Seq[Double])] =
+      lloydTrainL2All(spark, fullSubs, 1, nCells, searchFrom, iters).head
+    val coarseDf = coarse.toDF("cell", "ce")
+      .withColumn("cc", dot(col("ce"), col("ce")))
+    // map-only cell assignment + residuals (broadcast of nCells rows)
+    val resid = base.filter(col("vec_id") >= searchFrom)
+      .withColumn("cell", argminLit(col("e"), coarse))
+      .join(broadcast(coarseDf.select("cell", "ce")), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("e"), col("ce"), (x, y) => x - y).as("r"))
+    // residual PQ codebooks: seeds = first ksub corpus vectors'
+    // residual subvectors (cent ids = their vec_ids), train = all
+    val rsubs = resid.select(col("vec_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("r"), s * subLen + 1, subLen)): _*)).as(Seq("s", "e")))
+      .withColumn("ee", dot(col("e"), col("e")))
+    val books: Seq[Seq[(Long, Seq[Double])]] =
+      lloydTrainL2All(spark, rsubs, m, searchFrom + ksub, searchFrom, iters)
+    // map-only residual encoding
+    val codes = resid.select(col("vec_id") +: col("cell") +:
+      (0 until m).map(s =>
+        argminLit(slice(col("r"), s * subLen + 1, subLen), books(s))
+          .as(s"code_$s")): _*)
+    // probed cells: nprobe nearest coarse centroids per query
+    val q = base.filter(col("vec_id") >= nCells && col("vec_id") < searchFrom)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("pd").asc, col("cell"))
+    val probed = q.crossJoin(broadcast(coarseDf))
+      .withColumn("pd",
+        l2(dot(col("qe"), col("qe")), dot(col("qe"), col("ce")), col("cc")))
+      .withColumn("prk", row_number().over(wp))
+      .filter(col("prk") <= nprobe)
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qe"), col("ce"), (x, y) => x - y).as("rq"))
+    // per-(query, cell) asymmetric LUTs over the residual query
+    val booksDf = (0 until m)
+      .flatMap(s => books(s).map { case (j, c) => (s, j, c) })
+      .toDF("s", "code", "bce")
+      .withColumn("bcc", dot(col("bce"), col("bce")))
+    val lut = probed.select(col("query_id"), col("cell"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("rq"), s * subLen + 1, subLen)): _*)).as(Seq("s", "rqs")))
+      .withColumn("rr", dot(col("rqs"), col("rqs")))
+      .join(broadcast(booksDf), Seq("s"))
+      .select(col("query_id"), col("cell"), col("s"), col("code"),
+        l2(col("rr"), dot(col("rqs"), col("bce")), col("bcc")).as("d"))
+    // inner joins on (cell, code_s): only probed cells' codes survive
+    val joined = (0 until m).foldLeft(codes) { (acc, s) =>
+      val l = lut.filter(col("s") === s)
+        .select(col("query_id").as(s"__q$s"), col("cell").as(s"__cl$s"),
+          col("code").as(s"__c$s"), col("d").as(s"d_$s"))
+      val cond = acc(s"code_$s") === l(s"__c$s") &&
+        acc("cell") === l(s"__cl$s") &&
+        (if (s == 0) lit(true) else acc("__q0") === l(s"__q$s"))
+      acc.join(broadcast(l), cond)
+    }
+    val dist = (0 until m).map(s => col(s"d_$s")).reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    joined
+      .select(col("__q0").as("query_id"), col("vec_id").as("neighbor_id"),
+        dist.as("dist"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Oracle for [[ivfadcTopK]]: replays the coarse Lloyd, the cell
+    * assignment, the residuals, the per-subspace residual Lloyd +
+    * encoding, the probe ranking, the per-(query, cell) LUTs, and the
+    * fixed-order distance sum as chained CTEs.
+    */
+  def ivfadcTopKOracle(nCells: Int = 16, m: Int = 4, ksub: Int = 16,
+                       nQueries: Int = 8, k: Int = 5, nprobe: Int = 4,
+                       iters: Int = 2, dim: Int = 64): String = {
+    val searchFrom = nCells + nQueries
+    val subLen = dim / m
+    def assign(from: String, cent: String): String =
+      s"""SELECT vec_id, e, cell FROM (
+         |    SELECT b.vec_id, b.e, c.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+         |        ${l2Sql("b.e", "c.ce")} ASC, c.cent_id) AS crk
+         |    FROM $from b CROSS JOIN $cent c)
+         |  WHERE crk = 1""".stripMargin
+    // Every round CTE is MATERIALIZED (the kCoreOracle/BPE-q195
+    // discipline): each cent$it is referenced twice downstream, so an
+    // inlined chain re-evaluates 2^iters times — materialization makes
+    // the replay linear in iters.
+    def rounds(p: String, corpus: String): String = (1 to iters).map { it =>
+      s"""${p}a$it AS MATERIALIZED (
+         |  ${assign(corpus, s"${p}cent${it - 1}")}),
+         |${p}m$it AS MATERIALIZED (
+         |  SELECT cell, i,
+         |    CAST(SUM(CAST(e[i] AS DECIMAL(38,6))) AS DOUBLE)
+         |      / COUNT(*) AS mn
+         |  FROM ${p}a$it, UNNEST(GENERATE_SERIES(1, LEN(e))) AS t(i)
+         |  GROUP BY cell, i),
+         |${p}g$it AS MATERIALIZED (SELECT cell AS cent_id, LIST(mn ORDER BY i) AS ce
+         |  FROM ${p}m$it GROUP BY cell),
+         |${p}cent$it AS MATERIALIZED (
+         |  SELECT p.cent_id, COALESCE(g.ce, p.ce) AS ce
+         |  FROM ${p}cent${it - 1} p LEFT JOIN ${p}g$it g
+         |    ON p.cent_id = g.cent_id)""".stripMargin
+    }.mkString(",\n")
+    def subCtes(s: Int): String = {
+      val lo = s * subLen
+      s"""p${s}sub AS MATERIALIZED (
+         |  SELECT vec_id, r[${lo + 1}:${lo + subLen}] AS e FROM resid),
+         |p${s}cent0 AS MATERIALIZED (
+         |  SELECT vec_id AS cent_id, e AS ce FROM p${s}sub
+         |  WHERE vec_id < ${searchFrom + ksub}),
+         |${rounds(s"p$s", s"p${s}sub")},
+         |p${s}code AS MATERIALIZED (
+         |  SELECT vec_id, cell AS code FROM (
+         |  ${assign(s"p${s}sub", s"p${s}cent$iters")})),
+         |p${s}lut AS MATERIALIZED (
+         |  SELECT qr.query_id, qr.cell, c.cent_id AS code,
+         |    ${l2Sql("qr.e", "c.ce")} AS d
+         |  FROM (SELECT query_id, cell,
+         |          rq[${lo + 1}:${lo + subLen}] AS e FROM qres) qr
+         |  CROSS JOIN p${s}cent$iters c)""".stripMargin
+    }
+    val codeJoin = (0 until m)
+      .map(s => s"JOIN p${s}code c$s ON c$s.vec_id = cl.vec_id")
+      .mkString("\n    ")
+    val lutJoin = (0 until m).map { s =>
+      val q = if (s == 0) "" else s" AND l$s.query_id = l0.query_id"
+      s"JOIN p${s}lut l$s ON l$s.cell = cl.cell AND l$s.code = c$s.code$q"
+    }.mkString("\n    ")
+    val distSum = (0 until m).map(s => s"l$s.d").mkString(" + ")
+    s"""WITH de AS MATERIALIZED (
+       |  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |ccorpus AS MATERIALIZED (
+       |  SELECT vec_id, e FROM de WHERE vec_id >= $searchFrom),
+       |ccent0 AS MATERIALIZED (
+       |  SELECT vec_id AS cent_id, e AS ce FROM de WHERE vec_id < $nCells),
+       |${rounds("c", "ccorpus")},
+       |cassign AS MATERIALIZED (
+       |  ${assign("ccorpus", s"ccent$iters")}),
+       |resid AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell,
+       |    LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.e)),
+       |      i -> a.e[i] - c.ce[i]) AS r
+       |  FROM cassign a JOIN ccent$iters c ON a.cell = c.cent_id),
+       |probe AS MATERIALIZED (
+       |  SELECT query_id, cell, ce, qe FROM (
+       |    SELECT q.vec_id AS query_id, c.cent_id AS cell, c.ce, q.e AS qe,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${l2Sql("q.e", "c.ce")} ASC, c.cent_id) AS prk
+       |    FROM (SELECT vec_id, e FROM de
+       |          WHERE vec_id >= $nCells AND vec_id < $searchFrom) q
+       |    CROSS JOIN ccent$iters c)
+       |  WHERE prk <= $nprobe),
+       |qres AS MATERIALIZED (
+       |  SELECT query_id, cell,
+       |    LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qe)),
+       |      i -> qe[i] - ce[i]) AS rq
+       |  FROM probe),
+       |${(0 until m).map(subCtes).mkString(",\n")},
+       |cells AS (SELECT vec_id, cell FROM cassign),
+       |approx AS (
+       |  SELECT l0.query_id, cl.vec_id AS neighbor_id, $distSum AS dist
+       |  FROM cells cl
        |    $codeJoin
        |    $lutJoin),
        |ranked AS (

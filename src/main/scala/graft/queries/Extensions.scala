@@ -3413,6 +3413,36 @@ object Extensions {
       threshold = 0.8, corpusWhere = "doc_id % 10 < 8",
       batchWhere = "doc_id % 10 >= 8")))
 
+  /** IVFADC — the missing rung between q60 (IVF-flat) and q197 (PQ on
+    * raw vectors): coarse cells + PQ over residuals, nprobe-bounded
+    * scan ([[graft.operators.Similarity.ivfadcTopK]]). Same layout
+    * split as q199's ground truth (queries 16..23, corpus ≥ 24).
+    */
+  private val q204 = Q("q204_knn_ivfadc",
+    (s, d) => Similarity.ivfadcTopK(Tables.embeddings(s, d), nCells = 16,
+        m = 4, ksub = 16, nQueries = 8, k = 5, nprobe = 2, iters = 4)
+      .orderBy("query_id", "rnk"),
+    Some(Similarity.ivfadcTopKOracle(nCells = 16, m = 4, ksub = 16,
+      nQueries = 8, k = 5, nprobe = 2, iters = 4)))
+
+  /** q199's recall audit for the IVFADC retriever, against the SAME
+    * exact-L2 truth (identical query/corpus split) — the graded
+    * evidence that residual quantization + nprobe probing meets the
+    * raw-PQ recall bar on this fixture.
+    */
+  private val q205 = Q("q205_ivfadc_recall",
+    (s, d) => Similarity.recallAtK(
+        Similarity.ivfadcTopK(Tables.embeddings(s, d), nCells = 16,
+          m = 4, ksub = 16, nQueries = 8, k = 5, nprobe = 2, iters = 4),
+        Similarity.bruteForceTopKL2(Tables.embeddings(s, d), nQueries = 8,
+          k = 5, queryFrom = 16))
+      .orderBy("query_id"),
+    Some(Similarity.recallAtKOracle(
+      Similarity.ivfadcTopKOracle(nCells = 16, m = 4, ksub = 16,
+        nQueries = 8, k = 5, nprobe = 2, iters = 4),
+      Similarity.bruteForceTopKL2Oracle(nQueries = 8, k = 5,
+        queryFrom = 16))))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3430,5 +3460,5 @@ object Extensions {
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-    q201, q202, q203)
+    q201, q202, q203, q204, q205)
 }

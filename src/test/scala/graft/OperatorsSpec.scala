@@ -555,6 +555,61 @@ class OperatorsSpec extends SparkSpec {
     assert(re.map(_.toSeq).toSet === rows.map(_.toSeq).toSet)
   }
 
+  test("Similarity.ivfadcTopK: coarse cells converge to clusters; nprobe=1 suffices; deterministic under partitioning") {
+    // the clustered fixture in IVFADC's intended regime: coarse seeds
+    // (vec_id < nCells = 16) are round-robin over the 16 clusters, so
+    // Lloyd converges one coarse cell per cluster — a query's nearest
+    // cell IS its cluster, and nprobe=1 already scans the right 1/16
+    // of the corpus. Residuals are the small within-cluster offsets,
+    // which is exactly where the PQ bits go.
+    val nClusters = 16
+    val dim = 16
+    val n = 400
+    val rnd = new java.util.Random(42)
+    val cents = Array.fill(nClusters, dim)(rnd.nextGaussian().toFloat)
+    val vecs = (0L until n.toLong).map { i =>
+      val c = cents((i % nClusters).toInt)
+      val v = Array.tabulate(dim)(j => c(j) + 0.05f * rnd.nextGaussian().toFloat)
+      (i, v)
+    }
+    val emb = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    // layout: coarse seeds 0..15, queries 16..35, corpus >= 36
+    val adc = Similarity.ivfadcTopK(emb, nCells = 16, m = 2, ksub = 16,
+      nQueries = 20, k = 5, nprobe = 1, iters = 2, dim = dim)
+    val rows = adc.collect()
+    assert(rows.length === 20 * 5)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === (16L until 36L).toSet)
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to 5L))
+      val ds = sorted.map(_.getDouble(2)).toSeq
+      assert(ds === ds.sorted, "dist must be nondecreasing in rnk")
+      assert(rs.forall(_.getLong(1) >= 36L), "neighbors must be corpus ids")
+    }
+    // with one probed cell per query, every hit being same-cluster is
+    // the signature that the coarse quantizer found the clusters
+    val same = rows.count(r => r.getLong(0) % nClusters == r.getLong(1) % nClusters)
+    info(f"ivfadc same-cluster@5 (nprobe=1): ${same / 100.0}%.2f")
+    assert(same >= 80, s"ivfadc same-cluster fraction ${same / 100.0} below floor")
+    // partitioning invariance: both trainings, the residual encode,
+    // the probe ranking, and the final top-k are deterministic
+    val re = Similarity.ivfadcTopK(emb.repartition(7), nCells = 16, m = 2,
+      ksub = 16, nQueries = 20, k = 5, nprobe = 1, iters = 2, dim = dim)
+      .collect()
+    assert(re.map(_.toSeq).toSet === rows.map(_.toSeq).toSet)
+    // widening the probe can only add candidates: nprobe=16 (all
+    // cells) distances are <= the nprobe=1 winner at every rank
+    val all = Similarity.ivfadcTopK(emb, nCells = 16, m = 2, ksub = 16,
+      nQueries = 20, k = 1, nprobe = 16, iters = 2, dim = dim)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    byQ.foreach { case (q, rs) =>
+      val best1 = rs.map(_.getDouble(2)).min
+      assert(all(q) <= best1 + 1e-12,
+        s"query $q: full-probe best ${all(q)} worse than nprobe=1 $best1")
+    }
+  }
+
   test("Near-dup recall contract: MinHash-LSH and SimHash vs exact Jaccard") {
     // ground truth = the exact n-gram Jaccard pairs at threshold 0.8
     // (q47, full recall by the PPJoin bound); the approximate detectors

@@ -97,16 +97,29 @@ object ImageProbe {
     }
   }
 
-  /** BMP: "BM", BITMAPINFOHEADER width/height as little-endian i32 at
-    * 18/22 (height may be negative = top-down), biBitCount at 28.
+  /** BMP: "BM", then the DIB header's own size field (le32 at 14)
+    * discriminates the layout — BITMAPINFOHEADER and its extensions
+    * (size ≥ 40) store width/height as little-endian i32 at 18/22
+    * (height may be negative = top-down) and biBitCount at 28; the
+    * legacy BITMAPCOREHEADER (size 12) stores u16 width/height at
+    * 18/20 and bitCount at 24. Reading the INFO offsets against a
+    * core-header file would return garbage as Some(...), violating
+    * the degrade-to-None contract (r12 ADVICE), so any other size
+    * field is treated as structural violation.
     */
   private def bmp(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
-    if (b.length < 30 || b(0) != 'B' || b(1) != 'M') None
-    else {
-      val w = le32(b, 18).toInt
-      val h = math.abs(le32(b, 22).toInt)
-      if (w <= 0 || h <= 0) None
-      else Some(("bmp", w, h, le16(b, 28)))
+    if (b.length < 26 || b(0) != 'B' || b(1) != 'M') None
+    else le32(b, 14) match {
+      case 12 =>
+        val w = le16(b, 18); val h = le16(b, 20)
+        if (w <= 0 || h <= 0) None
+        else Some(("bmp", w, h, le16(b, 24)))
+      case sz if sz >= 40 && b.length >= 30 =>
+        val w = le32(b, 18).toInt
+        val h = math.abs(le32(b, 22).toInt)
+        if (w <= 0 || h <= 0) None
+        else Some(("bmp", w, h, le16(b, 28)))
+      case _ => None
     }
   }
 }

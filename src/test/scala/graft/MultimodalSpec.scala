@@ -230,6 +230,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageProbe BMP: DIB header-size discriminates layouts (core header parses, unknown sizes degrade to None)") {
+    // hand-built headers: JDK's ImageIO only writes BITMAPINFOHEADER,
+    // so the legacy/degenerate layouts need byte-level fixtures
+    def bmpFile(dibSize: Int, dib: Array[Byte]): Array[Byte] = {
+      val fileHdr = Array[Byte]('B', 'M') ++
+        Array.fill[Byte](8)(0) ++ Array[Byte](54, 0, 0, 0)
+      fileHdr ++ le32b(dibSize) ++ dib ++ Array.fill[Byte](16)(0)
+    }
+    def le32b(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16b(v: Int): Array[Byte] = Array[Byte](v.toByte, (v >> 8).toByte)
+    // BITMAPCOREHEADER (size 12): u16 width/height at 18/20, bitCount at 24
+    val core = bmpFile(12, le16b(123) ++ le16b(45) ++ le16b(1) ++ le16b(24))
+    assert(graft.operators.ImageProbe.probe(core) === Some(("bmp", 123, 45, 24)),
+      "BITMAPCOREHEADER must parse via the 16-bit layout")
+    // the same pixel dims written at INFO offsets under a core-header
+    // size field would previously misread width as 45<<16|123 garbage
+    // BITMAPINFOHEADER (size 40): i32 width/height at 18/22, bitCount at 28
+    val info = bmpFile(40,
+      le32b(123) ++ le32b(-45) ++ le16b(1) ++ le16b(24) ++ le32b(0))
+    assert(graft.operators.ImageProbe.probe(info) === Some(("bmp", 123, 45, 24)),
+      "BITMAPINFOHEADER with top-down (negative) height must parse")
+    // unknown DIB size (16 = truncated OS/2 2.x): degrade to None, not garbage
+    val weird = bmpFile(16, le32b(123) ++ le32b(45) ++ le16b(1) ++ le16b(24))
+    assert(graft.operators.ImageProbe.probe(weird) === None,
+      "unknown DIB header size must return None")
+  }
+
   test("imageNearDupPairs: perceptual near-dups found, byte-dup machinery blind to them") {
     import spark.implicits._
     import java.awt.image.BufferedImage

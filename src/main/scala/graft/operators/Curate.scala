@@ -45,25 +45,49 @@ object Curate {
     * with the frames swapped.
     */
   def decontaminate(train: DataFrame, evalSet: DataFrame, content: Column,
-                    id: Column, n: Int = 8, minHits: Int = 1): DataFrame = {
-    require(n >= 1 && minHits >= 1, "n and minHits must be >= 1")
+                    id: Column, n: Int = 8, minHits: Int = 1): DataFrame =
+    decontaminateAgainst(train, evalGramPairs(evalSet, content, id, n),
+      content, id, n, minHits)
+
+  /** The eval half of [[decontaminate]], exposed so long-lived callers
+    * (the streaming contamination monitor) can derive the distinct
+    * (fp, eval_id) pairs ONCE, persist them, and probe every arriving
+    * batch against the cached frame — re-deriving the static eval side
+    * per micro-batch re-tokenizes/shingles/hashes the whole eval set
+    * forever (the r12 ADVICE finding).
+    */
+  def evalGramPairs(evalSet: DataFrame, content: Column, id: Column,
+                    n: Int = 8): DataFrame =
+    gramFps(evalSet, content, id, n)
+      .select(col("fp"), col("doc_id").as("eval_id")).distinct()
+
+  private def gramFps(df: DataFrame, content: Column, id: Column,
+                      n: Int): DataFrame = {
     import org.apache.spark.sql.classic.GraftColumnBridge._
-    graft.expressions.GraftFunctions.ensureRegistered(train.sparkSession)
-    def grams(df: DataFrame): DataFrame = df
-      .select(id.as("doc_id"), split(content, "\\s+").as("toks"))
+    graft.expressions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
       .select(col("doc_id"),
         column(graft.expressions.Shingles(
           expression(col("toks")), expression(lit(n)))).as("sh"))
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .select(col("doc_id"), md5(col("g").cast(BinaryType)).as("fp"))
-    val evPairs = grams(evalSet)
-      .select(col("fp"), col("doc_id").as("eval_id")).distinct()
+  }
+
+  /** Probe half of [[decontaminate]]: screen `train` against
+    * already-derived (fp, eval_id) pairs ([[evalGramPairs]] output or
+    * a persisted copy of it — the arithmetic is identical either way).
+    */
+  def decontaminateAgainst(train: DataFrame, evPairs: DataFrame,
+                           content: Column, id: Column, n: Int = 8,
+                           minHits: Int = 1): DataFrame = {
+    require(n >= 1 && minHits >= 1, "n and minHits must be >= 1")
     // ONE pass over the training text: left-join the gram stream to
     // the broadcast eval pairs, then all three stats in one aggregate
     // (the count-distincts share one Expand) — the two-aggregate
     // formulation scanned and shingled the train corpus twice
     // (EXPLAIN_r12)
-    val stats = grams(train).join(broadcast(evPairs), Seq("fp"), "left")
+    val stats = gramFps(train, content, id, n)
+      .join(broadcast(evPairs), Seq("fp"), "left")
       .groupBy("doc_id")
       .agg(countDistinct(col("fp")).as("n_grams"),
         countDistinct(when(col("eval_id").isNotNull, col("fp"))).as("n_hit"),

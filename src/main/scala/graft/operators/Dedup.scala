@@ -1501,15 +1501,18 @@ object Dedup {
     * buckets above `maxAnchorOccurrences` are split into sub-buckets
     * by a deterministic hash of the doc id and pairs are generated
     * only within a sub-bucket — linear in the hot bucket's size, at
-    * the documented cost of losing matches that straddle sub-buckets.
-    * Note the loss is of whole MATCHES, not just of extra witness
-    * rows: if a match's LEFTMOST anchor pair lands in different
-    * sub-buckets, a later anchor the pair does share is then rejected
-    * by the head check (which tests token equality, not whether the
-    * leftmost candidate survived), so no row is emitted for that
-    * match at all. Exactness under the cap requires the cross-side
-    * fan-out treatment ([[incrementalMaximalMatches]]); here the cap
-    * is a same-frame self-join backstop. The default cap
+    * the documented cost of losing matches whose candidates all fall
+    * across sub-buckets. Under the diagonal-run verify (round 13) a
+    * match is emitted iff SOME surviving candidate's diagonal span
+    * covers its start — a strict superset of what the old
+    * per-candidate head check kept (which needed the LEFTMOST
+    * alignment specifically to survive), still never a truncated or
+    * inexact row: the kernel is token-maximal, and its span-start
+    * left check reproduces the drop (not truncate) semantics when a
+    * match extends left of every surviving candidate. Exactness under
+    * the cap requires the cross-side fan-out treatment
+    * ([[incrementalMaximalMatches]]); here the cap is a same-frame
+    * self-join backstop. The default cap
     * (2²⁰) is far above any fixture bucket (sf0.1 max occurrence: 3),
     * so the graded q181 output is the exact uncapped semantics.
     *
@@ -1524,30 +1527,77 @@ object Dedup {
     require(maxAnchorOccurrences >= 1,
       s"maxAnchorOccurrences ($maxAnchorOccurrences) must be >= 1")
     val toks = splitToksMin(docs, content, id, minLen)
-    val anchors = anchorGrams(toks, minLen)
-    val sizes = anchors.groupBy("gh").agg(count(lit(1)).as("__asz"))
-    val sub = anchors.join(sizes, "gh")
-      .withColumn("__sub", pmod(xxhash64(col("doc_id")),
-        call_function("div",
-          col("__asz") + lit(maxAnchorOccurrences.toLong - 1),
-          lit(maxAnchorOccurrences.toLong))))
-      .select(col("gh"), col("doc_id"), col("pos"), col("__sub"))
+    // ONE anchor shuffle for the whole operator (round 13 — the q191
+    // exchange-reuse lesson): the hot-list aggregate and both self-join
+    // sides all read the same repartition(gh) exchange (HashPartitioning
+    // on gh satisfies the aggregate's distribution AND the (gh, __sub)
+    // join's — __sub is a function of the row), and the per-gh
+    // occurrence count attaches via a broadcast of ONLY the over-cap
+    // ghs (the matchIndexFromOccurrences shape) instead of the former
+    // anchors⋈sizes join of two anchor-sized frames — which re-derived
+    // the anchor stream and paid a data-sized sort-merge join just to
+    // hand every row an occurrence count that is 1-bucket for all but
+    // the hot tail. sf1: the candidate stage dropped 13.2 → ~7 s.
+    val anchors = anchorGrams(toks, minLen).repartition(col("gh"))
+    val hot = anchors.groupBy("gh").agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") > maxAnchorOccurrences)
+      .select(col("gh"), call_function("div",
+        col("__occ") + lit(maxAnchorOccurrences.toLong - 1),
+        lit(maxAnchorOccurrences.toLong)).as("nsub"))
+    val sub = anchors.join(broadcast(hot), Seq("gh"), "left")
+      .select(col("gh"), col("doc_id"), col("pos"),
+        pmod(xxhash64(col("doc_id")), coalesce(col("nsub"), lit(1L)))
+          .as("__sub"))
     val cand = sub.as("a")
       .join(sub.as("b"),
         col("a.gh") === col("b.gh") && col("a.__sub") === col("b.__sub")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("a.pos").as("pos_a"),
         col("b.doc_id").as("doc_b"), col("b.pos").as("pos_b"))
-    cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
-        "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
-        "doc_b")
-      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
-        column(graft.expressions.SpanMatchLen(expression(col("ta")),
-          expression(col("pos_a")), expression(col("tb")),
-          expression(col("pos_b")), minLen)).as("match_len"))
-      .filter(col("match_len") >= minLen)
+    verifyDiagonalRuns(cand, "doc_a", "pos_a", "doc_b", "pos_b",
+      toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
+      toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
+      minLen)
+  }
+
+  /** Shared verify stage of the maximal-match family (round 13): a
+    * maximal match of length m spawns its m−minLen+1 aligned anchor
+    * candidates at CONSECUTIVE positions on one (docA, docB,
+    * posA−posB) diagonal, so the per-candidate verify — which
+    * attached BOTH full token arrays to every candidate row and paid
+    * a [[graft.expressions.SpanMatchLen]] call each, with only the
+    * leftmost surviving the head check — did ~m−minLen+1× the work
+    * per match (sf1 measured: 86,630 candidates for 2,210 emitted
+    * matches, and the array-attach join fan-out dominated the 13 s
+    * runtime). Candidates now group per diagonal (one aggregate over
+    * 4-long candidate rows), the token arrays join once per
+    * DIAGONAL, and [[graft.expressions.SpanMatchRunsKernel]] scans
+    * the grouped span once, emitting every maximal match in it —
+    * exact under hash collisions and under the hot-anchor cap for
+    * the reasons documented on the kernel. Output columns and
+    * semantics are identical to the per-candidate form (q181/q188/
+    * q192/q201 oracle hashes unchanged).
+    */
+  private def verifyDiagonalRuns(cand: DataFrame, docA: String, posA: String,
+                                 docB: String, posB: String,
+                                 toksA: DataFrame, toksB: DataFrame,
+                                 minLen: Int): DataFrame = {
+    import org.apache.spark.sql.classic.GraftColumnBridge._
+    val runs = cand
+      .groupBy(col(docA), col(docB), (col(posA) - col(posB)).as("__diag"))
+      .agg(min(posA).as("__lo_a"), min(posB).as("__lo_b"),
+        (max(posA) - min(posA) + lit(minLen)).as("__span"))
+    runs
+      .join(toksA, docA)
+      .join(toksB, docB)
+      .select(col(docA), col(docB), col("__lo_a"), col("__lo_b"),
+        explode(column(graft.expressions.SpanMatchRuns(
+          expression(col("ta")), expression(col("__lo_a")),
+          expression(col("tb")), expression(col("__lo_b")),
+          expression(col("__span")), minLen))).as("__m"))
+      .select(col(docA), col("__m.pos_a").as(posA), col(docB),
+        (col("__m.pos_a") - col("__lo_a") + col("__lo_b")).as(posB),
+        col("__m.match_len").as("match_len"))
   }
 
   /** Oracle for [[maximalMatchPairs]]: anchors join on the RAW gram
@@ -1723,16 +1773,18 @@ object Dedup {
         col("pos").as("pos_b"),
         explode(sequence(lit(0L), coalesce(col("nsub"), lit(1L)) - 1))
           .as("sub"))
-    probe.join(anchors, Seq("gh", "sub"))
-      .join(toksB.select(col("doc_id").as("batch_id"),
-        col("toks").as("tb")), "batch_id")
-      .join(toksCorpus, "corpus_id")
-      .select(col("batch_id"), col("pos_b"), col("corpus_id"),
-        col("pos_c"),
-        column(graft.expressions.SpanMatchLen(expression(col("tb")),
-          expression(col("pos_b")), expression(col("tc")),
-          expression(col("pos_c")), minLen)).as("match_len"))
-      .filter(col("match_len") >= minLen)
+    // diagonal-run verify (round 13, see [[verifyDiagonalRuns]]):
+    // cross-side candidates are exact by construction (hot batch
+    // anchors fan out to every sub-bucket), so the runs grouping is a
+    // pure cost transformation here — token arrays attach per
+    // diagonal instead of per candidate, and the corpus-side bucketed
+    // joins see a smaller probe frame
+    val cand = probe.join(anchors, Seq("gh", "sub"))
+      .select(col("batch_id"), col("pos_b"), col("corpus_id"), col("pos_c"))
+    verifyDiagonalRuns(cand, "batch_id", "pos_b", "corpus_id", "pos_c",
+      toksB.select(col("doc_id").as("batch_id"), col("toks").as("ta")),
+      toksCorpus.select(col("corpus_id"), col("tc").as("tb")),
+      minLen)
   }
 
   def incrementalMaximalMatches(corpus: DataFrame, batch: DataFrame,

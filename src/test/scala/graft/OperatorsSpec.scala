@@ -1521,6 +1521,94 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("span_match_runs kernel ≡ token-space reference ≡ per-candidate span_match_len (scalacheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+    def samples[A](g: Gen[A], n: Int = 150): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    // per-candidate reference: SpanMatchLenKernel's documented contract
+    def refLen(a: IndexedSeq[String], pa: Int, b: IndexedSeq[String],
+               pb: Int, n: Int): Long = {
+      if (n < 1 || pa < 1 || pb < 1 || pa - 1 + n > a.length ||
+        pb - 1 + n > b.length) -1L
+      else if ((0 until n).exists(j => a(pa - 1 + j) != b(pb - 1 + j))) -1L
+      else if (pa > 1 && pb > 1 && a(pa - 2) == b(pb - 2)) -1L
+      else {
+        var e = 0
+        while (pa - 1 + n + e < a.length && pb - 1 + n + e < b.length &&
+          a(pa - 1 + n + e) == b(pb - 1 + n + e)) e += 1
+        (n + e).toLong
+      }
+    }
+    // independent token-space reference of the RUNS kernel contract:
+    // maximal equal runs >= n starting in the span, left-maximality
+    // explicit at the span start, extension to the true mismatch
+    def refRuns(a: IndexedSeq[String], loA: Int, b: IndexedSeq[String],
+                loB: Int, span: Int, n: Int): Seq[(Int, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      if (n >= 1 && loA >= 1 && loB >= 1) {
+        var k = 0
+        while (k < span && loA - 1 + k < a.length && loB - 1 + k < b.length) {
+          if (a(loA - 1 + k) == b(loB - 1 + k)) {
+            var e = 1
+            while (loA - 1 + k + e < a.length && loB - 1 + k + e < b.length &&
+              a(loA - 1 + k + e) == b(loB - 1 + k + e)) e += 1
+            val leftMax = k > 0 || loA < 2 || loB < 2 ||
+              a(loA - 2) != b(loB - 2)
+            if (e >= n && leftMax) out += ((loA + k, e.toLong))
+            k += e + 1
+          } else k += 1
+        }
+      }
+      out.toSeq
+    }
+    def arr(s: IndexedSeq[String]): ArrayData =
+      new GenericArrayData(s.map(UTF8String.fromString).toArray[Any])
+    def kernel(a: IndexedSeq[String], loA: Int, b: IndexedSeq[String],
+               loB: Int, span: Int, n: Int): Seq[(Int, Long)] = {
+      val r = graft.expressions.SpanMatchRunsKernel
+        .compute(arr(a), loA, arr(b), loB, span, n)
+      (0 until r.numElements()).map { i =>
+        val row = r.getStruct(i, 2)
+        (row.getInt(0), row.getLong(1))
+      }
+    }
+    val caseGen = for {
+      a <- Gen.listOfN(14, Gen.oneOf("x", "y"))
+      b <- Gen.listOfN(14, Gen.oneOf("x", "y"))
+      n <- Gen.choose(2, 4)
+      lo <- Gen.choose(1, 14) // arbitrary span starts: the capped case
+      span <- Gen.choose(0, 16)
+    } yield (a.toVector, b.toVector, n, lo, span)
+    samples(caseGen).foreach { case (a, b, n, lo, span) =>
+      // law 1: kernel == the independent reference at ARBITRARY spans
+      // (including spans that do not start at a true candidate — the
+      // hot-anchor-capped regime)
+      val loB = math.max(1, lo - 2) // an off-diagonal alignment too
+      assert(kernel(a, lo, b, loB, span, n) === refRuns(a, lo, b, loB, span, n),
+        s"kernel/reference divergence at a=$a b=$b n=$n lo=$lo span=$span")
+      // law 2 (the substitution argument): per diagonal, the kernel
+      // over the TRUE-candidate span == the per-candidate
+      // span_match_len formulation the operator used before r13
+      for (d <- -(b.length - n) to (a.length - n)) {
+        val cands = (math.max(1, 1 + d) to a.length - n + 1).filter { p =>
+          p - d >= 1 && p - d - 1 + n <= b.length &&
+            (0 until n).forall(j => a(p - 1 + j) == b(p - d - 1 + j))
+        }
+        if (cands.nonEmpty) {
+          val (cLo, cHi) = (cands.min, cands.max)
+          val expected = cands
+            .map(p => (p, refLen(a, p, b, p - d, n)))
+            .filter(_._2 >= n)
+          assert(kernel(a, cLo, b, cLo - d, cHi - cLo + n, n) === expected,
+            s"runs != per-candidate at a=$a b=$b n=$n diag=$d")
+        }
+      }
+    }
+  }
+
   test("maximalMatchPairs: one row per maximal match with its exact length") {
     import spark.implicits._
     val shared = (1 to 30).map(i => s"s$i").mkString(" ") // 30-token region

@@ -31,7 +31,7 @@ object Similarity {
 
   private val AsDouble = ArrayType(DoubleType)
 
-  private def dot(a: Column, b: Column): Column =
+  private[operators] def dot(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
 
   def cosine(a: Column, b: Column): Column =
@@ -739,28 +739,30 @@ object Similarity {
     cents
   }
 
-  /** Literal-centroid argmin as a pure expression fold — the MAP-ONLY
+  /** Literal-centroid argmin as a pure expression — the MAP-ONLY
     * encode kernel shared by [[pqTopK]] (raw subvectors), the coarse
     * cell assignment of [[ivfadcTopK]] (full vectors), and its
-    * residual encoding: `least` carries the running best squared-L2
-    * distance, one `when` the running argmin; strict `<` keeps the
-    * LOWEST cent_id on ties, exactly the oracles' ROW_NUMBER
-    * (d, cent_id) pick. Centroid self-dots are driver `Seq.sum` — the
-    * same left-to-right IEEE fold as the dot kernel, so values are
-    * bit-identical to the SQL replay. Expression size grows ~|cents|²
-    * (the when-chain re-references the shrinking least-chain); the
-    * normal PQ regime (≤ 256 centroids) stays inside codegen.
+    * residual encoding: the per-centroid squared-L2 distances form
+    * one literal-centroid array and the winner is
+    * `array_position(ds, array_min(ds))` — the FIRST minimum, i.e.
+    * the LOWEST cent_id on ties (cents arrive cent_id-sorted from the
+    * trainer), exactly the oracles' ROW_NUMBER (d, cent_id) pick.
+    * Centroid self-dots are driver `Seq.sum` — the same left-to-right
+    * IEEE fold as the dot kernel, so values are bit-identical to the
+    * SQL replay. Generated code is LINEAR in |cents|: the previous
+    * least/when fold re-referenced the shrinking least-chain
+    * (~|cents|² code) and blew janino's 64 KB method cap at
+    * m=4 × ksub=16 (IVFADC's q204 regime), dropping the whole encode
+    * projection to interpreted eval — the exact failure mode the
+    * map-only design exists to avoid.
     */
   private def argminLit(es: Column, cents: Seq[(Long, Seq[Double])]): Column = {
     val ee = dot(es, es)
-    val ds = cents.map { case (j, c) =>
-      (j, l2(ee, dot(es, array(c.map(lit): _*)),
-        lit(c.map(x => x * x).sum)))
-    }
-    ds.tail.foldLeft((ds.head._2, lit(ds.head._1))) {
-      case ((bd, bj), (j, dj)) =>
-        (least(bd, dj), when(dj < bd, lit(j)).otherwise(bj))
-    }._2
+    val ds = array(cents.map { case (_, c) =>
+      l2(ee, dot(es, array(c.map(lit): _*)), lit(c.map(x => x * x).sum))
+    }: _*)
+    element_at(array(cents.map(c => lit(c._1)): _*),
+      array_position(ds, array_min(ds)).cast("int"))
   }
 
   /** Product-quantization ANN (IVFADC's compression half) — THE 100 TB
@@ -1039,41 +1041,120 @@ object Similarity {
     require(nCells >= 1 && nprobe >= 1 && nprobe <= nCells,
       s"need 1 <= nprobe ($nprobe) <= nCells ($nCells)")
     require(ksub >= 1 && iters >= 0 && k >= 1 && nQueries >= 1, "bad args")
-    val spark = emb.sparkSession
-    import spark.implicits._
     val searchFrom = nCells + nQueries
-    val subLen = dim / m
     val base = withNorm(emb).select(col("vec_id"), col("e"))
+    val (coarseDf, booksDf, codes) =
+      ivfadcEncode(base, nCells, m, ksub, searchFrom, iters, dim)
+    val q = base.filter(col("vec_id") >= nCells && col("vec_id") < searchFrom)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    ivfadcSearch(q, coarseDf, booksDf, codes, m, dim / m, k, nprobe)
+  }
+
+  /** Train-and-encode half of [[ivfadcTopK]], split out (round 13) so
+    * [[StandingIndex.buildAnnIndex]] can persist its outputs: trains
+    * the coarse codebook (seeds = vec_id < nCells, train = vec_id ≥
+    * `corpusFrom`) and the residual PQ books, then encodes the corpus
+    * map-only. Returns (coarseDf(cell, ce, cc), booksDf(s, code, bce,
+    * bcc), codes(vec_id, cell, code_0..code_{m−1})).
+    */
+  private[operators] def ivfadcEncode(base: DataFrame, nCells: Int, m: Int,
+                                      ksub: Int, corpusFrom: Long,
+                                      iters: Int, dim: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val subLen = dim / m
     // coarse codebook: ONE full-dim "subspace" through the shared
     // trainer (seeds < nCells, train = corpus)
     val fullSubs = base.select(col("vec_id"), lit(0).as("s"), col("e"))
       .withColumn("ee", dot(col("e"), col("e")))
     val coarse: Seq[(Long, Seq[Double])] =
-      lloydTrainL2All(spark, fullSubs, 1, nCells, searchFrom, iters).head
+      lloydTrainL2All(spark, fullSubs, 1, nCells, corpusFrom.toInt, iters).head
     val coarseDf = coarse.toDF("cell", "ce")
       .withColumn("cc", dot(col("ce"), col("ce")))
-    // map-only cell assignment + residuals (broadcast of nCells rows)
-    val resid = base.filter(col("vec_id") >= searchFrom)
-      .withColumn("cell", argminLit(col("e"), coarse))
-      .join(broadcast(coarseDf.select("cell", "ce")), Seq("cell"))
-      .select(col("vec_id"), col("cell"),
-        zip_with(col("e"), col("ce"), (x, y) => x - y).as("r"))
     // residual PQ codebooks: seeds = first ksub corpus vectors'
     // residual subvectors (cent ids = their vec_ids), train = all
+    val resid = ivfadcResiduals(base.filter(col("vec_id") >= corpusFrom),
+      coarse, coarseDf)
     val rsubs = resid.select(col("vec_id"),
         posexplode(array((0 until m).map(s =>
           slice(col("r"), s * subLen + 1, subLen)): _*)).as(Seq("s", "e")))
       .withColumn("ee", dot(col("e"), col("e")))
     val books: Seq[Seq[(Long, Seq[Double])]] =
-      lloydTrainL2All(spark, rsubs, m, searchFrom + ksub, searchFrom, iters)
-    // map-only residual encoding
-    val codes = resid.select(col("vec_id") +: col("cell") +:
+      lloydTrainL2All(spark, rsubs, m, corpusFrom.toInt + ksub, corpusFrom.toInt, iters)
+    val booksDf = (0 until m)
+      .flatMap(s => books(s).map { case (j, c) => (s, j, c) })
+      .toDF("s", "code", "bce")
+      .withColumn("bcc", dot(col("bce"), col("bce")))
+    (coarseDf, booksDf, ivfadcEncodeWith(resid, books, m, subLen))
+  }
+
+  /** Map-only cell assignment + residuals over already-trained coarse
+    * centroids (one broadcast join against the nCells-row coarse
+    * table — no corpus shuffle).
+    */
+  private def ivfadcResiduals(vecs: DataFrame,
+                              coarse: Seq[(Long, Seq[Double])],
+                              coarseDf: DataFrame): DataFrame =
+    vecs
+      .withColumn("cell", argminLit(col("e"), coarse))
+      .join(broadcast(coarseDf.select("cell", "ce")), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("e"), col("ce"), (x, y) => x - y).as("r"))
+
+  /** Map-only residual encoding with FROZEN codebooks — the encode
+    * kernel of [[ivfadcEncode]] and of the standing index's
+    * incremental append ([[StandingIndex.appendAnnIndex]]: new
+    * vectors encode against the live version's trained quantizers,
+    * the standard production way an IVF index grows).
+    */
+  private[operators] def ivfadcEncodeWith(resid: DataFrame,
+                                          books: Seq[Seq[(Long, Seq[Double])]],
+                                          m: Int, subLen: Int): DataFrame =
+    resid.select(col("vec_id") +: col("cell") +:
       (0 until m).map(s =>
         argminLit(slice(col("r"), s * subLen + 1, subLen), books(s))
           .as(s"code_$s")): _*)
+
+  /** Frozen-quantizer delta encode for [[StandingIndex.appendAnnIndex]]:
+    * assigns cells and PQ codes to NEW vectors against already-trained
+    * (persisted) centroids, map-only end to end. `coarse`/`books` are
+    * the collected member rows (nCells and m·ksub entries — bounded).
+    */
+  private[operators] def ivfadcEncodeDelta(emb: DataFrame,
+                                           coarse: Seq[(Long, Seq[Double])],
+                                           books: Seq[Seq[(Long, Seq[Double])]],
+                                           m: Int, dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val coarseDf = coarse.toDF("cell", "ce")
+    val base = withNorm(emb).select(col("vec_id"), col("e"))
+    ivfadcEncodeWith(ivfadcResiduals(base, coarse, coarseDf), books, m,
+      dim / m)
+  }
+
+  /** (query_id, qe) query frame for [[ivfadcSearch]] from a raw
+    * embedding frame — the same double-cast normalization every other
+    * path rides, so a standing-index probe is float-identical to the
+    * inline operator.
+    */
+  private[operators] def ivfadcQueryFrame(emb: DataFrame): DataFrame =
+    withNorm(emb).select(col("vec_id").as("query_id"), col("e").as("qe"))
+
+  /** Search half of [[ivfadcTopK]] (and of
+    * [[StandingIndex.probeAnn]], where `coarseDf`/`booksDf`/`codes`
+    * come from the persisted member tables): probe ranking,
+    * per-(query, cell) asymmetric LUTs over the residual query, and
+    * the LUT joins that scan ONLY probed cells' codes. Every join is
+    * broadcast (LUTs are nQueries·nprobe·ksub rows per subspace), so
+    * the code-table side never shuffles — at probe time the corpus
+    * cost is one pruned scan of the codes.
+    */
+  private[operators] def ivfadcSearch(q: DataFrame, coarseDf: DataFrame,
+                                      booksDf: DataFrame, codes: DataFrame,
+                                      m: Int, subLen: Int, k: Int,
+                                      nprobe: Int): DataFrame = {
     // probed cells: nprobe nearest coarse centroids per query
-    val q = base.filter(col("vec_id") >= nCells && col("vec_id") < searchFrom)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"))
     val wp = Window.partitionBy("query_id")
       .orderBy(col("pd").asc, col("cell"))
     val probed = q.crossJoin(broadcast(coarseDf))
@@ -1084,10 +1165,6 @@ object Similarity {
       .select(col("query_id"), col("cell"),
         zip_with(col("qe"), col("ce"), (x, y) => x - y).as("rq"))
     // per-(query, cell) asymmetric LUTs over the residual query
-    val booksDf = (0 until m)
-      .flatMap(s => books(s).map { case (j, c) => (s, j, c) })
-      .toDF("s", "code", "bce")
-      .withColumn("bcc", dot(col("bce"), col("bce")))
     val lut = probed.select(col("query_id"), col("cell"),
         posexplode(array((0 until m).map(s =>
           slice(col("rq"), s * subLen + 1, subLen)): _*)).as(Seq("s", "rqs")))
@@ -1119,11 +1196,21 @@ object Similarity {
     * assignment, the residuals, the per-subspace residual Lloyd +
     * encoding, the probe ranking, the per-(query, cell) LUTs, and the
     * fixed-order distance sum as chained CTEs.
+    *
+    * `trainTo` (default unbounded) restricts BOTH Lloyd trainings to
+    * corpus vectors with vec_id < trainTo while the assignment/encode
+    * CTEs still cover the whole corpus — the frozen-quantizer append
+    * semantics of [[StandingIndex.appendAnnIndex]] (vectors arriving
+    * after the build are encoded with the live version's quantizers,
+    * never retrained).
     */
   def ivfadcTopKOracle(nCells: Int = 16, m: Int = 4, ksub: Int = 16,
                        nQueries: Int = 8, k: Int = 5, nprobe: Int = 4,
-                       iters: Int = 2, dim: Int = 64): String = {
+                       iters: Int = 2, dim: Int = 64,
+                       trainTo: Long = Long.MaxValue): String = {
     val searchFrom = nCells + nQueries
+    require(trainTo > searchFrom + ksub,
+      s"trainTo ($trainTo) must cover the $ksub residual seeds")
     val subLen = dim / m
     def assign(from: String, cent: String): String =
       s"""SELECT vec_id, e, cell FROM (
@@ -1156,10 +1243,12 @@ object Similarity {
       val lo = s * subLen
       s"""p${s}sub AS MATERIALIZED (
          |  SELECT vec_id, r[${lo + 1}:${lo + subLen}] AS e FROM resid),
+         |p${s}train AS MATERIALIZED (
+         |  SELECT vec_id, e FROM p${s}sub WHERE vec_id < $trainTo),
          |p${s}cent0 AS MATERIALIZED (
          |  SELECT vec_id AS cent_id, e AS ce FROM p${s}sub
          |  WHERE vec_id < ${searchFrom + ksub}),
-         |${rounds(s"p$s", s"p${s}sub")},
+         |${rounds(s"p$s", s"p${s}train")},
          |p${s}code AS MATERIALIZED (
          |  SELECT vec_id, cell AS code FROM (
          |  ${assign(s"p${s}sub", s"p${s}cent$iters")})),
@@ -1183,9 +1272,11 @@ object Similarity {
        |  FROM embeddings),
        |ccorpus AS MATERIALIZED (
        |  SELECT vec_id, e FROM de WHERE vec_id >= $searchFrom),
+       |ctrain AS MATERIALIZED (
+       |  SELECT vec_id, e FROM ccorpus WHERE vec_id < $trainTo),
        |ccent0 AS MATERIALIZED (
        |  SELECT vec_id AS cent_id, e AS ce FROM de WHERE vec_id < $nCells),
-       |${rounds("c", "ccorpus")},
+       |${rounds("c", "ctrain")},
        |cassign AS MATERIALIZED (
        |  ${assign("ccorpus", s"ccent$iters")}),
        |resid AS MATERIALIZED (

@@ -375,4 +375,103 @@ object StandingIndex {
         m.getAs[Int]("n"), m.getAs[Int]("k"), m.getAs[Int]("bands")),
       batch, content, id, threshold)
   }
+
+  // ----------------------------------------------------- ANN (IVFADC)
+
+  /** Build/refresh the standing IVFADC retrieval index
+    * ([[Similarity.ivfadcTopK]]'s train+encode half, persisted): the
+    * coarse centroids (nCells rows), the residual PQ codebooks
+    * (m·ksub rows), and the encoded corpus — one (cell, code_0..m−1)
+    * row per vector, bucketed on `cell` so future cell-pruned scans
+    * read only probed buckets. At 100 TB the two Lloyd trainings and
+    * the corpus encode pass ARE the ANN cost; a standing index pays
+    * them once per corpus publish, and every probe is then
+    * batch-bounded: rank cells against the tiny persisted coarse
+    * table, build LUTs against the tiny persisted books, broadcast
+    * both into one scan of the codes member ([[probeAnn]]).
+    *
+    * `emb` carries the coarse seeds (vec_id < nCells) and the corpus
+    * (vec_id ≥ corpusFrom) — [[Similarity.ivfadcTopK]]'s layout, so a
+    * probe over the same split is row-identical to the inline
+    * operator (q206's gate).
+    */
+  def buildAnnIndex(spark: SparkSession, emb: DataFrame, nCells: Int = 16,
+                    m: Int = 4, ksub: Int = 16, corpusFrom: Long = 24,
+                    iters: Int = 2, dim: Int = 64, nBuckets: Int = 16,
+                    db: String = "graft_idx",
+                    name: String = "ann_idx"): Int = {
+    require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val base = Similarity.ivfadcQueryFrame(emb)
+      .select(col("query_id").as("vec_id"), col("qe").as("e"))
+    val (coarseDf, booksDf, codes) =
+      Similarity.ivfadcEncode(base, nCells, m, ksub, corpusFrom, iters, dim)
+    commit(spark, db, name, "ann", Seq(
+      Member("codes", codes, Seq("cell"), nBuckets,
+        sortKeys = Seq("cell", "vec_id")),
+      // centroid self-dots (cc/bcc) are derived at probe time by the
+      // same dot kernel — persisting floats twice buys nothing
+      Member("coarse", coarseDf.select("cell", "ce")),
+      Member("books", booksDf.select("s", "code", "bce"))),
+      Seq(s"$nCells AS n_cells", s"$m AS m", s"$ksub AS ksub",
+        s"$iters AS iters", s"$dim AS dim", s"$nBuckets AS n_buckets"))
+  }
+
+  /** Incremental publish of the live ANN index — the FROZEN-QUANTIZER
+    * append every production IVF system uses: new vectors are
+    * assigned cells and PQ codes against the live version's trained
+    * centroids (map-only, [[Similarity.ivfadcEncodeDelta]]), and only
+    * the codes member rewrites; the quantizers are never retrained,
+    * so the committed coarse/books members carry over verbatim.
+    * Unlike the dedup appends this is NOT bit-identical to a full
+    * rebuild (a rebuild would retrain on base ∪ delta) — it is the
+    * documented approximation production trades for O(delta) publish
+    * cost, and q207 gates it against an oracle that replays exactly
+    * these semantics (train on the base slice, encode everything).
+    */
+  def appendAnnIndex(spark: SparkSession, delta: DataFrame,
+                     db: String = "graft_idx",
+                     name: String = "ann_idx"): Int = {
+    val m = manifestOrThrow(spark, db, name, "ann")
+    val (nCells, pqM, ksub, iters, dim, nBuckets) =
+      (m.getAs[Int]("n_cells"), m.getAs[Int]("m"), m.getAs[Int]("ksub"),
+        m.getAs[Int]("iters"), m.getAs[Int]("dim"), m.getAs[Int]("n_buckets"))
+    val oldCodes = member(spark, db, name, m, "codes")
+    requireNewIds(oldCodes.select(col("cell"), col("vec_id")),
+      delta.select(col("vec_id")).distinct(), "vec_id", s"$db.$name")
+    val coarse = member(spark, db, name, m, "coarse").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val booksRows = member(spark, db, name, m, "books").collect()
+    val books = (0 until pqM).map(s => booksRows.filter(_.getInt(0) == s)
+      .map(r => (r.getLong(1), r.getSeq[Double](2))).sortBy(_._1).toSeq)
+    val deltaCodes =
+      Similarity.ivfadcEncodeDelta(delta, coarse, books, pqM, dim)
+    commit(spark, db, name, "ann", Seq(
+      Member("codes", oldCodes.unionByName(deltaCodes), Seq("cell"),
+        nBuckets, sortKeys = Seq("cell", "vec_id")),
+      Member("coarse", member(spark, db, name, m, "coarse")),
+      Member("books", member(spark, db, name, m, "books"))),
+      Seq(s"$nCells AS n_cells", s"$pqM AS m", s"$ksub AS ksub",
+        s"$iters AS iters", s"$dim AS dim", s"$nBuckets AS n_buckets"))
+  }
+
+  /** Probe queries against the live ANN index —
+    * [[Similarity.ivfadcTopK]]'s exact output over the indexed
+    * corpus: (query_id, neighbor_id, dist, rnk ≤ k). No training, no
+    * corpus encode, no corpus-side shuffle at probe time: the coarse
+    * and book tables broadcast into the LUT build, the LUTs broadcast
+    * into one scan of the bucketed codes member.
+    */
+  def probeAnn(spark: SparkSession, queries: DataFrame, k: Int = 5,
+               nprobe: Int = 4, db: String = "graft_idx",
+               name: String = "ann_idx"): DataFrame = {
+    val m = manifestOrThrow(spark, db, name, "ann")
+    val (pqM, dim) = (m.getAs[Int]("m"), m.getAs[Int]("dim"))
+    val coarseDf = member(spark, db, name, m, "coarse")
+      .withColumn("cc", Similarity.dot(col("ce"), col("ce")))
+    val booksDf = member(spark, db, name, m, "books")
+      .withColumn("bcc", Similarity.dot(col("bce"), col("bce")))
+    Similarity.ivfadcSearch(Similarity.ivfadcQueryFrame(queries), coarseDf,
+      booksDf, member(spark, db, name, m, "codes"), pqM, dim / pqM, k,
+      nprobe)
+  }
 }

@@ -3443,6 +3443,66 @@ object Extensions {
       Similarity.bruteForceTopKL2Oracle(nQueries = 8, k = 5,
         queryFrom = 16))))
 
+  // ---- standing ANN index (q206/q207): the persisted IVFADC corpus
+  // side — trained quantizers + encoded codes; probes are
+  // batch-bounded (the q192-q194 economics applied to retrieval).
+  private val annIdxBuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private def standingAnnIndexes(s: SparkSession, d: String): Unit =
+    if (annIdxBuiltFor.get != d || !s.catalog.tableExists("graft_idx.emb_ann")) {
+      val emb = Tables.embeddings(s, d)
+      // q204's exact layout: seeds < 16, queries 16..23, corpus >= 24
+      StandingIndex.buildAnnIndex(s, emb, nCells = 16, m = 4, ksub = 16,
+        corpusFrom = 24, iters = 4, nBuckets = 8, name = "emb_ann")
+      // the incremental twin: quantizers trained on vec_id < 300 only,
+      // the rest of the corpus frozen-encoded by the append publish
+      StandingIndex.buildAnnIndex(s, emb.filter(col("vec_id") < 300),
+        nCells = 16, m = 4, ksub = 16, corpusFrom = 24, iters = 4,
+        nBuckets = 8, name = "emb_ann_inc")
+      StandingIndex.appendAnnIndex(s, emb.filter(col("vec_id") >= 300),
+        name = "emb_ann_inc")
+      annIdxBuiltFor.set(d)
+    }
+
+  /** q204 through the STANDING ANN index: same oracle, same output,
+    * but training and corpus encoding happened at build time — the
+    * probe ranks cells against the persisted coarse table, builds
+    * LUTs against the persisted books, and scans only probed cells'
+    * codes. The retrieval twin of the q192-q194 probe economics.
+    */
+  private val q206 = Q("q206_index_probe_ann",
+    (s, d) => {
+      standingAnnIndexes(s, d)
+      StandingIndex.probeAnn(s,
+        Tables.embeddings(s, d)
+          .filter(col("vec_id") >= 16 && col("vec_id") < 24),
+        k = 5, nprobe = 2, name = "emb_ann")
+        .orderBy("query_id", "rnk")
+    },
+    Some(Similarity.ivfadcTopKOracle(nCells = 16, m = 4, ksub = 16,
+      nQueries = 8, k = 5, nprobe = 2, iters = 4)))
+
+  /** Frozen-quantizer incremental publish, probed: quantizers trained
+    * on the base slice (vec_id < 300), the rest of the corpus encoded
+    * by [[graft.operators.StandingIndex.appendAnnIndex]] against the
+    * live centroids — the oracle replays exactly these semantics
+    * (train CTEs restricted to the base slice, encode CTEs over the
+    * full corpus), so the gate proves the append path's arithmetic,
+    * not a rebuild approximation of it.
+    */
+  private val q207 = Q("q207_ann_append_probe",
+    (s, d) => {
+      standingAnnIndexes(s, d)
+      StandingIndex.probeAnn(s,
+        Tables.embeddings(s, d)
+          .filter(col("vec_id") >= 16 && col("vec_id") < 24),
+        k = 5, nprobe = 2, name = "emb_ann_inc")
+        .orderBy("query_id", "rnk")
+    },
+    Some(Similarity.ivfadcTopKOracle(nCells = 16, m = 4, ksub = 16,
+      nQueries = 8, k = 5, nprobe = 2, iters = 4, trainTo = 300)))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3460,5 +3520,5 @@ object Extensions {
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-    q201, q202, q203, q204, q205)
+    q201, q202, q203, q204, q205, q206, q207)
 }

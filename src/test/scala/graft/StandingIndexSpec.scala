@@ -239,4 +239,95 @@ class StandingIndexSpec extends SparkSpec {
       rows(StandingIndex.probeMatches(spark, batch, col("text"),
         col("doc_id"), db = db, name = "m_nocap")))
   }
+
+  // ------------------------------------------------------ ANN (IVFADC)
+
+  private def emb = Tables.embeddings(spark, dir)
+  private def annQueries =
+    emb.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+
+  test("probeAnn ≡ inline ivfadcTopK (training and encode persisted)") {
+    StandingIndex.buildAnnIndex(spark, emb, nCells = 16, m = 4, ksub = 16,
+      corpusFrom = 24, iters = 2, nBuckets = 4, db = db, name = "a_eq")
+    val probe = StandingIndex.probeAnn(spark, annQueries, k = 5,
+      nprobe = 3, db = db, name = "a_eq")
+    val direct = graft.operators.Similarity.ivfadcTopK(emb, nCells = 16,
+      m = 4, ksub = 16, nQueries = 8, k = 5, nprobe = 3, iters = 2)
+    assert(rows(probe) === rows(direct))
+    assert(probe.count() === 8L * 5)
+  }
+
+  test("appendAnnIndex: frozen quantizers, delta-only encode, loud id gate") {
+    val baseSlice = emb.filter(col("vec_id") < 300)
+    val deltaSlice = emb.filter(col("vec_id") >= 300)
+    StandingIndex.buildAnnIndex(spark, baseSlice, nCells = 16, m = 4,
+      ksub = 16, corpusFrom = 24, iters = 2, nBuckets = 4, db = db,
+      name = "a_app")
+    val v0 = StandingIndex.manifest(spark, db, "a_app").get.getAs[Int]("version")
+    StandingIndex.appendAnnIndex(spark, deltaSlice, db = db, name = "a_app")
+    val v1 = StandingIndex.manifest(spark, db, "a_app").get.getAs[Int]("version")
+    assert(v1 === v0 + 1)
+    // frozen-quantizer contract: centroid members carry over verbatim
+    for (suffix <- Seq("coarse", "books"))
+      assert(rows(spark.table(s"$db.a_app__v${v1}__$suffix")) ===
+        rows(spark.table(s"$db.a_app__v${v0}__$suffix")),
+        s"append must not retrain $suffix")
+    // codes member = old codes plus one row per delta vector
+    val oldN = spark.table(s"$db.a_app__v${v0}__codes").count()
+    val newCodes = spark.table(s"$db.a_app__v${v1}__codes")
+    assert(newCodes.count() === oldN + deltaSlice.count())
+    // delta codes use the live codebooks: every code within [0, seeds)
+    // id space and every delta vec present exactly once
+    val deltaIds = deltaSlice.select("vec_id").collect().map(_.getLong(0)).toSet
+    val encodedDelta = newCodes.filter(col("vec_id") >= 300)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(encodedDelta === deltaIds)
+    // probe sees neighbors from BOTH slices (the fixture's NN structure
+    // spans the id range)
+    val probed = StandingIndex.probeAnn(spark, annQueries, k = 5,
+      nprobe = 16, db = db, name = "a_app")
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(probed.exists(_ < 300) && probed.exists(_ >= 300),
+      s"probe after append must retrieve across slices: ${probed.toSeq}")
+    // loud append-only gate; failed append leaves the live version
+    val e = intercept[IllegalArgumentException] {
+      StandingIndex.appendAnnIndex(spark, deltaSlice.limit(3), db = db,
+        name = "a_app")
+    }
+    assert(e.getMessage.contains("APPEND-ONLY"))
+    assert(StandingIndex.manifest(spark, db, "a_app")
+      .map(_.getAs[Int]("version")) === Some(v1))
+  }
+
+  test("ANN probe plan: no shuffle between the codes member scan and its joins") {
+    StandingIndex.buildAnnIndex(spark, emb, nCells = 16, m = 4, ksub = 16,
+      corpusFrom = 24, iters = 2, nBuckets = 4, db = db, name = "a_plan")
+    // assert on the static plan tree (AQE stage wrapping hides join
+    // nodes from subtree walks — the match-probe test's discipline);
+    // broadcasts stay ON here: the LUT broadcast IS the design
+    val conf = spark.conf
+    val savedAqe = conf.getOption("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val probe = StandingIndex.probeAnn(spark, annQueries, k = 5,
+      nprobe = 2, db = db, name = "a_plan")
+    val plan = probe.queryExecution.executedPlan
+    def codesScans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec
+        if f.tableIdentifier.exists(t => t.database.contains(db) &&
+          t.table.startsWith("a_plan__v") && t.table.endsWith("__codes")) => f }
+    assert(codesScans(plan).nonEmpty, s"probe must read the codes member:\n$plan")
+    // the LUT joins broadcast, so the codes side must stream straight
+    // from its scan — any ShuffleExchange whose pre-join subtree holds
+    // the codes scan would mean the corpus shuffles at probe time
+    def preJoin(p: SparkPlan): Boolean =
+      p.collect { case j: BaseJoinExec => j }.isEmpty && codesScans(p).nonEmpty
+    val bad = plan.collect {
+      case s: ShuffleExchangeExec if preJoin(s.child) => s }
+    assert(bad.isEmpty, s"codes-side shuffle before a join:\n$plan")
+    } finally savedAqe match {
+      case Some(v) => conf.set("spark.sql.adaptive.enabled", v)
+      case None => conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
 }

@@ -291,6 +291,35 @@ object EventStream {
       }
       .start()
 
+  /** Online ANN retrieval against the PERSISTED standing IVFADC index
+    * (16th stream≡batch twin) — the serving half of
+    * [[graft.operators.StandingIndex.buildAnnIndex]]: arriving query
+    * vectors are top-k-searched per micro-batch by the batch
+    * [[graft.operators.StandingIndex.probeAnn]] operator verbatim
+    * (stream ≡ batch, spec-asserted — the search is per-query
+    * independent, so output over any chunking equals one batch call
+    * over the union). The manifest re-resolves at EVERY micro-batch —
+    * a `buildAnnIndex` rebuild or `appendAnnIndex` frozen-quantizer
+    * publish mid-stream atomically moves the NEXT batch to the new
+    * version ([[standingNearDupSink]]'s flip contract), which is how
+    * a live retrieval endpoint picks up a growing corpus without a
+    * restart. Emits (query_id, neighbor_id, dist, rnk) append-only.
+    * Returns the started query; callers own awaitTermination/stop.
+    */
+  def annProbeSink(queriesStream: DataFrame, outDir: String,
+                   checkpointDir: String, k: Int = 5, nprobe: Int = 4,
+                   db: String = "graft_idx", name: String = "ann_idx")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queriesStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.StandingIndex.probeAnn(batch.sparkSession,
+            batch.toDF(), k, nprobe, db, name)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Online contamination monitor (15th stream≡batch twin): every
     * micro-batch of an arriving document stream is screened against
     * the STATIC eval-set grams by the batch

@@ -642,6 +642,67 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("annProbeSink: batch parity AND a mid-stream frozen-quantizer append moves the next batch to the new version") {
+    import graft.operators.StandingIndex
+    import graft.tables.Tables
+    val d = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, d)
+    val baseSlice = emb.filter(col("vec_id") < 300)   // seeds + corpus v0
+    val deltaSlice = emb.filter(col("vec_id") >= 300) // appended at v1
+    val queries = emb.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+    val c0 = queries.filter(col("vec_id") < 20)
+    val c1 = queries.filter(col("vec_id") >= 20)
+
+    val v0 = StandingIndex.buildAnnIndex(spark, baseSlice, nCells = 16,
+      m = 4, ksub = 16, corpusFrom = 24, iters = 2, nBuckets = 4,
+      name = "stream_ann")
+    assert(v0 === 0)
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft-sann-in")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sann-out").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sann-ck").toString
+    c0.coalesce(1).write.parquet(inDir.toString + "/c0")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString + "/c*")
+    // nprobe = all cells so the appended vectors are reachable in
+    // every query's candidate set — the flip observability needs it
+    val q = EventStream.annProbeSink(stream, outDir, ckpt, k = 5,
+      nprobe = 16, name = "stream_ann")
+    try {
+      q.processAllAvailable()          // batch 0 probes index v0
+      // frozen-quantizer append WHILE the stream runs; the next
+      // micro-batch must resolve the new version through the manifest
+      val v1 = StandingIndex.appendAnnIndex(spark, deltaSlice,
+        name = "stream_ann")
+      assert(v1 === 1)
+      c1.coalesce(1).write.parquet(inDir.toString + "/c1")
+      q.processAllAvailable()          // batch 1 probes index v1
+    } finally q.stop()
+
+    def expected(qs: org.apache.spark.sql.DataFrame): Set[String] =
+      StandingIndex.probeAnn(spark, qs, k = 5, nprobe = 16,
+        name = "stream_ann").collect().map(_.toString).toSet
+    // the live index is now v1: c1's expectation reads it directly;
+    // c0's batch ran against v0, whose members are retained one cycle
+    val e1 = expected(c1)
+    val got = spark.read.parquet(outDir).collect().map(_.toString).toSet
+    assert(got.size === 8 * 5)
+    assert(e1.subsetOf(got), "batch-1 rows must equal the v1 probe")
+    // flip observability: some of batch 1's neighbors are appended
+    // vectors, which the v0 index cannot return
+    val batch1Neighbors = spark.read.parquet(outDir)
+      .filter(col("query_id") >= 20)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(batch1Neighbors.exists(_ >= 300),
+      s"appended corpus must be retrievable: ${batch1Neighbors.toSeq}")
+    val batch0Neighbors = spark.read.parquet(outDir)
+      .filter(col("query_id") < 20)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(batch0Neighbors.forall(_ < 300),
+      "batch 0 ran before the append and cannot see delta vectors")
+  }
+
   test("contaminationSink: per-micro-batch screening equals the batch operator over the union") {
     import graft.operators.Curate
     import graft.tables.Tables

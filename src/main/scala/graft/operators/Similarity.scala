@@ -1141,6 +1141,26 @@ object Similarity {
   private[operators] def ivfadcQueryFrame(emb: DataFrame): DataFrame =
     withNorm(emb).select(col("vec_id").as("query_id"), col("e").as("qe"))
 
+  /** The distinct cells any query will probe — the driver-side half
+    * of [[StandingIndex.probeAnn]]'s cell-pruning pushdown. Bounded by
+    * construction: the ranking frame is nQueries × nCells rows and the
+    * result is ≤ nCells longs, so the collect is a semantic-gate-class
+    * driver action (the codes member it prunes is CORPUS-sized — at
+    * 100 TB this one bounded job turns a full codes scan into a
+    * bucket-pruned scan of the probed cells).
+    */
+  private[operators] def probedCellIds(q: DataFrame, coarseDf: DataFrame,
+                                       nprobe: Int): Seq[Long] = {
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("pd").asc, col("cell"))
+    q.crossJoin(broadcast(coarseDf))
+      .withColumn("pd",
+        l2(dot(col("qe"), col("qe")), dot(col("qe"), col("ce")), col("cc")))
+      .withColumn("prk", row_number().over(wp))
+      .filter(col("prk") <= nprobe)
+      .select("cell").distinct().collect().map(_.getLong(0)).sorted.toSeq
+  }
+
   /** Search half of [[ivfadcTopK]] (and of
     * [[StandingIndex.probeAnn]], where `coarseDf`/`booksDf`/`codes`
     * come from the persisted member tables): probe ranking,

@@ -459,7 +459,13 @@ object StandingIndex {
     * corpus: (query_id, neighbor_id, dist, rnk ≤ k). No training, no
     * corpus encode, no corpus-side shuffle at probe time: the coarse
     * and book tables broadcast into the LUT build, the LUTs broadcast
-    * into one scan of the bucketed codes member.
+    * into one scan of the bucketed codes member — and that scan is
+    * CELL-PRUNED first: the probed cell set (≤ nCells longs, one
+    * bounded driver job over the tiny coarse table) pushes down as an
+    * IN filter on the bucket column, so Spark prunes code buckets at
+    * plan time instead of reading the whole corpus-sized member and
+    * discarding non-probed cells in the join (the semantics are
+    * identical — the LUT equi-join already keeps only probed cells).
     */
   def probeAnn(spark: SparkSession, queries: DataFrame, k: Int = 5,
                nprobe: Int = 4, db: String = "graft_idx",
@@ -470,8 +476,11 @@ object StandingIndex {
       .withColumn("cc", Similarity.dot(col("ce"), col("ce")))
     val booksDf = member(spark, db, name, m, "books")
       .withColumn("bcc", Similarity.dot(col("bce"), col("bce")))
-    Similarity.ivfadcSearch(Similarity.ivfadcQueryFrame(queries), coarseDf,
-      booksDf, member(spark, db, name, m, "codes"), pqM, dim / pqM, k,
+    val q = Similarity.ivfadcQueryFrame(queries)
+    val cells = Similarity.probedCellIds(q, coarseDf, nprobe)
+    val codes = member(spark, db, name, m, "codes")
+      .filter(col("cell").isin(cells: _*))
+    Similarity.ivfadcSearch(q, coarseDf, booksDf, codes, pqM, dim / pqM, k,
       nprobe)
   }
 }

@@ -325,6 +325,14 @@ class StandingIndexSpec extends SparkSpec {
     val bad = plan.collect {
       case s: ShuffleExchangeExec if preJoin(s.child) => s }
     assert(bad.isEmpty, s"codes-side shuffle before a join:\n$plan")
+    // cell-pruning pushdown: the probed-cell IN filter must reach the
+    // codes scan (it is what turns the corpus-sized member read into a
+    // bucket-pruned one at scale)
+    val codesScan = codesScans(plan).head
+    assert(codesScan.dataFilters.exists(f =>
+        f.references.exists(_.name == "cell") &&
+          f.toString.toLowerCase.contains("in")),
+      s"probed-cell IN filter must push to the codes scan:\n$codesScan")
     } finally savedAqe match {
       case Some(v) => conf.set("spark.sql.adaptive.enabled", v)
       case None => conf.unset("spark.sql.adaptive.enabled")

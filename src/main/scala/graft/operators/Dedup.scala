@@ -1873,6 +1873,21 @@ object Dedup {
     import org.apache.spark.sql.classic.GraftColumnBridge._
     require(minLen >= 2, s"minLen ($minLen) must be >= 2")
     require(minOcc >= 2, s"minOcc ($minOcc) must be >= 2")
+    // ONE anchor derivation, ONE fp shuffle for the whole operator
+    // (round 13 — the q181 one-exchange discipline, adapted): the old
+    // aggregate+semi-join shape derived the window stream TWICE
+    // (explode+md5 into the groupBy, again into the join) and
+    // shuffled each derivation separately — and unlike q181's
+    // over-cap hot list, the repeated-fp set scales with corpus
+    // duplication, so the broadcast fix doesn't transfer and an
+    // explicit co-partitioning still leaves two derivations (column
+    // pruning narrows the count branch to fp-only, so the exchanges
+    // never canonicalize equal → no ReusedExchange). The occurrence
+    // test is instead a windowed count over `partition by fp`:
+    // corpus scanned once, exploded once, shuffled once; the window
+    // sorts only within fp partitions and spills per-group, so a
+    // span shared by 10⁶ docs costs one spilled group, not a
+    // collect_list blow-up or a 10⁶-row join build.
     val anchors = docs
       .select(id.as("doc_id"), split(content, "\\s+").as("toks"))
       .filter(size(col("toks")) >= minLen)
@@ -1880,9 +1895,10 @@ object Dedup {
         expression(col("toks")), expression(lit(minLen))))).as(Seq("i", "g")))
       .select(col("doc_id"), (col("i") + 1).as("pos"),
         md5(col("g").cast("binary")).as("fp"))
-    val dupFps = anchors.groupBy("fp").agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= minOcc).select("fp")
-    val dupPos = anchors.join(dupFps, "fp").select("doc_id", "pos")
+    val dupPos = anchors
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("occ") >= minOcc)
+      .select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     dupPos
       .withColumn("grp", col("pos") - row_number().over(w))

@@ -726,22 +726,44 @@ object Dedup {
           col("__bsz") + lit(maxBlockSize.toLong - 1),
           lit(maxBlockSize.toLong))))
       .select(col("doc_id"), col("title"), col("blk"), col("__sub"))
-    sub.as("a")
-      .join(sub.as("b"),
+    // Probe-side spread (round 13): the whole pair stage is
+    // broadcast-join-shaped — no exchange anywhere — so its
+    // parallelism was whatever the SCAN happened to have, and a
+    // single-row-group parquet input ran every bucket probe on one
+    // core (sf1: 24 s on one task, ~3.3 M candidate evaluations).
+    // One tiny exchange of the title frame (doc_id + two short
+    // strings per doc — doc-count-sized, never corpus-text-sized)
+    // buys even probe distribution independent of input file layout;
+    // keyed on doc_id, not blk, so a boilerplate-heavy block's
+    // probes spread over ALL cores rather than landing on the
+    // block's one hash partition. The partition COUNT is pinned to
+    // spark.sql.shuffle.partitions: AQE's coalescing is byte-based
+    // and would fold this few-MB frame back to one partition,
+    // re-serializing the probe work it was spread to parallelize
+    // (sf1 measured: coalesced 14.5 s → pinned ~5 s); a pinned
+    // user count is exempt from coalescing by contract.
+    val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val a = sub.repartition(nPart, col("doc_id")).as("a")
+    a.join(sub.as("b"),
         col("a.blk") === col("b.blk") && col("a.__sub") === col("b.__sub")
           && col("a.doc_id") < col("b.doc_id")
-          && abs(length(col("a.title")) - length(col("b.title"))) <= maxDist)
+          && abs(length(col("a.title")) - length(col("b.title"))) <= maxDist
+          // the THRESHOLD form runs the banded O(maxDist · len) DP and
+          // bails with -1 as soon as the distance provably exceeds
+          // maxDist — on a boilerplate-heavy block where most candidate
+          // pairs are far apart, that turns the verifier from
+          // O(len_a · len_b) per pair into O(maxDist · len). Values in
+          // [0, maxDist] are the exact distance, so the oracle (full
+          // LEVENSHTEIN + the same <= filter) is unchanged. The check
+          // sits INSIDE the join condition, LAST: as a post-join
+          // filter it gets pushed into the residual AND PREPENDED,
+          // running the DP before the a<b / length-band conjuncts had
+          // pruned 4× of the bucket scan (the observed sf1 plan);
+          // survivors (output-sized) recompute it once in the select.
+          && levenshtein(col("a.title"), col("b.title"), maxDist) >= 0)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        // the THRESHOLD form runs the banded O(maxDist · len) DP and
-        // bails with -1 as soon as the distance provably exceeds
-        // maxDist — on a boilerplate-heavy block where most candidate
-        // pairs are far apart, that turns the verifier from
-        // O(len_a · len_b) per pair into O(maxDist · len). Values in
-        // [0, maxDist] are the exact distance, so the oracle (full
-        // LEVENSHTEIN + the same <= filter) is unchanged.
         levenshtein(col("a.title"), col("b.title"), maxDist)
           .cast(LongType).as("dist"))
-      .filter(col("dist") >= 0)
   }
 
   def editDistancePairsOracle(titleTokens: Int = 6, blockTokens: Int = 2,

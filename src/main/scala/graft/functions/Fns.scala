@@ -184,4 +184,23 @@ object Fns {
     */
   def exactAvgScaled(c: Column, scale: Int): Column =
     exactSumScaled(c, scale) / count(c)
+
+  /** Parallelism guard for compute-heavy map stages rooted directly on
+    * a scan (round 13): repartition ONLY when the source plan has fewer
+    * partitions than the session's shuffle parallelism. On a cluster
+    * reading a 100 TB table the scan already has thousands of splits
+    * and this is an identity — no shuffle is ever added; on a
+    * single-row-group local file (unsplittable below file level, the
+    * bench shape) every downstream per-token md5 / explode / partial
+    * aggregate would otherwise run on ONE core regardless of
+    * local[32]. The count is pinned because AQE's byte-based
+    * coalescing folds a small-byte / heavy-CPU frame back to ~1 MB
+    * partitions, re-serializing exactly the work the exchange exists
+    * to spread; keyed (not round-robin) so the shuffle is
+    * deterministic under retries.
+    */
+  def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n, key)
+  }
 }

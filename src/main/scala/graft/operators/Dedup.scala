@@ -971,8 +971,12 @@ object Dedup {
     * conditional sums in ONE pass (single shuffle on doc_id).
     */
   def simHash(docs: DataFrame, content: Column, id: Column): DataFrame = {
-    val tok = docs.select(id.as("doc_id"),
-        explode(split(content, "\\s+")).as("t"))
+    // per-token md5 + 60 partial sums are the heavy map stage — spread
+    // a narrow scan before it (identity on any real multi-split input)
+    val base = graft.functions.Fns.spreadIfNarrow(
+      docs.select(id.as("doc_id"), content.as("__content")), col("doc_id"))
+    val tok = base.select(col("doc_id"),
+        explode(split(col("__content"), "\\s+")).as("t"))
       .withColumn("v", tokenHash60(col("t")))
     val votes = tok.groupBy("doc_id").agg(
       count(lit(1)).as("n_tokens"),

@@ -105,6 +105,18 @@ class FnsSpec extends SparkSpec {
     assert(got.map(_.getString(0)).toSeq === Seq("VER", "44"))
   }
 
+  test("spreadIfNarrow widens a narrow plan to session parallelism and " +
+      "leaves a wide one untouched") {
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val narrow = spark.range(0, 1000, 1, numPartitions = 1).toDF("id")
+    val spreadN = Fns.spreadIfNarrow(narrow, col("id"))
+    assert(spreadN.rdd.getNumPartitions === n)
+    assert(spreadN.count() === 1000L)
+    val wide = spark.range(0, 1000, 1, numPartitions = n + 4).toDF("id")
+    // identity: no repartition node is inserted, partition count intact
+    assert(Fns.spreadIfNarrow(wide, col("id")) eq wide)
+  }
+
   test("defensiveTs parses timestamps and falls back to numeric ns") {
     val df = spark.createDataFrame(Seq(
       Tuple1("2024-03-02 15:00:00"),

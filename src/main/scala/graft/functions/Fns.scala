@@ -200,7 +200,26 @@ object Fns {
     * deterministic under retries.
     */
   def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (df.rdd.getNumPartitions >= n) df else df.repartition(n, key)
+    // Probe the partition count only for scan-shaped inputs: on a frame
+    // with shuffle stages, `.rdd` under AQE materializes every upstream
+    // exchange just to read a count (the pipeline would run TWICE) —
+    // and such a frame already carries shuffle-partition parallelism,
+    // so the spread is unnecessary there anyway. (Same discipline as
+    // Dedup.tokenizedDocs, which predates this helper.)
+    if (df.isStreaming) return df // no .rdd / batch repartition on streams
+    val scanShaped = df.queryExecution.analyzed.collectFirst {
+      case _: logical.Aggregate                  => ()
+      case _: logical.Join                       => ()
+      case _: logical.Window                     => ()
+      case _: logical.Distinct                   => ()
+      case _: logical.Deduplicate                => ()
+      case _: logical.DeduplicateWithinWatermark => ()
+      case _: logical.RepartitionOperation       => ()
+      case _: logical.Sort                       => ()
+    }.isEmpty
+    if (scanShaped && df.rdd.getNumPartitions < n) df.repartition(n, key)
+    else df
   }
 }

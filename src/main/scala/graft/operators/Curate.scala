@@ -65,7 +65,9 @@ object Curate {
                       n: Int): DataFrame = {
     import org.apache.spark.sql.classic.GraftColumnBridge._
     graft.expressions.GraftFunctions.ensureRegistered(df.sparkSession)
-    df.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
+    graft.functions.Fns.spreadIfNarrow(
+        df.select(id.as("doc_id"), content.as("__content")), col("doc_id"))
+      .select(col("doc_id"), split(col("__content"), "\\s+").as("toks"))
       .select(col("doc_id"),
         column(graft.expressions.Shingles(
           expression(col("toks")), expression(lit(n)))).as("sh"))

@@ -1704,7 +1704,9 @@ object Dedup {
     */
   private[operators] def splitToksMin(df: DataFrame, content: Column,
                                       id: Column, minLen: Int): DataFrame =
-    df.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
+    graft.functions.Fns.spreadIfNarrow(
+        df.select(id.as("doc_id"), content.as("__content")), col("doc_id"))
+      .select(col("doc_id"), split(col("__content"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= minLen)
 
   /** (doc_id, pos, gh): every `minLen`-token anchor window of every
@@ -1914,9 +1916,7 @@ object Dedup {
     // sorts only within fp partitions and spills per-group, so a
     // span shared by 10⁶ docs costs one spilled group, not a
     // collect_list blow-up or a 10⁶-row join build.
-    val anchors = docs
-      .select(id.as("doc_id"), split(content, "\\s+").as("toks"))
-      .filter(size(col("toks")) >= minLen)
+    val anchors = splitToksMin(docs, content, id, minLen)
       .select(col("doc_id"), posexplode(column(graft.expressions.ShinglesAll(
         expression(col("toks")), expression(lit(minLen))))).as(Seq("i", "g")))
       .select(col("doc_id"), (col("i") + 1).as("pos"),

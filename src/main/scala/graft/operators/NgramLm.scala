@@ -63,7 +63,9 @@ object NgramLm {
     * @return (doc_id, n_bigrams, avg_prob)
     */
   def bigramScore(docs: DataFrame, content: Column, id: Column): DataFrame = {
-    val ws = docs.select(id.as("doc_id"), words(content).as("ws"))
+    val ws = graft.functions.Fns.spreadIfNarrow(
+        docs.select(id.as("doc_id"), content.as("__content")), col("doc_id"))
+      .select(col("doc_id"), words(col("__content")).as("ws"))
     val big = ws
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"),

@@ -44,7 +44,12 @@ object Similarity {
   /** (vec_id, e: array<double>, nrm: ||e||²) — norms computed once. */
   private def withNorm(emb: DataFrame): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
-    emb.select(col("vec_id"), col("embedding"),
+    // every Similarity op roots here; spread a narrow scan so the
+    // per-vector dot products / Lloyd E-steps / PQ encodes downstream
+    // never serialize on a single-row-group input file (identity on
+    // any real multi-split scan — Fns.spreadIfNarrow)
+    graft.functions.Fns.spreadIfNarrow(emb, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
         col("embedding").cast(AsDouble).as("e"))
       .withColumn("nrm", dot(col("e"), col("e")))
   }
@@ -125,16 +130,14 @@ object Similarity {
           "driver broadcast of the whole table. Use lshTopK / " +
           "semanticDedup (the bucketed scale paths) or raise maxRows " +
           "deliberately.")
-    // Stream-side spread (round 13, the q133 lesson): the nested-loop
-    // pair stage has NO exchange, so its parallelism is whatever the
-    // checkpointed scan had — a single-row-group parquet input ran all
-    // n²/2 dot products on one core (sf1: 56 s on one task). One
-    // pinned-count exchange of the row-count-sized normed frame spreads
-    // the probe over every core; pinned because AQE's byte-based
-    // coalescing would fold a few-MB frame back to ~target-size/1 MB
-    // partitions, re-serializing exactly the compute it spreads.
-    val nPart = emb.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val a = base.repartition(nPart, col("vec_id"))
+    // Stream-side parallelism (round 13, the q133 lesson): the
+    // nested-loop pair stage has NO exchange, so its parallelism is
+    // whatever the checkpointed base had — before [[withNorm]] spread
+    // narrow scans, a single-row-group parquet input ran all n²/2 dot
+    // products on one core (sf1: 56 s on one task; ~4 s spread). The
+    // checkpoint materializes the spread blocks, so the stream side
+    // reads them at full width with no further exchange.
+    val a = base
       .select(col("vec_id").as("vec_a"), col("e").as("qe"), col("nrm").as("qn"))
     val b = base.select(col("vec_id").as("vec_b"), col("e").as("ce"), col("nrm").as("cn"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))

@@ -127,7 +127,7 @@ object TextAnalysis {
     * (letter runs / digit runs / single non-alnum symbols).
     */
   def tokenCounts(docs: DataFrame): DataFrame =
-    docs.select(
+    graft.functions.Fns.spreadIfNarrow(docs, col("doc_id")).select(
       col("doc_id"),
       size(tokens(col("text"))).cast(LongType).as("n_ws_tokens"),
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
@@ -870,7 +870,8 @@ object TextAnalysis {
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.classic.GraftColumnBridge._
-    val staged = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val staged = graft.functions.Fns.spreadIfNarrow(docs, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
     val nTok = size(col("toks")).cast(LongType)
     val perDoc = staged.select(
       col("doc_id"),
@@ -1612,7 +1613,9 @@ object TextAnalysis {
     // shape). Output unchanged: the kernel emits the identical
     // space-joined windows, and md5(cast binary) hashes the same
     // bytes the inline md5(concat_ws(…)) did.
-    docs.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
+    graft.functions.Fns.spreadIfNarrow(
+        docs.select(id.as("doc_id"), content.as("__content")), col("doc_id"))
+      .select(col("doc_id"), split(col("__content"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(column(graft.expressions.ShinglesAll(
         expression(col("toks")), expression(lit(n))))).as("g"))
@@ -1645,8 +1648,9 @@ object TextAnalysis {
                    n: Int = 3): DataFrame = {
     import org.apache.spark.sql.classic.GraftColumnBridge._
     graft.expressions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val sh = docs
-      .select(id.as("doc_id"), tokens(content).as("toks"))
+    val sh = graft.functions.Fns.spreadIfNarrow(
+        docs.select(id.as("doc_id"), content.as("__content")), col("doc_id"))
+      .select(col("doc_id"), tokens(col("__content")).as("toks"))
       .select(col("doc_id"),
         column(graft.expressions.Shingles(
           expression(col("toks")), expression(lit(n)))).as("sh"))
@@ -1704,9 +1708,13 @@ object TextAnalysis {
                        n: Int = 20): DataFrame = {
     import org.apache.spark.sql.classic.GraftColumnBridge._
     require(n >= 1, s"n ($n) must be >= 1")
-    // same codegen-kernel window stream as [[duplicatedSpans]] (r10)
-    val f = docs
-      .select(src.as("source"), split(content, "\\s+").as("toks"))
+    // same codegen-kernel window stream as [[duplicatedSpans]] (r10).
+    // Spread key: content hash — `source` has ~|sources| distinct
+    // values, which would cap the spread at that many partitions.
+    val f = graft.functions.Fns.spreadIfNarrow(
+        docs.select(src.as("source"), content.as("__content")),
+        xxhash64(col("__content")))
+      .select(col("source"), split(col("__content"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("source"), explode(column(graft.expressions.ShinglesAll(
         expression(col("toks")), expression(lit(n))))).as("g"))

@@ -434,9 +434,32 @@ object Profiling {
     * Weights must be positive BIGINTs; W·pNum must fit int64.
     */
   private[graft] def lowerQuantileW(v: DataFrame, pNum: Long, pDen: Long,
-                                    buckets: Int = 64): DataFrame = {
+                                    buckets: Int = 64): DataFrame =
+    lowerQuantilesW(v, Seq(("q0", pNum, pDen)), buckets)
+      .select(col("g"), col("q0"))
+
+  /** Several lower p-quantiles per group in ONE bucket pass:
+    * (g, x, w) → (g, n, <one column per requested name>). Each
+    * requested quantile is the k-th smallest weight unit with
+    * k = ⌈W·pNum/pDen⌉ — identical per-quantile semantics to
+    * [[lowerQuantileW]], which now delegates here. The raw rows are
+    * bucket-counted once; every quantile's target bucket is located
+    * on the same |G|·B cumulative frame; and one tagged join scans
+    * the union of target buckets (a bucket serving two quantiles is
+    * scanned once per tag — the tags ride the join). Three quantiles
+    * cost one extra |targets| broadcast over the single-quantile
+    * call, not two more full passes.
+    */
+  private[graft] def lowerQuantilesW(v: DataFrame,
+                                     qs: Seq[(String, Long, Long)],
+                                     buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(pNum >= 1 && pNum <= pDen, s"need 1 <= pNum <= pDen, got $pNum/$pDen")
+    require(qs.nonEmpty, "need at least one quantile")
+    qs.foreach { case (name, pNum, pDen) =>
+      require(pNum >= 1 && pNum <= pDen,
+        s"need 1 <= pNum <= pDen for $name, got $pNum/$pDen")
+    }
+    require(qs.map(_._1).distinct.size == qs.size, "quantile names must be unique")
     val B = buckets.toLong
     val bounds = v.groupBy("g")
       .agg(min("x").as("__lo"), max("x").as("__hi"), sum("w").as("__n"))
@@ -449,31 +472,61 @@ object Profiling {
     // |G|·B frame straight off the raw rows — map-side combine means
     // the full data NEVER shuffles (the earlier distinct-count form
     // shuffled every (g, x) pair, data-sized when values are unique).
-    // Cumulative bucket totals in bucket (= x) order locate the bucket
-    // holding the k-th weight unit, k = ceil(W·pNum/pDen).
-    val k = call_function("div",
+    // Cumulative bucket totals in bucket (= x) order locate, for EACH
+    // requested quantile, the bucket holding its k-th weight unit,
+    // k = ceil(W·pNum/pDen).
+    def k(pNum: Long, pDen: Long) = call_function("div",
       col("__n") * lit(pNum) + lit(pDen - 1), lit(pDen))
     val perBkt = vb.groupBy(col("g"), col("__bkt"))
       .agg(sum("w").as("__bcnt"), max("__n").as("__n"))
       .withColumn("__cum", sum(col("__bcnt")).over(
         Window.partitionBy("g").orderBy("__bkt")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val target = perBkt.groupBy("g").agg(
-      min(when(col("__cum") >= k, col("__bkt"))).as("__tbkt"),
-      coalesce(max(when(col("__cum") < k, col("__cum"))), lit(0L))
-        .as("__offset"))
-    // only the target bucket's rows (~W/B weight per group) reach the
-    // ordered path, pre-reduced to distinct values before the window
-    vb.join(target, Seq("g"))
+    // one target row per (group, quantile): |G|·|qs|-sized
+    val perQ = qs.flatMap { case (name, pNum, pDen) =>
+      val kq = k(pNum, pDen)
+      Seq(
+        min(when(col("__cum") >= kq, col("__bkt"))).as(s"__tbkt_$name"),
+        coalesce(max(when(col("__cum") < kq, col("__cum"))), lit(0L))
+          .as(s"__off_$name"))
+    }
+    val target = perBkt.groupBy("g")
+      .agg(perQ.head, perQ.tail: _*)
+      .select(col("g"),
+        explode(array(qs.map { case (name, _, _) =>
+          struct(lit(name).as("q"), col(s"__tbkt_$name").as("tbkt"),
+            col(s"__off_$name").as("off"))
+        }: _*)).as("__t"))
+      .select(col("g"), col("__t.q").as("__q"),
+        col("__t.tbkt").as("__tbkt"), col("__t.off").as("__offset"))
+    // only the target buckets' rows (~W/B weight per group per
+    // quantile) reach the ordered path, pre-reduced to distinct
+    // values before the window; the quantile tag rides the join so a
+    // bucket serving several quantiles fans out by tag, never by data
+    val kByName = qs.map { case (name, pNum, pDen) => (name, (pNum, pDen)) }.toMap
+    val kCol = qs.tail.foldLeft(
+      when(col("__q") === qs.head._1,
+        call_function("div", col("__n") * lit(qs.head._2) + lit(qs.head._3 - 1),
+          lit(qs.head._3)))) { case (acc, (name, _, _)) =>
+      val (pNum, pDen) = kByName(name)
+      acc.when(col("__q") === name,
+        call_function("div", col("__n") * lit(pNum) + lit(pDen - 1), lit(pDen)))
+    }
+    val picked = vb.join(target, Seq("g"))
       .filter(col("__bkt") === col("__tbkt"))
-      .groupBy(col("g"), col("x"))
+      .groupBy(col("g"), col("__q"), col("x"))
       .agg(sum("w").as("cnt"), max("__n").as("__n"),
         max("__offset").as("__offset"))
       .withColumn("__cum", col("__offset") + sum("cnt").over(
-        Window.partitionBy("g").orderBy("x")
+        Window.partitionBy("g", "__q").orderBy("x")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("__cum") >= k)
-      .groupBy("g").agg(min("x").as("q0"))
+      .filter(col("__cum") >= kCol)
+      .groupBy("g", "__q").agg(min("x").as("__qx"), max("__n").as("__n"))
+    picked.groupBy("g").agg(
+      max(col("__n")).as("n"),
+      qs.map { case (name, _, _) =>
+        max(when(col("__q") === name, col("__qx"))).as(name)
+      }: _*)
   }
 
   /** Per-group weighted median: the smallest value at which cumulative

@@ -2019,28 +2019,23 @@ object Extensions {
     */
   private val q127 = Q("q127_exact_percentiles",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      // range-bucketed multi-quantile (round-13 part 2): the former
+      // `partitionBy(grp) ORDER BY x` cumulative window funneled the
+      // ~5.5M-distinct cents frame through |grp| = 3 sort tasks
+      // whatever the cluster width. Profiling.lowerQuantilesW bucket-
+      // counts the raw rows once (map-side-combined |G|·B shuffle)
+      // and only the three target buckets pay an ordered scan; each
+      // k is the identical ceil(n·p) order statistic, so the oracle
+      // is unchanged. sf1: 9.8 → ~3 s.
       val cents = floor(col("l_extendedprice") * 100 + lit(0.5)).cast(LongType)
-      val counts = Tables.lineitem(s, d)
-        .select(col("l_returnflag").as("grp"), cents.as("x"))
-        .groupBy("grp", "x").agg(count(lit(1)).as("cnt"))
-      val wCum = Window.partitionBy("grp").orderBy("x")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // per-group total over distinct values: sum of the counts
-      val wAll = Window.partitionBy("grp")
-      def kth(kExpr: String, as: String) =
-        (max(when(col("cum") - col("cnt") < expr(kExpr) &&
-                  col("cum") >= expr(kExpr), col("x")))
-          .cast(DoubleType) / 100).as(as)
-      counts
-        .withColumn("cum", sum("cnt").over(wCum))
-        .withColumn("n", sum("cnt").over(wAll))
-        .groupBy("grp")
-        .agg(
-          max(col("n")).as("n"),
-          kth("(n + 1) div 2", "p50"),
-          kth("(n * 9 + 9) div 10", "p90"),
-          kth("(n * 99 + 99) div 100", "p99"))
+      graft.operators.Profiling.lowerQuantilesW(
+          Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
+            cents.as("x"), lit(1L).as("w")),
+          Seq(("__p50", 1L, 2L), ("__p90", 9L, 10L), ("__p99", 99L, 100L)))
+        .select(col("g").as("grp"), col("n"),
+          (col("__p50").cast(DoubleType) / 100).as("p50"),
+          (col("__p90").cast(DoubleType) / 100).as("p90"),
+          (col("__p99").cast(DoubleType) / 100).as("p99"))
         .orderBy("grp")
     },
     Some("""WITH j AS (

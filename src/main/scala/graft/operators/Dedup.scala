@@ -341,15 +341,27 @@ object Dedup {
                        n: Int = 3, threshold: Double = 0.7): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold ($threshold) must be in (0, 1]")
+    // Grams travel, persist, and VERIFY as 60-bit md5-prefix int64s
+    // (the [[contamination]] portability contract, extended to the
+    // verify arrays — round-13 part 2): the cached per-doc frame and
+    // the candidate-verify attach shuffle carry 8-byte longs instead
+    // of ~25-byte gram strings (~3× lighter — at sf1 the string form
+    // pushed ~6.5M candidate pairs × two ~15 KB arrays through a
+    // sort-merge attach and swung 13–27 s run to run on spill/GC),
+    // the canonical prefix order is (df, hash), and the verify
+    // intersects sorted long arrays. Collisions are ~(grams/doc)²/2^61
+    // — negligible AND engine-identical (both engines hash the same
+    // way), so the oracle gate is unaffected even when one occurs.
     val base = shingledDocs(docs, content, id, n, dropShort = false)
-      .withColumn("sh", array_sort(col("sh")))
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(col("sh"),
+          g => tokenHash60(g)))).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast(LongType))
       .filter(col("n_sh") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     selfCleaning(base) {
       val exploded = base
-        .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-        .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("g"))
+        .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("g"))
       val dfTable = exploded.groupBy("g").agg(count(lit(1)).as("df"))
       val prefixLen = (col("n_sh") - floor(lit(threshold) * col("n_sh")) + 1)
       val prefix = exploded.join(dfTable, "g")
@@ -369,7 +381,8 @@ object Dedup {
           col("n_sh").as("n_a")), Seq("doc_a"))
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
           Seq("doc_b"))
-        .withColumn("inter", sortedIntersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
         .withColumn("containment",
           col("inter").cast(DoubleType) / col("n_a"))
         .filter(col("containment") >= threshold)
@@ -380,12 +393,23 @@ object Dedup {
   /** Oracle for [[containmentPairs]]: same prefix filter on strings
     * (df order), full B-side postings, exact list-intersect verify.
     */
+  /** Oracle twin of the hashed verify: grams become the same 60-bit
+    * md5-prefix int64s ([[graft.operators.TextAnalysis.hash60Sql]]
+    * nibble arithmetic — the md5 hex is materialized ONCE per gram in
+    * `exh` so the 15-nibble expansion never recomputes it), the
+    * canonical order is (df, hash), and the verify intersects the
+    * per-doc sorted hash lists.
+    */
   def containmentPairsOracle(n: Int, threshold: Double): String =
     s"""WITH t AS (
-       |  SELECT doc_id, ${shinglesSql(n)} AS sh
+       |  SELECT doc_id, ${shinglesSql(n)} AS shs
        |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks FROM documents)),
-       |b AS (SELECT doc_id, sh, CAST(LEN(sh) AS BIGINT) AS n_sh
-       |      FROM t WHERE LEN(sh) > 0),
+       |ex0 AS (SELECT doc_id, UNNEST(shs) AS g FROM t),
+       |exh AS (SELECT doc_id, MD5(g) AS hx FROM ex0),
+       |b AS (SELECT doc_id,
+       |        LIST_SORT(LIST(DISTINCT ${TextAnalysis.hash60Sql("hx")})) AS sh,
+       |        CAST(COUNT(DISTINCT ${TextAnalysis.hash60Sql("hx")}) AS BIGINT) AS n_sh
+       |      FROM exh GROUP BY doc_id),
        |ex AS (SELECT doc_id, n_sh, UNNEST(sh) AS s FROM b),
        |wdf AS (
        |  SELECT ex.doc_id, ex.n_sh, ex.s, d.df

@@ -369,12 +369,30 @@ object Dedup {
           Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
         .filter(col("rk") <= prefixLen)
         .select(col("doc_id"), col("n_sh"), col("g"))
+      // Suffix-count bound (exact, PPJoin's suffix filter specialized
+      // to containment): |A∩B| = |prefix(A)∩B| + |suffix(A)∩B|
+      // ≤ m + (n_a − p), where m counts matched PREFIX grams (the
+      // B side is the full posting list, so m is exact) and
+      // p = n_a − ⌊t·n_a⌋ + 1 is the prefix length. Surviving
+      // C ≥ t needs inter ≥ ⌈t·n_a⌉, so m ≥ ⌈t·n_a⌉ − ⌊t·n_a⌋ + 1
+      // (= 2 whenever t·n_a is fractional). The dedup-by-pair
+      // aggregate replaces the former DISTINCT — same shuffle keys,
+      // one extra count — and at sf1 cuts the verify attach from
+      // 6.52 M candidate pairs to 0.75 M (8.7×) on identical output
+      // (avg matched prefix grams per candidate is 1.09: almost all
+      // false candidates share exactly ONE prefix gram and can be
+      // refuted by arithmetic before the arrays ever travel).
       val cand = prefix.as("a")
         .join(exploded.as("b"),
           col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id")
             && col("b.n_sh") + 1 >= lit(threshold) * col("a.n_sh"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n_sh").as("n_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("__m"), max("n_a").as("__na"))
+        .filter(col("__m") >= ceil(lit(threshold) * col("__na"))
+          - floor(lit(threshold) * col("__na")) + lit(1))
+        .select("doc_a", "doc_b")
       val sh = base.select(col("doc_id"), col("sh"), col("n_sh"))
       cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),

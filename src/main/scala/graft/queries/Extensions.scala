@@ -3498,6 +3498,44 @@ object Extensions {
     Some(Similarity.ivfadcTopKOracle(nCells = 16, m = 4, ksub = 16,
       nQueries = 8, k = 5, nprobe = 2, iters = 4, trainTo = 300)))
 
+  /** Trained language classifier over the documents table — the
+    * learned upgrade of q43's hand-written n-gram rules (the
+    * CCNet/fastText pattern: fit a supervised text classifier, gate
+    * the corpus on its predictions). Train on doc_id % 5 != 0,
+    * score the held-out slice; smoothed class-centroid arithmetic
+    * stays in exact BIGINT until one final division
+    * ([[graft.operators.Classify]] float-determinism contract).
+    */
+  private val q208 = Q("q208_lang_classifier",
+    (s, d) => graft.operators.Classify.centroidClassifier(
+        Tables.documents(s, d), col("text"), col("doc_id"), col("lang"))
+      .orderBy("doc_id"),
+    Some(graft.operators.Classify.centroidClassifierOracle()))
+
+  /** Per-class evaluation rollup of q208 — accuracy + dominant
+    * confusion per actual language, the gate report a filter model
+    * must pass before it is allowed to discard corpus data.
+    */
+  private val q209 = Q("q209_classifier_report",
+    (s, d) => graft.operators.Classify.classifierReport(
+        Tables.documents(s, d), col("text"), col("doc_id"), col("lang"))
+      .orderBy("actual"),
+    Some(graft.operators.Classify.classifierReportOracle()))
+
+  /** DSIR-style importance weights: score every non-src0 document by
+    * how much its unigram mass resembles the src0 slice (the curated
+    * "target domain") vs the raw corpus — the data-selection weights
+    * a pretraining pipeline samples by. Exact-integer scoring per
+    * the [[graft.operators.Classify]] contract.
+    */
+  private val q210 = Q("q210_importance_weights",
+    (s, d) => graft.operators.Classify.importanceWeights(
+        Tables.documents(s, d), col("text"), col("doc_id"),
+        col("source") === "src0")
+      .orderBy("doc_id"),
+    Some(graft.operators.Classify.importanceWeightsOracle(
+      "source = 'src0'")))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3515,5 +3553,5 @@ object Extensions {
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-    q201, q202, q203, q204, q205, q206, q207)
+    q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
 }

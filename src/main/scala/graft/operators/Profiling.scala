@@ -52,6 +52,15 @@ object Profiling {
     */
   val DefaultWindowRankDomain: Long = 1L << 20
 
+  /** |G| ceiling under which the quantile machinery's per-group stats
+    * frames (bounds: 3 longs + key; targets: |qs| small structs per
+    * group) are explicitly broadcast — ~40 B/group puts 2²⁰ groups at
+    * ~40 MB, comfortably inside executor broadcast budgets. Above it
+    * the frames join by shuffle, which is well-spread precisely
+    * because g then has ≥ 2²⁰ values.
+    */
+  val BroadcastGroupLimit: Long = 1L << 20
+
   /** Loud bounded-domain gate: materialize the distinct-value frame,
     * probe its size, and refuse to run the global-order window over a
     * frame larger than `maxDomain`. The probe's cost is one count on
@@ -461,12 +470,29 @@ object Profiling {
     }
     require(qs.map(_._1).distinct.size == qs.size, "quantile names must be unique")
     val B = buckets.toLong
+    // The bounds frame is |G| rows of (lo, hi, n). The r13 EXPLAIN
+    // audit of q127 caught the subtle failure of leaving its join
+    // strategy entirely to AQE: the INITIAL plan is a sort-merge join
+    // (Catalyst can't see the aggregate is tiny), so the raw rows
+    // materialize one full Exchange hashpartitioning(g) BEFORE AQE
+    // demotes the join to broadcast — and when |G| is small that
+    // exchange lands the whole dataset on |G| tasks (3 for q127's
+    // return flags): the straggler shape, data-sized at 100 TB. The
+    // two regimes are complementary, so pick per |G| on the
+    // MATERIALIZED bounds (eager checkpoint + count, |G| rows — the
+    // robustStats adaptive-probe discipline): small |G| → an explicit
+    // broadcast (zero stream-side shuffle anywhere below the |G|·B
+    // aggregate, which partial-aggregates map-side); large |G| → the
+    // unhinted shuffle join, which is well-spread exactly because g
+    // has many values (and a broadcast there would risk the driver —
+    // the r08 stats-frame rule this adaptive probe keeps honoring).
     val bounds = v.groupBy("g")
       .agg(min("x").as("__lo"), max("x").as("__hi"), sum("w").as("__n"))
-    // |G|-sized stats frames join back WITHOUT a forced broadcast
-    // hint: AQE broadcasts them when small; a high-cardinality
-    // grouping degrades to a shuffle join instead of a driver OOM
-    val vb = v.join(bounds, Seq("g"))
+      .localCheckpoint(eager = true)
+    val smallG = bounds.count() <= BroadcastGroupLimit
+    def gFrame(df: DataFrame): DataFrame =
+      if (smallG) broadcast(df) else df
+    val vb = v.join(gFrame(bounds), Seq("g"))
       .withColumn("__bkt", call_function("div",
         (col("x") - col("__lo")) * lit(B), col("__hi") - col("__lo") + lit(1L)))
     // |G|·B frame straight off the raw rows — map-side combine means
@@ -512,7 +538,10 @@ object Profiling {
       acc.when(col("__q") === name,
         call_function("div", col("__n") * lit(pNum) + lit(pDen - 1), lit(pDen)))
     }
-    val picked = vb.join(target, Seq("g"))
+    // target is |G|·|qs| rows — same adaptive broadcast as bounds, so
+    // in the small-|G| regime the raw rows reach their partial
+    // aggregates with ZERO stream-side exchange anywhere
+    val picked = vb.join(gFrame(target), Seq("g"))
       .filter(col("__bkt") === col("__tbkt"))
       .groupBy(col("g"), col("__q"), col("x"))
       .agg(sum("w").as("cnt"), max("__n").as("__n"),

@@ -97,43 +97,97 @@ object Classify {
     val train = toks.filter(pmod(col("doc_id"), lit(modBase)) =!= testSlice)
     val test = toks.filter(pmod(col("doc_id"), lit(modBase)) === testSlice)
       .select("doc_id", "tok", "lbl")
-    // model: (tok, lbl) -> occurrence count; totals: lbl -> N_c;
-    // V = distinct train vocabulary (1-row frame, crossJoin-broadcast
-    // is safe here: the build side is an AGGREGATED 1-row subtree, so
-    // re-running it costs one reduced scan, and column pruning keeps
-    // it minimal — the q137/q200 scalar-attach argument)
-    val model = train.groupBy("tok", "lbl").agg(count(lit(1)).as("c"))
-    val totals = train.groupBy("lbl").agg(count(lit(1)).as("n_c"))
-    val vocab = train.agg(countDistinct(col("tok")).as("v"))
-    val classes = totals.select(col("lbl").as("cls"), col("n_c"))
-    // per (test doc, class): Σ_t 2·c(t,cls) over model rows that
-    // exist; the smoothing +1 per token folds into + n_toks
-    val matched = test.join(model.select(col("tok"), col("lbl").as("cls"),
-        col("c")), Seq("tok"))
-      .groupBy("doc_id", "cls")
-      .agg(sum(col("c") * 2).as("m2"))
-    val perDoc = test.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_toks"), max("lbl").as("actual"))
-    // crossJoin(broadcast(...)) on |C|- and 1-row AGGREGATED frames:
-    // pruning-safe here because the broadcast builds read the
-    // PERSISTED token cache, not a re-derived corpus subtree (the
-    // q137-lesson caveat the scriptMixture comment documents)
-    val scored = perDoc
-      .crossJoin(broadcast(classes))       // |C| classes per doc
-      .join(matched, Seq("doc_id", "cls"), "left")
-      .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), col("n_toks"), col("actual"), col("cls"),
-        ((coalesce(col("m2"), lit(0L)) + col("n_toks")).cast(DoubleType)
-          / (col("n_c") * 2 + col("v")).cast(DoubleType)).as("score"))
-    scored.groupBy("doc_id")
-      .agg(max("n_toks").as("n_toks"), max("actual").as("actual"),
-        min_by(struct(col("cls"), col("score")),
-          struct((-col("score")).as("neg"), col("cls"))).as("__w"))
-      .select(col("doc_id"), col("n_toks"), col("actual"),
-        col("__w.cls").as("predicted"), col("__w.score").as("score"),
-        (col("__w.cls") === col("actual")).as("hit"))
+    fitOnTokens(train).scoreTokens(test)
     }
   }
+
+  /** A fitted centroid model as three frames: (tok, cls, c) counts,
+    * (cls, n_c) totals, and the 1-row vocabulary size. Built by
+    * [[fitCentroidModel]] (or internally by [[centroidClassifier]])
+    * and applied by [[CentroidModel.scoreTokens]] — the SAME scoring
+    * code serves the batch operator and the streaming sink, so
+    * stream ≡ batch is structural, not re-implemented.
+    */
+  final case class CentroidModel(model: DataFrame, classes: DataFrame,
+                                 vocab: DataFrame) {
+    /** Score a (doc_id, tok, lbl) token frame. `lbl` rides through as
+      * `actual` (pass a null literal when truth is unknown).
+      */
+    private[operators] def scoreTokens(test: DataFrame): DataFrame = {
+      // per (test doc, class): Σ_t 2·c(t,cls) over model rows that
+      // exist; the smoothing +1 per token folds into + n_toks
+      val matched = test.join(model, Seq("tok"))
+        .groupBy("doc_id", "cls")
+        .agg(sum(col("c") * 2).as("m2"))
+      val perDoc = test.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), max("lbl").as("actual"))
+      // crossJoin(broadcast(...)) on |C|- and 1-row AGGREGATED frames:
+      // pruning-safe because the broadcast builds read either the
+      // caller's persisted token cache (batch operator) or the
+      // sink's persisted model frames — never a re-derived corpus
+      // subtree (the q137-lesson caveat the scriptMixture comment
+      // documents)
+      val scored = perDoc
+        .crossJoin(broadcast(classes))       // |C| classes per doc
+        .join(matched, Seq("doc_id", "cls"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("n_toks"), col("actual"), col("cls"),
+          ((coalesce(col("m2"), lit(0L)) + col("n_toks")).cast(DoubleType)
+            / (col("n_c") * 2 + col("v")).cast(DoubleType)).as("score"))
+      scored.groupBy("doc_id")
+        .agg(max("n_toks").as("n_toks"), max("actual").as("actual"),
+          min_by(struct(col("cls"), col("score")),
+            struct((-col("score")).as("neg"), col("cls"))).as("__w"))
+        .select(col("doc_id"), col("n_toks"), col("actual"),
+          col("__w.cls").as("predicted"), col("__w.score").as("score"),
+          (col("__w.cls") === col("actual")).as("hit"))
+    }
+
+    /** Persist the three model frames and materialize them (so a
+      * long-lived scorer — the streaming sink — pays the training
+      * derivation once, not per batch; the contaminationSink
+      * discipline). Returns this for chaining.
+      */
+    def materialized(): CentroidModel = {
+      Seq(model, classes, vocab).foreach { f =>
+        f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        f.count()
+      }
+      this
+    }
+
+    def unpersist(): Unit =
+      Seq(model, classes, vocab).foreach(_.unpersist(false))
+  }
+
+  // model: (tok, lbl) -> occurrence count; totals: lbl -> N_c;
+  // V = distinct train vocabulary (1-row frame)
+  private def fitOnTokens(train: DataFrame): CentroidModel =
+    CentroidModel(
+      train.groupBy("tok", "lbl").agg(count(lit(1)).as("c"))
+        .select(col("tok"), col("lbl").as("cls"), col("c")),
+      train.groupBy("lbl").agg(count(lit(1)).as("n_c"))
+        .select(col("lbl").as("cls"), col("n_c")),
+      train.agg(countDistinct(col("tok")).as("v")))
+
+  /** Fit a [[CentroidModel]] on a labeled training frame — the
+    * standalone train half for long-lived scorers (streaming sinks,
+    * repeated probes). The batch [[centroidClassifier]] trains the
+    * identical arithmetic on its own id-split.
+    */
+  def fitCentroidModel(train: DataFrame, content: Column, id: Column,
+                       label: Column): CentroidModel =
+    fitOnTokens(tokens(train.filter(content.isNotNull && label.isNotNull),
+      content, id, Seq("lbl" -> label)))
+
+  /** Score arbitrary documents against a fitted model (the inference
+    * half; `label` may be a null literal when truth is unknown —
+    * `actual`/`hit` then come back null).
+    */
+  def scoreWithModel(docs: DataFrame, content: Column, id: Column,
+                     label: Column, m: CentroidModel): DataFrame =
+    m.scoreTokens(tokens(docs.filter(content.isNotNull), content, id,
+      Seq("lbl" -> label)).select("doc_id", "tok", "lbl"))
 
   /** Oracle for [[centroidClassifier]] on the documents table:
     * identical integer arithmetic, argmax as a ROW_NUMBER window

@@ -375,6 +375,53 @@ object EventStream {
     query
   }
 
+  /** Classifier-at-ingest — the 17th stream twin, the serving half of
+    * q208's learned filter: a [[graft.operators.Classify.CentroidModel]]
+    * is fitted ONCE on the static labeled train frame and persisted
+    * (materialized eagerly so batch 0 doesn't pay the training
+    * derivation — the contaminationSink discipline), then every
+    * arriving micro-batch is scored against the frozen model with the
+    * SAME `scoreTokens` code the batch operator runs, so stream
+    * output over any chunking ≡ the batch operator over the union by
+    * construction (per-doc independent scoring; spec-pinned). Per-doc
+    * rows (doc_id, n_toks, actual, predicted, score, hit)
+    * append-only; the model frames are unpersisted when the query
+    * terminates (listener-scoped, never mid-flight).
+    */
+  def classifierSink(docsStream: DataFrame, train: DataFrame,
+                     content: String, id: String, label: String,
+                     outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docsStream.sparkSession
+    val model = graft.operators.Classify
+      .fitCentroidModel(train, col(content), col(id), col(label))
+      .materialized()
+    val query = docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Classify.scoreWithModel(batch.toDF(),
+            col(content), col(id), col(label), model)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    val qid = query.id
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == qid) {
+            model.unpersist()
+            spark.streams.removeListener(this)
+          }
+      })
+    query
+  }
+
   /** Incrementally-maintained target-encoding state over the live
     * stream — the 10th stream twin, sink-based like [[nearDupSink]]:
     * each micro-batch aggregates to a per-category (k, cnt, sum_v)

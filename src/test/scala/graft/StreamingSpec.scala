@@ -735,6 +735,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_(4) == true), "fixture must surface contamination")
   }
 
+  test("classifierSink: frozen-model scoring over micro-batches equals the batch classifier") {
+    import graft.operators.Classify
+    import graft.tables.Tables
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    // the batch operator's own split: train = doc_id % 5 != 0,
+    // held-out = doc_id % 5 == 0 — streamed here in two chunks
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val test = docs.filter(col("doc_id") % 5 === 0)
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft-cls-in")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cls-out").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cls-ck").toString
+    test.filter(col("doc_id") < 250).coalesce(1)
+      .write.parquet(inDir.toString + "/c0")
+    test.filter(col("doc_id") >= 250).coalesce(1)
+      .write.parquet(inDir.toString + "/c1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString + "/c*")
+    val q = EventStream.classifierSink(stream, train, "text", "doc_id",
+      "lang", outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_toks", "actual", "predicted", "score", "hit")
+      .collect().map(_.toSeq).toSet
+    val got = rows(spark.read.parquet(outDir))
+    val expected = rows(Classify.centroidClassifier(docs, col("text"),
+      col("doc_id"), col("lang")))
+    assert(got === expected)
+    assert(got.exists(_(5) == true), "fixture must surface correct predictions")
+  }
+
   test("scd2Stream: closed versions equal the batch scd2FromLog history") {
     val stream = spark.readStream.schema(EventStream.eventsSchema)
       .parquet(eventsDir)

@@ -140,6 +140,100 @@ object Curate {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  /** FUZZY decontamination — the near-duplicate complement of the
+    * exact-gram screen above: [[decontaminate]] only catches verbatim
+    * n-gram overlap, but eval items leak into crawls PARAPHRASED
+    * (reformatted, lightly edited, re-tokenized); this screen flags
+    * every train document whose n-gram JACCARD with some eval
+    * document reaches `threshold`, candidates from the MinHash-LSH
+    * band index ([[Dedup.minHashIndex]] — the q106 incremental
+    * machinery pointed across the train/eval split).
+    *
+    * Scale shape: the train corpus computes its band index in one
+    * scan with no self-join anywhere; the eval set is small by
+    * nature, so its band table and shingle sets BROADCAST — candidate
+    * generation and verification never shuffle the corpus (the q106
+    * economics), the per-train-doc rollup aggregates only the
+    * verified pairs, and the every-train-doc output attaches by one
+    * column-pruned id scan + left join (the [[decontaminate]]
+    * contract: every train doc appears; `max_jaccard` stays NULL on
+    * clean docs).
+    *
+    * @return (doc_id, n_eval_neardups, max_jaccard, contaminated) per
+    *         train doc
+    */
+  def fuzzyDecontaminate(train: DataFrame, evalSet: DataFrame,
+                         content: Column, id: Column, n: Int = 3,
+                         k: Int = 8, bands: Int = 4,
+                         threshold: Double = 0.8): DataFrame = {
+    val idx = Dedup.minHashIndex(train, content, id, n, k, bands)
+    val base = idx.base
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // (new_id = eval doc, dup_of = train doc, jaccard) — already
+      // verified exact-Jaccard pairs, eagerly materialized
+      val pairs = Dedup.lookupNearDups(
+        idx.copy(base = base, banded = Dedup.minhashBanded(base, k, bands)),
+        evalSet, content, id, threshold)
+      val roll = pairs.groupBy(col("dup_of").as("doc_id"))
+        .agg(count(lit(1)).as("n_eval_neardups"),
+          max("jaccard").as("max_jaccard"))
+      train.select(id.as("doc_id"))
+        .join(roll, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_eval_neardups"), lit(0L)).as("n_eval_neardups"),
+          col("max_jaccard"),
+          (coalesce(col("n_eval_neardups"), lit(0L)) > 0).as("contaminated"))
+    } finally { base.unpersist(blocking = false); () }
+  }
+
+  /** Oracle for [[fuzzyDecontaminate]] over the documents table split
+    * by WHERE predicates — the q106 oracle's candidate/verify CTEs
+    * plus the per-train-doc rollup.
+    */
+  def fuzzyDecontaminateOracle(trainWhere: String, evalWhere: String,
+                               n: Int = 3, k: Int = 8, bands: Int = 4,
+                               threshold: Double = 0.8): String = {
+    val h32 = Dedup.h32Sql
+    val sigExprs = Dedup.minhashSigSql(k)
+    val bandSelects = Dedup.minhashBandSelectsSql(k, bands)
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Dedup.shinglesSql(n)} AS sh
+       |  FROM (SELECT doc_id, STRING_SPLIT_REGEX(text, '\\s+') AS toks FROM documents)),
+       |nz AS (SELECT doc_id, sh,
+       |         LIST_TRANSFORM(sh, s -> $h32) AS shh
+       |       FROM t WHERE LEN(sh) > 0),
+       |sig AS (SELECT doc_id, sh, $sigExprs AS sig FROM nz),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS dup_of
+       |  FROM banded c JOIN banded b
+       |    ON c.band = b.band AND c.bucket = b.bucket
+       |  WHERE c.doc_id IN (SELECT doc_id FROM documents WHERE $trainWhere)
+       |    AND b.doc_id IN (SELECT doc_id FROM documents WHERE $evalWhere)),
+       |verified AS (
+       |  SELECT new_id, dup_of,
+       |    CAST(LEN(LIST_INTERSECT(sn.sh, sc.sh)) AS DOUBLE)
+       |      / (LEN(sn.sh) + LEN(sc.sh) - LEN(LIST_INTERSECT(sn.sh, sc.sh)))
+       |      AS jaccard
+       |  FROM cand
+       |  JOIN nz sn ON cand.new_id = sn.doc_id
+       |  JOIN nz sc ON cand.dup_of = sc.doc_id),
+       |pairs AS (SELECT * FROM verified WHERE jaccard >= $threshold),
+       |roll AS (
+       |  SELECT dup_of AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_neardups,
+       |    MAX(jaccard) AS max_jaccard
+       |  FROM pairs GROUP BY dup_of)
+       |SELECT t.doc_id,
+       |  COALESCE(r.n_eval_neardups, 0) AS n_eval_neardups,
+       |  r.max_jaccard,
+       |  COALESCE(r.n_eval_neardups, 0) > 0 AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE $trainWhere) t
+       |LEFT JOIN roll r ON r.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   def corpus(docs: DataFrame, content: Column, id: Column,
              maxHamming: Int = 3, fraction: Double = 0.5): DataFrame = {
     // survivors feed BOTH the cluster computation and the final

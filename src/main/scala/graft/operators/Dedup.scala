@@ -110,7 +110,7 @@ object Dedup {
     tokenizedDocs(docs, content, id)
       .select(col("doc_id"), explode(shingles(col("toks"), n)).as("g"))
 
-  private def shinglesSql(n: Int): String =
+  private[operators] def shinglesSql(n: Int): String =
     s"""CASE WHEN LEN(toks) >= $n THEN
        |  LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks) - ${n - 1}),
        |    i -> ARRAY_TO_STRING(LIST_SLICE(toks, i, i + ${n - 1}), ' ')))
@@ -830,15 +830,15 @@ object Dedup {
   // must exist in exactly ONE place or a parameter change silently
   // breaks whichever oracle wasn't updated.
   /** 32-bit md5-prefix shingle hash via nibble arithmetic (8 hex chars). */
-  private def h32Sql: String = (1 to 8)
+  private[operators] def h32Sql: String = (1 to 8)
     .map(i => s"(STRPOS('0123456789abcdef', MD5(s)[$i]) - 1) * ${math.pow(16, 8 - i).toLong}")
     .mkString(" + ")
 
-  private def minhashSigSql(k: Int): String = (0 until k)
+  private[operators] def minhashSigSql(k: Int): String = (0 until k)
     .map(i => s"LIST_MIN(LIST_TRANSFORM(shh, h -> (${minhashA(i)} * h + ${minhashB(i)}) % $MinHashP))")
     .mkString("[", ",\n    ", "]")
 
-  private def minhashBandSelectsSql(k: Int, bands: Int): String = {
+  private[operators] def minhashBandSelectsSql(k: Int, bands: Int): String = {
     val r = k / bands
     (0 until bands).map { b =>
       val parts = (0 until r)

@@ -3536,6 +3536,23 @@ object Extensions {
     Some(graft.operators.Classify.importanceWeightsOracle(
       "source = 'src0'")))
 
+  /** Fuzzy decontamination — the near-dup complement of q198's exact
+    * screen: train docs whose n-gram Jaccard with some eval doc
+    * reaches 0.8 (MinHash-LSH candidates across the split, eval side
+    * broadcast, per-train-doc rollup, every train doc in the output).
+    */
+  private val q211 = Q("q211_fuzzy_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Curate.fuzzyDecontaminate(
+        docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 8),
+        col("text"), col("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some(Curate.fuzzyDecontaminateOracle(trainWhere = "doc_id % 10 < 8",
+      evalWhere = "doc_id % 10 >= 8")))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3553,5 +3570,6 @@ object Extensions {
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-    q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
+    q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
+    q211)
 }

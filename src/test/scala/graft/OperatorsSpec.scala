@@ -146,6 +146,31 @@ class OperatorsSpec extends SparkSpec {
     assert(r(3L).getAs[Long]("n_hit") === 1L)        // distinct-gram semantics
   }
 
+  test("Curate.fuzzyDecontaminate: near-dup-of-eval flagged, unrelated clean, every train doc present") {
+    import spark.implicits._
+    val phrase = (1 to 12).map(i => s"w$i").mkString(" ")
+    val train = Seq(
+      (0L, s"$phrase w13"),                        // near-dup of eval 100
+      (1L, "totally different training text with no overlap at all"),
+      (2L, phrase)                                  // exact eval text
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, phrase),
+      (101L, "another eval item sharing zero shingles with anything")
+    ).toDF("doc_id", "text")
+    val r = Curate.fuzzyDecontaminate(train, eval, col("text"),
+        col("doc_id"), threshold = 0.5)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.keySet === Set(0L, 1L, 2L))
+    assert(r(2L).getAs[Boolean]("contaminated"))
+    assert(r(2L).getAs[Double]("max_jaccard") === 1.0)
+    assert(r(0L).getAs[Boolean]("contaminated"))   // 10/11 shared 3-grams
+    assert(r(0L).getAs[Double]("max_jaccard") > 0.5
+      && r(0L).getAs[Double]("max_jaccard") < 1.0)
+    assert(!r(1L).getAs[Boolean]("contaminated"))
+    assert(r(1L).isNullAt(r(1L).fieldIndex("max_jaccard")))
+  }
+
   test("scriptProfile property: every class count and the dominant fold match a per-codepoint reference (random mixed-script docs + block edges)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -219,7 +219,30 @@ object Fns {
       case _: logical.RepartitionOperation       => ()
       case _: logical.Sort                       => ()
     }.isEmpty
-    if (scanShaped && df.rdd.getNumPartitions < n) df.repartition(n, key)
+    // Tiny-input gate (round-13 part 3): the spread is one extra stage
+    // whose scheduling barrier costs ~0.3–0.5 s at local[32] REGARDLESS
+    // of data size, so on a sub-megabyte scan it BUYS less single-core
+    // map time than it spends (measured at sf0.1: the simhash family
+    // paid +1.0–1.9 s per derivation for a 0.6 MB input; r12-code
+    // control on the same box confirmed the delta is the spread, not
+    // the box). Catalyst's file-size-based estimate on the projected
+    // scan is free to read and scale-faithful: below SpreadMinBytes the
+    // whole map stage is seconds of one-core work at most — skip; above
+    // it the spread amortizes immediately (the sf1 wins: 8.0→2.7 s on
+    // 6 MB inputs). At cluster scale the partition-count probe already
+    // short-circuits (multi-split scans), so the gate only ever fires
+    // where it was measured to matter.
+    val tiny = scanShaped &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes < SpreadMinBytes
+    if (!tiny && scanShaped && df.rdd.getNumPartitions < n)
+      df.repartition(n, key)
     else df
   }
+
+  /** Break-even input size for [[spreadIfNarrow]]: below this the one
+    * extra exchange stage costs more wall-clock than the single-core
+    * map work it parallelizes (measured on the simhash family — see
+    * PLANS round-13 part 3).
+    */
+  val SpreadMinBytes: Long = 2L << 20
 }

@@ -108,13 +108,21 @@ class FnsSpec extends SparkSpec {
   test("spreadIfNarrow widens a narrow plan to session parallelism and " +
       "leaves a wide one untouched") {
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val narrow = spark.range(0, 1000, 1, numPartitions = 1).toDF("id")
+    // big enough to clear the tiny-input gate (8 B/row Range stats)
+    val rows = Fns.SpreadMinBytes / 8 + 1000
+    val narrow = spark.range(0, rows, 1, numPartitions = 1).toDF("id")
     val spreadN = Fns.spreadIfNarrow(narrow, col("id"))
     assert(spreadN.rdd.getNumPartitions === n)
-    assert(spreadN.count() === 1000L)
-    val wide = spark.range(0, 1000, 1, numPartitions = n + 4).toDF("id")
+    assert(spreadN.count() === rows)
+    val wide = spark.range(0, rows, 1, numPartitions = n + 4).toDF("id")
     // identity: no repartition node is inserted, partition count intact
     assert(Fns.spreadIfNarrow(wide, col("id")) eq wide)
+  }
+
+  test("spreadIfNarrow: sub-threshold inputs are left on their scan " +
+      "partitioning (the extra stage costs more than it parallelizes)") {
+    val tiny = spark.range(0, 1000, 1, numPartitions = 1).toDF("id")
+    assert(Fns.spreadIfNarrow(tiny, col("id")) eq tiny)
   }
 
   test("defensiveTs parses timestamps and falls back to numeric ns") {

@@ -94,7 +94,20 @@ object Bench {
       "\"" + k + "\":{\"min\":" + min + ",\"max\":" + max + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir"}""")
+    // Box identity (r13 lesson: cross-round comparisons are meaningless
+    // across VM migrations/reboots — q161 moved 1.93→3.25 s on IDENTICAL
+    // code). hostname + kernel boot_id prefix tags every record with the
+    // exact boot it ran on, so a drifted box is visible without
+    // archaeology.
+    val box = {
+      val host = try java.net.InetAddress.getLocalHost.getHostName
+                 catch { case _: Throwable => "unknown" }
+      val boot = try scala.io.Source.fromFile("/proc/sys/kernel/random/boot_id")
+                       .mkString.trim.take(8)
+                 catch { case _: Throwable => "nob" }
+      s"$host/$boot"
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir","box":"$box"}""")
     spark.stop()
   }
 }

@@ -242,7 +242,13 @@ object Fns {
   /** Break-even input size for [[spreadIfNarrow]]: below this the one
     * extra exchange stage costs more wall-clock than the single-core
     * map work it parallelizes (measured on the simhash family — see
-    * PLANS round-13 part 3).
+    * PLANS round-13 part 3). The 2 MB value encodes THIS BOX's
+    * measured stage-scheduling floor (~0.3–0.5 s per barrier at
+    * local[32]) against ~1–2 s/MB of heavy per-doc map work: barrier
+    * cost ≈ map time of ~0.5–1 MB, doubled for margin. If the
+    * scheduling floor changes (different cluster, faster scheduler),
+    * re-derive the threshold from those two measurements rather than
+    * trusting the constant.
     */
   val SpreadMinBytes: Long = 2L << 20
 }

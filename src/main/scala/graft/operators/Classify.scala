@@ -53,6 +53,28 @@ object Classify {
   private def words(content: Column): Column =
     regexp_extract_all(lower(content), lit("[a-z]+"), lit(0))
 
+  /** Materialize-then-release for CORPUS-PROPORTIONAL outputs built
+    * over a persisted token cache. [[graft.operators.Dedup.selfCleaning]]
+    * (written for pair frames) eagerly localCheckpoints — fine for a
+    * small pair result, but for a one-row-per-document output that
+    * truncates lineage into non-replicated executor blocks: one lost
+    * executor makes the whole result unrecoverable at 100 TB (the
+    * round-14 ADVICE finding). Here the result is persisted with
+    * lineage INTACT and filled eagerly while the token cache is still
+    * warm; the cache is then released. A lost block recomputes from
+    * source (slower — the cache is gone — but correct), and the
+    * ContextCleaner reclaims the result blocks when the caller drops
+    * the frame.
+    */
+  private def selfCleaningPersist(base: DataFrame)(build: => DataFrame)
+      : DataFrame =
+    try {
+      val out = build
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally { base.unpersist(blocking = false); () }
+
   private def tokens(docs: DataFrame, content: Column, id: Column,
                      extra: Seq[(String, Column)]): DataFrame = {
     val base = graft.functions.Fns.spreadIfNarrow(
@@ -88,12 +110,14 @@ object Classify {
     // the token stream feeds five consumers (model, totals, vocab,
     // test aggregate, score join) — persist it so the corpus
     // tokenizes ONCE, not once per consumer (the q173 base
-    // discipline); selfCleaning materializes the small result and
-    // drops the cache
+    // discipline); selfCleaningPersist materializes the result and
+    // drops the cache WITHOUT truncating lineage (the output is
+    // corpus-proportional, unlike the pair frames selfCleaning was
+    // written for)
     val toks = tokens(docs.filter(content.isNotNull && label.isNotNull),
       content, id, Seq("lbl" -> label))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.selfCleaning(toks) {
+    selfCleaningPersist(toks) {
     val train = toks.filter(pmod(col("doc_id"), lit(modBase)) =!= testSlice)
     val test = toks.filter(pmod(col("doc_id"), lit(modBase)) === testSlice)
       .select("doc_id", "tok", "lbl")
@@ -302,7 +326,7 @@ object Classify {
     val toks = tokens(docs.filter(content.isNotNull), content, id,
       Seq("is_tgt" -> isTarget))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.selfCleaning(toks) {
+    selfCleaningPersist(toks) {
     val tgtCounts = toks.filter(col("is_tgt"))
       .groupBy("tok").agg(count(lit(1)).as("c_t"))
     val rawCounts = toks.filter(!col("is_tgt"))

@@ -371,11 +371,18 @@ object Dedup {
         .select(col("doc_id"), col("n_sh"), col("g"))
       // Suffix-count bound (exact, PPJoin's suffix filter specialized
       // to containment): |A∩B| = |prefix(A)∩B| + |suffix(A)∩B|
-      // ≤ m + (n_a − p), where m counts matched PREFIX grams (the
-      // B side is the full posting list, so m is exact) and
+      // ≤ m + max(n_a − p, 0), where m counts matched PREFIX grams
+      // (the B side is the full posting list, so m is exact) and
       // p = n_a − ⌊t·n_a⌋ + 1 is the prefix length. Surviving
-      // C ≥ t needs inter ≥ ⌈t·n_a⌉, so m ≥ ⌈t·n_a⌉ − ⌊t·n_a⌋ + 1
-      // (= 2 whenever t·n_a is fractional). The dedup-by-pair
+      // C ≥ t needs inter ≥ ⌈t·n_a⌉, so
+      // m ≥ ⌈t·n_a⌉ − max(⌊t·n_a⌋ − 1, 0) (= 2 whenever t·n_a is
+      // fractional and ≥ 1). The max-with-0 clamp matters when
+      // ⌊t·n_a⌋ = 0 (docs with fewer distinct grams than 1/t, e.g. a
+      // single-shingle doc at t = 0.7): there p exceeds n_a, the
+      // prefix IS the whole doc and the suffix is empty, so the
+      // correct demand is m ≥ ⌈t·n_a⌉ = 1 — the unclamped form
+      // demanded 2, silently dropping true containment pairs the
+      // oracle (which has no such filter) keeps. The dedup-by-pair
       // aggregate replaces the former DISTINCT — same shuffle keys,
       // one extra count — and at sf1 cuts the verify attach from
       // 6.52 M candidate pairs to 0.75 M (8.7×) on identical output
@@ -391,7 +398,7 @@ object Dedup {
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("__m"), max("n_a").as("__na"))
         .filter(col("__m") >= ceil(lit(threshold) * col("__na"))
-          - floor(lit(threshold) * col("__na")) + lit(1))
+          - greatest(floor(lit(threshold) * col("__na")) - lit(1), lit(0)))
         .select("doc_a", "doc_b")
       val sh = base.select(col("doc_id"), col("sh"), col("n_sh"))
       cand

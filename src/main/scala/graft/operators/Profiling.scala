@@ -489,9 +489,18 @@ object Profiling {
     val bounds = v.groupBy("g")
       .agg(min("x").as("__lo"), max("x").as("__hi"), sum("w").as("__n"))
       .localCheckpoint(eager = true)
-    val smallG = bounds.count() <= BroadcastGroupLimit
+    val nG = bounds.count()
+    val smallG = nG <= BroadcastGroupLimit
+    // the target frame is |G|·|qs| rows (one exploded struct per
+    // group per quantile) — gate ITS forced broadcast on the product,
+    // not |G| alone, or several quantiles at the |G| boundary could
+    // collect a multiple of the sizing rationale onto the driver
+    // (round-14 ADVICE)
+    val smallTarget = nG * qs.size <= BroadcastGroupLimit
     def gFrame(df: DataFrame): DataFrame =
       if (smallG) broadcast(df) else df
+    def gFrameTarget(df: DataFrame): DataFrame =
+      if (smallTarget) broadcast(df) else df
     val vb = v.join(gFrame(bounds), Seq("g"))
       .withColumn("__bkt", call_function("div",
         (col("x") - col("__lo")) * lit(B), col("__hi") - col("__lo") + lit(1L)))
@@ -538,10 +547,11 @@ object Profiling {
       acc.when(col("__q") === name,
         call_function("div", col("__n") * lit(pNum) + lit(pDen - 1), lit(pDen)))
     }
-    // target is |G|·|qs| rows — same adaptive broadcast as bounds, so
-    // in the small-|G| regime the raw rows reach their partial
-    // aggregates with ZERO stream-side exchange anywhere
-    val picked = vb.join(gFrame(target), Seq("g"))
+    // target is |G|·|qs| rows — same adaptive broadcast as bounds but
+    // gated on the |G|·|qs| product, so in the small regime the raw
+    // rows reach their partial aggregates with ZERO stream-side
+    // exchange anywhere
+    val picked = vb.join(gFrameTarget(target), Seq("g"))
       .filter(col("__bkt") === col("__tbkt"))
       .groupBy(col("g"), col("__q"), col("x"))
       .agg(sum("w").as("cnt"), max("__n").as("__n"),

@@ -51,10 +51,12 @@ object Extensions {
       .orderBy("doc_id"),
     Some(TextAnalysis.fingerprintOracle))
 
-  /** Multimodal plumbing — opaque binary payload + typed metadata. The
-    * decode step itself is stubbed (no image/audio libs in-container);
-    * the schema/partitioning/batch plumbing is real (graft.operators.
-    * Multimodal) and the metadata extraction is oracle-checked here.
+  /** Multimodal plumbing — opaque binary payload + typed metadata:
+    * the oracle-checked metadata half of the multimodal family. The
+    * decode half is REAL since round 3 (javax.imageio / javax.sound
+    * in [[graft.operators.Multimodal]], q45's round-1 "stubbed" note
+    * was stale — r13 verdict hygiene); only frame-pixel VIDEO decode
+    * remains a declared descope (no JVM codec in-container).
     */
   private val q45 = Q("q45_binary_metadata",
     (s, d) => Tables.documents(s, d)
@@ -1602,21 +1604,37 @@ object Extensions {
   private val q114 = Q("q114_tpch_q21_shape",
     (s, d) => {
       // ONE (orderkey, suppkey) aggregation with a has-returned flag
-      // feeds all three probe sides. Executed-plan audit (the FIXED
-      // SPARK_GRAFT_EXPLAIN_EXECUTED mode — the first audit printed an
-      // unexecuted plan): the two returned-pair towers share one
-      // shuffle via a runtime ReusedExchange; the all-pairs tower keeps
-      // its own because column pruning drops has_r from it. Net: two
-      // lineitem shuffles instead of three; A/B vs three distincts
-      // measures ~0.1 s at sf0.1.
+      // feeds all three probe sides — and (round 14) lineitem crosses
+      // ONE exchange total: the explicit repartition on l_orderkey
+      // satisfies the aggregate's (l_orderkey, l_suppkey) clustering
+      // requirement (partitioning keys ⊆ grouping keys), so the
+      // aggregate runs complete above that single shuffle; all three
+      // towers contain the identical exchange subtree (AQE stage
+      // reuse runs it once), and — because every tower is then
+      // hash-partitioned on l_orderkey, alias-aware through the
+      // renames — the semi and the anti join add NO exchange of their
+      // own. Net: 1 lineitem-descended exchange (r12: 2, original: 3);
+      // the per-tower aggregate re-runs over the reused shuffle read,
+      // which is map-side CPU, not network. The map-side partial-agg
+      // this forgoes was worthless here anyway (~1.1 lines per
+      // (order, supplier) pair).
       val pairsAgg = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition(col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
           .as("has_r"))
       val l1 = pairsAgg.filter(col("has_r") === 1)
         .select("l_orderkey", "l_suppkey")
-      val others = pairsAgg.select(col("l_orderkey").as("o2_orderkey"),
-        col("l_suppkey").as("o2_suppkey"))
+      // has_r >= 0 is a tautology (the flag is 0/1) whose only job is
+      // to keep has_r REFERENCED in this tower: without it Catalyst
+      // prunes the unused max() out of the aggregate, the scan drops
+      // l_returnflag, and the now-different subtree gets its own
+      // exchange instead of reusing stage 0 (the r12 leftover this
+      // round closes — executed-plan-audited)
+      val others = pairsAgg.filter(col("has_r") >= 0)
+        .select(col("l_orderkey").as("o2_orderkey"),
+          col("l_suppkey").as("o2_suppkey"))
       val othersR = pairsAgg.filter(col("has_r") === 1)
         .select(col("l_orderkey").as("o3_orderkey"),
           col("l_suppkey").as("o3_suppkey"))
@@ -2341,7 +2359,12 @@ object Extensions {
   private val q140 = Q("q140_pagerank_trade",
     (s, d) => {
       val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
-      GraphOps.pageRank(tradeEdges(s, d), nodes, iters = 5).orderBy("node")
+      // nation graph: schema-bounded vertex domain (≤ 25 nodes) — the
+      // driver-iterated variant (identical integer semantics, same
+      // oracle) pays ZERO jobs per round; the lineitem-scale edge
+      // aggregation stays distributed.
+      GraphOps.pageRankBounded(tradeEdges(s, d), nodes, iters = 5,
+        maxNodes = 64).orderBy("node")
     },
     Some(GraphOps.pageRankOracle(
       tradeEdgesSql, "SELECT n_nationkey AS node FROM nation", iters = 5)))
@@ -2437,8 +2460,9 @@ object Extensions {
       val sources = Tables.nation(s, d)
         .filter(col("n_regionkey") === 0)
         .select(col("n_nationkey").as("node"))
-      GraphOps.shortestPaths(tradeEdges(s, d), sources, maxHops = 3)
-        .orderBy("node")
+      // nation graph — bounded-domain driver iteration (q140 note)
+      GraphOps.shortestPathsBounded(tradeEdges(s, d), sources, maxHops = 3,
+        maxNodes = 64).orderBy("node")
     },
     Some(GraphOps.shortestPathsOracle(
       tradeEdgesSql,
@@ -2715,7 +2739,9 @@ object Extensions {
   private val q161 = Q("q161_hits_trade",
     (s, d) => {
       val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
-      GraphOps.hits(tradeEdges(s, d), nodes, iters = 4).orderBy("node")
+      // nation graph — bounded-domain driver iteration (q140 note)
+      GraphOps.hitsBounded(tradeEdges(s, d), nodes, iters = 4,
+        maxNodes = 64).orderBy("node")
     },
     Some(GraphOps.hitsOracle(
       tradeEdgesSql, "SELECT n_nationkey AS node FROM nation", iters = 4)))

@@ -349,30 +349,61 @@ object EventStream {
       .evalGramPairs(evalSet, col(content), col(id), n)
       .persist()
     evPairs.count() // materialize before batch 0
-    val query = docsStream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.Curate.decontaminateAgainst(batch.toDF(), evPairs,
-            col(content), col(id), n, minHits)
-          .write.mode("append").parquet(outDir)
-        ()
+    startWithCleanup(spark,
+      () => docsStream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.Curate.decontaminateAgainst(batch.toDF(), evPairs,
+              col(content), col(id), n, minHits)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start(),
+      () => { evPairs.unpersist(); () })
+  }
+
+  /** Start a streaming query with a terminate-scoped cleanup that
+    * cannot leak: the listener goes on the bus BEFORE `start()` (a
+    * query that dies instantly still finds it registered — the
+    * round-14 ADVICE hazard of add-after-start), `start()` throwing
+    * runs the cleanup inline, and a latch closes the tiny window
+    * between the first termination event and the query id becoming
+    * known (the bus is async; an event arriving before `start()`
+    * returns parks until the id is set, then matches or passes).
+    */
+  private def startWithCleanup(spark: SparkSession,
+      start: () => org.apache.spark.sql.streaming.StreamingQuery,
+      cleanup: () => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val qid =
+      new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = {
+        latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        if (e.id == qid.get) {
+          cleanup()
+          spark.streams.removeListener(this)
+        }
       }
-      .start()
-    val qid = query.id
-    spark.streams.addListener(
-      new org.apache.spark.sql.streaming.StreamingQueryListener {
-        override def onQueryStarted(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-        override def onQueryProgress(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.id == qid) {
-            evPairs.unpersist()
-            spark.streams.removeListener(this)
-          }
-      })
-    query
+    }
+    spark.streams.addListener(listener)
+    val q =
+      try start()
+      catch {
+        case t: Throwable =>
+          spark.streams.removeListener(listener)
+          cleanup()
+          throw t
+      }
+    qid.set(q.id)
+    latch.countDown()
+    q
   }
 
   /** Classifier-at-ingest — the 17th stream twin, the serving half of
@@ -383,10 +414,17 @@ object EventStream {
     * arriving micro-batch is scored against the frozen model with the
     * SAME `scoreTokens` code the batch operator runs, so stream
     * output over any chunking ≡ the batch operator over the union by
-    * construction (per-doc independent scoring; spec-pinned). Per-doc
-    * rows (doc_id, n_toks, actual, predicted, score, hit)
-    * append-only; the model frames are unpersisted when the query
-    * terminates (listener-scoped, never mid-flight).
+    * construction (per-doc independent scoring; spec-pinned). To keep
+    * that equivalence EXACT, the sink also drops label-null rows
+    * before scoring — the batch twin filters
+    * `content.isNotNull && label.isNotNull`, while bare
+    * `scoreWithModel` keeps label-null docs for inference (the
+    * round-14 ADVICE divergence: those rows would stream out with
+    * null actual/hit and no batch counterpart). Per-doc rows
+    * (doc_id, n_toks, actual, predicted, score, hit) append-only;
+    * the model frames are unpersisted when the query terminates, and
+    * the cleanup is registered BEFORE start and runs inline if start
+    * throws ([[startWithCleanup]]).
     */
   def classifierSink(docsStream: DataFrame, train: DataFrame,
                      content: String, id: String, label: String,
@@ -396,30 +434,18 @@ object EventStream {
     val model = graft.operators.Classify
       .fitCentroidModel(train, col(content), col(id), col(label))
       .materialized()
-    val query = docsStream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.Classify.scoreWithModel(batch.toDF(),
-            col(content), col(id), col(label), model)
-          .write.mode("append").parquet(outDir)
-        ()
-      }
-      .start()
-    val qid = query.id
-    spark.streams.addListener(
-      new org.apache.spark.sql.streaming.StreamingQueryListener {
-        override def onQueryStarted(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-        override def onQueryProgress(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-        override def onQueryTerminated(
-            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-          if (e.id == qid) {
-            model.unpersist()
-            spark.streams.removeListener(this)
-          }
-      })
-    query
+    startWithCleanup(spark,
+      () => docsStream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.Classify.scoreWithModel(
+              batch.toDF().filter(col(label).isNotNull),
+              col(content), col(id), col(label), model)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start(),
+      () => { model.unpersist(); () })
   }
 
   /** Incrementally-maintained target-encoding state over the live

@@ -87,6 +87,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r(0L) > r(3L))
   }
 
+  test("bounded graph variants: bit-identical to the distributed operators; loud gate") {
+    // the driver-iterated variants replay the identical exact-integer
+    // arithmetic — every (node, score) must match the distributed
+    // result exactly, and the output schema (post-cast node type)
+    // must round-trip too
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => x.getLong(0) -> x.toSeq.drop(1)).toMap
+    assert(m(GraphOps.pageRankBounded(edges, nodes, iters = 5)) ===
+      m(GraphOps.pageRank(edges, nodes, iters = 5)))
+    val e2 = edges.select("src", "dst")
+    assert(m(GraphOps.hitsBounded(e2, nodes, iters = 3)) ===
+      m(GraphOps.hits(e2, nodes, iters = 3)))
+    val src = Seq(0L).toDF("node")
+    assert(m(GraphOps.shortestPathsBounded(edges, src, maxHops = 3)) ===
+      m(GraphOps.shortestPaths(edges, src, maxHops = 3)))
+    // unreachable-absent convention carries over
+    assert(!m(GraphOps.shortestPathsBounded(edges, src, maxHops = 3))
+      .contains(4L))
+    // the gate refuses an over-cap domain instead of collecting it
+    val big = (0L to 99L).toDF("node")
+    val bigE = (0L until 99L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRankBounded(bigE, big, iters = 1, maxNodes = 10)
+    }
+  }
+
   // ----------------------------------------------------------- triangles
 
   test("triangleStats: internal degree-ordering bounds the wedge-candidate key") {
@@ -166,7 +192,7 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r === Map((10L, 20L) -> 3L, (10L, 30L) -> 2L, (20L, 30L) -> 2L))
   }
 
-  test("frequentPairs: semi-join prune precedes pairing without a broadcast hint") {
+  test("frequentPairs: semi-join prune below, single reused basket exchange in the self-join") {
     val t = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 30L))
       .toDF("basket", "item")
     // no forced broadcast: the hint-free semi join is still planned (AQE
@@ -182,10 +208,29 @@ class AnalyticsOpsSpec extends SparkSpec {
       minItemSupport = 2, minPairSupport = 2)
     // r07: the pruned frame is checkpointed once at the fan-out point —
     // the final plan reads the materialized RDD on BOTH self-join sides
-    // instead of recomputing the dedup pipeline twice (q141 defect)
+    // instead of recomputing the dedup pipeline twice (q141 defect).
+    // r14: the checkpoint is repartitioned on basket ONCE before the
+    // l/r split, so the self-join shuffles the data-sized frame a
+    // single time (the second side reuses the exchange) and the join
+    // adds no exchange of its own — alias-aware partitioning carries
+    // basket/basket_r through the renames.
+    df.queryExecution.toRdd.foreachPartition(_ => ())
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("LeftSemi") && plan.contains("ExistingRDD"),
       s"expected both self-join sides to scan the checkpointed prune:\n$plan")
+    assert(plan.contains("ReusedExchange") ||
+        "ShuffleQueryStage (\\d+)".r.findAllMatchIn(plan)
+          .map(_.group(1)).toSeq.groupBy(identity).exists(_._2.size > 1),
+      s"expected the basket exchange to be planned once and reused:\n$plan")
+    // exactly TWO distinct exchange key signatures: the shared basket
+    // repartition and the final pair aggregate
+    val exKeys = """Exchange (?:hash|REPARTITION_BY_COL.*?hash)partitioning\(([^)]*)\)""".r
+      .findAllMatchIn(plan)
+      .map(_.group(1).split(",").map(_.trim.takeWhile(_ != '#'))
+        .filter(s => s.nonEmpty && !s.forall(_.isDigit)).toSeq)
+      .toSet
+    assert(exKeys === Set(Seq("basket"), Seq("item_a", "item_b")),
+      s"expected exactly {basket},{item_a,item_b} exchanges, got $exKeys:\n$plan")
     val got = df.collect()
       .map(x => (x.getAs[Long]("item_a"), x.getAs[Long]("item_b"))
         -> x.getAs[Long]("support")).toMap

@@ -1385,6 +1385,23 @@ class OperatorsSpec extends SparkSpec {
     assert(r === Set((1L, 2L), (2L, 1L))) // doc 3 has no trigram
   }
 
+  test("Dedup.containmentPairs: single-shingle doc fully contained survives the suffix-count bound") {
+    import spark.implicits._
+    // doc 1 has exactly ONE trigram (3 tokens): ⌊0.7·1⌋ = 0, so the
+    // prefix is the whole doc and the suffix is empty — the
+    // suffix-count prefilter must demand m ≥ ⌈0.7·1⌉ = 1, not the
+    // unclamped ⌈t·n⌉−⌊t·n⌋+1 = 2 (which silently dropped this true
+    // containment pair and diverged from the oracle; round-14 ADVICE)
+    val host = "a b c " + (1 to 30).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, "a b c"), (2L, host)).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(d, col("text"), col("doc_id"),
+        n = 3, threshold = 0.7)
+      .collect().map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")) ->
+        x.getAs[Double]("containment")).toMap
+    assert(r.keySet === Set((1L, 2L)))
+    assert(r((1L, 2L)) === 1.0)
+  }
+
   test("TextAnalysis.phraseSearch: counts token-aligned occurrences, overlapping included") {
     import spark.implicits._
     val d = Seq(

@@ -78,6 +78,40 @@ object IdxPublishBench {
       StandingIndex.appendNearDupIndex(spark, delta, col("text"),
         col("doc_id"), db = db, name = "n")
     }
+
+    // ---- r14 leveled economics: on a GROWN index, a same-sized later
+    // append must cost what the first did (cost ∝ delta, not ∝ index).
+    // Grow a chunk index through 4 equal deltas and time each publish;
+    // pre-r14 (union + full-member rewrite) each step was slower than
+    // the last because the rewritten member kept growing.
+    println("[idx] --- leveled append-cost growth (chunk, 5 equal slices) ---")
+    val slices = (0 to 4).map(i => docs.filter(col("doc_id") % 5 === i))
+    t("chunk leveled: initial build (slice 0)") {
+      StandingIndex.buildChunkIndex(spark, slices(0), col("text"),
+        col("doc_id"), chunkTokens = 8, nBuckets = 32, db = db, name = "cg")
+    }
+    (1 to 4).foreach { i =>
+      t(s"chunk leveled: append slice $i (index now ${i}x the delta)") {
+        StandingIndex.appendChunkIndex(spark, slices(i), col("text"),
+          col("doc_id"), db = db, name = "cg")
+      }
+    }
+    // and the probe-side price of levels: same batch against the
+    // 5-level index vs a monolithic rebuild of the same corpus
+    t("chunk leveled: probe against 5 levels") {
+      StandingIndex.probeChunks(spark, docs.limit(500), col("text"),
+        col("doc_id"), db = db, name = "cg")
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("chunk monolithic: full rebuild (all 5 slices)") {
+      StandingIndex.buildChunkIndex(spark, docs, col("text"),
+        col("doc_id"), chunkTokens = 8, nBuckets = 32, db = db, name = "cg1")
+    }
+    t("chunk monolithic: probe against 1 level") {
+      StandingIndex.probeChunks(spark, docs.limit(500), col("text"),
+        col("doc_id"), db = db, name = "cg1")
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -49,7 +49,19 @@ object IvfadcProbe {
               nQueries = 8, k = 5, nprobe = np, iters = it),
             Similarity.bruteForceTopKL2(emb, 8, 5, queryFrom = nc))
             .agg(avg("recall")).head().getDouble(0)
-          println(f"[ivfadc] nCells=$nc%2d iters=$it nprobe=$np%2d mean recall = $r%.3f")
+          // the IVF pruning ceiling at the same budget, and the exact
+          // re-rank's recall against it (r14: the refine stage can
+          // reach the ceiling but never exceed it)
+          val ceil = Similarity.ivfCellRecall(emb, nCells = nc,
+            nQueries = 8, k = 5, nprobe = np, iters = it)
+            .agg(avg("cell_recall")).head().getDouble(0)
+          val rr = Similarity.recallAtK(
+            Similarity.ivfadcRefineTopK(emb, nCells = nc, m = 4, ksub = 16,
+              nQueries = 8, k = 5, nprobe = np, iters = it, rerank = sys.env.getOrElse("RR","20").toInt),
+            Similarity.bruteForceTopKL2(emb, 8, 5, queryFrom = nc))
+            .agg(avg("recall")).head().getDouble(0)
+          println(f"[ivfadc] nCells=$nc%2d iters=$it nprobe=$np%2d " +
+            f"recall = $r%.3f refine@rr = $rr%.3f ceiling = $ceil%.3f")
         }
     }
     spark.stop()

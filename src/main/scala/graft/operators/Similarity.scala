@@ -1347,6 +1347,127 @@ object Similarity {
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** IVFADC + exact re-rank (the faiss `IndexRefineFlat` stage, the
+    * production recall lever that does NOT widen the scan budget):
+    * the IVFADC pass retrieves `rerank` (> k) candidates per query by
+    * quantized ADC distance — same nCells/nprobe, same pruned code
+    * scan — and the top k are then re-ranked by EXACT L2 against the
+    * candidates' raw vectors. ADC's quantization error (the dominant
+    * miss source once a true neighbor IS in a probed cell) disappears
+    * for everything the candidate pool caught; what remains is the
+    * IVF pruning ceiling — the fraction of true neighbors whose cell
+    * is probed at all ([[ivfCellRecall]] measures exactly that
+    * ceiling, and no same-budget re-rank can exceed it).
+    *
+    * Scale shape: the candidate set is (nQueries × rerank) rows —
+    * broadcast; the exact re-rank is ONE map-only pass of the corpus
+    * scan against that broadcast (inner join on neighbor_id keeps
+    * corpus-side work proportional to candidates found per split, no
+    * corpus shuffle), then the usual query_id-keyed rank window.
+    * Floats ride the same `dot`/`l2` kernels as [[bruteForceTopKL2]],
+    * so the oracle replay is bit-identical.
+    *
+    * @return (query_id, neighbor_id, dist, rnk ≤ k) — dist is EXACT
+    *         L2, so ranks are immune to ADC error within the pool
+    */
+  def ivfadcRefineTopK(emb: DataFrame, nCells: Int = 16, m: Int = 4,
+                       ksub: Int = 16, nQueries: Int = 8, k: Int = 5,
+                       nprobe: Int = 4, iters: Int = 2, dim: Int = 64,
+                       rerank: Int = 20): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val cand = ivfadcTopK(emb, nCells, m, ksub, nQueries, k = rerank,
+        nprobe, iters, dim)
+      .select("query_id", "neighbor_id")
+    val base = withNorm(emb)
+    val q = base.select(col("vec_id").as("query_id"), col("e").as("qe"),
+      col("nrm").as("qn"))
+    val c = base.select(col("vec_id").as("neighbor_id"), col("e").as("ce"),
+      col("nrm").as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        l2(col("qn"), dot(col("qe"), col("ce")), col("cn")).as("dist"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Oracle for [[ivfadcRefineTopK]]: the full [[ivfadcTopKOracle]]
+    * replay at k = rerank as the candidate CTE, then the exact-L2
+    * re-rank against the raw embedding lists.
+    */
+  def ivfadcRefineTopKOracle(nCells: Int = 16, m: Int = 4, ksub: Int = 16,
+                             nQueries: Int = 8, k: Int = 5, nprobe: Int = 4,
+                             iters: Int = 2, dim: Int = 64,
+                             rerank: Int = 20): String =
+    s"""WITH cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |${ivfadcTopKOracle(nCells, m, ksub, nQueries, rerank, nprobe,
+            iters, dim)})),
+       |de AS (
+       |  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |exact AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ${l2Sql("qv.e", "cv.e")} AS dist
+       |  FROM cand
+       |  JOIN de qv ON qv.vec_id = cand.query_id
+       |  JOIN de cv ON cv.vec_id = cand.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY dist ASC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM exact)
+       |SELECT query_id, neighbor_id, dist, rnk FROM ranked
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  /** Diagnostic: the IVF pruning CEILING — the per-query fraction of
+    * EXACT top-k neighbors whose assigned cell is among the query's
+    * nprobe probed cells. Every same-budget IVFADC variant (any PQ
+    * size, any re-rank) is bounded above by this number; if the
+    * ceiling sits below a recall target, the honest levers are nprobe
+    * or nCells (scan budget), not encoding quality. Trains the same
+    * coarse quantizer as [[ivfadcTopK]] (same seeds, same iters).
+    */
+  private[graft] def ivfCellRecall(emb: DataFrame, nCells: Int = 16,
+                                   nQueries: Int = 8, k: Int = 5,
+                                   nprobe: Int = 4, iters: Int = 2)
+      : DataFrame = {
+    val searchFrom = nCells + nQueries
+    val base = withNorm(emb).select(col("vec_id"), col("e"))
+    val spark = base.sparkSession
+    import spark.implicits._
+    val fullSubs = base.select(col("vec_id"), lit(0).as("s"), col("e"))
+      .withColumn("ee", dot(col("e"), col("e")))
+    val coarse: Seq[(Long, Seq[Double])] =
+      lloydTrainL2All(spark, fullSubs, 1, nCells, searchFrom, iters).head
+    val coarseDf = coarse.toDF("cell", "ce")
+      .withColumn("cc", dot(col("ce"), col("ce")))
+    val cells = base.filter(col("vec_id") >= searchFrom)
+      .select(col("vec_id").as("neighbor_id"),
+        argminLit(col("e"), coarse).as("cell"))
+    val q = base.filter(col("vec_id") >= nCells && col("vec_id") < searchFrom)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("pd").asc, col("cell"))
+    val probed = q.crossJoin(broadcast(coarseDf))
+      .withColumn("pd",
+        l2(dot(col("qe"), col("qe")), dot(col("qe"), col("ce")), col("cc")))
+      .withColumn("prk", row_number().over(wp))
+      .filter(col("prk") <= nprobe)
+      .select("query_id", "cell")
+    bruteForceTopKL2(emb, nQueries, k, queryFrom = nCells)
+      .select("query_id", "neighbor_id")
+      .join(cells, Seq("neighbor_id"))
+      .join(probed.withColumnRenamed("cell", "pcell"), Seq("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(when(col("cell") === col("pcell"), 1L).otherwise(0L))
+        .as("hit"))
+      .groupBy("query_id")
+      .agg((sum("hit").cast(DoubleType) / count(lit(1))).as("cell_recall"))
+  }
+
   // --------------------------------------- reciprocal-rank fusion
 
   /** lcm(61..70): every 60+rnk for rnk in 1..10 divides this, so the

@@ -55,16 +55,24 @@ import org.apache.spark.sql.functions._
   * retention argument, `Lakehouse.ctasSwap`), older ones are dropped.
   *
   * Refresh semantics: a rebuild is a full re-derivation from the
-  * corpus frame passed in — publish cadence = corpus publish cadence.
-  * Probes between publishes see the old version (stale by exactly the
-  * not-yet-published delta, the standard trade); probes after the
-  * flip see the new one. Append-only growth (merge a day's documents
-  * into the standing tables without rewriting them) is deliberately
-  * NOT offered: bucketed `saveAsTable` cannot append in place without
-  * re-clustering, and a wrong "cheap append" that silently broke the
-  * one-file-per-bucket sort contract would cost every future probe a
-  * per-bucket sort — rebuild-and-flip is the correctness-preserving
-  * cadence.
+  * corpus frame passed in; probes between publishes see the old
+  * version (stale by exactly the not-yet-published delta), probes
+  * after the flip see the new one. Incremental APPEND publishes
+  * (round 13) derive only the delta; since round 14 the chunk,
+  * near-dup and ANN appends are LEVELED — the delta's derived frames
+  * publish as new immutable level tables, the live levels carry over
+  * by manifest reference (`levels*` meta fields, FQ table names), and
+  * probes run per level (chained anti-joins / unioned pair results /
+  * unioned cell-pruned scans — each level keeps its own bucket
+  * layout, so the zero-corpus-exchange probe contract survives where
+  * a UNION of bucketed scans would not), with an LSM-style compaction
+  * once `maxLevels` is reached. Publish cost is therefore ∝ delta,
+  * not ∝ index. The MATCH index append alone still rewrites its
+  * members: the hot-anchor cap and sub assignments are functions of
+  * GLOBAL occurrence counts across base ∪ delta, so existing anchor
+  * rows can change on append and the bit-identical-to-rebuild
+  * contract (q201) rules leveling out — documented trade: that index
+  * pays an index-sized (but text-derivation-free) publish.
   */
 object StandingIndex {
 
@@ -114,14 +122,48 @@ object StandingIndex {
                      m: Row, suffix: String): DataFrame =
     spark.table(fq(db, name, m.getAs[Int]("version"), suffix))
 
-  /** Write every member at version N, flip the manifest view (THE
-    * commit), GC versions older than the superseded one.
+  /** Versions whose member tables a manifest row still REFERENCES by
+    * fully-qualified name in any of its string fields — the leveled
+    * appends (chunk/neardup/ann) carry older versions' level tables
+    * forward instead of rewriting them, and the GC must treat those
+    * as live. Scanning every string meta field for the
+    * `name__v<N>__` pattern keeps the contract generic: any future
+    * cross-version reference is GC-safe by construction.
     */
+  private def referencedVersions(name: String, m: Row): Set[Int] = {
+    val re = (Pattern.quote(name) + "__v(\\d+)__").r
+    (0 until m.length).flatMap(i => m.get(i) match {
+      case s: String => re.findAllMatchIn(s).map(_.group(1).toInt).toSeq
+      case _ => Nil
+    }).toSet
+  }
+
+  /** Comma-joined FQ level-table list from a `levels`-style manifest
+    * field; empty when the field is absent (pre-leveled manifests).
+    */
+  private def levelTables(m: Row, field: String): Seq[String] =
+    scala.util.Try(m.getAs[String](field)).toOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
   private def commit(spark: SparkSession, db: String, name: String,
                      kind: String, members: Seq[Member],
-                     metaSql: Seq[String]): Int = {
+                     metaSql: Seq[String]): Int =
+    commitVersioned(spark, db, name, kind, members, _ => metaSql)
+
+  /** Write every member at version N, flip the manifest view (THE
+    * commit), GC versions that are neither live, superseded-but-
+    * draining, nor referenced by the live or superseded manifest
+    * (leveled appends reference older versions' tables by FQ name in
+    * their meta). `metaSql` sees the version number so level lists
+    * can name the tables being committed.
+    */
+  private def commitVersioned(spark: SparkSession, db: String, name: String,
+                              kind: String, members: Seq[Member],
+                              metaSql: Int => Seq[String]): Int = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    val prev = manifest(spark, db, name).map(_.getAs[Int]("version"))
+    val prevManifest = manifest(spark, db, name)
+    val prev = prevManifest.map(_.getAs[Int]("version"))
     val next = versions(spark, db, name).maxOption.getOrElse(-1) + 1
     members.foreach { mm =>
       val frame =
@@ -140,11 +182,14 @@ object StandingIndex {
         }
       w.saveAsTable(fq(db, name, next, mm.suffix))
     }
-    val meta = (Seq(s"$next AS version", s"'$kind' AS kind") ++ metaSql)
-      .mkString(", ")
+    val meta = (Seq(s"$next AS version", s"'$kind' AS kind")
+      ++ metaSql(next)).mkString(", ")
     spark.sql(s"CREATE OR REPLACE VIEW $db.$name AS SELECT $meta")
-    // retain the superseded version for in-flight probes; GC the rest
-    val keep = Set(next) ++ prev
+    // retain the superseded version for in-flight probes, plus every
+    // version either manifest still references; GC the rest
+    val keep = Set(next) ++ prev ++
+      prevManifest.map(referencedVersions(name, _)).getOrElse(Set.empty) ++
+      referencedVersions(name, spark.table(s"$db.$name").collect().head)
     versions(spark, db, name).filterNot(keep).foreach { v =>
       spark.catalog.listTables(db).collect()
         .filter(_.name.startsWith(s"${name}__v${v}__"))
@@ -243,52 +288,114 @@ object StandingIndex {
         s"$nBuckets AS n_buckets"))
   }
 
-  /** Incremental publish of the live chunk index: old distinct digests
-    * ∪ the delta's chunk digests, re-distinct-ed (set union — re-used
-    * digests collapse, so re-submitting overlapping TEXT is harmless;
-    * ids are not stored, hence no id gate). Only the delta is
-    * chunked/hashed; the union re-buckets on fp.
+  /** FQ level tables of a leveled index, falling back to the single
+    * same-version member for manifests written before levels existed.
+    */
+  private def levelsOrMember(db: String, name: String, m: Row,
+                             field: String, suffix: String): Seq[String] =
+    levelTables(m, field) match {
+      case Nil => Seq(fq(db, name, m.getAs[Int]("version"), suffix))
+      case l   => l
+    }
+
+  /** Incremental publish of the live chunk index — LEVELED (round 14,
+    * the verdict-r13 append-economics item): the former append
+    * unioned the delta into the full digest member and REWROTE every
+    * bucket, so publish cost grew with INDEX size, not delta size —
+    * at 100 TB that re-pays a corpus-scale write per day. Now the
+    * delta's digests (anti-joined against every live level, so the
+    * level set stays globally distinct — each anti-join streams the
+    * bucketed level and shuffles only the delta) are written as ONE
+    * NEW LEVEL table; the live levels carry over by reference in the
+    * manifest's `levels` list, untouched on disk. Probes chain one
+    * anti-join per level ([[probeChunks]]) — still zero corpus-side
+    * exchange, the batch side pays |levels| joins instead of 1.
+    * When the list would exceed `maxLevels`, the publish COMPACTS:
+    * all levels ∪ delta rewrite as a single level (cost ∝ index, paid
+    * once per maxLevels publishes — the standard LSM amortization).
+    * Same atomic manifest flip; the GC keeps every version a live or
+    * draining manifest references.
     */
   def appendChunkIndex(spark: SparkSession, delta: DataFrame,
                        content: Column, id: Column,
                        db: String = "graft_idx",
-                       name: String = "chunk_idx"): Int = {
+                       name: String = "chunk_idx",
+                       maxLevels: Int = 8): Int = {
+    require(maxLevels >= 1, s"maxLevels ($maxLevels) must be >= 1")
     val m = manifestOrThrow(spark, db, name, "chunk")
     val ct = m.getAs[Int]("chunk_tokens")
     val nBuckets = m.getAs[Int]("n_buckets")
-    commit(spark, db, name, "chunk", Seq(
-      Member("fps", member(spark, db, name, m, "fps")
-        .unionByName(TextAnalysis.corpusChunkFps(delta, content, id, ct))
-        .distinct(), Seq("fp"), nBuckets)),
-      Seq(s"$ct AS chunk_tokens", s"$nBuckets AS n_buckets"))
+    val old = levelsOrMember(db, name, m, "levels", "fps")
+    val deltaFps = old.foldLeft(
+      TextAnalysis.corpusChunkFps(delta, content, id, ct))(
+      (acc, t) => acc.join(spark.table(t), Seq("fp"), "left_anti"))
+    val metaBase = Seq(s"$ct AS chunk_tokens", s"$nBuckets AS n_buckets")
+    if (old.size >= maxLevels)
+      commitVersioned(spark, db, name, "chunk", Seq(
+        Member("fps", old.map(spark.table).reduce(_.unionByName(_))
+          .unionByName(deltaFps), Seq("fp"), nBuckets)),
+        v => metaBase :+ s"'${fq(db, name, v, "fps")}' AS levels")
+    else {
+      val lvl = s"fps_l${old.size}"
+      commitVersioned(spark, db, name, "chunk", Seq(
+        Member(lvl, deltaFps, Seq("fp"), nBuckets)),
+        v => metaBase :+
+          s"'${(old :+ fq(db, name, v, lvl)).mkString(",")}' AS levels")
+    }
   }
 
-  /** Incremental publish of the live near-dup index: both members are
-    * per-document maps (band rows, shingle sets), so the union of old
-    * members with the delta's derivations IS the full-rebuild result —
-    * no cross-document recount exists in this family. Only the delta
-    * is shingled/hashed; the union re-buckets.
+  /** Incremental publish of the live near-dup index — LEVELED (round
+    * 14, like [[appendChunkIndex]]): both members are per-document
+    * maps (band rows, shingle sets), disjoint from the live index by
+    * the id gate, so the delta's derivations publish as one new
+    * (banded, base) LEVEL PAIR and the live levels carry over by
+    * manifest reference — nothing corpus-sized rewrites, publish cost
+    * ∝ delta. The probe runs per level and unions the (small) pair
+    * results ([[probeNearDups]]) — exact, because a candidate pair's
+    * corpus document lives in exactly one level, so both the bucket
+    * collision and the Jaccard verify of that pair are contained in
+    * its level's probe. Past `maxLevels` the publish compacts (the
+    * LSM amortization).
     */
   def appendNearDupIndex(spark: SparkSession, delta: DataFrame,
                          content: Column, id: Column,
                          db: String = "graft_idx",
-                         name: String = "neardup_idx"): Int = {
+                         name: String = "neardup_idx",
+                         maxLevels: Int = 8): Int = {
+    require(maxLevels >= 1, s"maxLevels ($maxLevels) must be >= 1")
     val m = manifestOrThrow(spark, db, name, "neardup")
     val (n, k, bands) = (m.getAs[Int]("n"), m.getAs[Int]("k"),
       m.getAs[Int]("bands"))
     val nBuckets = m.getAs[Int]("n_buckets")
-    val oldBase = member(spark, db, name, m, "base")
-    requireNewIds(oldBase, delta.select(id.as("doc_id")).distinct(),
-      "doc_id", s"$db.$name")
+    val oldBanded = levelsOrMember(db, name, m, "levels_banded", "banded")
+    val oldBase = levelsOrMember(db, name, m, "levels_base", "base")
+    oldBase.foreach(t => requireNewIds(spark.table(t),
+      delta.select(id.as("doc_id")).distinct(), "doc_id", s"$db.$name"))
     val baseD = Dedup.minhashBase(delta, content, id, n)
-    commit(spark, db, name, "neardup", Seq(
-      Member("banded", member(spark, db, name, m, "banded")
-        .unionByName(Dedup.minhashBanded(baseD, k, bands)),
-        Seq("bucket"), nBuckets),
-      Member("base", oldBase.unionByName(baseD.select(col("doc_id"), col("sh"))),
-        Seq("doc_id"), nBuckets)),
-      Seq(s"$n AS n", s"$k AS k", s"$bands AS bands",
-        s"$nBuckets AS n_buckets"))
+    val metaBase = Seq(s"$n AS n", s"$k AS k", s"$bands AS bands",
+      s"$nBuckets AS n_buckets")
+    if (oldBanded.size >= maxLevels)
+      commitVersioned(spark, db, name, "neardup", Seq(
+        Member("banded", oldBanded.map(spark.table).reduce(_.unionByName(_))
+          .unionByName(Dedup.minhashBanded(baseD, k, bands)),
+          Seq("bucket"), nBuckets),
+        Member("base", oldBase.map(spark.table).reduce(_.unionByName(_))
+          .unionByName(baseD.select(col("doc_id"), col("sh"))),
+          Seq("doc_id"), nBuckets)),
+        v => metaBase ++ Seq(
+          s"'${fq(db, name, v, "banded")}' AS levels_banded",
+          s"'${fq(db, name, v, "base")}' AS levels_base"))
+    else {
+      val i = oldBanded.size
+      commitVersioned(spark, db, name, "neardup", Seq(
+        Member(s"banded_l$i", Dedup.minhashBanded(baseD, k, bands),
+          Seq("bucket"), nBuckets),
+        Member(s"base_l$i", baseD.select(col("doc_id"), col("sh")),
+          Seq("doc_id"), nBuckets)),
+        v => metaBase ++ Seq(
+          s"'${(oldBanded :+ fq(db, name, v, s"banded_l$i")).mkString(",")}' AS levels_banded",
+          s"'${(oldBase :+ fq(db, name, v, s"base_l$i")).mkString(",")}' AS levels_base"))
+    }
   }
 
   /** Probe a batch against the live match index: every maximal
@@ -317,10 +424,11 @@ object StandingIndex {
                       content: Column, id: Column, chunkTokens: Int = 8,
                       nBuckets: Int = 64, db: String = "graft_idx",
                       name: String = "chunk_idx"): Int =
-    commit(spark, db, name, "chunk", Seq(
+    commitVersioned(spark, db, name, "chunk", Seq(
       Member("fps", TextAnalysis.corpusChunkFps(corpus, content, id,
         chunkTokens), Seq("fp"), nBuckets)),
-      Seq(s"$chunkTokens AS chunk_tokens", s"$nBuckets AS n_buckets"))
+      v => Seq(s"$chunkTokens AS chunk_tokens", s"$nBuckets AS n_buckets",
+        s"'${fq(db, name, v, "fps")}' AS levels"))
 
   /** Probe a batch against the live chunk index —
     * `TextAnalysis.chunkDedupIncremental`'s exact output (per batch
@@ -331,7 +439,8 @@ object StandingIndex {
                   id: Column, db: String = "graft_idx",
                   name: String = "chunk_idx"): DataFrame = {
     val m = manifestOrThrow(spark, db, name, "chunk")
-    TextAnalysis.chunkDedupAgainstFps(member(spark, db, name, m, "fps"),
+    TextAnalysis.chunkDedupAgainstFpLevels(
+      levelsOrMember(db, name, m, "levels", "fps").map(spark.table),
       batch, content, id, m.getAs[Int]("chunk_tokens"))
   }
 
@@ -349,31 +458,41 @@ object StandingIndex {
                         name: String = "neardup_idx"): Int = {
     require(k % bands == 0, "k must divide into bands")
     val base = Dedup.minhashBase(corpus, content, id, n)
-    commit(spark, db, name, "neardup", Seq(
+    commitVersioned(spark, db, name, "neardup", Seq(
       Member("banded", Dedup.minhashBanded(base, k, bands),
         Seq("bucket"), nBuckets),
       Member("base", base.select(col("doc_id"), col("sh")),
         Seq("doc_id"), nBuckets)),
-      Seq(s"$n AS n", s"$k AS k", s"$bands AS bands",
-        s"$nBuckets AS n_buckets"))
+      v => Seq(s"$n AS n", s"$k AS k", s"$bands AS bands",
+        s"$nBuckets AS n_buckets",
+        s"'${fq(db, name, v, "banded")}' AS levels_banded",
+        s"'${fq(db, name, v, "base")}' AS levels_base"))
   }
 
   /** Probe a batch against the live near-dup index —
     * `Dedup.incrementalNearDups`'s exact output (new_id, dup_of,
     * jaccard ≥ threshold); the batch's band table broadcasts, the
-    * corpus tables stream from their buckets.
+    * corpus tables stream from their buckets. Leveled indexes probe
+    * each (banded, base) level pair independently and union the
+    * (small) pair results — a candidate's corpus document lives in
+    * exactly one level, so per-level results are disjoint and their
+    * union equals the single-table probe; the batch side re-derives
+    * per level, bounded by maxLevels and batch-sized.
     */
   def probeNearDups(spark: SparkSession, batch: DataFrame, content: Column,
                     id: Column, threshold: Double = 0.8,
                     db: String = "graft_idx",
                     name: String = "neardup_idx"): DataFrame = {
     val m = manifestOrThrow(spark, db, name, "neardup")
-    Dedup.lookupNearDups(
-      Dedup.MinHashIndex(
-        member(spark, db, name, m, "base"),
-        member(spark, db, name, m, "banded"),
-        m.getAs[Int]("n"), m.getAs[Int]("k"), m.getAs[Int]("bands")),
-      batch, content, id, threshold)
+    val banded = levelsOrMember(db, name, m, "levels_banded", "banded")
+    val base = levelsOrMember(db, name, m, "levels_base", "base")
+    banded.zip(base).map { case (bt, st) =>
+      Dedup.lookupNearDups(
+        Dedup.MinHashIndex(
+          spark.table(st), spark.table(bt),
+          m.getAs[Int]("n"), m.getAs[Int]("k"), m.getAs[Int]("bands")),
+        batch, content, id, threshold)
+    }.reduce(_.unionByName(_))
   }
 
   // ----------------------------------------------------- ANN (IVFADC)
@@ -405,23 +524,47 @@ object StandingIndex {
       .select(col("query_id").as("vec_id"), col("qe").as("e"))
     val (coarseDf, booksDf, codes) =
       Similarity.ivfadcEncode(base, nCells, m, ksub, corpusFrom, iters, dim)
-    commit(spark, db, name, "ann", Seq(
+    commitVersioned(spark, db, name, "ann", Seq(
       Member("codes", codes, Seq("cell"), nBuckets,
         sortKeys = Seq("cell", "vec_id")),
       // centroid self-dots (cc/bcc) are derived at probe time by the
       // same dot kernel — persisting floats twice buys nothing
       Member("coarse", coarseDf.select("cell", "ce")),
       Member("books", booksDf.select("s", "code", "bce"))),
-      Seq(s"$nCells AS n_cells", s"$m AS m", s"$ksub AS ksub",
-        s"$iters AS iters", s"$dim AS dim", s"$nBuckets AS n_buckets"))
+      v => Seq(s"$nCells AS n_cells", s"$m AS m", s"$ksub AS ksub",
+        s"$iters AS iters", s"$dim AS dim", s"$nBuckets AS n_buckets",
+        s"'${fq(db, name, v, "codes")}' AS levels_codes",
+        s"'${fq(db, name, v, "coarse")}' AS coarse_tab",
+        s"'${fq(db, name, v, "books")}' AS books_tab"))
+  }
+
+  /** The live coarse/books quantizer tables: named by the manifest
+    * (leveled manifests carry them by reference across appends —
+    * frozen quantizers are never rewritten), falling back to the
+    * same-version member for pre-leveled manifests.
+    */
+  private def annQuantizers(spark: SparkSession, db: String, name: String,
+                            m: Row): (DataFrame, DataFrame) = {
+    def one(field: String, suffix: String) =
+      levelsOrMember(db, name, m, field, suffix) match {
+        case Seq(t) => spark.table(t)
+        case l => throw new IllegalStateException(
+          s"$db.$name: expected exactly one $suffix table, got $l")
+      }
+    (one("coarse_tab", "coarse"), one("books_tab", "books"))
   }
 
   /** Incremental publish of the live ANN index — the FROZEN-QUANTIZER
     * append every production IVF system uses: new vectors are
     * assigned cells and PQ codes against the live version's trained
-    * centroids (map-only, [[Similarity.ivfadcEncodeDelta]]), and only
-    * the codes member rewrites; the quantizers are never retrained,
-    * so the committed coarse/books members carry over verbatim.
+    * centroids (map-only, [[Similarity.ivfadcEncodeDelta]]). LEVELED
+    * (round 14): the delta's codes publish as a new level table and
+    * the live code levels AND the quantizer tables carry over by
+    * manifest reference — the former append rewrote every code bucket
+    * plus verbatim copies of coarse/books, so publish cost grew with
+    * INDEX size; now it is ∝ delta, with the LSM compaction past
+    * `maxLevels`. Probes union the cell-pruned level scans (map-only
+    * against broadcast LUTs — no corpus-side exchange to lose).
     * Unlike the dedup appends this is NOT bit-identical to a full
     * rebuild (a rebuild would retrain on base ∪ delta) — it is the
     * documented approximation production trades for O(delta) publish
@@ -430,28 +573,46 @@ object StandingIndex {
     */
   def appendAnnIndex(spark: SparkSession, delta: DataFrame,
                      db: String = "graft_idx",
-                     name: String = "ann_idx"): Int = {
+                     name: String = "ann_idx",
+                     maxLevels: Int = 8): Int = {
+    require(maxLevels >= 1, s"maxLevels ($maxLevels) must be >= 1")
     val m = manifestOrThrow(spark, db, name, "ann")
     val (nCells, pqM, ksub, iters, dim, nBuckets) =
       (m.getAs[Int]("n_cells"), m.getAs[Int]("m"), m.getAs[Int]("ksub"),
         m.getAs[Int]("iters"), m.getAs[Int]("dim"), m.getAs[Int]("n_buckets"))
-    val oldCodes = member(spark, db, name, m, "codes")
-    requireNewIds(oldCodes.select(col("cell"), col("vec_id")),
-      delta.select(col("vec_id")).distinct(), "vec_id", s"$db.$name")
-    val coarse = member(spark, db, name, m, "coarse").collect()
+    val oldCodes = levelsOrMember(db, name, m, "levels_codes", "codes")
+    oldCodes.foreach(t => requireNewIds(
+      spark.table(t).select(col("cell"), col("vec_id")),
+      delta.select(col("vec_id")).distinct(), "vec_id", s"$db.$name"))
+    val (coarseDf, booksDf) = annQuantizers(spark, db, name, m)
+    val coarse = coarseDf.collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-    val booksRows = member(spark, db, name, m, "books").collect()
+    val booksRows = booksDf.collect()
     val books = (0 until pqM).map(s => booksRows.filter(_.getInt(0) == s)
       .map(r => (r.getLong(1), r.getSeq[Double](2))).sortBy(_._1).toSeq)
     val deltaCodes =
       Similarity.ivfadcEncodeDelta(delta, coarse, books, pqM, dim)
-    commit(spark, db, name, "ann", Seq(
-      Member("codes", oldCodes.unionByName(deltaCodes), Seq("cell"),
-        nBuckets, sortKeys = Seq("cell", "vec_id")),
-      Member("coarse", member(spark, db, name, m, "coarse")),
-      Member("books", member(spark, db, name, m, "books"))),
-      Seq(s"$nCells AS n_cells", s"$pqM AS m", s"$ksub AS ksub",
-        s"$iters AS iters", s"$dim AS dim", s"$nBuckets AS n_buckets"))
+    // re-derive the quantizer FQ names once so the new manifest keeps
+    // referencing the tables where they physically live
+    val coarseTab = levelsOrMember(db, name, m, "coarse_tab", "coarse").head
+    val booksTab = levelsOrMember(db, name, m, "books_tab", "books").head
+    val metaBase = Seq(s"$nCells AS n_cells", s"$pqM AS m", s"$ksub AS ksub",
+      s"$iters AS iters", s"$dim AS dim", s"$nBuckets AS n_buckets",
+      s"'$coarseTab' AS coarse_tab", s"'$booksTab' AS books_tab")
+    if (oldCodes.size >= maxLevels)
+      commitVersioned(spark, db, name, "ann", Seq(
+        Member("codes", oldCodes.map(spark.table).reduce(_.unionByName(_))
+          .unionByName(deltaCodes), Seq("cell"), nBuckets,
+          sortKeys = Seq("cell", "vec_id"))),
+        v => metaBase :+ s"'${fq(db, name, v, "codes")}' AS levels_codes")
+    else {
+      val lvl = s"codes_l${oldCodes.size}"
+      commitVersioned(spark, db, name, "ann", Seq(
+        Member(lvl, deltaCodes, Seq("cell"), nBuckets,
+          sortKeys = Seq("cell", "vec_id"))),
+        v => metaBase :+
+          s"'${(oldCodes :+ fq(db, name, v, lvl)).mkString(",")}' AS levels_codes")
+    }
   }
 
   /** Probe queries against the live ANN index —
@@ -472,14 +633,21 @@ object StandingIndex {
                name: String = "ann_idx"): DataFrame = {
     val m = manifestOrThrow(spark, db, name, "ann")
     val (pqM, dim) = (m.getAs[Int]("m"), m.getAs[Int]("dim"))
-    val coarseDf = member(spark, db, name, m, "coarse")
+    val (coarseRaw, booksRaw) = annQuantizers(spark, db, name, m)
+    val coarseDf = coarseRaw
       .withColumn("cc", Similarity.dot(col("ce"), col("ce")))
-    val booksDf = member(spark, db, name, m, "books")
+    val booksDf = booksRaw
       .withColumn("bcc", Similarity.dot(col("bce"), col("bce")))
     val q = Similarity.ivfadcQueryFrame(queries)
     val cells = Similarity.probedCellIds(q, coarseDf, nprobe)
-    val codes = member(spark, db, name, m, "codes")
-      .filter(col("cell").isin(cells: _*))
+    // leveled code members: each level scan cell-prunes independently
+    // (the IN pushdown reaches every level's buckets), and the union
+    // is map-only work against the broadcast LUTs — the distance rank
+    // exchanges on query_id either way, so levels cost no extra
+    // corpus-side shuffle
+    val codes = levelsOrMember(db, name, m, "levels_codes", "codes")
+      .map(t => spark.table(t).filter(col("cell").isin(cells: _*)))
+      .reduce(_.unionByName(_))
     Similarity.ivfadcSearch(q, coarseDf, booksDf, codes, pqM, dim / pqM, k,
       nprobe)
   }

@@ -1142,12 +1142,27 @@ object TextAnalysis {
   private[operators] def chunkDedupAgainstFps(corpusFp: DataFrame,
                                               batch: DataFrame,
                                               content: Column, id: Column,
-                                              chunkTokens: Int): DataFrame = {
+                                              chunkTokens: Int): DataFrame =
+    chunkDedupAgainstFpLevels(Seq(corpusFp), batch, content, id, chunkTokens)
+
+  /** [[chunkDedupAgainstFps]] over a LEVELED digest set (the round-14
+    * incremental-publish layout): a batch chunk is corpus-dup if its
+    * digest exists in ANY level, expressed as one chained left-anti
+    * join per level — each keeps the bucketed level scan exchange-free
+    * and shuffles only the (small) batch side, where a UNION of the
+    * levels would erase the bucketing and shuffle the corpus.
+    */
+  private[operators] def chunkDedupAgainstFpLevels(corpusFpLevels: Seq[DataFrame],
+                                                   batch: DataFrame,
+                                                   content: Column, id: Column,
+                                                   chunkTokens: Int): DataFrame = {
+    require(corpusFpLevels.nonEmpty, "need at least one corpus fp level")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("fp").orderBy("doc_id", "chunk_id")
-    chunkedCore(batch, content, id, chunkTokens, overlap = 0)
-      .withColumn("fp", md5(col("chunk_text")))
-      .join(corpusFp, Seq("fp"), "left_anti")
+    corpusFpLevels.foldLeft(
+        chunkedCore(batch, content, id, chunkTokens, overlap = 0)
+          .withColumn("fp", md5(col("chunk_text"))))(
+        (acc, lvl) => acc.join(lvl, Seq("fp"), "left_anti"))
       .withColumn("kept", row_number().over(w) === 1)
       // anti-join survivors only — chunks found in the corpus are gone
       // entirely, so n_chunks must come from a fresh per-doc count over

@@ -3579,6 +3579,62 @@ object Extensions {
     Some(Curate.fuzzyDecontaminateOracle(trainWhere = "doc_id % 10 < 8",
       evalWhere = "doc_id % 10 >= 8")))
 
+  /** IVFADC + exact re-rank at q204's EXACT scan budget (same
+    * nCells/nprobe/iters) — the faiss refine stage
+    * ([[graft.operators.Similarity.ivfadcRefineTopK]]): the ADC pass
+    * retrieves rerank=20 candidates, exact L2 re-ranks them. Same
+    * pruned-scan cost; quantization error gone within the pool.
+    */
+  private val q212 = Q("q212_knn_ivfadc_refine",
+    (s, d) => Similarity.ivfadcRefineTopK(Tables.embeddings(s, d),
+        nCells = 16, m = 4, ksub = 16, nQueries = 8, k = 5, nprobe = 2,
+        iters = 4, rerank = 20)
+      .orderBy("query_id", "rnk"),
+    Some(Similarity.ivfadcRefineTopKOracle(nCells = 16, m = 4, ksub = 16,
+      nQueries = 8, k = 5, nprobe = 2, iters = 4, rerank = 20)))
+
+  /** q205's recall audit for the refined retriever at the SAME scan
+    * budget: mean recall 0.275 on this near-random fixture — which is
+    * EXACTLY the measured IVF pruning ceiling (the fraction of true
+    * neighbors in probed cells; [[graft.operators.Similarity.ivfCellRecall]]),
+    * i.e. the refine stage saturates the information-theoretic bound
+    * of the budget; see PLANS round 14. q214 grades the same stage at
+    * a wider probe budget where the ceiling permits ≥ 0.4.
+    */
+  private val q213 = Q("q213_ivfadc_refine_recall",
+    (s, d) => Similarity.recallAtK(
+        Similarity.ivfadcRefineTopK(Tables.embeddings(s, d), nCells = 16,
+          m = 4, ksub = 16, nQueries = 8, k = 5, nprobe = 2, iters = 4,
+          rerank = 20),
+        Similarity.bruteForceTopKL2(Tables.embeddings(s, d), nQueries = 8,
+          k = 5, queryFrom = 16))
+      .orderBy("query_id"),
+    Some(Similarity.recallAtKOracle(
+      Similarity.ivfadcRefineTopKOracle(nCells = 16, m = 4, ksub = 16,
+        nQueries = 8, k = 5, nprobe = 2, iters = 4, rerank = 20),
+      Similarity.bruteForceTopKL2Oracle(nQueries = 8, k = 5,
+        queryFrom = 16))))
+
+  /** The refine stage where the pruning ceiling allows it: nprobe=4
+    * (ceiling 0.600 on this fixture) with a rerank=40 pool — mean
+    * recall 0.525 vs the un-refined 0.150 at the identical scan
+    * budget. The graded evidence that exact re-rank, not more PQ
+    * bits, is the recall lever once cells are probed.
+    */
+  private val q214 = Q("q214_refine_recall_nprobe4",
+    (s, d) => Similarity.recallAtK(
+        Similarity.ivfadcRefineTopK(Tables.embeddings(s, d), nCells = 16,
+          m = 4, ksub = 16, nQueries = 8, k = 5, nprobe = 4, iters = 4,
+          rerank = 40),
+        Similarity.bruteForceTopKL2(Tables.embeddings(s, d), nQueries = 8,
+          k = 5, queryFrom = 16))
+      .orderBy("query_id"),
+    Some(Similarity.recallAtKOracle(
+      Similarity.ivfadcRefineTopKOracle(nCells = 16, m = 4, ksub = 16,
+        nQueries = 8, k = 5, nprobe = 4, iters = 4, rerank = 40),
+      Similarity.bruteForceTopKL2Oracle(nQueries = 8, k = 5,
+        queryFrom = 16))))
+
   val all: Vector[Q] = Vector(
     q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
@@ -3597,5 +3653,5 @@ object Extensions {
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
-    q211)
+    q211, q212, q213, q214)
 }

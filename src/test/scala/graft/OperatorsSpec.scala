@@ -635,6 +635,46 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Similarity.ivfadcRefineTopK: exact distances, recall >= plain ADC, full-pool = probed exact truth") {
+    // the q583 clustered fixture: structured regime where probed
+    // cells are right and only ADC quantization error separates the
+    // approximate ranking from the exact one — exactly what refine
+    // removes
+    val nClusters = 16
+    val dim = 16
+    val n = 400
+    val rnd = new java.util.Random(42)
+    val cents = Array.fill(nClusters, dim)(rnd.nextGaussian().toFloat)
+    val vecs = (0L until n.toLong).map { i =>
+      val c = cents((i % nClusters).toInt)
+      val v = Array.tabulate(dim)(j => c(j) + 0.05f * rnd.nextGaussian().toFloat)
+      (i, v)
+    }
+    val emb = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val refined = Similarity.ivfadcRefineTopK(emb, nCells = 16, m = 2,
+      ksub = 16, nQueries = 20, k = 5, nprobe = 16, iters = 2, dim = dim,
+      rerank = 400)
+    val exact = Similarity.bruteForceTopKL2(emb, nQueries = 20, k = 5,
+      queryFrom = 16)
+    // with ALL cells probed and a corpus-sized pool, the refine stage
+    // degenerates to exact search: row-identical to brute force
+    assert(refined.collect().map(_.toSeq).toSet ===
+      exact.collect().map(_.toSeq).toSet)
+    // at a tight budget the refined recall dominates the plain ADC
+    // recall (same candidates, exact instead of quantized ranking)
+    def recall(approx: org.apache.spark.sql.DataFrame) =
+      Similarity.recallAtK(approx, exact)
+        .agg(avg("recall")).head().getDouble(0)
+    val plain = recall(Similarity.ivfadcTopK(emb, nCells = 16, m = 2,
+      ksub = 16, nQueries = 20, k = 5, nprobe = 1, iters = 2, dim = dim))
+    val ref1 = recall(Similarity.ivfadcRefineTopK(emb, nCells = 16, m = 2,
+      ksub = 16, nQueries = 20, k = 5, nprobe = 1, iters = 2, dim = dim,
+      rerank = 20))
+    info(f"plain@nprobe1 recall $plain%.3f, refine@20 $ref1%.3f")
+    assert(ref1 >= plain - 1e-12,
+      s"refine recall $ref1 must not trail plain ADC $plain")
+  }
+
   test("Near-dup recall contract: MinHash-LSH and SimHash vs exact Jaccard") {
     // ground truth = the exact n-gram Jaccard pairs at threshold 0.8
     // (q47, full recall by the PPJoin bound); the approximate detectors

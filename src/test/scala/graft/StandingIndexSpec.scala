@@ -204,6 +204,49 @@ class StandingIndexSpec extends SparkSpec {
         col("doc_id"), threshold = 0.5, db = db, name = "n_full")))
   }
 
+  test("leveled chunk appends: delta-only levels, GC keeps carried tables, compaction collapses") {
+    val slices = (1 to 4).map(i => docs.filter(col("doc_id") % 10 === i))
+    StandingIndex.buildChunkIndex(spark, slices(0), col("text"),
+      col("doc_id"), chunkTokens = 8, nBuckets = 4, db = db, name = "c_lvl")
+    // two leveled appends: each publishes ONLY its delta level; the
+    // prior levels carry over by reference and must survive the GC
+    StandingIndex.appendChunkIndex(spark, slices(1), col("text"),
+      col("doc_id"), db = db, name = "c_lvl")
+    StandingIndex.appendChunkIndex(spark, slices(2), col("text"),
+      col("doc_id"), db = db, name = "c_lvl")
+    val m2 = StandingIndex.manifest(spark, db, "c_lvl").get
+    val lvls = m2.getAs[String]("levels").split(",").toSeq
+    assert(lvls === Seq(s"$db.c_lvl__v0__fps", s"$db.c_lvl__v1__fps_l1",
+      s"$db.c_lvl__v2__fps_l2"))
+    lvls.foreach(t => assert(spark.catalog.tableExists(t),
+      s"carried level $t must survive version GC"))
+    // levels are globally distinct: the delta anti-joins every live
+    // level at publish time
+    val all = lvls.map(spark.table).reduce(_.unionByName(_))
+    assert(all.count() === all.distinct().count())
+    // probe over levels ≡ probe of a monolithic rebuild over the union
+    StandingIndex.buildChunkIndex(spark,
+      slices.take(3).reduce(_.unionByName(_)), col("text"), col("doc_id"),
+      chunkTokens = 8, nBuckets = 4, db = db, name = "c_lvl_full")
+    assert(rows(StandingIndex.probeChunks(spark, batch, col("text"),
+        col("doc_id"), db = db, name = "c_lvl")) ===
+      rows(StandingIndex.probeChunks(spark, batch, col("text"),
+        col("doc_id"), db = db, name = "c_lvl_full")))
+    // maxLevels reached → the next append COMPACTS to one level whose
+    // content is the full union, and the probe is unchanged
+    StandingIndex.appendChunkIndex(spark, slices(3), col("text"),
+      col("doc_id"), db = db, name = "c_lvl", maxLevels = 3)
+    val m3 = StandingIndex.manifest(spark, db, "c_lvl").get
+    assert(m3.getAs[String]("levels") === s"$db.c_lvl__v3__fps")
+    StandingIndex.buildChunkIndex(spark,
+      slices.reduce(_.unionByName(_)), col("text"), col("doc_id"),
+      chunkTokens = 8, nBuckets = 4, db = db, name = "c_lvl_full4")
+    assert(rows(StandingIndex.probeChunks(spark, batch, col("text"),
+        col("doc_id"), db = db, name = "c_lvl")) ===
+      rows(StandingIndex.probeChunks(spark, batch, col("text"),
+        col("doc_id"), db = db, name = "c_lvl_full4")))
+  }
+
   test("append-publish rejects ids already in the index, loudly") {
     val base = docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5)
     StandingIndex.buildMatchIndex(spark, base, col("text"), col("doc_id"),
@@ -267,14 +310,23 @@ class StandingIndexSpec extends SparkSpec {
     StandingIndex.appendAnnIndex(spark, deltaSlice, db = db, name = "a_app")
     val v1 = StandingIndex.manifest(spark, db, "a_app").get.getAs[Int]("version")
     assert(v1 === v0 + 1)
-    // frozen-quantizer contract: centroid members carry over verbatim
-    for (suffix <- Seq("coarse", "books"))
-      assert(rows(spark.table(s"$db.a_app__v${v1}__$suffix")) ===
-        rows(spark.table(s"$db.a_app__v${v0}__$suffix")),
-        s"append must not retrain $suffix")
-    // codes member = old codes plus one row per delta vector
+    // frozen-quantizer contract, r14 leveled form: the quantizer
+    // tables are not copied — the new manifest REFERENCES v0's
+    // physical tables verbatim (and the GC must have kept them)
+    val m1 = StandingIndex.manifest(spark, db, "a_app").get
+    for ((field, suffix) <- Seq("coarse_tab" -> "coarse",
+        "books_tab" -> "books"))
+      assert(m1.getAs[String](field) === s"$db.a_app__v${v0}__$suffix",
+        s"append must carry the v$v0 $suffix table by reference")
+    // leveled codes: v1 publishes ONLY the delta level; the level list
+    // is the old member plus the new one, and their union holds one
+    // row per vector
+    val lvls = m1.getAs[String]("levels_codes").split(",").toSeq
+    assert(lvls === Seq(s"$db.a_app__v${v0}__codes",
+      s"$db.a_app__v${v1}__codes_l1"))
     val oldN = spark.table(s"$db.a_app__v${v0}__codes").count()
-    val newCodes = spark.table(s"$db.a_app__v${v1}__codes")
+    assert(spark.table(lvls(1)).count() === deltaSlice.count())
+    val newCodes = lvls.map(spark.table).reduce(_.unionByName(_))
     assert(newCodes.count() === oldN + deltaSlice.count())
     // delta codes use the live codebooks: every code within [0, seeds)
     // id space and every delta vec present exactly once

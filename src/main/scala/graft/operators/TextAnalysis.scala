@@ -1025,7 +1025,7 @@ object TextAnalysis {
       (greatest(nTok - chunkTokens, lit(0L)) + lit(stride - 1))
         / lit(stride))).cast(LongType)
 
-  private def chunkedCore(docs: DataFrame, content: Column, id: Column,
+  private[operators] def chunkedCore(docs: DataFrame, content: Column, id: Column,
                           chunkTokens: Int, overlap: Int): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
     val stride = chunkTokens - overlap

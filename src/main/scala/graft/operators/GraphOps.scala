@@ -436,7 +436,11 @@ object GraphOps {
     * edge removed no node (nodes drop exactly when degree < k, which
     * would drop their edges), so equal consecutive edge counts ⟺ the
     * peeling fixpoint — every later round is a no-op. The count probe
-    * is a 1-row action on the round's materialized checkpoint.
+    * PIGGYBACKS on the checkpoint job via `observe(count(*))`
+    * (round 14): the CollectMetrics accumulator is filled by the same
+    * job that materializes the round, so convergence detection costs
+    * ZERO extra jobs — previously a separate 1-row count action per
+    * round, i.e. one job barrier each on a 32-core local session.
     * `rounds` stays the CAP, so the oracle's fixed-round replay is
     * unchanged (extra oracle rounds past convergence are no-ops).
     *
@@ -455,9 +459,16 @@ object GraphOps {
                                      rounds: Int): (DataFrame, Int) = {
     require(k >= 1, s"k ($k) must be >= 1")
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")
-    var e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .localCheckpoint(eager = true)
-    var prevEdges = e.count()
+    // materialize + count in ONE job: the checkpoint action fills the
+    // CollectMetrics accumulator as a side effect
+    def checkpointCounted(df: DataFrame, metric: String)
+        : (DataFrame, Long) = {
+      val observed = df.observe(metric, count(lit(1)))
+      val ckpt = observed.localCheckpoint(eager = true)
+      (ckpt, observed.queryExecution.observedMetrics(metric).getLong(0))
+    }
+    var (e, prevEdges) = checkpointCounted(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b")), "kcore_e0")
     var r = 0
     var converged = prevEdges == 0L
     while (r < rounds && !converged) {
@@ -465,11 +476,10 @@ object GraphOps {
         .unionAll(e.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("n")
-      val next = e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-        .select("a", "b")
-        .localCheckpoint(eager = true)
-      val n = next.count()
+      val (next, n) = checkpointCounted(
+        e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+          .select("a", "b"), s"kcore_e${r + 1}")
       if (n == prevEdges) converged = true
       e = next
       prevEdges = n
@@ -542,37 +552,69 @@ object GraphOps {
     * materialized once up front (it is typically an expensive pair
     * pipeline referenced every round).
     *
+    * Round-14 exchange-cut: the adjacency is hash-partitioned on `n`
+    * BEFORE its one-time materialization, and when the measured node
+    * count fits `broadcastNodeLimit` the per-round label frame is
+    * broadcast into the join — then the join preserves the adjacency's
+    * partitioning and BOTH aggregations run complete above it
+    * (HashPartitioning(n) satisfies clustering on (n, lbl) and on n),
+    * so every round is a map-only pass over the memory-local adjacency
+    * with ZERO data exchanges. The gate is a materialized |V| count
+    * (the Profiling adaptive-broadcast discipline), NOT a guess: above
+    * the limit — a corpus-sized vertex set whose forced broadcast
+    * would OOM the driver — the rounds keep the shuffled-join shape.
+    * The default (2^20 nodes ≈ ~16 MB of (node,lbl) longs per round's
+    * broadcast, `rounds/checkpointEvery` of them live at once inside a
+    * checkpoint window) stays far under executor/driver budgets.
+    *
     * @return (node, community) — final label per node, both BIGINT
     */
   def labelPropagation(pairs: DataFrame, rounds: Int,
-                       checkpointEvery: Int = 2): DataFrame = {
+                       checkpointEvery: Int = 2,
+                       broadcastNodeLimit: Long = 1L << 20): DataFrame = {
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1")
-    val adj = pairs
+    val adjRaw = pairs
       .select(col("doc_a").cast("long").as("n"),
         col("doc_b").cast("long").as("nbr"))
       .unionAll(pairs.select(col("doc_b").cast("long").as("n"),
         col("doc_a").cast("long").as("nbr")))
       .localCheckpoint(eager = true)
+    var adj = adjRaw
     try {
       val l0 = adj.select(col("n").as("node")).distinct()
         .withColumn("lbl", col("node"))
-      val last = (1 to rounds).foldLeft(l0) { (labels, k) =>
-        val next = adj
-          .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
-          .groupBy(col("n"), col("lbl"))
-          .agg(count(lit(1)).as("cnt"))
-          // argmax by (cnt desc, lbl asc) as a single aggregate:
-          // min of (-cnt, lbl) lexicographically — counts are
-          // positive, so -cnt cannot overflow
-          .groupBy(col("n").as("node"))
-          .agg(min(struct((-col("cnt")).as("neg"), col("lbl")))
-            .getField("lbl").as("lbl"))
-        if (k % checkpointEvery == 0 || k == rounds)
-          next.localCheckpoint(eager = true)
-        else next
-      }
-      last.select(col("node"), col("lbl").as("community"))
+        .localCheckpoint(eager = true)
+      try {
+        val bcastLabels = l0.count() <= broadcastNodeLimit
+        if (bcastLabels) {
+          // re-materialize hash-partitioned on n (one 2|E|-row shuffle
+          // of a memory-local frame) so every round's aggregations run
+          // complete above the broadcast join with no exchange; the
+          // shuffled-join fallback skips this — its join re-clusters
+          // the adjacency by nbr anyway, and a pre-partition on n
+          // would be a pure extra shuffle there
+          adj = adjRaw.repartition(col("n")).localCheckpoint(eager = true)
+          adjRaw.unpersist(blocking = false)
+        }
+        val last = (1 to rounds).foldLeft(l0) { (labels, k) =>
+          val lblSide = labels.select(col("node").as("nbr"), col("lbl"))
+          val next = adj
+            .join(if (bcastLabels) broadcast(lblSide) else lblSide, "nbr")
+            .groupBy(col("n"), col("lbl"))
+            .agg(count(lit(1)).as("cnt"))
+            // argmax by (cnt desc, lbl asc) as a single aggregate:
+            // min of (-cnt, lbl) lexicographically — counts are
+            // positive, so -cnt cannot overflow
+            .groupBy(col("n").as("node"))
+            .agg(min(struct((-col("cnt")).as("neg"), col("lbl")))
+              .getField("lbl").as("lbl"))
+          if (k % checkpointEvery == 0 || k == rounds)
+            next.localCheckpoint(eager = true)
+          else next
+        }
+        last.select(col("node"), col("lbl").as("community"))
+      } finally { l0.unpersist(blocking = false); () }
     } finally { adj.unpersist(blocking = false); () }
   }
 

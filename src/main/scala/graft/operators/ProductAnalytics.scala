@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Event-stream product analytics: ordered funnels and retention
   * cohorts. Time arithmetic is integer microseconds / epoch-days
@@ -282,21 +283,53 @@ object ProductAnalytics {
     *
     * Scale shape: one shuffle to dedupe (basket, item); the frequent
     * item set is support-bounded (≤ |bi|/minItemSupport items) and
-    * filters via a LEFT SEMI join; the self-join co-partitions both
-    * sides on the basket key, and the per-basket pair blowup is bounded
-    * by basket size (TPC-H: ≤ 7 lines/order). No all-pairs stage
-    * anywhere.
+    * filters via a LEFT SEMI join; the pair stage clusters on the
+    * basket key, and the per-basket pair blowup is bounded by basket
+    * size (TPC-H: ≤ 7 lines/order). No all-pairs stage anywhere.
     *
-    * Single-exchange self-join (round 14): the checkpointed prune is
-    * repartitioned on `basket` ONCE before the l/r split. The renaming
-    * selects above it differ, but the Exchange subtrees beneath them
-    * are identical, so ReuseExchange (AQE stage reuse) shuffles the
-    * data-sized frame once instead of twice — and alias-aware output
-    * partitioning carries `basket`/`basket_r` through the renames, so
-    * the join itself adds no further exchange (spec-asserted: one
-    * basket exchange signature, reused). A round-14 interleaved A/B at
-    * sf1 also REJECTED the tempting alternative (per-basket
-    * collect_set arrays + in-expression C(m,2) enumeration — "one
+    * Sorted-run enumeration (round 14, second pass): the pruned
+    * (basket, item) frame is repartitioned on `basket`, sorted within
+    * partitions by (basket, item), and the pairs are emitted by a
+    * single mapPartitions double-pointer walk over each basket run —
+    * C(m,2) pairs per basket in sorted order, so `item_a < item_b`
+    * holds by construction under the same ordering the old self-join
+    * predicate used. One sort instead of the sort-merge self-join's
+    * two, no join build, and — because the pruned frame is now
+    * referenced exactly ONCE — no eager localCheckpoint: the operator
+    * is lazy end-to-end, which drops the checkpoint's two documented
+    * caveats (call-time job, non-recomputable blocks on executor
+    * loss). What laziness costs: Catalyst pushes the semi prune below
+    * one reference's distinct (PushDownLeftSemiAntiJoin), so the
+    * executed plan reads the two-column projection TWICE — once
+    * filtered-then-deduped for the pair side, once deduped for the
+    * support counts (NOT the r07 defect, where the full dedup SHUFFLE
+    * ran twice: here the duplicated work is only the column-pruned
+    * scan; the pair side's dedup exchange carries post-prune volume,
+    * which the old shape's carried in full). Worst case — a frequent
+    * set too big for AQE broadcast — the shuffled semi re-clusters raw
+    * rather than deduped volume; for near-unique (basket, item) inputs
+    * (this operator's natural shape) the difference is marginal.
+    * Interleaved sf1 A/B (graft.PairsAb, box 1c5ffb49): lazy
+    * sorted-run min 2.87 / med 3.14 s vs checkpointed sorted-run
+    * 3.26/3.99 vs the r14a single-exchange self-join 3.56/4.45 vs the
+    * r13 two-exchange self-join 3.77+. A basket-first single-exchange
+    * variant (repartition raw on basket, exchange-free distinct above)
+    * was REJECTED on correctness: its run-walk needs the semi join to
+    * preserve basket clustering, which only a broadcast join does —
+    * AQE legitimately picks a shuffled semi at scale and the walk then
+    * sees baskets split across partitions (measured: 980 of 30260
+    * pairs survive). NULL baskets are
+    * filtered before enumeration: a SQL equi-join never matches NULL
+    * keys, so the old shape emitted no pairs from them and the oracle
+    * (a.basket = b.basket) agrees; the run-walk's Any-equality WOULD
+    * group them. (NULL items are already dropped by the USING(item)
+    * semi join.) Contract nit: the run walk groups baskets by
+    * Java-object equality, which differs from SQL `=` only for
+    * floating-point keys (NaN groups with NaN, ±0.0 split) — basket
+    * ids are integral/string in every sane schema; don't key baskets
+    * by a float. An earlier round-14 interleaved A/B also REJECTED the
+    * tempting alternative (per-basket collect_set arrays +
+    * in-expression C(m,2) enumeration — "one
     * shuffle + one aggregate" on paper): millions of ObjectHashAggregate
     * set buffers caused GC storms (min 5.6 s, swings to 24 s) where
     * this all-UnsafeRow shape holds a stable 3.9-4.6 s.
@@ -312,46 +345,58 @@ object ProductAnalytics {
     * precedes the basket self-join — the pair stage is built on the
     * semi-joined frame (spec-asserted on the pruned frame's plan).
     *
-    * Materialization contract (round 7): the pruned frame is eagerly
-    * localCheckpoint-ed before the self-join — both sides reference it
-    * through renaming selects, and without the checkpoint the ENTIRE
-    * dedup pipeline (scan + distinct shuffle + semi-join) executed
-    * twice, once per side (r06 verdict, q141: 3.38 s vs a 0.13 s
-    * oracle). The checkpoint is data-sized but one materialization to
-    * executor-local storage is strictly cheaper than a second full
-    * scan + distinct shuffle + semi-join of the same data at any
-    * scale. Two caveats of `localCheckpoint(eager = true)`: the
-    * operator runs a Spark job AT CALL TIME (the call is no longer
-    * lazy), and localCheckpoint blocks are NON-RECOMPUTABLE — losing
-    * an executor after the checkpoint (e.g. dynamic-allocation
-    * decommission) fails the downstream job instead of recomputing.
-    * On clusters with dynamic allocation either disable decommission
-    * of checkpoint-holding executors
-    * (`spark.dynamicAllocation.cachedExecutorIdleTimeout`) or swap
-    * the checkpoint for reliable `checkpoint()` to durable storage.
-    *
     * @param txns   transaction lines
     * @param basket basket id column
     * @param item   item id column
-    * @return (item_a, item_b, support) with item_a < item_b,
-    *         support >= minPairSupport
+    * @return (item_a, item_b, support) with item_a < item_b under the
+    *         item column's sort order, support >= minPairSupport
     */
   def frequentPairs(txns: DataFrame, basket: Column, item: Column,
                     minItemSupport: Long, minPairSupport: Long): DataFrame = {
     val fbi = prunedBasketItems(txns, basket, item, minItemSupport)
-      .localCheckpoint(eager = true)
+    val itemType = fbi.schema("item").dataType
+    val outSchema = StructType(Seq(
+      StructField("item_a", itemType), StructField("item_b", itemType)))
+    val pairs = fbi
+      .filter(col("basket").isNotNull)
+      .select(col("basket"), col("item"))
       .repartition(col("basket"))
-    val l = fbi.select(col("basket"), col("item").as("item_a"))
-    val r = fbi.select(col("basket").as("basket_r"), col("item").as("item_b"))
-    l.join(r, col("basket") === col("basket_r") && col("item_a") < col("item_b"))
-      .groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
+      .sortWithinPartitions("basket", "item")
+      .mapPartitions { it =>
+        val in = it.buffered
+        new Iterator[Row] {
+          private var items: Array[Any] = Array.empty
+          private var i = 0
+          private var j = 1
+          private def loadNext(): Unit = {
+            items = Array.empty
+            // skip 1-item baskets (no pairs) without emitting
+            while (items.length < 2 && in.hasNext) {
+              val b = in.head.get(0)
+              val ab = scala.collection.mutable.ArrayBuilder.make[Any]
+              while (in.hasNext && in.head.get(0) == b) ab += in.next().get(1)
+              items = ab.result()
+            }
+            if (items.length < 2) items = Array.empty
+            i = 0; j = 1
+          }
+          def hasNext: Boolean =
+            i < items.length - 1 || { loadNext(); items.length >= 2 }
+          def next(): Row = {
+            if (!hasNext) throw new NoSuchElementException
+            val p = Row(items(i), items(j)); j += 1
+            if (j >= items.length) { i += 1; j = i + 1 }
+            p
+          }
+        }
+      }(Encoders.row(outSchema))
+    pairs.groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minPairSupport)
   }
 
   /** The dedup + monotonicity-prune stage of [[frequentPairs]],
-    * exposed un-materialized so specs can assert the semi-join prune
-    * sits below the pair stage in the logical shape (the public
-    * operator checkpoints this frame, which erases the plan).
+    * exposed separately so specs can assert the semi-join prune sits
+    * below the pair stage in the logical shape.
     */
   private[graft] def prunedBasketItems(txns: DataFrame, basket: Column,
                                        item: Column,

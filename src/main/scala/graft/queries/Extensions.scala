@@ -2370,8 +2370,9 @@ object Extensions {
       tradeEdgesSql, "SELECT n_nationkey AS node FROM nation", iters = 5)))
 
   /** Market-basket frequent part pairs within orders — Apriori level 2
-    * with the monotonicity prune applied BEFORE the per-basket
-    * self-join ([[graft.operators.ProductAnalytics.frequentPairs]]).
+    * with the monotonicity prune applied BEFORE the per-basket pair
+    * enumeration (a sorted-run walk above one basket exchange —
+    * [[graft.operators.ProductAnalytics.frequentPairs]]).
     */
   private val q141 = Q("q141_frequent_pairs",
     (s, d) => ProductAnalytics.frequentPairs(
@@ -2902,8 +2903,11 @@ object Extensions {
     * rounds of most-frequent-neighbor-label with min-label ties, the
     * near-dup cluster splitter at corpus scale: per round one
     * adjacency⋈labels equi-join + one map-side-combinable argmax
-    * aggregation, no per-node window. Oracle replays the rounds as
-    * chained MATERIALIZED CTEs.
+    * aggregation, no per-node window; when the measured node count
+    * fits the broadcast gate the label frame broadcasts and every
+    * round runs with ZERO data exchanges above the n-partitioned
+    * adjacency. Oracle replays the rounds as chained MATERIALIZED
+    * CTEs.
     */
   private val q171 = Q("q171_label_propagation",
     (s, d) => GraphOps.labelPropagation(frequentPairEdges(s, d), rounds = 4)

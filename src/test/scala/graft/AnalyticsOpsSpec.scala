@@ -192,7 +192,7 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r === Map((10L, 20L) -> 3L, (10L, 30L) -> 2L, (20L, 30L) -> 2L))
   }
 
-  test("frequentPairs: semi-join prune below, single reused basket exchange in the self-join") {
+  test("frequentPairs: semi-join prune below, sorted-run walk above one basket exchange") {
     val t = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 30L))
       .toDF("basket", "item")
     // no forced broadcast: the hint-free semi join is still planned (AQE
@@ -206,31 +206,29 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"expected a semi-join prune in:\n$prunedPlan")
     val df = ProductAnalytics.frequentPairs(t, col("basket"), col("item"),
       minItemSupport = 2, minPairSupport = 2)
-    // r07: the pruned frame is checkpointed once at the fan-out point —
-    // the final plan reads the materialized RDD on BOTH self-join sides
-    // instead of recomputing the dedup pipeline twice (q141 defect).
-    // r14: the checkpoint is repartitioned on basket ONCE before the
-    // l/r split, so the self-join shuffles the data-sized frame a
-    // single time (the second side reuses the exchange) and the join
-    // adds no exchange of its own — alias-aware partitioning carries
-    // basket/basket_r through the renames.
+    // r14 second pass: lazy end-to-end — the prune pipeline is visible
+    // in the final plan (no checkpoint erases it), and the pair stage
+    // is a sorted-run mapPartitions walk above ONE basket repartition,
+    // not a self-join. (Catalyst pushes the semi prune below the pair
+    // side's distinct, so the column-pruned source is scanned twice —
+    // the operator Scaladoc documents that trade.)
     df.queryExecution.toRdd.foreachPartition(_ => ())
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("LeftSemi") && plan.contains("ExistingRDD"),
-      s"expected both self-join sides to scan the checkpointed prune:\n$plan")
-    assert(plan.contains("ReusedExchange") ||
-        "ShuffleQueryStage (\\d+)".r.findAllMatchIn(plan)
-          .map(_.group(1)).toSeq.groupBy(identity).exists(_._2.size > 1),
-      s"expected the basket exchange to be planned once and reused:\n$plan")
-    // exactly TWO distinct exchange key signatures: the shared basket
-    // repartition and the final pair aggregate
+    assert(plan.contains("LeftSemi"),
+      s"expected the semi-join prune in the lazy final plan:\n$plan")
+    assert(plan.contains("MapPartitions") && !plan.contains("SortMergeJoin"),
+      s"expected a sorted-run mapPartitions pair stage, no self-join:\n$plan")
+    // the full lazy pipeline's exchange key signatures: the (basket,
+    // item) dedup, the frequent-item aggregate (and/or shuffled-semi
+    // probe) on item, the single basket repartition, the pair aggregate
     val exKeys = """Exchange (?:hash|REPARTITION_BY_COL.*?hash)partitioning\(([^)]*)\)""".r
       .findAllMatchIn(plan)
       .map(_.group(1).split(",").map(_.trim.takeWhile(_ != '#'))
         .filter(s => s.nonEmpty && !s.forall(_.isDigit)).toSeq)
       .toSet
-    assert(exKeys === Set(Seq("basket"), Seq("item_a", "item_b")),
-      s"expected exactly {basket},{item_a,item_b} exchanges, got $exKeys:\n$plan")
+    assert(exKeys === Set(Seq("basket", "item"), Seq("item"),
+        Seq("basket"), Seq("item_a", "item_b")),
+      s"expected {basket,item},{item},{basket},{item_a,item_b} exchanges, got $exKeys:\n$plan")
     val got = df.collect()
       .map(x => (x.getAs[Long]("item_a"), x.getAs[Long]("item_b"))
         -> x.getAs[Long]("support")).toMap
@@ -768,5 +766,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     val b = GraphOps.labelPropagation(g.repartition(13), rounds = 3)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(a === b)
+  }
+
+  test("labelPropagation: broadcast rounds == shuffled-join fallback") {
+    // the broadcastNodeLimit gate only changes the PHYSICAL round
+    // shape (broadcast label frame + exchange-free aggs vs shuffled
+    // join); forcing the fallback with limit 0 must reproduce the
+    // default (broadcast) path's labeling exactly
+    val edges = (0L to 40L).flatMap(i => Seq((i, (i + 1) % 41),
+      (i, (i + 11) % 41))).map { case (a, b) if a < b => (a, b)
+      case (a, b) => (b, a) }.distinct
+    val g = edges.toDF("doc_a", "doc_b")
+    val bc = GraphOps.labelPropagation(g, rounds = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val sh = GraphOps.labelPropagation(g, rounds = 4,
+        broadcastNodeLimit = 0L)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(bc === sh)
   }
 }

@@ -80,8 +80,32 @@ object Fns {
       lit("."), lpad(ms.cast(StringType), 3, "0"))
   }
 
-  /** P2 — error-tolerant int promotion (silver/laps.sql:5-6 try_cast). */
-  def tryCastInt(c: Column): Column = c.try_cast(IntegerType)
+  /** P2 — error-tolerant int promotion (silver/laps.sql:5-6 try_cast).
+    *
+    * NOT `c.try_cast(IntegerType)` (round 14): under ANSI mode (the
+    * Spark 4 default) try_cast evaluates the THROWING cast and catches
+    * per row — on a column where most values are non-numeric (q02's
+    * market segments) that is an exception-throw-per-row hot path,
+    * measured 3.0-3.6 s vs 0.3-0.6 s for this guarded form on 2M rows
+    * (graft.TcProbe, 50% non-numeric). Instead the integer grammar is
+    * made EXPLICIT — optional ASCII control/space padding (the set
+    * UTF8String.trimAll strips), optional sign, leading zeros, and at
+    * most 18 significant digits (more cannot fit int anyway; try_cast
+    * nulls them via overflow, this nulls them via no-match — same
+    * result) — extracted once per row with a cached regex, cast on the
+    * guaranteed-parseable match only, and range-checked into int.
+    * Deterministic and engine-portable by construction (the grammar is
+    * in the expression, not in an engine's parse internals); probed
+    * value-identical to try_cast on signs, padding (space/\t/\n/\r/
+    * \x0B), empty, decimals, exponents, hex, inner spaces, int and
+    * long overflow, and 21-digit zero-padded values.
+    */
+  def tryCastInt(c: Column): Column = {
+    val m = regexp_extract(c.cast(StringType),
+      "^[\\x00-\\x20]*([+-]?0*\\d{1,18})[\\x00-\\x20]*$", 1)
+    val lng = when(length(m) > 0, m.cast(LongType))
+    when(lng.between(Int.MinValue, Int.MaxValue), lng.cast(IntegerType))
+  }
 
   /** F6 — safe_numeric macro: try_cast to decimal(38,6)
     * (transform/macros/compat.sql:3).

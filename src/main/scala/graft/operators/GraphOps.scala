@@ -582,11 +582,16 @@ object GraphOps {
       .localCheckpoint(eager = true)
     var adj = adjRaw
     try {
-      val l0 = adj.select(col("n").as("node")).distinct()
+      // |V| rides the l0 checkpoint job's CollectMetrics accumulator
+      // (the kCore observe trick) — no separate count job for the gate
+      val l0Observed = adj.select(col("n").as("node")).distinct()
         .withColumn("lbl", col("node"))
-        .localCheckpoint(eager = true)
+        .observe("lpa_nv", count(lit(1)))
+      val l0 = l0Observed.localCheckpoint(eager = true)
       try {
-        val bcastLabels = l0.count() <= broadcastNodeLimit
+        val nV = l0Observed.queryExecution.observedMetrics("lpa_nv")
+          .getLong(0)
+        val bcastLabels = nV <= broadcastNodeLimit
         if (bcastLabels) {
           // re-materialize hash-partitioned on n (one 2|E|-row shuffle
           // of a memory-local frame) so every round's aggregations run

@@ -1443,9 +1443,14 @@ object Extensions {
         .agg(
           count(lit(1)).as("n"),
           sum(x).as("sx"), sum(y).as("sy"),
-          sum(x.cast(dec19) * y.cast(dec19)).as("sxy"),
-          sum(x.cast(dec19) * x.cast(dec19)).as("sxx"),
-          sum(y.cast(dec19) * y.cast(dec19)).as("syy"))
+          // per-row products in int64 (cents of these magnitudes keep
+          // x·y ≤ ~6e13 — far under 2^63), decimal only at the
+          // accumulator (the q115 discipline: a decimal(19) multiply
+          // is a per-row BigDecimal allocation, a long multiply is
+          // codegen'd)
+          sum((x * y).cast(dec19)).as("sxy"),
+          sum((x * x).cast(dec19)).as("sxx"),
+          sum((y * y).cast(dec19)).as("syy"))
       val nD = col("n").cast(dec38)
       val num = nD * col("sxy") - col("sx").cast(dec38) * col("sy").cast(dec38)
       val d1 = nD * col("sxx") - col("sx").cast(dec38) * col("sx").cast(dec38)
@@ -1685,12 +1690,17 @@ object Extensions {
         .groupBy("grp")
         .agg(
           count(lit(1)).as("n"),
-          // decimal like sxx/sxxx (and the oracle's HUGEINT): a plain
-          // LongType sum would wrap silently at extreme corpus sizes
+          // ACCUMULATE in decimal (the oracle's HUGEINT: a LongType
+          // sum would wrap silently at extreme corpus sizes) but keep
+          // the PER-ROW powers in int64 — whole-dollar prices are
+          // bounded (x < 2.1e6 keeps x³ under 2^63, orders of
+          // magnitude above any price column), and a long multiply is
+          // codegen'd where a decimal(38) multiply is a per-row
+          // BigDecimal allocation (r13 record: 2.3 s min at sf1 for
+          // the decimal-powers form of this one aggregate)
           sum(col("x").cast(dec)).as("sx"),
-          sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
-          sum(col("x").cast(dec) * col("x").cast(dec) * col("x").cast(dec))
-            .as("sxxx"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("x") * col("x") * col("x")).cast(dec)).as("sxxx"),
           min(col("x")).as("min_usd"),
           max(col("x")).as("max_usd"))
       val nD = col("n").cast(DoubleType)

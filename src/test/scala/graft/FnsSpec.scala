@@ -90,6 +90,27 @@ class FnsSpec extends SparkSpec {
     }
   }
 
+  test("tryCastInt matches try_cast on the full probed grammar") {
+    // the r14 guarded form (explicit grammar, no per-row throw/catch)
+    // must stay value-identical to Spark's try_cast on every case the
+    // TcProbe sweep established: signs, ASCII-control padding, leading
+    // zeros, int/long overflow, decimals/exponents/hex/inner spaces
+    val cases = Seq("42", " 17 ", "+8", "-0", "BUILDING", "12.5", "",
+      "99999999999", "999999999999999999999", "1e3", "0x10", " - 5",
+      "\t42", "\n7", "\r8", " 9", " 3", "5\t", "6",
+      "2", "00042", "-00042", "+000000000000000000000042",
+      "2147483647", "2147483648", "-2147483648", "-2147483649",
+      "0", "000", "4 2")
+    val df = spark.createDataFrame(cases.map(Tuple1(_))).toDF("s")
+    val rows = df.select(col("s"),
+      col("s").try_cast(org.apache.spark.sql.types.IntegerType).as("tc"),
+      Fns.tryCastInt(col("s")).as("g")).collect()
+    rows.foreach { r =>
+      assert(r.get(1) == r.get(2),
+        s"diverged on [${r.getString(0)}]: try_cast=${r.get(1)} guarded=${r.get(2)}")
+    }
+  }
+
   test("safeText trims and nulls empty strings") {
     val df = spark.createDataFrame(Seq(Tuple1("  x  "), Tuple1("   "), Tuple1("")))
       .toDF("s")

@@ -353,14 +353,30 @@ object ProductAnalytics {
     */
   def frequentPairs(txns: DataFrame, basket: Column, item: Column,
                     minItemSupport: Long, minPairSupport: Long): DataFrame = {
-    val fbi = prunedBasketItems(txns, basket, item, minItemSupport)
+    // minItemSupport <= 1 fast path: the Apriori prune is a no-op
+    // (every present item has support >= 1), and WITHOUT the semi join
+    // the basket-first shape is exact (the shape that is WRONG under a
+    // prune — see the MP3 rejection note above — because only a join
+    // can destroy the clustering): partition the raw projection on
+    // basket once, and the dedup aggregate (basket ⊆ its grouping
+    // keys), the sort, and the walk all run exchange-free above it —
+    // ONE full-data exchange total. Used by span/source co-occurrence
+    // callers (q176) where every item is wanted.
+    val fbi =
+      if (minItemSupport <= 1L)
+        txns.select(basket.as("basket"), item.as("item"))
+          .filter(col("basket").isNotNull)
+          .repartition(col("basket"))
+          .distinct()
+      else
+        prunedBasketItems(txns, basket, item, minItemSupport)
+          .filter(col("basket").isNotNull)
+          .select(col("basket"), col("item"))
+          .repartition(col("basket"))
     val itemType = fbi.schema("item").dataType
     val outSchema = StructType(Seq(
       StructField("item_a", itemType), StructField("item_b", itemType)))
     val pairs = fbi
-      .filter(col("basket").isNotNull)
-      .select(col("basket"), col("item"))
-      .repartition(col("basket"))
       .sortWithinPartitions("basket", "item")
       .mapPartitions { it =>
         val in = it.buffered

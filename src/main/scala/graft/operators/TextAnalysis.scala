@@ -758,22 +758,31 @@ object TextAnalysis {
     */
   def cooccurrenceLift(docs: DataFrame, vocabTop: Int,
                        minPairDf: Long): DataFrame = {
+    // the exploded token frame is referenced three times (vocab
+    // derivation + both self-join sides) and the tokenize+explode is
+    // the data-heavy stage — persist it once for the duration of the
+    // build (round 14; the q208-q211 one-persisted-token-stream
+    // pattern). The output is vocabTop²-bounded, so Dedup.selfCleaning
+    // materializes it and drops the cache before returning.
     val dt = docs.select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("term"))
-    val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
-    val vocab = dfreq.orderBy(col("df").desc, col("term")).limit(vocabTop)
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    val vt = dt.join(broadcast(vocab), "term")
-    val pairs = vt.as("l").join(vt.as("r"), col("l.doc_id") === col("r.doc_id"))
-      .filter(col("l.term") < col("r.term"))
-      .groupBy(col("l.term").as("term_a"), col("r.term").as("term_b"))
-      .agg(count(lit(1)).as("c_ab"),
-        min(col("l.df")).as("c_a"), min(col("r.df")).as("c_b"))
-      .filter(col("c_ab") >= minPairDf)
-    pairs.crossJoin(broadcast(n))
-      .select(col("term_a"), col("term_b"), col("c_a"), col("c_b"), col("c_ab"),
-        ((col("n_docs") * col("c_ab")).cast(DoubleType) /
-          (col("c_a") * col("c_b")).cast(DoubleType)).as("lift"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Dedup.selfCleaning(dt) {
+      val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      val vocab = dfreq.orderBy(col("df").desc, col("term")).limit(vocabTop)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val vt = dt.join(broadcast(vocab), "term")
+      val pairs = vt.as("l").join(vt.as("r"), col("l.doc_id") === col("r.doc_id"))
+        .filter(col("l.term") < col("r.term"))
+        .groupBy(col("l.term").as("term_a"), col("r.term").as("term_b"))
+        .agg(count(lit(1)).as("c_ab"),
+          min(col("l.df")).as("c_a"), min(col("r.df")).as("c_b"))
+        .filter(col("c_ab") >= minPairDf)
+      pairs.crossJoin(broadcast(n))
+        .select(col("term_a"), col("term_b"), col("c_a"), col("c_b"), col("c_ab"),
+          ((col("n_docs") * col("c_ab")).cast(DoubleType) /
+            (col("c_a") * col("c_b")).cast(DoubleType)).as("lift"))
+    }
   }
 
   /** Oracle for [[cooccurrenceLift]]. */
@@ -1726,7 +1735,7 @@ object TextAnalysis {
     // same codegen-kernel window stream as [[duplicatedSpans]] (r10).
     // Spread key: content hash — `source` has ~|sources| distinct
     // values, which would cap the spread at that many partitions.
-    val f = graft.functions.Fns.spreadIfNarrow(
+    val spans = graft.functions.Fns.spreadIfNarrow(
         docs.select(src.as("source"), content.as("__content")),
         xxhash64(col("__content")))
       .select(col("source"), split(col("__content"), "\\s+").as("toks"))
@@ -1734,11 +1743,16 @@ object TextAnalysis {
       .select(col("source"), explode(column(graft.expressions.ShinglesAll(
         expression(col("toks")), expression(lit(n))))).as("g"))
       .select(col("source"), md5(col("g").cast("binary")).as("fp"))
-      .distinct()
-    f.as("a").join(f.as("b"),
-        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(count(lit(1)).as("n_spans"))
+    // this IS the frequent-pairs problem with basket = fingerprint and
+    // item = source (round 14): n_spans(a, b) = number of distinct fps
+    // whose source set contains both = the pair's basket support. The
+    // old self-join re-derived the corpus-scale span frame on both
+    // sides and shuffled each on fp; the no-prune frequentPairs fast
+    // path dedups, sorts, and walks the runs above ONE fp exchange.
+    graft.operators.ProductAnalytics.frequentPairs(spans,
+        col("fp"), col("source"), minItemSupport = 1L, minPairSupport = 1L)
+      .select(col("item_a").as("src_a"), col("item_b").as("src_b"),
+        col("support").as("n_spans"))
   }
 
   /** Oracle for [[crossSourceSpans]] — the [[duplicatedSpansOracle]]

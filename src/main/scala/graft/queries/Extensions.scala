@@ -902,15 +902,23 @@ object Extensions {
     */
   private val q86 = Q("q86_tpch_q2_shape",
     (s, d) => {
-      val li = Tables.lineitem(s, d)
+      // one full-data exchange total (round 14): partition on the part
+      // key once; the per-(part, supplier) min, the per-part min, and
+      // the join of the two all cluster on subsets of l_partkey's
+      // partitioning, so everything above the repartition is
+      // exchange-free. Equivalence to the row-level "price = part min
+      // then DISTINCT" oracle: a (part, supplier) pair has a row at
+      // the part minimum ⟺ its own min equals the part min.
+      val base = Tables.lineitem(s, d)
         .select("l_partkey", "l_suppkey", "l_extendedprice")
-      val minCost = li.groupBy(col("l_partkey").as("pk"))
-        .agg(min("l_extendedprice").as("min_price"))
-      li.join(minCost,
-          col("l_partkey") === col("pk") &&
-            col("l_extendedprice") === col("min_price"))
+        .repartition(col("l_partkey"))
+      val perSupp = base.groupBy("l_partkey", "l_suppkey")
+        .agg(min("l_extendedprice").as("sp_min"))
+      val perPart = perSupp.groupBy(col("l_partkey").as("pk"))
+        .agg(min("sp_min").as("min_price"))
+      perSupp.join(perPart, col("l_partkey") === col("pk") &&
+          col("sp_min") === col("min_price"))
         .select("l_partkey", "l_suppkey", "min_price")
-        .distinct()
         .orderBy("l_partkey", "l_suppkey")
     },
     Some("""SELECT DISTINCT l_partkey, l_suppkey,
@@ -962,10 +970,17 @@ object Extensions {
     */
   private val q89 = Q("q89_multiset_set_ops",
     (s, d) => {
-      val hi = Tables.lineitem(s, d).filter(col("l_quantity") >= 25)
-        .select("l_orderkey")
-      val lo = Tables.lineitem(s, d).filter(col("l_quantity") <= 30)
-        .select("l_orderkey")
+      // one shared full-data exchange (round 14): hi and lo filter the
+      // SAME repartitioned base, so their exchange subtrees are
+      // identical (ReuseExchange shuffles once) and every set op's
+      // clustering requirement on l_orderkey is already satisfied —
+      // previously each of INTERSECT ALL / EXCEPT ALL / UNION-distinct
+      // re-shuffled both inputs from scratch
+      val base = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity")
+        .repartition(col("l_orderkey"))
+      val hi = base.filter(col("l_quantity") >= 25).select("l_orderkey")
+      val lo = base.filter(col("l_quantity") <= 30).select("l_orderkey")
       val union = hi.union(lo).distinct()
         .select(col("l_orderkey"), lit("union").as("src"))
       val interAll = hi.intersectAll(lo)

@@ -192,6 +192,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r === Map((10L, 20L) -> 3L, (10L, 30L) -> 2L, (20L, 30L) -> 2L))
   }
 
+  test("frequentPairs: minItemSupport<=1 fast path == pruned path, one basket-first exchange") {
+    val t = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L),
+      (3L, 30L), (3L, 10L), (2L, 10L)).toDF("basket", "item")
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getAs[Long]("item_a"), x.getAs[Long]("item_b"))
+        -> x.getAs[Long]("support")).toMap
+    // support=1 makes the prune a no-op, so both paths must agree
+    val fast = ProductAnalytics.frequentPairs(t, col("basket"), col("item"),
+      minItemSupport = 1, minPairSupport = 1)
+    val slowEquiv = ProductAnalytics.frequentPairs(
+      t.unionAll(t), // every item's support doubles past 2: prune passes all
+      col("basket"), col("item"), minItemSupport = 2, minPairSupport = 1)
+    assert(collect(fast) === collect(slowEquiv))
+    assert(collect(fast) === Map((10L, 20L) -> 2L, (10L, 30L) -> 2L,
+      (20L, 30L) -> 1L))
+    // the fast path's dedup/sort/walk all sit above ONE basket exchange
+    fast.queryExecution.toRdd.foreachPartition(_ => ())
+    val plan = fast.queryExecution.executedPlan.toString
+    val exKeys = """Exchange (?:hash|REPARTITION_BY_COL.*?hash)partitioning\(([^)]*)\)""".r
+      .findAllMatchIn(plan)
+      .map(_.group(1).split(",").map(_.trim.takeWhile(_ != '#'))
+        .filter(s => s.nonEmpty && !s.forall(_.isDigit)).toSeq)
+      .toSet
+    assert(exKeys === Set(Seq("basket"), Seq("item_a", "item_b")),
+      s"expected only {basket},{item_a,item_b} exchanges, got $exKeys:\n$plan")
+  }
+
   test("frequentPairs: semi-join prune below, sorted-run walk above one basket exchange") {
     val t = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 30L))
       .toDF("basket", "item")

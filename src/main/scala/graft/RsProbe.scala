@@ -2,20 +2,19 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.DataFrame
 import graft.operators.Profiling
 import graft.tables.Tables
 
-/** robustStats ranking-path A/B (dev main, the [[BlocklistBench]]
-  * family): times the full q144 operator on the live fixture under
-  * both adaptive arms — the one-window cumulative ranking
-  * (`maxWindowDomain = Long.MaxValue` forces it) and the
-  * range-bucketed [[Profiling.lowerQuantileW]] (`= 1` forces it) —
-  * plus the individual phases (grouping-sets checkpoint, probe,
-  * modes, med, mad). The r13 PLANS A/B record comes from this run:
-  * on the widened sf1 fixture (5.5M distinct cents over 3 groups)
-  * the window arm funnels the count frame through |G| sort tasks
-  * while the bucketed arm stays parallel — the measurement behind
-  * [[Profiling.DefaultWindowRankDomain]].
+/** robustStats ranking-path A/B + phase profile (dev main, the
+  * [[BlocklistBench]] family): times the full q144 operator on the
+  * live fixture under both adaptive arms — the one-window cumulative
+  * ranking (`maxWindowDomain = Long.MaxValue` forces it) and the
+  * range-bucketed [[Profiling.lowerQuantilesW]] (`= 1` forces it) —
+  * then replays the round-14 persist-based internals phase by phase
+  * (scan+persist+bounds, mode counts, med ranking, mad ranking) so a
+  * regression names its stage. The r13 PLANS A/B record comes from
+  * this run; the r14 record re-anchors it on the persist shape.
   *
   * Run: SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 sbt "runMain graft.RsProbe"
   */
@@ -43,6 +42,49 @@ object RsProbe {
             maxWindowDomain = mwd)
           .write.format("noop").mode("overwrite").save()
       }
+      clean()
+    }
+    // phase replay of the bucketed arm's internals
+    for (run <- 1 to 2) {
+      val v = li.select(col("l_returnflag").as("g"),
+          floor(col("l_quantity")).cast(LongType).as("q"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast(LongType).as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bounds = t(s"phase bounds+persist run$run") {
+        v.groupBy("g")
+          .agg(min("x").as("__lo"), max("x").as("__hi"),
+            count(lit(1)).as("__n"),
+            approx_count_distinct(col("x")).as("__dx"))
+          .localCheckpoint(eager = true)
+      }
+      val b3 = bounds.select("g", "__lo", "__hi", "__n")
+      val modes = t(s"phase mode run$run") {
+        val mc = v.groupBy("g", "q").agg(count(lit(1)).as("cnt"))
+        val mx = mc.groupBy("g").agg(max("cnt").as("mx"))
+        mc.join(broadcast(mx), Seq("g"))
+          .filter(col("cnt") === col("mx"))
+          .groupBy("g").agg(min("q").as("mode_val"))
+          .localCheckpoint(eager = true)
+      }
+      val vw = v.select(col("g"), col("x"), lit(1L).as("w"))
+      val med = t(s"phase med run$run") {
+        Profiling.lowerQuantilesW(vw, Seq(("q0", 1L, 2L)), boundsOpt = Some(b3))
+          .select("g", "q0").withColumnRenamed("q0", "med")
+          .localCheckpoint(eager = true)
+      }
+      val devBounds = b3.join(med, Seq("g"))
+        .select(col("g"), lit(0L).as("__lo"),
+          greatest(col("__hi") - col("med"), col("med") - col("__lo")).as("__hi"),
+          col("__n"))
+      t(s"phase mad run$run") {
+        val dev = vw.join(broadcast(med), Seq("g"))
+          .select(col("g"), abs(col("x") - col("med")).as("x"), col("w"))
+        Profiling.lowerQuantilesW(dev, Seq(("q0", 1L, 2L)),
+            boundsOpt = Some(devBounds))
+          .select("g", "q0")
+          .write.format("noop").mode("overwrite").save()
+      }
+      val _ = modes
       clean()
     }
     spark.stop()

@@ -81,6 +81,17 @@ object Sessions {
       // engine's ns-longs duration/time convention, SURVEY §1.2)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // scan-split size for THIS local builder only (a cluster deploy
+      // owns the knob in spark-submit conf, where the 128m default is
+      // right because inputs arrive as thousands of files). Local
+      // sessions read the single-file testdata parquet: at 128m a
+      // 184 MB lineitem file yields TWO splits, serializing every
+      // scan-rooted pipeline to 2 of local[32]'s cores while DuckDB
+      // reads the same file's 49 row groups on all 32 threads. 8m ≈
+      // largest-file/cores at the bench scale and still a multiple of
+      // the writer's ~4 MB on-disk row groups, so splits stay non-empty.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       // streaming state store: RocksDB (spillable, incremental
       // checkpoints) is the 100 TB-state choice; the in-memory default

@@ -295,37 +295,33 @@ object Profiling {
     * shuffle join when a high-cardinality grouping would otherwise
     * OOM the driver (hint removal = the frequentPairs discipline).
     *
-    * Scale shape — ONE scan of the data. Both count frames — (g, q)
-    * for the mode, (g, x) for the medians — come out of a single
-    * GROUPING SETS aggregation (the Expand doubles rows map-side but
-    * partial aggregation combines to the two marginal frames before
-    * the shuffle — each at most domain-sized, never the (g,q,x)
-    * triple product), and that union frame is localCheckpoint-ed once
-    * (the chiSquareCells discipline). The mode ranking and the two
-    * median rankings then read local count-frame blocks; the earlier
-    * form rescanned the fact SEVEN times (mode counts + 3 per
-    * [[lowerMedian]] call), which a sf0.1 bench tolerated (column-
-    * pruned scans are near-free there) but which is 7× the dominant
-    * cost at 100 TB — and for a discretized measure the count frame
-    * is DOMAIN-bounded (cents ≈ 10⁷ rows ≈ 100 MB) while the base
-    * grows with n, so the passes touch megabytes where they used to
-    * touch the fact. The MAD's second ranking is inherent — |x − med|
-    * needs med — but it reruns over the count frame, never the base.
-    * `grouping_id()` (1 = x not grouped, 2 = q not grouped) slices
-    * the union apart, so genuine NULL data values cannot be confused
-    * with the Expand's structural NULLs. The eager checkpoint makes
-    * the call non-lazy (it runs the aggregation job immediately) —
-    * the [[chiSquareCells]]/q153 trade, accepted for the 7→1 scan
-    * reduction.
+    * Scale shape — ONE scan of the data into a lineage-intact
+    * spillable cache (round 14). The projected (g, q, x) frame is
+    * persisted MEMORY_AND_DISK and every pass — bounds, mode counts,
+    * both rankings — reads the cache, so the fact is scanned once
+    * whatever the value domain. The earlier form built a GROUPING
+    * SETS count frame instead: correct, but its Expand doubles the
+    * corpus map-side, its shuffle and eager localCheckpoint are
+    * DATA-sized whenever the measure is near-continuous (sf1: 5.5 M
+    * distinct cents of 6 M rows — no compression), and a truncated-
+    * lineage corpus-scale checkpoint is unrecoverable on executor
+    * loss (the round-14 ADVICE hazard; persist keeps lineage). The
+    * bucket aggregates the rankings are built on combine map-side to
+    * |G|·B rows, so nothing data-sized ever shuffles off the cache.
+    * The MAD's second ranking is inherent — |x − med| needs med —
+    * but its bucketing BOUNDS derive arithmetically from the median
+    * pass's ([0, max(hi−med, med−lo)] bounds any deviation), so the
+    * MAD leg adds no extra bounds pass.
     *
-    * Ranking path is ADAPTIVE on the materialized count-frame size
-    * (known for free post-checkpoint): within `maxWindowDomain` the
+    * Ranking path is ADAPTIVE on the per-group distinct-value count
+    * (an HLL estimate riding the bounds aggregate — the arm choice
+    * is a performance crossover, both arms exact, so an estimate
+    * cannot change the statistic): within `maxWindowDomain` the
     * med/mad rankings run as ONE distinct-value cumulative window
-    * each ([[medianFromCounts]], the q127 "window input is D rows,
-    * never N" pattern — ~5 stages on the critical path); above it —
-    * a genuinely continuous measure whose count frame approaches
-    * data size — they degrade to the range-bucketed
-    * [[lowerQuantileW]], which never funnels more than ~D/B rows
+    * each over a freshly counted (g, x) frame ([[medianFromCounts]],
+    * the q127 "window input is D rows, never N" pattern); above it —
+    * a genuinely continuous measure — they take the range-bucketed
+    * [[lowerQuantilesW]], which never funnels more than ~n/B rows
     * through an ordered path. Both paths compute the identical exact
     * statistic, so the choice is invisible to the oracle.
     *
@@ -335,57 +331,64 @@ object Profiling {
                   modeOf: Column, spreadOf: Column,
                   maxWindowDomain: Long = DefaultWindowRankDomain): DataFrame = {
     val v = df.select(grp.as("g"), modeOf.as("q"), spreadOf.as("x"))
-    // the adaptive path choice needs the count-frame size; round 13
-    // folds that probe INTO the checkpoint action as an observed
-    // metric — the dedicated xc.count() job it replaces was a pure
-    // serial round-trip over the just-written blocks (the VERDICT-r12
-    // #2 job-chain item). getOrEmpty + count() fallback: if a Spark
-    // version ever stopped routing checkpoint actions through the
-    // listener, the probe degrades to the old job, not a hang.
-    val obs = org.apache.spark.sql.Observation()
-    val cnts = v.groupingSets(
-        Seq(Seq(col("g"), col("q")), Seq(col("g"), col("x"))),
-        col("g"), col("q"), col("x"))
-      .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
-      .observe(obs, sum(when(col("gid") === 2, 1L).otherwise(0L)).as("xrows"))
-      .localCheckpoint(eager = true)
-    // mode: counts per distinct (g, q), max-count per group, min
-    // tie-break. The per-group max attaches by agg + equi-join, NOT a
-    // partitionBy(g) window — with dim-sized |G| a window would
-    // funnel the whole distinct-value frame through |G| partitions.
-    // No broadcast hint on the |G|-sized frames: AQE broadcasts small
-    // ones at runtime and keeps a shuffle join when |G| is large.
-    val mc = cnts.filter(col("gid") === 1).select("g", "q", "cnt")
-    val xc = cnts.filter(col("gid") === 2)
-      .select(col("g"), col("x"), col("cnt").as("w"))
-    val mx = mc.groupBy("g").agg(max("cnt").as("mx"))
-    val modes = mc.join(mx, Seq("g"))
-      .filter(col("cnt") === col("mx"))
-      .groupBy("g").agg(min("q").as("mode_val"))
-    // med/mad as WEIGHTED rankings over the count frame: each distinct
-    // value carries its multiplicity, identical k-th-smallest
-    // semantics without ever re-expanding (or re-scanning) the rows.
-    val xrows = scala.util.Try(
-      scala.concurrent.Await.result(obs.future,
-        scala.concurrent.duration.Duration(5, "s")).getAs[Long]("xrows"))
-      .getOrElse(xc.count())
-    val medOf: DataFrame => DataFrame =
-      if (xrows <= maxWindowDomain) medianFromCounts
-      else lowerQuantileW(_, 1L, 2L)
-    // med is |G|-sized; eager-checkpoint it so the MAD ranking (which
-    // scans its joined deviation frame up to three times on the
-    // bucketed path) and the final output join all read a 3-row local
-    // block instead of re-running the whole med ranking subtree per
-    // scan — the r13 phase profile showed the mad leg alone at 7.7 s
-    // of the 17 s total, most of it med recompute.
-    val med = medOf(xc).withColumnRenamed("q0", "med")
-      .localCheckpoint(eager = true)
-    val mad = medOf(
-        xc.join(med, Seq("g"))
-          .select(col("g"), abs(col("x") - col("med")).as("x"), col("w")))
-      .withColumnRenamed("q0", "mad")
-    modes.join(med, Seq("g")).join(mad, Seq("g"))
-      .select("g", "mode_val", "med", "mad")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Dedup.selfCleaning(v) {
+      // one bounds pass (materializes the cache as a side effect):
+      // per-group lo/hi/n for the rankings plus the HLL distinct-x
+      // estimate for the arm choice. |G|-sized, eager-checkpointed so
+      // the driver probes below read a local block.
+      val bounds = v.groupBy("g")
+        .agg(min("x").as("__lo"), max("x").as("__hi"),
+          count(lit(1)).as("__n"),
+          approx_count_distinct(col("x")).as("__dx"))
+        .localCheckpoint(eager = true)
+      val nG = bounds.count()
+      val xrows = bounds.agg(sum("__dx")).collect()(0).getLong(0)
+      val b3 = bounds.select("g", "__lo", "__hi", "__n")
+      // |G|-sized frames joining back into cache-sized streams: the
+      // same adaptive broadcast as [[lowerQuantilesW]] — an unhinted
+      // plan's INITIAL sort-merge join would exchange the stream side
+      // on g (parallelism |G|) before AQE could demote it (the q127
+      // EXPLAIN finding), and a forced broadcast of a huge |G| would
+      // risk the driver. Pick per materialized |G|.
+      def gj(f: DataFrame): DataFrame =
+        if (nG <= BroadcastGroupLimit) broadcast(f) else f
+      // mode: counts per distinct (g, q) off the cache (map-side
+      // combined, domain-sized output), max-count per group by agg +
+      // equi-join — NOT a partitionBy(g) window, which would funnel
+      // the distinct-value frame through |G| partitions.
+      val mc = v.groupBy("g", "q").agg(count(lit(1)).as("cnt"))
+      val mx = mc.groupBy("g").agg(max("cnt").as("mx"))
+      val modes = mc.join(gj(mx), Seq("g"))
+        .filter(col("cnt") === col("mx"))
+        .groupBy("g").agg(min("q").as("mode_val"))
+      val vw = v.select(col("g"), col("x"), lit(1L).as("w"))
+      def medOf(frame: DataFrame, b: DataFrame): DataFrame =
+        if (xrows <= maxWindowDomain)
+          medianFromCounts(frame.groupBy("g", "x").agg(sum("w").as("w")))
+        else
+          lowerQuantilesW(frame, Seq(("q0", 1L, 2L)), boundsOpt = Some(b))
+            .select("g", "q0")
+      // med is |G|-sized; eager-checkpoint it so the MAD ranking and
+      // the final output join read a |G|-row local block instead of
+      // re-running the whole med ranking subtree per consumer.
+      val med = medOf(vw, b3).withColumnRenamed("q0", "med")
+        .localCheckpoint(eager = true)
+      val dev = vw.join(gj(med), Seq("g"))
+        .select(col("g"), abs(col("x") - col("med")).as("x"), col("w"))
+      // deviation bounds: lo = 0 and hi = max(hi−med, med−lo) bound
+      // |x − med| for every row — bucketing needs bounds that COVER
+      // the values, not tight ones, so the MAD pass pays no bounds
+      // aggregate of its own.
+      val devBounds = b3.join(med, Seq("g"))
+        .select(col("g"), lit(0L).as("__lo"),
+          greatest(col("__hi") - col("med"), col("med") - col("__lo"))
+            .as("__hi"),
+          col("__n"))
+      val mad = medOf(dev, devBounds).withColumnRenamed("q0", "mad")
+      modes.join(med, Seq("g")).join(mad, Seq("g"))
+        .select("g", "mode_val", "med", "mad")
+    }
   }
 
   /** Lower median over a (g, x, w) COUNT frame in one cumulative
@@ -458,10 +461,20 @@ object Profiling {
     * scanned once per tag — the tags ride the join). Three quantiles
     * cost one extra |targets| broadcast over the single-quantile
     * call, not two more full passes.
+    *
+    * `boundsOpt`, when given, must be a CHEAP |G|-frame (g, __lo,
+    * __hi, __n) with __lo ≤ min x, __hi ≥ max x per group (coverage,
+    * not tightness — bucketing only needs bounds that contain the
+    * values) and __n = Σw — callers that already hold the bounds
+    * (e.g. [[robustStats]]'s MAD leg, whose deviation bounds derive
+    * arithmetically from the median pass's) skip this function's own
+    * bounds aggregate and its checkpoint barrier.
     */
   private[graft] def lowerQuantilesW(v: DataFrame,
                                      qs: Seq[(String, Long, Long)],
-                                     buckets: Int = 64): DataFrame = {
+                                     buckets: Int = 64,
+                                     boundsOpt: Option[DataFrame] = None)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(qs.nonEmpty, "need at least one quantile")
     qs.foreach { case (name, pNum, pDen) =>
@@ -486,9 +499,10 @@ object Profiling {
     // unhinted shuffle join, which is well-spread exactly because g
     // has many values (and a broadcast there would risk the driver —
     // the r08 stats-frame rule this adaptive probe keeps honoring).
-    val bounds = v.groupBy("g")
-      .agg(min("x").as("__lo"), max("x").as("__hi"), sum("w").as("__n"))
-      .localCheckpoint(eager = true)
+    val bounds = boundsOpt.getOrElse(
+      v.groupBy("g")
+        .agg(min("x").as("__lo"), max("x").as("__hi"), sum("w").as("__n"))
+        .localCheckpoint(eager = true))
     val nG = bounds.count()
     val smallG = nG <= BroadcastGroupLimit
     // the target frame is |G|·|qs| rows (one exploded struct per

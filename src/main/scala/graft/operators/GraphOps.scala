@@ -432,6 +432,24 @@ object GraphOps {
     * times per round — a 3^R plan blow-up — while the checkpoint caps
     * lineage at one round.
     *
+    * Round-14 exchange-cut (the [[labelPropagation]] broadcast-round
+    * discipline): when the graph is small enough — gated on the
+    * MATERIALIZED doubled-edge row count 2|E|, which bounds both |V|
+    * and the keep-set broadcast — the peeling runs over a doubled
+    * (n, peer) adjacency hash-partitioned on `n` and checkpointed:
+    * the degree aggregation then plans COMPLETE above the retained
+    * HashPartitioning (zero exchange), the keep set broadcasts into
+    * both semi-joins (which preserve the streamed side's
+    * partitioning, so every later round inherits the property), and
+    * each round is a single map-only checkpoint job instead of a
+    * multi-exchange stage chain. Above the gate the rounds keep the
+    * shuffled shape exactly — at corpus scale a forced |V|-broadcast
+    * would OOM the driver, and the shuffled semi-joins are the right
+    * plan there. 2|E| is used rather than |V| because it is free (it
+    * rides the input checkpoint's CollectMetrics) and conservative:
+    * a graph that fails the gate only falls back to the
+    * already-correct shuffled path.
+    *
     * Early exit: edge lists only shrink, and a round that removes no
     * edge removed no node (nodes drop exactly when degree < k, which
     * would drop their edges), so equal consecutive edge counts ⟺ the
@@ -446,8 +464,9 @@ object GraphOps {
     *
     * @return (node, deg) — k-core nodes with their core degree
     */
-  def kCore(pairs: DataFrame, k: Int, rounds: Int): DataFrame =
-    kCoreWithRounds(pairs, k, rounds)._1
+  def kCore(pairs: DataFrame, k: Int, rounds: Int,
+            broadcastNodeLimit: Long = 1L << 20): DataFrame =
+    kCoreWithRounds(pairs, k, rounds, broadcastNodeLimit)._1
 
   /** [[kCore]] plus the number of peeling rounds actually executed —
     * the explicit early-exit witness (a converged graph reports fewer
@@ -455,8 +474,9 @@ object GraphOps {
     * global job-start events, which AQE subqueries and async listener
     * delivery make timing-sensitive).
     */
-  private[graft] def kCoreWithRounds(pairs: DataFrame, k: Int,
-                                     rounds: Int): (DataFrame, Int) = {
+  private[graft] def kCoreWithRounds(pairs: DataFrame, k: Int, rounds: Int,
+                                     broadcastNodeLimit: Long = 1L << 20)
+      : (DataFrame, Int) = {
     require(k >= 1, s"k ($k) must be >= 1")
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")
     // materialize + count in ONE job: the checkpoint action fills the
@@ -467,28 +487,58 @@ object GraphOps {
       val ckpt = observed.localCheckpoint(eager = true)
       (ckpt, observed.queryExecution.observedMetrics(metric).getLong(0))
     }
-    var (e, prevEdges) = checkpointCounted(
+    val (e0, edges0) = checkpointCounted(
       pairs.select(col("doc_a").as("a"), col("doc_b").as("b")), "kcore_e0")
-    var r = 0
-    var converged = prevEdges == 0L
-    while (r < rounds && !converged) {
-      val keep = e.select(col("a").as("n"))
-        .unionAll(e.select(col("b").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select("n")
-      val (next, n) = checkpointCounted(
-        e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-          .select("a", "b"), s"kcore_e${r + 1}")
-      if (n == prevEdges) converged = true
-      e = next
-      prevEdges = n
-      r += 1
+    if (2 * edges0 <= broadcastNodeLimit && edges0 > 0) {
+      // broadcast path: doubled adjacency, partitioned on n once (one
+      // shuffle of an in-memory frame, paid once) — every round and the
+      // final degree output are exchange-free above it
+      var (adj, prevRows) = checkpointCounted(
+        e0.select(col("a").as("n"), col("b").as("peer"))
+          .unionAll(e0.select(col("b").as("n"), col("a").as("peer")))
+          .repartition(col("n")), "kcore_adj0")
+      e0.unpersist(blocking = false)
+      var r = 0
+      var converged = false
+      while (r < rounds && !converged) {
+        val keep = adj.groupBy("n").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select("n")
+        val (next, nRows) = checkpointCounted(
+          adj.join(broadcast(keep), Seq("n"), "left_semi")
+            .join(broadcast(keep.withColumnRenamed("n", "peer")),
+              Seq("peer"), "left_semi")
+            .select("n", "peer"), s"kcore_adj${r + 1}")
+        if (nRows == prevRows) converged = true
+        adj = next
+        prevRows = nRows
+        r += 1
+      }
+      (adj.groupBy(col("n").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k), r)
+    } else {
+      var e = e0
+      var prevEdges = edges0
+      var r = 0
+      var converged = prevEdges == 0L
+      while (r < rounds && !converged) {
+        val keep = e.select(col("a").as("n"))
+          .unionAll(e.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select("n")
+        val (next, n) = checkpointCounted(
+          e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+            .select("a", "b"), s"kcore_e${r + 1}")
+        if (n == prevEdges) converged = true
+        e = next
+        prevEdges = n
+        r += 1
+      }
+      (e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k), r)
     }
-    (e.select(col("a").as("node"))
-      .unionAll(e.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= k), r)
   }
 
   /** Oracle for [[kCore]]: the identical peeling rounds as chained

@@ -2301,19 +2301,41 @@ object Extensions {
     * The accepted_values probe is deliberately strict (priorities 1-2
     * only) so the non-zero failure path is graded, not just the happy
     * zeros.
+    *
+    * Fact-shuffle shape (round 14): the two fact-shuffling checks —
+    * uniqueness (groupBy l_orderkey, l_linenumber) and referential
+    * integrity (anti-join on l_orderkey) — are fed an explicit
+    * `repartition(l_orderkey)` projection: partitioning on a subset
+    * of the grouping keys satisfies the aggregate's clustering (the
+    * q114 discipline), so the uniqueness count runs as ONE complete
+    * aggregate above the shuffle instead of a 6M-distinct-group
+    * partial aggregate below it (hash-table churn for ~zero combine),
+    * and the anti-join's probe side arrives pre-clustered. Measured
+    * sf1: 3.03 → 1.38 s median like-for-like. Two rejected variants,
+    * same-box A/B: ReusedExchange across the two branches never fires
+    * (Catalyst pushes each branch's filters + column pruning BELOW
+    * the repartition, specializing the subtrees), and forcing the
+    * share via persist() costs more than the saved shuffle
+    * (min 1.78 vs 1.25 — the cache write of the 6M-row frame exceeds
+    * one shuffle of it). The map-only checks (not_null,
+    * accepted_values) deliberately stay on the raw scan — routing
+    * them through the exchange would widen the shuffle for work a
+    * scan-side partial aggregate does for free.
     */
   private val q139 = Q("q139_dq_report",
     (s, d) => {
       import graft.quality.Checks
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
+      val liKeyed = li.select("l_orderkey", "l_linenumber")
+        .repartition(col("l_orderkey"))
       Checks.notNullDf(li, "lineitem", Seq("l_orderkey", "l_quantity"))
-        .union(Checks.uniqueDf(li, "lineitem", Seq("l_orderkey", "l_linenumber")))
+        .union(Checks.uniqueDf(liKeyed, "lineitem", Seq("l_orderkey", "l_linenumber")))
         .union(Checks.acceptedValuesDf(li, "lineitem", "l_returnflag",
           Seq("A", "N", "R")))
         .union(Checks.acceptedValuesDf(o, "orders", "o_orderpriority",
           Seq("1-URGENT", "2-HIGH")))
-        .union(Checks.relationshipsDf(li, "lineitem", "l_orderkey",
+        .union(Checks.relationshipsDf(liKeyed, "lineitem", "l_orderkey",
           o, "o_orderkey"))
         .orderBy("check_name")
     },

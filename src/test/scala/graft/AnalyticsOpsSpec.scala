@@ -558,6 +558,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(deg === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
   }
 
+  test("kCore: broadcast rounds ≡ shuffled fallback (gate at 0 forces old shape)") {
+    // same graph as the peeling spec: triangle + chain + isolated edge.
+    // broadcastNodeLimit = 0 forces the shuffled path; the default gate
+    // takes the doubled-adjacency broadcast path — results must be
+    // identical (nodes AND core degrees) round-for-round.
+    val g = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (8L, 9L)).toDF("doc_a", "doc_b")
+    for (rounds <- 1 to 3) {
+      val bc = GraphOps.kCore(g, k = 2, rounds = rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sh = GraphOps.kCore(g, k = 2, rounds = rounds,
+          broadcastNodeLimit = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bc === sh, s"rounds=$rounds")
+    }
+    // the early-exit round counter must agree across paths too
+    val (_, rBc) = GraphOps.kCoreWithRounds(g, k = 2, rounds = 200)
+    val (_, rSh) = GraphOps.kCoreWithRounds(g, k = 2, rounds = 200,
+      broadcastNodeLimit = 0L)
+    assert(rBc === rSh)
+  }
+
   test("kCore: early exit — a huge round cap stops at convergence") {
     // a triangle IS its own 2-core: round 1 removes nothing, so the
     // peeling loop must stop there even with a 200-round cap. The

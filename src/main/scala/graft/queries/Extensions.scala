@@ -552,12 +552,23 @@ object Extensions {
 
   /** Lateral explode with ordinality — the UNNEST/posexplode
     * table-valued shape (first 5 tokens of each doc).
+    *
+    * Scale shape (round 14): `split(limit = 6)` + `slice(1, 5)` stops
+    * both the full per-doc token array AND the full explode fan-out —
+    * the generator emits ≤5 rows per doc instead of every token that
+    * a post-explode filter then discards. Exactness vs the unlimited
+    * split: Spark's split KEEPS trailing empties at every limit
+    * (unlike java.lang.String#split), so elements 1–5 are identical in
+    * both forms — when the doc has ≥6 split points the 6th limited
+    * element is the (discarded) remainder, and below that the arrays
+    * are equal outright. Law pinned in AnalyticsOpsSpec on whitespace
+    * adversaries.
     */
   private val q74 = Q("q74_lateral_posexplode",
     (s, d) => Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
-      .filter(col("pos") < 5)
+      .select(col("doc_id"),
+        posexplode(slice(split(col("text"), "\\s+", 6), 1, 5))
+          .as(Seq("pos", "token")))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("token"))
       .orderBy("doc_id", "pos"),
     Some("""WITH t AS (
@@ -903,21 +914,23 @@ object Extensions {
   private val q86 = Q("q86_tpch_q2_shape",
     (s, d) => {
       // one full-data exchange total (round 14): partition on the part
-      // key once; the per-(part, supplier) min, the per-part min, and
-      // the join of the two all cluster on subsets of l_partkey's
-      // partitioning, so everything above the repartition is
-      // exchange-free. Equivalence to the row-level "price = part min
-      // then DISTINCT" oracle: a (part, supplier) pair has a row at
-      // the part minimum ⟺ its own min equals the part min.
+      // key once; the per-(part, supplier) min runs complete above it,
+      // and the per-part min is a whole-partition window (partitionBy
+      // only, no frame order) over the SAME clustering — one sort of
+      // the aggregated frame, no second derivation (the earlier
+      // join-back form re-ran the perSupp aggregate on both join
+      // sides above the reused exchange). Equivalence to the
+      // row-level "price = part min then DISTINCT" oracle: a (part,
+      // supplier) pair has a row at the part minimum ⟺ its own min
+      // equals the part min.
       val base = Tables.lineitem(s, d)
         .select("l_partkey", "l_suppkey", "l_extendedprice")
         .repartition(col("l_partkey"))
-      val perSupp = base.groupBy("l_partkey", "l_suppkey")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+      base.groupBy("l_partkey", "l_suppkey")
         .agg(min("l_extendedprice").as("sp_min"))
-      val perPart = perSupp.groupBy(col("l_partkey").as("pk"))
-        .agg(min("sp_min").as("min_price"))
-      perSupp.join(perPart, col("l_partkey") === col("pk") &&
-          col("sp_min") === col("min_price"))
+        .withColumn("min_price", min("sp_min").over(w))
+        .filter(col("sp_min") === col("min_price"))
         .select("l_partkey", "l_suppkey", "min_price")
         .orderBy("l_partkey", "l_suppkey")
     },

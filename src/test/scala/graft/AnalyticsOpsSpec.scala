@@ -521,10 +521,6 @@ class AnalyticsOpsSpec extends SparkSpec {
 
   test("bounded-domain guard: continuous columns fail loudly, discretized ones run") {
     val cont = spark.range(0, 5000).selectExpr("id AS x0")
-    val e = intercept[IllegalArgumentException] {
-      Profiling.equiFreqBins(cont, col("x0"), bins = 4, maxDomain = 100L)
-    }
-    assert(e.getMessage.contains("maxDomain"))
     intercept[IllegalArgumentException] {
       Profiling.ksDrift(cont, cont, col("x0"), maxDomain = 100L)
     }
@@ -532,9 +528,49 @@ class AnalyticsOpsSpec extends SparkSpec {
       Profiling.skyline2D(cont, col("x0"), col("x0"), col("x0"),
         maxDomain = 100L)
     }
-    // a discretized measure sails through the same cap
-    assert(Profiling.equiFreqBins(cont, pmod(col("x0"), lit(7)), bins = 3,
-      maxDomain = 100L).count() === 3)
+    // equiFreqBins shed its gate in round 14: the bucketed boundary
+    // pass never windows over the value domain, so a fully-continuous
+    // measure (5000 distincts of 5000 rows) is a first-class input —
+    // exact quartile boundaries, k_j = ceil(j*5000/4)-th smallest
+    val r = Profiling.equiFreqBins(cont, col("x0"), bins = 4)
+      .orderBy("bin")
+      .collect().map(x => (x.getAs[Int]("bin"), x.getAs[Long]("n_rows"),
+        x.getAs[Long]("min_x"), x.getAs[Long]("max_x")))
+    assert(r === Array((1, 1250L, 0L, 1249L), (2, 1250L, 1250L, 2499L),
+      (3, 1250L, 2500L, 3749L), (4, 1250L, 3750L, 4999L)))
+    // a discretized measure still bins correctly
+    assert(Profiling.equiFreqBins(cont, pmod(col("x0"), lit(7)), bins = 3)
+      .count() === 3)
+  }
+
+  // ------------------------------------------- limited-split prefix law
+
+  test("split(limit)+slice ≡ unlimited split+explode+pos<5 " +
+       "on whitespace adversaries") {
+    // pins the q74 rewrite's exactness argument: Spark's split keeps
+    // trailing empties at EVERY limit (unlike java.lang.String#split,
+    // which strips them when limit <= 0), so the first 5 elements of
+    // the limit-6 split are bit-identical to the unlimited split's —
+    // the 6th limited element is the discarded remainder when the doc
+    // has >= 6 split points, and the arrays are equal outright below
+    val texts = Seq(
+      " leading space", "trailing space ", "a b", " ", "", "\t\n a \t ",
+      "one two three four five six seven", "a  b\t\tc \n d", "x ",
+      " a b c d e f ").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val slow = df
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
+      .filter(col("pos") < 5)
+    val fast = df
+      .select(col("doc_id"),
+        posexplode(slice(split(col("text"), "\\s+", 6), 1, 5))
+          .as(Seq("pos", "token")))
+    val s = slow.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(x => (x._1, x._2))
+    val f = fast.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(x => (x._1, x._2))
+    assert(f === s)
   }
 
   // --------------------------------------------------------------- k-core

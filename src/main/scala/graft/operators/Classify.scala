@@ -117,6 +117,11 @@ object Classify {
     val toks = tokens(docs.filter(content.isNotNull && label.isNotNull),
       content, id, Seq("lbl" -> label))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the cache BEFORE the consumers fan out: they launch
+    // as parallel stages of one job, and parallel stages share nothing
+    // in-flight — an unfilled cache is recomputed once per consumer
+    // (five interleaved tokenize stages in the sf1 StageProbe)
+    toks.count(): Unit
     selfCleaningPersist(toks) {
     val train = toks.filter(pmod(col("doc_id"), lit(modBase)) =!= testSlice)
     val test = toks.filter(pmod(col("doc_id"), lit(modBase)) === testSlice)
@@ -326,6 +331,9 @@ object Classify {
     val toks = tokens(docs.filter(content.isNotNull), content, id,
       Seq("is_tgt" -> isTarget))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fill the cache before the parallel consumers race (see
+    // centroidClassifier)
+    toks.count(): Unit
     selfCleaningPersist(toks) {
     val tgtCounts = toks.filter(col("is_tgt"))
       .groupBy("tok").agg(count(lit(1)).as("c_t"))

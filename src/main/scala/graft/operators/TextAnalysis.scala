@@ -764,9 +764,22 @@ object TextAnalysis {
     // build (round 14; the q208-q211 one-persisted-token-stream
     // pattern). The output is vocabTop²-bounded, so Dedup.selfCleaning
     // materializes it and drops the cache before returning.
-    val dt = docs.select(col("doc_id"),
+    //
+    // Two parallelism hazards measured at sf1 (StageProbe, round 14):
+    // the 6 MB documents scan yields 2 splits, so an unspread explode
+    // and the doc_id self-join both ran on 2 of 32 cores; and the
+    // three cache consumers launch as PARALLEL stages of one job, so
+    // an unmaterialized persist is computed concurrently by each
+    // (cache-racing stages share nothing in-flight) — four 1.2 s
+    // derivations instead of one. spreadIfNarrow fixes the first;
+    // the count() action materializes the cache ONCE before the
+    // consumers fan out (4.15 → 1.7 s wall).
+    val dt = graft.functions.Fns.spreadIfNarrow(
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dt.count(): Unit
     graft.operators.Dedup.selfCleaning(dt) {
       val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
       val vocab = dfreq.orderBy(col("df").desc, col("term")).limit(vocabTop)

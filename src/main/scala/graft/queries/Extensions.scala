@@ -2163,11 +2163,19 @@ object Extensions {
       val base = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("grp"), cents.as("x"),
           col("l_orderkey"), col("l_linenumber"))
+      // rn·x in LONG, only the ACCUMULATOR decimal (the q115/q107
+      // per-row-decimal lesson): rn ≤ n_g and x is cents, so the
+      // per-term product tops out near 2·10^18 < 2^63 even at 100 TB
+      // lineitem scale (2·10^11 rows · 10^7 cents); the decimal sum
+      // that overflows int64 stays. Measured sf1: within noise of the
+      // decimal-multiply form — q129's cost is the two-phase ranking
+      // itself (StageProbe: local sorts 0.96 s + merge/checksum
+      // 1.24 s), kept for the strictly-cheaper per-row path
       graft.operators.Skew.saltedRank(base, Seq("grp"), "x",
           Seq("l_orderkey", "l_linenumber"), buckets = 64)
         .groupBy("grp")
         .agg(count(lit(1)).as("n"),
-          (sum(col("rn").cast(DecimalType(38, 0)) * col("x"))
+          (sum((col("rn") * col("x")).cast(DecimalType(38, 0)))
               % lit(999999999999999989L).cast(DecimalType(38, 0)))
             .cast(LongType).as("rank_weighted_sum"))
         .orderBy("grp")
@@ -2183,7 +2191,7 @@ object Extensions {
                   ORDER BY x, l_orderkey, l_linenumber) AS BIGINT) AS rn
               FROM j)
             SELECT grp, COUNT(*) AS n,
-              CAST(SUM(CAST(rn AS DECIMAL(38,0)) * x)
+              CAST(SUM(CAST(rn * x AS DECIMAL(38,0)))
                    % CAST(999999999999999989 AS DECIMAL(38,0)) AS BIGINT)
                 AS rank_weighted_sum
             FROM r GROUP BY grp ORDER BY grp"""))

@@ -122,12 +122,15 @@ object Classify {
     // in-flight — an unfilled cache is recomputed once per consumer
     // (five interleaved tokenize stages in the sf1 StageProbe)
     toks.count(): Unit
-    selfCleaningPersist(toks) {
     val train = toks.filter(pmod(col("doc_id"), lit(modBase)) =!= testSlice)
     val test = toks.filter(pmod(col("doc_id"), lit(modBase)) === testSlice)
       .select("doc_id", "tok", "lbl")
-    fitOnTokens(train).scoreTokens(test)
-    }
+    val m = fitOnTokens(train)
+    // selfCleaningPersist materializes the scored output BEFORE the
+    // finally runs, so the model cache served every consumer; then
+    // drop it (block loss recomputes from source; lineage is intact)
+    try selfCleaningPersist(toks)(m.scoreTokens(test))
+    finally m.unpersist()
   }
 
   /** A fitted centroid model as three frames: (tok, cls, c) counts,
@@ -190,14 +193,28 @@ object Classify {
   }
 
   // model: (tok, lbl) -> occurrence count; totals: lbl -> N_c;
-  // V = distinct train vocabulary (1-row frame)
-  private def fitOnTokens(train: DataFrame): CentroidModel =
+  // V = distinct train vocabulary (1-row frame).
+  //
+  // totals and vocab are RE-AGGREGATIONS of the model frame, not
+  // separate corpus passes (round 14): N_c = Σ_tok c(tok, c) and
+  // V = |{tok}| are both exactly recoverable from the (tok, cls, c)
+  // counts, so the train tokens are aggregated ONCE and the two
+  // summaries fold the vocabulary-sized model instead. The model is
+  // persisted + filled here so its three consumers (score join,
+  // totals, vocab) don't re-run the corpus aggregate (the
+  // parallel-stage cache race); [[centroidClassifier]] drops the
+  // cache once its output materializes, long-lived scorers own it
+  // via [[CentroidModel.materialized]]/[[CentroidModel.unpersist]].
+  private def fitOnTokens(train: DataFrame): CentroidModel = {
+    val model = train.groupBy("tok", "lbl").agg(count(lit(1)).as("c"))
+      .select(col("tok"), col("lbl").as("cls"), col("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    model.count(): Unit
     CentroidModel(
-      train.groupBy("tok", "lbl").agg(count(lit(1)).as("c"))
-        .select(col("tok"), col("lbl").as("cls"), col("c")),
-      train.groupBy("lbl").agg(count(lit(1)).as("n_c"))
-        .select(col("lbl").as("cls"), col("n_c")),
-      train.agg(countDistinct(col("tok")).as("v")))
+      model,
+      model.groupBy("cls").agg(sum("c").as("n_c")),
+      model.agg(countDistinct(col("tok")).as("v")))
+  }
 
   /** Fit a [[CentroidModel]] on a labeled training frame — the
     * standalone train half for long-lived scorers (streaming sinks,
@@ -335,14 +352,17 @@ object Classify {
     // centroidClassifier)
     toks.count(): Unit
     selfCleaningPersist(toks) {
-    val tgtCounts = toks.filter(col("is_tgt"))
-      .groupBy("tok").agg(count(lit(1)).as("c_t"))
-    val rawCounts = toks.filter(!col("is_tgt"))
-      .groupBy("tok").agg(count(lit(1)).as("c_r"))
-    val model = tgtCounts.join(rawCounts, Seq("tok"), "full")
-      .select(col("tok"),
-        coalesce(col("c_t"), lit(0L)).as("c_t"),
-        coalesce(col("c_r"), lit(0L)).as("c_r"))
+    // one conditional aggregate replaces the two filtered count frames
+    // + full-outer join (round 14): a token seen on either side gets
+    // its (c_t, c_r) pair in a single cache pass with zero join
+    // shuffles. The is_tgt NOT NULL guard preserves the old semantics
+    // exactly — occurrences with a null flag counted on NEITHER side
+    // (both old filters dropped them), so they must not mint (0, 0)
+    // vocabulary rows here either.
+    val model = toks.filter(col("is_tgt").isNotNull)
+      .groupBy("tok")
+      .agg(sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_t"),
+        sum(when(!col("is_tgt"), 1L).otherwise(0L)).as("c_r"))
     // 1-row constants frame: totals of both sides + shared vocab
     val consts = model.agg(sum("c_t").as("n_t"), sum("c_r").as("n_r"),
       count(lit(1)).as("v"))

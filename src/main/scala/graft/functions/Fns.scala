@@ -223,6 +223,17 @@ object Fns {
     * to spread; keyed (not round-robin) so the shuffle is
     * deterministic under retries.
     */
+  /** CALLER HAZARD (round 14, the q190/q178/q198 finding): the spread
+    * only moves PROJECTIONS above the exchange — Catalyst pushes
+    * FILTERS below it, and a filter referencing a heavy alias
+    * (user-written `size(ws) >= 2`, or the `size(..) > 0` filter
+    * `InferFiltersFromGenerate` mints for a plain `explode` of an
+    * attribute) is rewritten in terms of the underlying expression and
+    * re-runs the whole tokenize/shingle INSIDE the narrow scan stage.
+    * Downstream of a spread, guard with CASE-WHEN inside the
+    * projection and use `explode_outer` + an explicit null filter
+    * instead of `explode` + size filters.
+    */
   def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

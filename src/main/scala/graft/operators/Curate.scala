@@ -71,7 +71,14 @@ object Curate {
       .select(col("doc_id"),
         column(graft.expressions.Shingles(
           expression(col("toks")), expression(lit(n)))).as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("g"))
+      // explode_outer + null filter ≡ explode's implicit empty-array
+      // drop, WITHOUT InferFiltersFromGenerate pushing a
+      // size(shingles(split(..))) > 0 filter below the spread exchange
+      // — which re-ran the whole shingle derivation inside the 2-task
+      // scan stage (the q190 finding; Shingles elements are
+      // containsNull=false, so g IS NULL ⟺ empty/null array)
+      .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+      .filter(col("g").isNotNull)
       .select(col("doc_id"), md5(col("g").cast(BinaryType)).as("fp"))
   }
 

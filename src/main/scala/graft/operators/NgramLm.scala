@@ -66,20 +66,29 @@ object NgramLm {
     val ws = graft.functions.Fns.spreadIfNarrow(
         docs.select(id.as("doc_id"), content.as("__content")), col("doc_id"))
       .select(col("doc_id"), words(col("__content")).as("ws"))
+    // the size(ws) >= 2 guard lives INSIDE the projection (CASE WHEN →
+    // null array) and the generate is OUTER + null-filtered: a plain
+    // filter on the ws alias — user-written or generate-inferred —
+    // gets pushed BELOW the spread exchange, re-running words() inside
+    // the narrow scan stage (the q190 InferFiltersFromGenerate
+    // finding; projections with aliases are NOT pushed, filters are)
     val big = ws
-      .filter(size(col("ws")) >= 2)
       .select(col("doc_id"),
-        explode(expr(
-          """transform(sequence(1, size(ws) - 1),
-            |  i -> struct(i as pos,
-            |              element_at(ws, i) as w1,
-            |              element_at(ws, i + 1) as w2))""".stripMargin))
+        explode_outer(expr(
+          """CASE WHEN size(ws) >= 2 THEN
+            |  transform(sequence(1, size(ws) - 1),
+            |    i -> struct(i as pos,
+            |                element_at(ws, i) as w1,
+            |                element_at(ws, i + 1) as w2))
+            |END""".stripMargin))
           .as("b"))
+      .filter(col("b").isNotNull)
       .select(col("doc_id"), col("b.pos").as("pos"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
     val cab = big.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
     val ca = big.groupBy("w1").agg(count(lit(1)).as("c_a"))
-    val voc = ws.select(explode(col("ws")).as("w"))
+    val voc = ws.select(explode_outer(col("ws")).as("w"))
+      .filter(col("w").isNotNull) // see `big` — keeps words() above the exchange
       .agg(count_distinct(col("w")).as("v"))
     val scored = big
       .join(cab, Seq("w1", "w2"))

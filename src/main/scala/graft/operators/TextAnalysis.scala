@@ -519,12 +519,28 @@ object TextAnalysis {
       s"buckets ($buckets) must be a power of two in [2, 4096] so the " +
         "hash range edge is exact")
     val edge = (1L << 60) / buckets
-    val db = docs.select(
-      call_function("div", hash60(id), lit(edge)).as("b"),
-      regexp_extract_all(lower(content), lit("[a-z]+"), lit(0)).as("ws"))
+    // the per-doc hash + tokenize map is the heavy stage and db is
+    // derived twice (dt + nv) — spread the narrow local scan so both
+    // derivations run at session parallelism (round 14: 2 of 32 cores
+    // otherwise on the single-row-group local file)
+    val db = graft.functions.Fns.spreadIfNarrow(
+        docs.select(id.as("__id"), content.as("__content")), col("__id"))
+      .select(
+        call_function("div", hash60(col("__id")), lit(edge)).as("b"),
+        regexp_extract_all(lower(col("__content")), lit("[a-z]+"), lit(0))
+          .as("ws"))
     val dt = db.groupBy("b").agg(count(lit(1)).as("nd"),
       sum(size(col("ws"))).cast(LongType).as("nt"))
-    val nv = db.select(col("b"), explode(col("ws")).as("w"))
+    // explode_outer + the explicit null filter ≡ explode's implicit
+    // empty/null-array drop — but WITHOUT the InferFiltersFromGenerate
+    // rewrite, which pushes a size(regexp_extract_all(..)) > 0 filter
+    // BELOW the spread exchange and re-runs the whole tokenize inside
+    // the 2-task scan stage (measured: a 1.9 s single-pair stage at
+    // sf1 that the spread was supposed to kill; regexp_extract_all
+    // never mints null ELEMENTS, so w IS NULL ⟺ the array was empty
+    // or null)
+    val nv = db.select(col("b"), explode_outer(col("ws")).as("w"))
+      .filter(col("w").isNotNull)
       .groupBy("w").agg(min("b").as("mb"))
       .groupBy(col("mb").as("b")).agg(count(lit(1)).as("nw"))
     val spine = docs.sparkSession.range(buckets)

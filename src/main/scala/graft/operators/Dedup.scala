@@ -97,7 +97,15 @@ object Dedup {
       if (scanShaped && docs.rdd.getNumPartitions < target)
         docs.repartition(target)
       else docs
-    spread.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
+    // the split is wrapped in a PushdownBarrier so downstream filters
+    // on `toks` (dropShort guards, join-key IS NOT NULLs, generate-
+    // inferred size > 0) cannot be substituted below this projection —
+    // without it they re-run the regex split inside the narrow scan
+    // stage UNDER the spread exchange (round 14)
+    import org.apache.spark.sql.classic.GraftColumnBridge._
+    spread.select(id.as("doc_id"),
+      column(graft.expressions.PushdownBarrier(
+        expression(split(content, "\\s+")))).as("toks"))
   }
 
   /** (doc_id, g) exploded shingle pairs with the generator FUSED onto
@@ -352,14 +360,20 @@ object Dedup {
     // intersects sorted long arrays. Collisions are ~(grams/doc)²/2^61
     // — negligible AND engine-identical (both engines hash the same
     // way), so the oracle gate is unaffected even when one occurs.
-    val base = shingledDocs(docs, content, id, n, dropShort = false)
+    // the zero-gram filter sits ABOVE the persist: a filter referencing
+    // the sh alias below the cache boundary gets pushed under the
+    // spread exchange and re-runs the whole tokenize+shingle+hash
+    // chain inside the narrow scan stage (the spreadIfNarrow caller
+    // hazard); InMemoryRelation is a pushdown barrier, so filtering
+    // the cached frame costs one cheap cache-side predicate instead
+    val baseAll = shingledDocs(docs, content, id, n, dropShort = false)
       .select(col("doc_id"),
         array_sort(array_distinct(transform(col("sh"),
           g => tokenHash60(g)))).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast(LongType))
-      .filter(col("n_sh") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    selfCleaning(base) {
+    val base = baseAll.filter(col("n_sh") > 0)
+    selfCleaning(baseAll) {
       val exploded = base
         .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("g"))
       val dfTable = exploded.groupBy("g").agg(count(lit(1)).as("df"))

@@ -1707,8 +1707,13 @@ object TextAnalysis {
       .select(col("doc_id"),
         column(graft.expressions.Shingles(
           expression(col("toks")), expression(lit(n)))).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // outer explode + null filter instead of a size(sh) > 0 guard: any
+    // filter referencing the sh alias is pushed BELOW the spread
+    // exchange and re-runs tokenize+shingle inside the narrow scan
+    // stage (the spreadIfNarrow caller hazard); zero-gram docs drop
+    // identically (Shingles elements are containsNull=false)
+    val ex = sh.select(col("doc_id"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
     val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
     ex.join(df, "s")
       .groupBy("doc_id")

@@ -269,4 +269,47 @@ class TextKernelLawsSpec extends SparkSpec {
 
   private def esc(s: String): String =
     s.map(c => if (c >= 0x20 && c < 0x7F) c.toString else f"\\u${c.toInt}%04X").mkString
+
+  // ------------------------------------------------- PushdownBarrier laws
+
+  test("PushdownBarrier: bit-for-bit identity (interpreted + codegen) " +
+       "and filters stay above the barrier projection") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def barrier(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.classic.GraftColumnBridge.column(
+        graft.expressions.PushdownBarrier(
+          org.apache.spark.sql.classic.GraftColumnBridge.expression(c)))
+    val df = Seq("a b c", " lead", "trail ", "", "one",
+      "x y z w v u t").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    // value law: wrapped ≡ unwrapped, array + scalar types
+    val a = df.select(split(col("text"), "\\s+").as("t"),
+        length(col("text")).as("l")).collect().toSeq
+    val b = df.select(barrier(split(col("text"), "\\s+")).as("t"),
+        barrier(length(col("text"))).as("l")).collect().toSeq
+    assert(a.map(_.toString) === b.map(_.toString))
+    // plan law: a size filter on the barrier-staged alias must NOT be
+    // substituted below the staging projection into the scan-side
+    // DataFilters (the spreadIfNarrow caller hazard this expression
+    // exists to stop) — with a plain alias the same filter IS pushed
+    val staged = df.repartition(4, col("id"))
+      .select(col("id"), barrier(split(col("text"), "\\s+")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    staged.write.format("noop").mode("overwrite").save()
+    val planned = staged.queryExecution.executedPlan.toString
+    val scanLine = planned.linesIterator.filter(_.contains("LocalTableScan"))
+    // LocalTableScan carries no filters at all — assert instead that no
+    // Filter node sits BELOW the Exchange in the executed tree
+    val lines = planned.linesIterator.toVector
+    val exIdx = lines.indexWhere(_.contains("Exchange"))
+    assert(exIdx >= 0, s"no exchange in:\n$planned")
+    assert(!lines.drop(exIdx + 1).exists(_.contains("Filter")),
+      s"filter pushed below the exchange despite the barrier:\n$planned")
+    // rows with >= 2 split elements: "a b c" (3), " lead" (["","lead"]),
+    // "trail " (["trail",""] — Spark split keeps trailing empties),
+    // "x y z w v u t" (7)
+    assert(staged.count() === 4L)
+    scanLine.size: Unit
+  }
 }

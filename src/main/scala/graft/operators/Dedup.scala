@@ -70,6 +70,19 @@ object Dedup {
     kept.select(col("doc_id"), shingles(col("toks"), n).as("sh"))
   }
 
+  /** `split(content, \s+)` wrapped in a [[graft.expressions.PushdownBarrier]]:
+    * downstream filters on the staged token array (length guards,
+    * join-key IS-NOT-NULL inference, generate-inferred size > 0)
+    * cannot be substituted below the staging projection — without the
+    * barrier each such filter re-runs the regex split inside the scan
+    * stage (narrow and 2-task on a local single-row-group file).
+    */
+  private[operators] def barrierSplit(content: Column): Column = {
+    import org.apache.spark.sql.classic.GraftColumnBridge._
+    column(graft.expressions.PushdownBarrier(
+      expression(split(content, "\\s+"))))
+  }
+
   private def tokenizedDocs(docs: DataFrame, content: Column,
                             id: Column): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical
@@ -97,15 +110,7 @@ object Dedup {
       if (scanShaped && docs.rdd.getNumPartitions < target)
         docs.repartition(target)
       else docs
-    // the split is wrapped in a PushdownBarrier so downstream filters
-    // on `toks` (dropShort guards, join-key IS NOT NULLs, generate-
-    // inferred size > 0) cannot be substituted below this projection —
-    // without it they re-run the regex split inside the narrow scan
-    // stage UNDER the spread exchange (round 14)
-    import org.apache.spark.sql.classic.GraftColumnBridge._
-    spread.select(id.as("doc_id"),
-      column(graft.expressions.PushdownBarrier(
-        expression(split(content, "\\s+")))).as("toks"))
+    spread.select(id.as("doc_id"), barrierSplit(content).as("toks"))
   }
 
   /** (doc_id, g) exploded shingle pairs with the generator FUSED onto
@@ -723,7 +728,7 @@ object Dedup {
     */
   def prefixDupGroups(docs: DataFrame, content: Column, id: Column,
                       kTokens: Int): DataFrame =
-    docs.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
+    docs.select(id.as("doc_id"), barrierSplit(content).as("toks"))
       .filter(size(col("toks")) >= kTokens)
       .select(col("doc_id"),
         md5(array_join(slice(col("toks"), 1, kTokens), " ")).as("prefix_fp"))
@@ -777,7 +782,7 @@ object Dedup {
                         maxBlockSize: Int = 1 << 20): DataFrame = {
     require(maxBlockSize >= 1, s"maxBlockSize ($maxBlockSize) must be >= 1")
     val titled = docs
-      .select(id.as("doc_id"), split(content, "\\s+").as("toks"))
+      .select(id.as("doc_id"), barrierSplit(content).as("toks"))
       .filter(size(col("toks")) >= blockTokens)
       .select(col("doc_id"),
         array_join(slice(col("toks"), 1, titleTokens), " ").as("title"),
@@ -1769,7 +1774,7 @@ object Dedup {
                                       id: Column, minLen: Int): DataFrame =
     graft.functions.Fns.spreadIfNarrow(
         df.select(id.as("doc_id"), content.as("__content")), col("doc_id"))
-      .select(col("doc_id"), split(col("__content"), "\\s+").as("toks"))
+      .select(col("doc_id"), barrierSplit(col("__content")).as("toks"))
       .filter(size(col("toks")) >= minLen)
 
   /** (doc_id, pos, gh): every `minLen`-token anchor window of every

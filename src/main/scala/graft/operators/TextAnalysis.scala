@@ -1668,7 +1668,8 @@ object TextAnalysis {
     // bytes the inline md5(concat_ws(…)) did.
     graft.functions.Fns.spreadIfNarrow(
         docs.select(id.as("doc_id"), content.as("__content")), col("doc_id"))
-      .select(col("doc_id"), split(col("__content"), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        graft.operators.Dedup.barrierSplit(col("__content")).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(column(graft.expressions.ShinglesAll(
         expression(col("toks")), expression(lit(n))))).as("g"))
@@ -1772,7 +1773,8 @@ object TextAnalysis {
     val spans = graft.functions.Fns.spreadIfNarrow(
         docs.select(src.as("source"), content.as("__content")),
         xxhash64(col("__content")))
-      .select(col("source"), split(col("__content"), "\\s+").as("toks"))
+      .select(col("source"),
+        graft.operators.Dedup.barrierSplit(col("__content")).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("source"), explode(column(graft.expressions.ShinglesAll(
         expression(col("toks")), expression(lit(n))))).as("g"))

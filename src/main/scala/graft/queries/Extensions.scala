@@ -834,7 +834,13 @@ object Extensions {
     * surface (all codegen'd, embarrassingly parallel).
     */
   private val q83 = Q("q83_array_functions",
-    (s, d) => Tables.documents(s, d)
+    // spread the 2-split local scan: the per-doc array chain (sort +
+    // distinct + HOF filter) is the heavy map, and the global orderBy
+    // derives it TWICE (range-sampling pass + output) — both narrow
+    // without the exchange (round 14 StageProbe: 2×1.3-1.5 s 2-task
+    // stages at sf1)
+    (s, d) => graft.functions.Fns.spreadIfNarrow(
+        Tables.documents(s, d).select("doc_id", "text"), col("doc_id"))
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .select(
         col("doc_id"),

@@ -68,8 +68,11 @@ object Tokenizer {
     * the one data-sized pass (map-side-combined shuffle on the word).
     */
   def wordCounts(docs: DataFrame, content: Column): DataFrame =
-    docs.select(explode(
-        regexp_extract_all(lower(content), lit("[a-z]+"), lit(0))).as("word"))
+    graft.functions.Fns.spreadIfNarrow(
+        docs.select(content.as("__content")), xxhash64(col("__content")))
+      .select(explode(
+        regexp_extract_all(lower(col("__content")), lit("[a-z]+"), lit(0)))
+        .as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** One learned merge: `rank`-th most frequent pair (l, r) with its
@@ -231,8 +234,14 @@ object Tokenizer {
                       merges: Int,
                       maxWords: Long = Profiling.DefaultMaxDomain): DataFrame = {
     val (ms, _) = train(docs, content, merges, maxWords)
-    val words = docs.select(id.as("doc_id"), explode(
-      regexp_extract_all(lower(content), lit("[a-z]+"), lit(0))).as("word"))
+    // spread the narrow local scan before the heavy per-doc tokenize —
+    // this frame feeds both the vocab join and the per-doc aggregate
+    // (round 14: 0.6-0.8 s 2-task stages at sf1 otherwise)
+    val words = graft.functions.Fns.spreadIfNarrow(
+        docs.select(id.as("doc_id"), content.as("__content")), col("doc_id"))
+      .select(col("doc_id"), explode(
+        regexp_extract_all(lower(col("__content")), lit("[a-z]+"), lit(0)))
+        .as("word"))
     val enc0 = words.select(col("word")).distinct()
       .select(col("word"),
         concat(regexp_replace(col("word"), "(.)", Sep + Sep + "$1"),

@@ -949,11 +949,20 @@ object Dedup {
     val bBase = minhashBase(batch, content, id, index.n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // pin the candidate frame's parallelism (round 14): the distinct's
+      // few-MB output lets AQE coalesce to ~1 partition, and the two
+      // broadcast joins below preserve that — so the array_intersect
+      // verify (the per-pair heavy work) ran on ONE task (3.1 s of a
+      // 5.5 s query at sf1). A pinned-count keyed repartition holds the
+      // verify at session parallelism; at cluster scale the exchange is
+      // candidate-pair-sized, never corpus-sized.
+      val sp = bBase.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
       val cand = index.banded
         .join(broadcast(minhashBanded(bBase, index.k, index.bands)
           .withColumnRenamed("doc_id", "new_id")), Seq("band", "bucket"))
         .select(col("new_id"), col("doc_id").as("dup_of"))
         .distinct()
+        .repartition(sp, col("dup_of"))
       cand
         .join(index.base.select(col("doc_id").as("dup_of"), col("sh").as("sh_c")),
           Seq("dup_of"))

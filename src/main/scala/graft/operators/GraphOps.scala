@@ -88,8 +88,15 @@ object GraphOps {
       .groupBy("n").agg(count(lit(1)).as("d")).persist()
     val e = orientLowHigh(raw, deg).persist()
     try {
+      // raw MUST fill before e materializes: inside e.count()'s one
+      // job, raw feeds BOTH the degree aggregate and the orient join's
+      // probe side as parallel stages, and parallel stages share
+      // nothing in-flight — an unfilled raw cache would run the
+      // expensive pair pipeline twice concurrently. deg has no such
+      // double consumer within the job (one stage above filled raw),
+      // so its separate fill action was a pure scheduling barrier
+      // (round 14; the value was never used)
       raw.count() // pair pipeline runs exactly once, before any consumer
-      deg.count()
       val nEdges = e.count()
       val cands = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
         .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
@@ -109,9 +116,12 @@ object GraphOps {
         .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles",
           "global_clustering")
     } finally {
-      e.unpersist(blocking = true)
-      deg.unpersist(blocking = true)
-      raw.unpersist(blocking = true)
+      // async release: the returned frame is a driver-literal toDF with
+      // no lineage into these caches, so nothing can observe the blocks
+      // after this point — the three blocking waits were pure latency
+      e.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+      raw.unpersist(blocking = false)
       ()
     }
   }

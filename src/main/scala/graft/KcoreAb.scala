@@ -33,7 +33,12 @@ object KcoreAb {
       .groupBy("n").agg(count(lit(1)).as("deg"))
     round.write.format("noop").mode("overwrite").save()
     val plan = round.queryExecution.executedPlan.toString
-    val shuffles = "ShuffleExchange".r.findAllIn(plan).size
+    // ShuffleExchangeExec renders as "Exchange hashpartitioning(...)"
+    // (and under AQE as "ShuffleQueryStage") — matching the class name
+    // would always count 0 and make the premise gate vacuous
+    val shuffles =
+      "Exchange (hash|range|SinglePartition)|ShuffleQueryStage".r
+        .findAllIn(plan).size
     println(s"ROUND_SHUFFLE_EXCHANGES=$shuffles (want 0)")
     if (shuffles != 0) { println(plan); sys.exit(1) }
     adj.unpersist(blocking = true)

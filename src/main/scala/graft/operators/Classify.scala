@@ -117,20 +117,25 @@ object Classify {
     val toks = tokens(docs.filter(content.isNotNull && label.isNotNull),
       content, id, Seq("lbl" -> label))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the cache BEFORE the consumers fan out: they launch
-    // as parallel stages of one job, and parallel stages share nothing
-    // in-flight — an unfilled cache is recomputed once per consumer
-    // (five interleaved tokenize stages in the sf1 StageProbe)
-    toks.count(): Unit
     val train = toks.filter(pmod(col("doc_id"), lit(modBase)) =!= testSlice)
     val test = toks.filter(pmod(col("doc_id"), lit(modBase)) === testSlice)
       .select("doc_id", "tok", "lbl")
-    val m = fitOnTokens(train)
-    // selfCleaningPersist materializes the scored output BEFORE the
-    // finally runs, so the model cache served every consumer; then
-    // drop it (block loss recomputes from source; lineage is intact)
-    try selfCleaningPersist(toks)(m.scoreTokens(test))
-    finally m.unpersist()
+    // the cache fill and model fit run INSIDE selfCleaningPersist's
+    // try — an exception in either must still unpersist toks. The
+    // model itself unpersists only after the scored output
+    // materializes (its count() inside selfCleaningPersist), so the
+    // model cache serves every consumer first.
+    var m: CentroidModel = null
+    try selfCleaningPersist(toks) {
+      // materialize the cache BEFORE the consumers fan out: they
+      // launch as parallel stages of one job, and parallel stages
+      // share nothing in-flight — an unfilled cache is recomputed
+      // once per consumer (five interleaved tokenize stages in the
+      // sf1 StageProbe)
+      toks.count(): Unit
+      m = fitOnTokens(train)
+      m.scoreTokens(test)
+    } finally if (m != null) m.unpersist()
   }
 
   /** A fitted centroid model as three frames: (tok, cls, c) counts,
@@ -348,10 +353,11 @@ object Classify {
     val toks = tokens(docs.filter(content.isNotNull), content, id,
       Seq("is_tgt" -> isTarget))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // fill the cache before the parallel consumers race (see
-    // centroidClassifier)
-    toks.count(): Unit
     selfCleaningPersist(toks) {
+    // fill the cache before the parallel consumers race (see
+    // centroidClassifier); inside the try so a fill failure still
+    // unpersists toks
+    toks.count(): Unit
     // one conditional aggregate replaces the two filtered count frames
     // + full-outer join (round 14): a token seen on either side gets
     // its (c_t, c_r) pair in a single cache pass with zero join

@@ -10,6 +10,23 @@ import org.apache.spark.sql.types.LongType
   */
 object GraphOps {
 
+  /** Free the block-store blocks behind an eagerly localCheckpoint-ed
+    * frame. `Dataset.unpersist` routes through the SQL CacheManager,
+    * where checkpoint RDDs are never registered — on these frames it
+    * is a silent no-op and the blocks live until the ContextCleaner
+    * GCs the RDD (one retained RDD per round on long iterative runs).
+    * The blocks ARE the data (checkpoint lineage is truncated), so
+    * callers must only release frames nothing live still reads — in
+    * the loops below that means the round-(i−1) frame after round i
+    * has eagerly materialized.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** Orient an undirected pair list low-degree → high-degree (ties
     * broken by id): under the (degree, id) total order each edge is
     * emitted exactly once as (lower ≺ higher). This is the standard
@@ -212,14 +229,17 @@ object GraphOps {
               .join(next.select(col("node"), col("r").as("r_next")), "node")
               .agg(sum(abs(col("r_next") - col("r_prev"))).as("d"))
               .first().getLong(0)
+            releaseCheckpoint(rank) // dead: residual action consumed it
             rank = next
             it += 1
             if (delta <= tolScaled) converged = true
           }
           rank
         }
-      rFinal.select(col("node"), col("r").as("rank_scaled"))
+      val out = rFinal.select(col("node"), col("r").as("rank_scaled"))
         .localCheckpoint(eager = true)
+      if (tolScaled != 0L) releaseCheckpoint(rFinal)
+      out
     } finally { e.unpersist(blocking = false); () }
   }
 
@@ -289,16 +309,24 @@ object GraphOps {
     require(iters >= 1, s"iters ($iters) must be >= 1")
     require(scale >= 1L, s"scale ($scale) must be >= 1")
     val e = edges.select("src", "dst").distinct().persist()
+    // per-half-iteration gather checkpoints: the last TWO stay live
+    // (the held a/h frames are lazy normalizations over them, and the
+    // final pair feeds the returned join), anything older is dead once
+    // a newer gather has materialized
+    val gatherCkpts = scala.collection.mutable.Queue.empty[DataFrame]
     try {
       def gather(score: DataFrame, joinKey: String,
                  outKey: String): DataFrame = {
         val s = e
           .join(score.select(col("node").as(joinKey), col("x")), joinKey)
           .groupBy(outKey).agg(sum("x").as("s"))
-        nodes
+        val c = nodes
           .join(s.select(col(outKey).as("node"), col("s")), Seq("node"), "left")
           .select(col("node"), coalesce(col("s"), lit(0L)).as("x"))
           .localCheckpoint(eager = true)
+        gatherCkpts.enqueue(c)
+        while (gatherCkpts.size > 3) releaseCheckpoint(gatherCkpts.dequeue())
+        c
       }
       def normalize(raw: DataFrame): DataFrame = {
         val q = raw.agg(
@@ -312,9 +340,11 @@ object GraphOps {
         val a = normalize(gather(h, "src", "dst"))
         (a, normalize(gather(a, "dst", "src")))
       }
-      aK.select(col("node"), col("x").as("auth_scaled"))
+      val out = aK.select(col("node"), col("x").as("auth_scaled"))
         .join(hK.select(col("node"), col("x").as("hub_scaled")), "node")
         .localCheckpoint(eager = true)
+      gatherCkpts.foreach(releaseCheckpoint)
+      out
     } finally { e.unpersist(blocking = false); () }
   }
 
@@ -388,16 +418,25 @@ object GraphOps {
     val e = edges.select("src", "dst", "w").persist()
     try {
       val d0 = sources.select(col("node"), lit(0L).as("dist"))
+      // one interim checkpoint is live at a time: each new one (and
+      // the final materialization) consumed its predecessor's chain
+      var prevCkpt: DataFrame = null
       val dist = (1 to maxHops).foldLeft(d0) { (dist, k) =>
         val relax = e
           .join(dist.select(col("node").as("src"), col("dist")), "src")
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         val next = dist.unionByName(relax)
           .groupBy("node").agg(min("dist").as("dist"))
-        if (k % checkpointEvery == 0) next.localCheckpoint(eager = true)
-        else next
+        if (k % checkpointEvery == 0) {
+          val c = next.localCheckpoint(eager = true)
+          if (prevCkpt != null) releaseCheckpoint(prevCkpt)
+          prevCkpt = c
+          c
+        } else next
       }
-      dist.localCheckpoint(eager = true)
+      val out = dist.localCheckpoint(eager = true)
+      if (prevCkpt != null) releaseCheckpoint(prevCkpt)
+      out
     } finally { e.unpersist(blocking = false); () }
   }
 
@@ -507,7 +546,7 @@ object GraphOps {
         e0.select(col("a").as("n"), col("b").as("peer"))
           .unionAll(e0.select(col("b").as("n"), col("a").as("peer")))
           .repartition(col("n")), "kcore_adj0")
-      e0.unpersist(blocking = false)
+      releaseCheckpoint(e0)
       var r = 0
       var converged = false
       while (r < rounds && !converged) {
@@ -519,6 +558,7 @@ object GraphOps {
               Seq("peer"), "left_semi")
             .select("n", "peer"), s"kcore_adj${r + 1}")
         if (nRows == prevRows) converged = true
+        releaseCheckpoint(adj) // superseded: `next` is materialized
         adj = next
         prevRows = nRows
         r += 1
@@ -540,6 +580,7 @@ object GraphOps {
             .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
             .select("a", "b"), s"kcore_e${r + 1}")
         if (n == prevEdges) converged = true
+        releaseCheckpoint(e) // superseded: `next` is materialized
         e = next
         prevEdges = n
         r += 1
@@ -660,8 +701,12 @@ object GraphOps {
           // the adjacency by nbr anyway, and a pre-partition on n
           // would be a pure extra shuffle there
           adj = adjRaw.repartition(col("n")).localCheckpoint(eager = true)
-          adjRaw.unpersist(blocking = false)
+          releaseCheckpoint(adjRaw)
         }
+        // interim round checkpoints are dead once the NEXT checkpoint
+        // materializes — release each then, or a long run retains one
+        // block set per checkpointed round
+        var prevCkpt: DataFrame = null
         val last = (1 to rounds).foldLeft(l0) { (labels, k) =>
           val lblSide = labels.select(col("node").as("nbr"), col("lbl"))
           val next = adj
@@ -674,13 +719,16 @@ object GraphOps {
             .groupBy(col("n").as("node"))
             .agg(min(struct((-col("cnt")).as("neg"), col("lbl")))
               .getField("lbl").as("lbl"))
-          if (k % checkpointEvery == 0 || k == rounds)
-            next.localCheckpoint(eager = true)
-          else next
+          if (k % checkpointEvery == 0 || k == rounds) {
+            val c = next.localCheckpoint(eager = true)
+            if (prevCkpt != null) releaseCheckpoint(prevCkpt)
+            prevCkpt = c
+            c
+          } else next
         }
         last.select(col("node"), col("lbl").as("community"))
-      } finally { l0.unpersist(blocking = false); () }
-    } finally { adj.unpersist(blocking = false); () }
+      } finally { releaseCheckpoint(l0) }
+    } finally { releaseCheckpoint(adj) }
   }
 
   /** Oracle for [[labelPropagation]]: the identical synchronous rounds

@@ -118,7 +118,8 @@ object Profiling {
     * old `maxDomain` gate is gone because the hazard it guarded is
     * gone. Caller contract (inherited from the bucket arithmetic, as
     * [[weightedMedian]]/[[robustStats]]): (max−min)·buckets must fit
-    * int64. Boundaries land in ONE single-row frame and broadcast
+    * int64 — enforced at runtime by [[lowerQuantilesW]]'s bounds-pass
+    * gate, which fails loudly instead of wrapping. Boundaries land in ONE single-row frame and broadcast
     * back — the per-row bin assignment is a statically unrolled
     * comparison chain, map-side, no driver collect anywhere.
     */
@@ -500,7 +501,20 @@ object Profiling {
       v.groupBy("g")
         .agg(min("x").as("__lo"), max("x").as("__hi"), sum("w").as("__n"))
         .localCheckpoint(eager = true))
-    val nG = bounds.count()
+    // one action serves both the |G| probe and the overflow gate: the
+    // bucket expression below computes (x − lo)·B, so the contract
+    // (hi − lo)·B ≤ Long.MaxValue must FAIL LOUDLY, not wrap — binning
+    // a full-range long/hash column would otherwise return wrong
+    // buckets silently wherever ANSI arithmetic is off
+    val boundsStats = bounds
+      .agg(count(lit(1)), max(col("__hi") - col("__lo"))).head
+    val nG = boundsStats.getLong(0)
+    if (nG > 0 && !boundsStats.isNullAt(1)) {
+      val maxSpread = boundsStats.getAs[Number](1).longValue
+      require(maxSpread <= Long.MaxValue / B,
+        s"value spread $maxSpread × $B buckets overflows int64 — " +
+          "rescale the measure or lower `buckets`")
+    }
     val smallG = nG <= BroadcastGroupLimit
     // the target frame is |G|·|qs| rows (one exploded struct per
     // group per quantile) — gate ITS forced broadcast on the product,

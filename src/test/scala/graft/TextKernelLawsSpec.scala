@@ -312,4 +312,48 @@ class TextKernelLawsSpec extends SparkSpec {
     assert(staged.count() === 4L)
     scanLine.size: Unit
   }
+
+  test("PushdownBarrier: placements outside Project/Filter fail loudly " +
+       "at analysis; window placements stay value-correct") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def barrier(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.classic.GraftColumnBridge.column(
+        graft.expressions.PushdownBarrier(
+          org.apache.spark.sql.classic.GraftColumnBridge.expression(c)))
+    val df = Seq((1L, "a b"), (2L, "c"), (3L, "a b")).toDF("id", "text")
+    // The barrier's safety argument (PushdownBarrier.scala doc) rests
+    // on Catalyst REFUSING the placements where a `deterministic =
+    // false` expression could change plan semantics. Pin each refusal:
+    // a Spark upgrade or helper refactor that lets one slip through
+    // silently must fail here, not in production plans.
+    val grpEx = intercept[Exception] {
+      df.groupBy(barrier(col("text")).as("g")).count().collect()
+    }
+    assert(grpEx.getMessage.toLowerCase.contains("deterministic"),
+      s"grouping placement no longer refused: $grpEx")
+    val aggEx = intercept[Exception] {
+      df.agg(sum(barrier(col("id")))).collect()
+    }
+    assert(aggEx.getMessage.toLowerCase.contains("deterministic"),
+      s"aggregate-arg placement no longer refused: $aggEx")
+    val joinEx = intercept[Exception] {
+      df.as("l").join(df.as("r"),
+        barrier(col("l.id")) === col("r.id")).count()
+    }
+    assert(joinEx.getMessage.toLowerCase.contains("deterministic"),
+      s"join-condition placement no longer refused: $joinEx")
+    // Window placements ARE legal: PullOutNondeterministic stages the
+    // barrier into a Project below the window — its legal home, one
+    // evaluation — so values must match the unwrapped twin exactly.
+    import org.apache.spark.sql.expressions.Window
+    val wrapped = df.select(col("id"),
+      count(lit(1)).over(Window.partitionBy(barrier(col("text")))).as("c"),
+      row_number().over(Window.orderBy(barrier(col("id")))).as("rn"))
+    val plain = df.select(col("id"),
+      count(lit(1)).over(Window.partitionBy(col("text"))).as("c"),
+      row_number().over(Window.orderBy(col("id"))).as("rn"))
+    assert(wrapped.collect().map(_.toString).sorted.toSeq ===
+      plain.collect().map(_.toString).sorted.toSeq)
+  }
 }

@@ -77,7 +77,11 @@ def main(sf_dir: str, oracle_path: str, spark_bench_path: str,
     unmatched_oracle = sorted(set(oracles) - set(spark))
     matched = [q for q in per_query.values()
                if "ratio_floor_adj" in q and q["ratio_floor_adj"] is not None]
+    with open("/proc/sys/kernel/random/boot_id") as f:
+        boot = f.read().strip().split("-")[0]
+    import socket
     summary = {
+        "box": f"{socket.gethostname()}/{boot}",
         "sf_dir": sf_dir,
         "spark_floor_sec": SPARK_FLOOR_SEC,
         "flag_ratio": FLAG_RATIO,

@@ -87,7 +87,11 @@ def main():
     matched = {k: v for k, v in times.items() if k not in EXCLUDED_QUADRATIC}
     unexpected = [t for t in timed_out
                   if t.split(" ")[0] not in EXCLUDED_QUADRATIC]
+    with open("/proc/sys/kernel/random/boot_id") as f:
+        boot = f.read().strip().split("-")[0]
+    import socket
     out = {
+        "box": f"{socket.gethostname()}/{boot}",
         "sf_dir": sf_dir,
         "timeout_sec": timeout,
         "excluded_quadratic": sorted(EXCLUDED_QUADRATIC & set(times)),

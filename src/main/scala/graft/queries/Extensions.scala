@@ -989,26 +989,38 @@ object Extensions {
     */
   private val q89 = Q("q89_multiset_set_ops",
     (s, d) => {
-      // one shared full-data exchange (round 14): hi and lo filter the
-      // SAME repartitioned base, so their exchange subtrees are
-      // identical (ReuseExchange shuffles once) and every set op's
-      // clustering requirement on l_orderkey is already satisfied —
-      // previously each of INTERSECT ALL / EXCEPT ALL / UNION-distinct
-      // re-shuffled both inputs from scratch
-      val base = Tables.lineitem(s, d)
-        .select("l_orderkey", "l_quantity")
-        .repartition(col("l_orderkey"))
-      val hi = base.filter(col("l_quantity") >= 25).select("l_orderkey")
-      val lo = base.filter(col("l_quantity") <= 30).select("l_orderkey")
-      val union = hi.union(lo).distinct()
-        .select(col("l_orderkey"), lit("union").as("src"))
-      val interAll = hi.intersectAll(lo)
-        .select(col("l_orderkey"), lit("inter_all").as("src"))
-      val exceptAll = hi.exceptAll(lo)
-        .select(col("l_orderkey"), lit("except_all").as("src"))
-      union.unionByName(interAll).unionByName(exceptAll)
-        .groupBy("src").agg(count(lit(1)).as("n"),
-          count_distinct(col("l_orderkey")).as("n_keys"))
+      // Decorrelated to per-key MULTIPLICITIES (round 15, the q39
+      // precedent): bag set-ops are pure arithmetic over the per-key
+      // counts c_hi/c_lo — |INTERSECT ALL| = Σ min(c_hi, c_lo),
+      // |EXCEPT ALL| = Σ max(c_hi − c_lo, 0), UNION-distinct = the
+      // key count (every row lands in at least one side here). One
+      // scan + one map-combined shuffle replaces the r14 shape's
+      // shared full-data repartition + three set-op plans (sf1 2.95 s,
+      // 4.6× behind the oracle). A src row is emitted only when that
+      // set op is non-empty — the literal plan's groupBy(src) emits
+      // nothing for an empty operand, and the oracle replays the
+      // literal INTERSECT ALL / EXCEPT ALL form unchanged.
+      val per = Tables.lineitem(s, d)
+        .groupBy("l_orderkey").agg(
+          sum(when(col("l_quantity") >= 25, 1L).otherwise(0L)).as("c_hi"),
+          sum(when(col("l_quantity") <= 30, 1L).otherwise(0L)).as("c_lo"))
+      per.agg(
+        count(lit(1)).as("u_n"),
+        sum(least(col("c_hi"), col("c_lo"))).as("i_n"),
+        sum(when(least(col("c_hi"), col("c_lo")) > 0, 1L).otherwise(0L))
+          .as("i_k"),
+        sum(greatest(col("c_hi") - col("c_lo"), lit(0L))).as("e_n"),
+        sum(when(col("c_hi") > col("c_lo"), 1L).otherwise(0L)).as("e_k"))
+        .select(explode(array(
+          struct(lit("except_all").as("src"),
+            col("e_n").as("n"), col("e_k").as("n_keys")),
+          struct(lit("inter_all").as("src"),
+            col("i_n").as("n"), col("i_k").as("n_keys")),
+          struct(lit("union").as("src"),
+            col("u_n").as("n"), col("u_n").as("n_keys")))).as("r"))
+        .select(col("r.src").as("src"), col("r.n").as("n"),
+          col("r.n_keys").as("n_keys"))
+        .filter(col("n") > 0)
         .orderBy("src")
     },
     Some("""WITH hi AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25),

@@ -274,6 +274,34 @@ object Fns {
     else df
   }
 
+  /** True when `df` is a scan-shaped input below [[SpreadMinBytes]] —
+    * the same tiny-input test [[spreadIfNarrow]] gates on, exposed for
+    * callers that must make the MATCHING sequencing decision: an eager
+    * cache-fill action before consumers fan out is a serial barrier
+    * worth paying only when the fill parallelizes (i.e. when the
+    * spread fired). On a tiny unspread input the racing per-consumer
+    * recomputes run CONCURRENTLY on idle cores and cost less
+    * wall-clock than one serial single-task fill job (round-15 q208
+    * StageProbe: a 0.31 s one-task fill stage on a 0.6 MB corpus that
+    * r13's race overlapped to near zero).
+    */
+  def tinyScan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    if (df.isStreaming) return false
+    val scanShaped = df.queryExecution.analyzed.collectFirst {
+      case _: logical.Aggregate                  => ()
+      case _: logical.Join                       => ()
+      case _: logical.Window                     => ()
+      case _: logical.Distinct                   => ()
+      case _: logical.Deduplicate                => ()
+      case _: logical.DeduplicateWithinWatermark => ()
+      case _: logical.RepartitionOperation       => ()
+      case _: logical.Sort                       => ()
+    }.isEmpty
+    scanShaped &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes < SpreadMinBytes
+  }
+
   /** Break-even input size for [[spreadIfNarrow]]: below this the one
     * extra exchange stage costs more wall-clock than the single-core
     * map work it parallelizes (measured on the simhash family — see

@@ -131,9 +131,17 @@ object Classify {
       // launch as parallel stages of one job, and parallel stages
       // share nothing in-flight — an unfilled cache is recomputed
       // once per consumer (five interleaved tokenize stages in the
-      // sf1 StageProbe)
-      toks.count(): Unit
-      m = fitOnTokens(train)
+      // sf1 StageProbe). Gated on the SAME tiny-scan test the spread
+      // uses: on a tiny unspread corpus each fill is a serial
+      // single-task barrier while the racing recomputes overlap on
+      // idle cores (round-15 q208 adjudication — r13 parity restored
+      // at sf0.1, the sf1 win kept). The model fill inherits the
+      // same decision: two serial fill jobs or zero.
+      val eager = !graft.functions.Fns.tinyScan(
+        docs.filter(content.isNotNull && label.isNotNull)
+          .select(content.as("__content")))
+      if (eager) toks.count(): Unit
+      m = fitOnTokens(train, eager)
       m.scoreTokens(test)
     } finally if (m != null) m.unpersist()
   }
@@ -210,11 +218,22 @@ object Classify {
   // parallel-stage cache race); [[centroidClassifier]] drops the
   // cache once its output materializes, long-lived scorers own it
   // via [[CentroidModel.materialized]]/[[CentroidModel.unpersist]].
-  private def fitOnTokens(train: DataFrame): CentroidModel = {
-    val model = train.groupBy("tok", "lbl").agg(count(lit(1)).as("c"))
+  private def fitOnTokens(train: DataFrame,
+                          eager: Boolean = true): CentroidModel = {
+    // `eager = false` is the tiny-corpus shape (see the
+    // centroidClassifier gate): skipping the persist+fill barrier
+    // lets the totals/vocab/scoring re-aggregations race the model
+    // CONCURRENTLY inside one job — cheaper than two serial fill
+    // jobs when each recompute is sub-second single-task work.
+    val base = train.groupBy("tok", "lbl").agg(count(lit(1)).as("c"))
       .select(col("tok"), col("lbl").as("cls"), col("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    model.count(): Unit
+    val model =
+      if (eager) {
+        val m = base
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        m.count(): Unit
+        m
+      } else base
     CentroidModel(
       model,
       model.groupBy("cls").agg(sum("c").as("n_c")),
@@ -355,9 +374,11 @@ object Classify {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     selfCleaningPersist(toks) {
     // fill the cache before the parallel consumers race (see
-    // centroidClassifier); inside the try so a fill failure still
-    // unpersists toks
-    toks.count(): Unit
+    // centroidClassifier — including the tiny-scan gate rationale);
+    // inside the try so a fill failure still unpersists toks
+    if (!graft.functions.Fns.tinyScan(
+        docs.filter(content.isNotNull).select(content.as("__content"))))
+      toks.count(): Unit
     // one conditional aggregate replaces the two filtered count frames
     // + full-outer join (round 14): a token seen on either side gets
     // its (c_t, c_r) pair in a single cache pass with zero join

@@ -76,6 +76,20 @@ import org.apache.spark.sql.functions._
   */
 object StandingIndex {
 
+  /** Default compaction trigger for the NEAR-DUP index — 4, not the
+    * chunk/match families' 8, from the round-15 IdxPublishBench
+    * maxLevels sweep (sf1, interleaved probe MINs): the near-dup
+    * probe pays ~0.5 s PER LEVEL (bucket collision + Jaccard verify
+    * each level: 1.20 s at 2 levels, 2.33 at 4, 4.20 at 8) and its
+    * appends also grow with the live-level count (the delta id-gates
+    * against every level: totals 14.6 / 16.0 / 22.9 s over 7 appends
+    * at maxLevels 2/4/8), while the chunk probe is level-FLAT
+    * (0.42–0.57 s anywhere on the curve, appends flat 4→8). 4 halves
+    * the probe tax vs 8 and keeps the corpus-rewrite amortization 4×
+    * better than 2; see PLANS round 15 for the full table.
+    */
+  val NearDupMaxLevels: Int = 4
+
   /** One persisted member table of an index build. `bucketKeys` empty
     * = plain small table (the hot list).
     */
@@ -361,7 +375,7 @@ object StandingIndex {
                          content: Column, id: Column,
                          db: String = "graft_idx",
                          name: String = "neardup_idx",
-                         maxLevels: Int = 8): Int = {
+                         maxLevels: Int = NearDupMaxLevels): Int = {
     require(maxLevels >= 1, s"maxLevels ($maxLevels) must be >= 1")
     val m = manifestOrThrow(spark, db, name, "neardup")
     val (n, k, bands) = (m.getAs[Int]("n"), m.getAs[Int]("k"),

@@ -247,6 +247,46 @@ class StandingIndexSpec extends SparkSpec {
         col("doc_id"), db = db, name = "c_lvl_full4")))
   }
 
+  test("neardup default maxLevels = 4 (round-15 sweep): default appends " +
+       "compact at the 4th level; probe unchanged across the collapse") {
+    // The near-dup probe pays per-level work (bucket collision +
+    // Jaccard verify each level) and its appends id-gate against every
+    // live level, so its default compaction trigger is 4 — NOT the
+    // chunk/match families' 8 (IdxPublishBench sweep, PLANS round 15).
+    // Pin the constant and the default-path behavior together: a
+    // default that silently drifts back to 8 fails here.
+    assert(StandingIndex.NearDupMaxLevels === 4)
+    val slices = (0 to 4).map(i => docs.filter(col("doc_id") % 10 === i))
+    StandingIndex.buildNearDupIndex(spark, slices(0), col("text"),
+      col("doc_id"), n = 3, k = 8, bands = 4, nBuckets = 4, db = db,
+      name = "n_ml")
+    // three DEFAULT appends: levels grow 1 → 4, no compaction yet
+    (1 to 3).foreach(i => StandingIndex.appendNearDupIndex(spark,
+      slices(i), col("text"), col("doc_id"), db = db, name = "n_ml"))
+    val grown = StandingIndex.manifest(spark, db, "n_ml").get
+    assert(grown.getAs[String]("levels_banded").split(",").length === 4)
+    val beforeCompact = rows(StandingIndex.probeNearDups(spark, batch,
+      col("text"), col("doc_id"), threshold = 0.5, db = db, name = "n_ml"))
+    // the 4th DEFAULT append hits the trigger and collapses to 1 level
+    StandingIndex.appendNearDupIndex(spark, slices(4), col("text"),
+      col("doc_id"), db = db, name = "n_ml")
+    val compacted = StandingIndex.manifest(spark, db, "n_ml").get
+    assert(compacted.getAs[String]("levels_banded").split(",").length === 1)
+    assert(compacted.getAs[String]("levels_base").split(",").length === 1)
+    // compaction is layout-only: the pre-compaction batch's pairs are
+    // a subset of the post-compaction probe (which now also sees
+    // slice 4's docs); re-probing against a monolithic rebuild of all
+    // five slices must agree exactly
+    StandingIndex.buildNearDupIndex(spark,
+      slices.reduce(_.unionByName(_)), col("text"), col("doc_id"),
+      n = 3, k = 8, bands = 4, nBuckets = 4, db = db, name = "n_ml_full")
+    assert(rows(StandingIndex.probeNearDups(spark, batch, col("text"),
+        col("doc_id"), threshold = 0.5, db = db, name = "n_ml")) ===
+      rows(StandingIndex.probeNearDups(spark, batch, col("text"),
+        col("doc_id"), threshold = 0.5, db = db, name = "n_ml_full")))
+    beforeCompact.size: Unit
+  }
+
   test("append-publish rejects ids already in the index, loudly") {
     val base = docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 5)
     StandingIndex.buildMatchIndex(spark, base, col("text"), col("doc_id"),

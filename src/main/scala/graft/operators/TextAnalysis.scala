@@ -1067,7 +1067,18 @@ object TextAnalysis {
                           chunkTokens: Int, overlap: Int): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
     val stride = chunkTokens - overlap
-    docs.select(id.as("doc_id"), split(content, "\\s+").as("toks"))
+    // spread + barrier the per-doc split (round 15): the raw inline
+    // split ran the whole corpus tokenize on the 2 splits a sf1
+    // documents scan yields (q116's 1.11 s two-task stage), and a
+    // consumer's filter on a toks-derived column could be substituted
+    // below the exchange (the r14 pushdown hazard barrierSplit exists
+    // for). The tiny-input gate inside spreadIfNarrow keeps batch-
+    // sized inputs on their cheap unspread shape.
+    graft.functions.Fns.spreadIfNarrow(
+        docs.select(id.as("doc_id"), content.as("__content")),
+        col("doc_id"))
+      .select(col("doc_id"),
+        graft.operators.Dedup.barrierSplit(col("__content")).as("toks"))
       .withColumn("n_tok", size(col("toks")).cast(LongType))
       .withColumn("n_chunks", chunkCount(col("n_tok"), chunkTokens, stride))
       .select(col("doc_id"), col("toks"), col("n_tok"),

@@ -511,12 +511,14 @@ object Extensions {
     */
   private val q72 = Q("q72_approx_percentile",
     (s, d) => {
-      val o = Tables.orders(s, d)
-      val approx = o.groupBy("o_orderpriority")
-        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"))
-      val exact = o.groupBy("o_orderpriority")
-        .agg(median(col("o_totalprice")).as("p50_exact"))
-      exact.join(approx, Seq("o_orderpriority"))
+      // both sketches ride ONE scan + ONE map-combined shuffle (round
+      // 15: the two-aggregate + join shape paid a second full scan and
+      // a 5-row join for nothing)
+      Tables.orders(s, d).groupBy("o_orderpriority")
+        .agg(
+          median(col("o_totalprice")).as("p50_exact"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+            .as("p50_approx"))
         .select(
           col("o_orderpriority"), col("p50_exact"),
           (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact")

@@ -675,6 +675,37 @@ class OperatorsSpec extends SparkSpec {
       s"refine recall $ref1 must not trail plain ADC $plain")
   }
 
+  test("ivfCellRecall: invariant under an OPQ-class isometry — rotation " +
+       "cannot raise the IVF pruning ceiling") {
+    // An OPQ-style transform is an ORTHOGONAL matrix applied before
+    // quantization. The coarse quantizer (Lloyd with data-seeded
+    // init) commutes with any isometry, and isometries preserve both
+    // the exact-neighbor sets and the trained cell partition — so the
+    // cell recall, the pruning CEILING that bounds every same-budget
+    // IVFADC variant (q213's saturation evidence), is rotation-
+    // INVARIANT. The r14 verdict asked whether an OPQ rotation could
+    // raise the ceiling itself: it cannot; rotations only re-balance
+    // PQ subspace variance (encoding quality, which q213 proved is
+    // not the bound here). Pin the claim with the diagonal ±1
+    // rotation, where invariance is exact even in floating point
+    // (every product term (−x)(−y) = xy bit-for-bit; negation and
+    // sign-image sums are IEEE-exact), so the assertion is equality,
+    // not a tolerance. The honest ceiling levers remain nprobe /
+    // nCells — the scan budget q214 grades.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rotated = emb.select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    def ceiling(e: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      Similarity.ivfCellRecall(e, nCells = 16, nQueries = 8, k = 5,
+          nprobe = 2, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy(_._1).toSeq
+    val base = ceiling(emb)
+    assert(base.nonEmpty)
+    assert(ceiling(rotated) === base,
+      "cell recall must be bit-identical under the sign-flip rotation")
+  }
+
   test("Near-dup recall contract: MinHash-LSH and SimHash vs exact Jaccard") {
     // ground truth = the exact n-gram Jaccard pairs at threshold 0.8
     // (q47, full recall by the PPJoin bound); the approximate detectors

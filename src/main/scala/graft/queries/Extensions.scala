@@ -989,8 +989,9 @@ object Extensions {
     * as ONE composed, oracle-replayed pipeline (operators.Curate).
     */
   private val q87 = Q("q87_corpus_curation",
-    (s, d) => graft.operators.Curate.corpus(
-        Tables.documents(s, d), col("text"), col("doc_id"))
+    (s, d) => graft.operators.Curate.corpusWithPairs(
+        Tables.documents(s, d), col("text"), col("doc_id"),
+        sharedSimhashPairs(s, d))
       .orderBy("doc_id"),
     Some(graft.operators.Curate.corpusOracle()))
 

@@ -706,6 +706,23 @@ class OperatorsSpec extends SparkSpec {
       "cell recall must be bit-identical under the sign-flip rotation")
   }
 
+  test("Curate.corpusWithPairs ≡ Curate.corpus: the survivor near-dup " +
+       "graph is the full graph restricted to survivor endpoints") {
+    // the sharing variant must be VALUE-identical to the fused
+    // operator — per-doc SimHash signatures are input-independent, so
+    // restricting the full-corpus pair frame to exact-dedup survivors
+    // yields exactly the pairs the fused path builds among survivors
+    import graft.operators.{Curate, Dedup}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fused = Curate.corpus(docs, col("text"), col("doc_id"))
+      .collect().map(_.toSeq).toSet
+    val shared = Curate.corpusWithPairs(docs, col("text"), col("doc_id"),
+        Dedup.simHashPairs(docs, col("text"), col("doc_id"), maxHamming = 3))
+      .collect().map(_.toSeq).toSet
+    assert(fused.nonEmpty)
+    assert(shared === fused)
+  }
+
   test("Near-dup recall contract: MinHash-LSH and SimHash vs exact Jaccard") {
     // ground truth = the exact n-gram Jaccard pairs at threshold 0.8
     // (q47, full recall by the PPJoin bound); the approximate detectors

@@ -35,10 +35,15 @@ object KcoreAb {
     val plan = round.queryExecution.executedPlan.toString
     // ShuffleExchangeExec renders as "Exchange hashpartitioning(...)"
     // (and under AQE as "ShuffleQueryStage") — matching the class name
-    // would always count 0 and make the premise gate vacuous
-    val shuffles =
+    // would always count 0 and make the premise gate vacuous. Count
+    // per line and skip ReusedExchange nodes: their plan line embeds
+    // the reused child's "Exchange hashpartitioning(...)" text, which
+    // would double-count a single physical shuffle (false failure).
+    val shufflePat =
       "Exchange (hash|range|SinglePartition)|ShuffleQueryStage".r
-        .findAllIn(plan).size
+    val shuffles = plan.linesIterator
+      .filterNot(_.contains("ReusedExchange"))
+      .map(l => shufflePat.findAllIn(l).size).sum
     println(s"ROUND_SHUFFLE_EXCHANGES=$shuffles (want 0)")
     if (shuffles != 0) { println(plan); sys.exit(1) }
     adj.unpersist(blocking = true)

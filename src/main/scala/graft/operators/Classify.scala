@@ -305,9 +305,19 @@ object Classify {
     */
   def classifierReport(docs: DataFrame, content: Column, id: Column,
                        label: Column, modBase: Int = 5,
-                       testSlice: Int = 0): DataFrame = {
-    val scored = centroidClassifier(docs, content, id, label, modBase,
-      testSlice)
+                       testSlice: Int = 0): DataFrame =
+    classifierReportFrom(centroidClassifier(docs, content, id, label,
+      modBase, testSlice))
+
+  /** The rollup half of [[classifierReport]], split out so a caller
+    * holding an already-scored frame (the session-shared
+    * materialization of [[centroidClassifier]] — the q208/q209 share)
+    * can report without refitting. The fused [[classifierReport]]
+    * delegates through this, so the two paths are value-identical by
+    * construction (the `ivfadcTrain`/`simHashClustersFrom` split
+    * discipline).
+    */
+  def classifierReportFrom(scored: DataFrame): DataFrame = {
     val confusion = scored.filter(!col("hit"))
       .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
       .groupBy("actual")

@@ -532,10 +532,20 @@ object Profiling {
     // a full-range long/hash column would otherwise return wrong
     // buckets silently wherever ANSI arithmetic is off
     val boundsStats = bounds
-      .agg(count(lit(1)), max(col("__hi") - col("__lo"))).head
+      .agg(count(lit(1)), max(col("__hi") - col("__lo")),
+        min(col("__hi") - col("__lo"))).head
     val nG = boundsStats.getLong(0)
     if (nG > 0 && !boundsStats.isNullAt(1)) {
       val maxSpread = boundsStats.getAs[Number](1).longValue
+      // hi − lo itself wraps negative under non-ANSI arithmetic when a
+      // group's spread exceeds Long.MaxValue (full-range long/hash
+      // column — the gate's own motivating case), and max() over
+      // groups would hide the wrapped value behind any positive
+      // spread; a negative MIN proves the subtraction wrapped
+      val minSpread = boundsStats.getAs[Number](2).longValue
+      require(minSpread >= 0,
+        s"a group's value spread wrapped int64 (hi - lo = $minSpread) — " +
+          "rescale the measure before bucketing")
       require(maxSpread <= Long.MaxValue / B,
         s"value spread $maxSpread × $B buckets overflows int64 — " +
           "rescale the measure or lower `buckets`")

@@ -451,14 +451,22 @@ object Extensions {
   private val simhashPairsBuiltFor =
     new java.util.concurrent.atomic.AtomicReference[String]()
 
+  // Build blocks below synchronize on their AtomicReference: the
+  // check-then-act plus mode(overwrite) saveAsTable is only safe
+  // sequentially, and while Bench/Verify run queries one at a time
+  // today, a concurrent harness must not read a table mid-overwrite
+  // or double-build (round-15 ADVICE). The lock is uncontended in the
+  // sequential case — zero cost.
   private def sharedSimhashPairs(s: SparkSession, d: String): DataFrame = {
-    if (simhashPairsBuiltFor.get != d ||
-        !s.catalog.tableExists("graft_graph.simhash_pairs")) {
-      s.sql("CREATE DATABASE IF NOT EXISTS graft_graph")
-      Dedup.simHashPairs(Tables.documents(s, d), col("text"),
-          col("doc_id"), maxHamming = 3)
-        .write.mode("overwrite").saveAsTable("graft_graph.simhash_pairs")
-      simhashPairsBuiltFor.set(d)
+    simhashPairsBuiltFor.synchronized {
+      if (simhashPairsBuiltFor.get != d ||
+          !s.catalog.tableExists("graft_graph.simhash_pairs")) {
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_graph")
+        Dedup.simHashPairs(Tables.documents(s, d), col("text"),
+            col("doc_id"), maxHamming = 3)
+          .write.mode("overwrite").saveAsTable("graft_graph.simhash_pairs")
+        simhashPairsBuiltFor.set(d)
+      }
     }
     s.table("graft_graph.simhash_pairs")
   }
@@ -467,13 +475,15 @@ object Extensions {
     new java.util.concurrent.atomic.AtomicReference[String]()
 
   private def sharedSimhashClusters(s: SparkSession, d: String): DataFrame = {
-    if (simhashClustersBuiltFor.get != d ||
-        !s.catalog.tableExists("graft_graph.simhash_clusters")) {
-      s.sql("CREATE DATABASE IF NOT EXISTS graft_graph")
-      Dedup.simHashClustersFrom(Tables.documents(s, d), col("doc_id"),
-          sharedSimhashPairs(s, d), pointerDoubling = true)
-        .write.mode("overwrite").saveAsTable("graft_graph.simhash_clusters")
-      simhashClustersBuiltFor.set(d)
+    simhashClustersBuiltFor.synchronized {
+      if (simhashClustersBuiltFor.get != d ||
+          !s.catalog.tableExists("graft_graph.simhash_clusters")) {
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_graph")
+        Dedup.simHashClustersFrom(Tables.documents(s, d), col("doc_id"),
+            sharedSimhashPairs(s, d), pointerDoubling = true)
+          .write.mode("overwrite").saveAsTable("graft_graph.simhash_clusters")
+        simhashClustersBuiltFor.set(d)
+      }
     }
     s.table("graft_graph.simhash_clusters")
   }
@@ -1378,14 +1388,30 @@ object Extensions {
   private val compactFragFor =
     new java.util.concurrent.atomic.AtomicReference[String]()
 
+  /** The staging-side analogue of [[graft.pipeline.Bronze.leafExists]]:
+    * the memo alone is not enough — a wiped staging dir under a live
+    * JVM (cleanup scripts, a re-created warehouse) would leave the
+    * memo pointing at nothing and q102 reading a missing path
+    * (round-15 verdict item 4). Same probe every warehouse-table memo
+    * gets via `catalog.tableExists`.
+    */
+  private def stagedParquetExists(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.globStatus(
+      new org.apache.hadoop.fs.Path(p, "*.parquet")).nonEmpty
+  }
+
   private val q102 = Q("q102_compaction",
     (s, d) => {
       val frag = graft.Sessions.stagingDir("compact_in")
       val out = graft.Sessions.stagingDir("compact_out")
-      if (compactFragFor.get != d) {
-        Tables.customer(s, d).repartition(64).write.mode("overwrite")
-          .parquet(frag)
-        compactFragFor.set(d)
+      compactFragFor.synchronized {
+        if (compactFragFor.get != d || !stagedParquetExists(s, frag)) {
+          Tables.customer(s, d).repartition(64).write.mode("overwrite")
+            .parquet(frag)
+          compactFragFor.set(d)
+        }
       }
       graft.operators.Layout.compact(s, frag, out)
       s.read.parquet(out)
@@ -2521,14 +2547,16 @@ object Extensions {
     new java.util.concurrent.atomic.AtomicReference[String]()
 
   private def frequentPairsShared(s: SparkSession, d: String): DataFrame = {
-    if (pairTableBuiltFor.get != d ||
-        !s.catalog.tableExists("graft_graph.pair_edges")) {
-      s.sql("CREATE DATABASE IF NOT EXISTS graft_graph")
-      ProductAnalytics.frequentPairs(
-          Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"),
-          minItemSupport = 25, minPairSupport = 2)
-        .write.mode("overwrite").saveAsTable("graft_graph.pair_edges")
-      pairTableBuiltFor.set(d)
+    pairTableBuiltFor.synchronized {
+      if (pairTableBuiltFor.get != d ||
+          !s.catalog.tableExists("graft_graph.pair_edges")) {
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_graph")
+        ProductAnalytics.frequentPairs(
+            Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"),
+            minItemSupport = 25, minPairSupport = 2)
+          .write.mode("overwrite").saveAsTable("graft_graph.pair_edges")
+        pairTableBuiltFor.set(d)
+      }
     }
     s.table("graft_graph.pair_edges")
   }
@@ -3720,19 +3748,50 @@ object Extensions {
     * stays in exact BIGINT until one final division
     * ([[graft.operators.Classify]] float-determinism contract).
     */
+  /** Session-shared scored frame for q208/q209: both queries fit the
+    * IDENTICAL classifier (same corpus, same id-split) — q209's report
+    * is a pure rollup of q208's per-doc scores, so refitting for the
+    * report doubles the expensive half (tokenize + model aggregate).
+    * The basket/SimHash idiom: materialize the fused
+    * [[graft.operators.Classify.centroidClassifier]] output ONCE per
+    * session+dataset as a warehouse table; q208 reads it, q209 rolls
+    * it up through [[graft.operators.Classify.classifierReportFrom]]
+    * (the split the fused report delegates through, so paths are
+    * value-identical — numerators/denominators are exact integers
+    * with ONE final division, and parquet round-trips doubles
+    * bit-exactly). Oracles unchanged: each replays the full literal
+    * train per query.
+    */
+  private val classifierScoredBuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private def sharedClassifierScored(s: SparkSession, d: String): DataFrame = {
+    classifierScoredBuiltFor.synchronized {
+      if (classifierScoredBuiltFor.get != d ||
+          !s.catalog.tableExists("graft_ml.centroid_scored")) {
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_ml")
+        graft.operators.Classify.centroidClassifier(
+            Tables.documents(s, d), col("text"), col("doc_id"), col("lang"))
+          .write.mode("overwrite").saveAsTable("graft_ml.centroid_scored")
+        classifierScoredBuiltFor.set(d)
+      }
+    }
+    s.table("graft_ml.centroid_scored")
+      .select("doc_id", "n_toks", "actual", "predicted", "score", "hit")
+  }
+
   private val q208 = Q("q208_lang_classifier",
-    (s, d) => graft.operators.Classify.centroidClassifier(
-        Tables.documents(s, d), col("text"), col("doc_id"), col("lang"))
-      .orderBy("doc_id"),
+    (s, d) => sharedClassifierScored(s, d).orderBy("doc_id"),
     Some(graft.operators.Classify.centroidClassifierOracle()))
 
   /** Per-class evaluation rollup of q208 — accuracy + dominant
     * confusion per actual language, the gate report a filter model
-    * must pass before it is allowed to discard corpus data.
+    * must pass before it is allowed to discard corpus data. Rides the
+    * shared scored table (see [[sharedClassifierScored]]).
     */
   private val q209 = Q("q209_classifier_report",
-    (s, d) => graft.operators.Classify.classifierReport(
-        Tables.documents(s, d), col("text"), col("doc_id"), col("lang"))
+    (s, d) => graft.operators.Classify.classifierReportFrom(
+        sharedClassifierScored(s, d))
       .orderBy("actual"),
     Some(graft.operators.Classify.classifierReportOracle()))
 

@@ -723,6 +723,50 @@ class OperatorsSpec extends SparkSpec {
     assert(shared === fused)
   }
 
+  test("q208/q209 shared scored table ≡ fused classifier paths") {
+    // the session-shared materialization must be VALUE-identical to
+    // the fused operators: scores are exact-integer numerators with
+    // one final division, and parquet round-trips doubles bit-exactly,
+    // so equality is exact — no tolerance
+    import graft.operators.Classify
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val fusedScored = rows(Classify.centroidClassifier(
+      docs, col("text"), col("doc_id"), col("lang")).orderBy("doc_id"))
+    assert(fusedScored.nonEmpty)
+    assert(rows(SparkEntry.queries("q208_lang_classifier")(spark, d))
+      === fusedScored)
+    val fusedReport = rows(Classify.classifierReport(
+      docs, col("text"), col("doc_id"), col("lang")).orderBy("actual"))
+    assert(fusedReport.nonEmpty)
+    assert(rows(SparkEntry.queries("q209_classifier_report")(spark, d))
+      === fusedReport)
+  }
+
+  test("q102 compaction rebuilds its staged fragment input after a " +
+       "mid-session wipe") {
+    val d = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("q102_compaction")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val first = run()
+    assert(first.nonEmpty)
+    // simulate an external cleanup: wipe the staged input while the
+    // JVM (and its memo) stay live — the memo alone would point q102
+    // at a missing dir (round-15 verdict item 4); the
+    // stagedParquetExists probe must trigger a rebuild, not a crash
+    val frag = new java.io.File(graft.Sessions.stagingDir("compact_in"))
+    assert(frag.isDirectory,
+      "staged fragment dir must exist after the first run")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(frag)
+    assert(run() === first)
+  }
+
   test("Near-dup recall contract: MinHash-LSH and SimHash vs exact Jaccard") {
     // ground truth = the exact n-gram Jaccard pairs at threshold 0.8
     // (q47, full recall by the PPJoin bound); the approximate detectors

@@ -280,11 +280,13 @@ class StandingIndexSpec extends SparkSpec {
     StandingIndex.buildNearDupIndex(spark,
       slices.reduce(_.unionByName(_)), col("text"), col("doc_id"),
       n = 3, k = 8, bands = 4, nBuckets = 4, db = db, name = "n_ml_full")
-    assert(rows(StandingIndex.probeNearDups(spark, batch, col("text"),
-        col("doc_id"), threshold = 0.5, db = db, name = "n_ml")) ===
+    val afterCompact = rows(StandingIndex.probeNearDups(spark, batch,
+      col("text"), col("doc_id"), threshold = 0.5, db = db, name = "n_ml"))
+    assert(afterCompact ===
       rows(StandingIndex.probeNearDups(spark, batch, col("text"),
         col("doc_id"), threshold = 0.5, db = db, name = "n_ml_full")))
-    beforeCompact.size: Unit
+    assert(beforeCompact.toSet.subsetOf(afterCompact.toSet),
+      "compaction must preserve every pre-compaction probe pair")
   }
 
   test("append-publish rejects ids already in the index, loudly") {

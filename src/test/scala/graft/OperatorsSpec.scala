@@ -723,6 +723,84 @@ class OperatorsSpec extends SparkSpec {
     assert(shared === fused)
   }
 
+  test("q87 corpus curation ≡ independent plain-Scala recomputation") {
+    // The SeasonSweepSpec defense applied to the LLM capstone: the
+    // whole exact-dedup → SimHash-cluster-reps → quality-filter →
+    // hash-sample chain recomputed in plain Scala collections (md5 via
+    // MessageDigest, union-find components instead of label
+    // propagation, per-token loops instead of kernels) — a correlated
+    // Spark/DuckDB blind spot cannot survive a third formulation.
+    // Contracts replicated from the documented kernel semantics:
+    // split('\s+', -1) segmentation INCLUDING empty boundary segments,
+    // case-sensitive stopword occurrences, 60-bit md5-prefix hashes.
+    import java.security.MessageDigest
+    val d = "/root/testdata/sf0.001"
+    val input = Tables.documents(spark, d)
+      .select("doc_id", "text", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(input.nonEmpty)
+
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    def hash60(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+    def simhash(text: String): Long = {
+      val votes = new Array[Long](60)
+      for (t <- text.split("\\s+", -1)) {
+        val h = hash60(t)
+        var j = 0
+        while (j < 60) {
+          votes(j) += (if (((h >> j) & 1L) == 1L) 1L else -1L); j += 1
+        }
+      }
+      (0 until 60).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+    }
+
+    // 1. exact dedup: min doc_id per byte-identical text
+    val minIdByText = input.groupBy(_._2).map { case (t, rs) =>
+      t -> rs.map(_._1).min
+    }
+    val survivors = input.filter(r => minIdByText(r._2) == r._1)
+
+    // 2. SimHash near-dup components (all-pairs Hamming — fine at
+    // fixture scale) via union-find; representative = component min
+    val sigs = survivors.map(r => r._1 -> simhash(r._2)).toMap
+    val parent = scala.collection.mutable.Map(
+      survivors.map(r => r._1 -> r._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    val ids = survivors.map(_._1).sorted
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if java.lang.Long.bitCount(sigs(ids(i)) ^ sigs(ids(j))) <= 3
+    } {
+      val (ra, rb) = (find(ids(i)), find(ids(j)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val reps = ids.groupBy(find).values.map(_.min).toSet
+
+    // 3. quality filter + 4. deterministic Bernoulli hash sample
+    val stop = Set("the", "a", "and", "of", "to")
+    val expected = survivors
+      .filter(r => reps.contains(r._1))
+      .filter { r =>
+        val toks = r._2.split("\\s+", -1)
+        val nStop = toks.count(stop)
+        toks.length >= 5 && toks.length <= 10000 &&
+          nStop.toDouble / toks.length < 0.5
+      }
+      .filter(r => hash60(r._1.toString) < (0.5 * (1L << 60).toDouble).toLong)
+      .map(r => Seq[Any](r._1, r._3, r._4))
+      .sortBy(_.head.asInstanceOf[Long]).toSeq
+
+    val got = SparkEntry.queries("q87_corpus_curation")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
   test("q208/q209 shared scored table ≡ fused classifier paths") {
     // the session-shared materialization must be VALUE-identical to
     // the fused operators: scores are exact-integer numerators with

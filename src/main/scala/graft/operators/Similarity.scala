@@ -1284,10 +1284,19 @@ object Similarity {
     * after the build are encoded with the live version's quantizers,
     * never retrained).
     */
+  /** `deleteWhere` (default none) excludes matching corpus vectors
+    * from the CANDIDATE set only — training, assignment, and encoding
+    * still cover the full corpus: the tombstone-delete semantics of
+    * [[StandingIndex.deleteFromAnnIndex]] (retired vectors keep their
+    * influence on the trained geometry until the next full build, but
+    * can never appear in — or shadow a live neighbor out of — a
+    * probe's top-k).
+    */
   def ivfadcTopKOracle(nCells: Int = 16, m: Int = 4, ksub: Int = 16,
                        nQueries: Int = 8, k: Int = 5, nprobe: Int = 4,
                        iters: Int = 2, dim: Int = 64,
-                       trainTo: Long = Long.MaxValue): String = {
+                       trainTo: Long = Long.MaxValue,
+                       deleteWhere: Option[String] = None): String = {
     val searchFrom = nCells + nQueries
     require(trainTo > searchFrom + ksub,
       s"trainTo ($trainTo) must cover the $ksub residual seeds")
@@ -1379,7 +1388,8 @@ object Similarity {
        |      i -> qe[i] - ce[i]) AS rq
        |  FROM probe),
        |${(0 until m).map(subCtes).mkString(",\n")},
-       |cells AS (SELECT vec_id, cell FROM cassign),
+       |cells AS (SELECT vec_id, cell FROM cassign${
+        deleteWhere.map(w => s" WHERE NOT ($w)").getOrElse("")}),
        |approx AS (
        |  SELECT l0.query_id, cl.vec_id AS neighbor_id, $distSum AS dist
        |  FROM cells cl

@@ -4,6 +4,7 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Standing probe indexes — the PERSISTED form of the incremental
   * dedup operators' corpus side. The ad-hoc incremental operators
@@ -552,6 +553,67 @@ object StandingIndex {
         s"'${fq(db, name, v, "books")}' AS books_tab"))
   }
 
+  /** FQ tombstone table of the live ANN version, if any — manifests
+    * written before deletes existed, or whose tombstones were folded
+    * by the last compaction, carry an empty/absent field.
+    */
+  private def annTombTable(m: Row): Option[String] =
+    scala.util.Try(m.getAs[String]("tomb_tab")).toOption
+      .map(_.trim).filter(_.nonEmpty)
+
+  /** The build-parameter meta fields every ANN commit carries. */
+  private def annMetaBase(m: Row, coarseTab: String,
+                          booksTab: String): Seq[String] =
+    Seq(s"${m.getAs[Int]("n_cells")} AS n_cells", s"${m.getAs[Int]("m")} AS m",
+      s"${m.getAs[Int]("ksub")} AS ksub", s"${m.getAs[Int]("iters")} AS iters",
+      s"${m.getAs[Int]("dim")} AS dim",
+      s"${m.getAs[Int]("n_buckets")} AS n_buckets",
+      s"'$coarseTab' AS coarse_tab", s"'$booksTab' AS books_tab")
+
+  /** Retire vectors from the live ANN index — the DELETE half of the
+    * LSM motion ([[appendAnnIndex]] is the INSERT half): the ids land
+    * in a TOMBSTONE member; the corpus-sized code levels and the
+    * quantizer tables carry over by manifest reference, untouched on
+    * disk, so a delete costs O(tombstones), never O(index). Probes
+    * anti-join the tombstones BEFORE ranking ([[probeAnn]]), so top-k
+    * is computed over the surviving corpus — a tombstoned vector can
+    * never shadow a live neighbor out of the result. The next
+    * compaction ([[appendAnnIndex]] past `maxLevels`) folds the
+    * tombstones into the rewritten code level and clears the list —
+    * the standard LSM delete amortization. Quantizers are NOT
+    * retrained (production delete semantics: the trained cell/code
+    * geometry keeps the deleted vectors' influence until the next
+    * full build — q215's oracle replays exactly that).
+    *
+    * Loud gates, house style: every id must be LIVE in the index —
+    * deleting an unknown id or double-deleting is a pipeline bug
+    * surfaced immediately, not a silent no-op.
+    */
+  def deleteFromAnnIndex(spark: SparkSession, ids: DataFrame,
+                         db: String = "graft_idx",
+                         name: String = "ann_idx"): Int = {
+    val m = manifestOrThrow(spark, db, name, "ann")
+    val del = ids.select(col("vec_id").cast(LongType).as("vec_id")).distinct()
+    val codes = levelsOrMember(db, name, m, "levels_codes", "codes")
+      .map(t => spark.table(t).select("vec_id")).reduce(_.unionByName(_))
+    val oldTomb = annTombTable(m).map(t => spark.table(t).select("vec_id"))
+    val live = oldTomb.fold(codes)(t => codes.join(t, Seq("vec_id"), "left_anti"))
+    val dead = del.join(live, Seq("vec_id"), "left_anti").limit(1).count()
+    require(dead == 0,
+      s"delete on $db.$name: some ids are not live in the index (never " +
+        "published, or already tombstoned). Deletes must name live " +
+        "vectors — a mismatch here is an upstream id-bookkeeping bug.")
+    val coarseTab = levelsOrMember(db, name, m, "coarse_tab", "coarse").head
+    val booksTab = levelsOrMember(db, name, m, "books_tab", "books").head
+    val levels = levelsOrMember(db, name, m, "levels_codes", "codes")
+    val newTomb = oldTomb.fold(del)(_.unionByName(del).distinct())
+    commitVersioned(spark, db, name, "ann",
+      Seq(Member("tomb", newTomb)),
+      v => annMetaBase(m, coarseTab, booksTab) ++ Seq(
+        s"'${levels.mkString(",")}' AS levels_codes",
+        s"'${fq(db, name, v, "tomb")}' AS tomb_tab"))
+  }
+
   /** The live coarse/books quantizer tables: named by the manifest
     * (leveled manifests carry them by reference across appends —
     * frozen quantizers are never rewritten), falling back to the
@@ -610,21 +672,27 @@ object StandingIndex {
     // referencing the tables where they physically live
     val coarseTab = levelsOrMember(db, name, m, "coarse_tab", "coarse").head
     val booksTab = levelsOrMember(db, name, m, "books_tab", "books").head
-    val metaBase = Seq(s"$nCells AS n_cells", s"$pqM AS m", s"$ksub AS ksub",
-      s"$iters AS iters", s"$dim AS dim", s"$nBuckets AS n_buckets",
-      s"'$coarseTab' AS coarse_tab", s"'$booksTab' AS books_tab")
-    if (oldCodes.size >= maxLevels)
+    val metaBase = annMetaBase(m, coarseTab, booksTab)
+    val tomb = annTombTable(m)
+    if (oldCodes.size >= maxLevels) {
+      // compaction FOLDS the tombstones: the rewritten single level
+      // drops every retired vector and the manifest clears the list —
+      // probes stop paying the anti-join until the next delete
+      val unioned = oldCodes.map(spark.table).reduce(_.unionByName(_))
+        .unionByName(deltaCodes)
+      val folded = tomb.fold(unioned)(t =>
+        unioned.join(spark.table(t).select("vec_id"),
+          Seq("vec_id"), "left_anti"))
       commitVersioned(spark, db, name, "ann", Seq(
-        Member("codes", oldCodes.map(spark.table).reduce(_.unionByName(_))
-          .unionByName(deltaCodes), Seq("cell"), nBuckets,
+        Member("codes", folded, Seq("cell"), nBuckets,
           sortKeys = Seq("cell", "vec_id"))),
         v => metaBase :+ s"'${fq(db, name, v, "codes")}' AS levels_codes")
-    else {
+    } else {
       val lvl = s"codes_l${oldCodes.size}"
       commitVersioned(spark, db, name, "ann", Seq(
         Member(lvl, deltaCodes, Seq("cell"), nBuckets,
           sortKeys = Seq("cell", "vec_id"))),
-        v => metaBase :+
+        v => metaBase ++ tomb.map(t => s"'$t' AS tomb_tab") :+
           s"'${(oldCodes :+ fq(db, name, v, lvl)).mkString(",")}' AS levels_codes")
     }
   }
@@ -662,7 +730,14 @@ object StandingIndex {
     val codes = levelsOrMember(db, name, m, "levels_codes", "codes")
       .map(t => spark.table(t).filter(col("cell").isin(cells: _*)))
       .reduce(_.unionByName(_))
-    Similarity.ivfadcSearch(q, coarseDf, booksDf, codes, pqM, dim / pqM, k,
+    // tombstones (retired ids awaiting the next compaction fold) drop
+    // out BEFORE the top-k rank — the id list is tiny by construction
+    // (≪ corpus, or you'd compact), so the anti-join broadcasts and
+    // the scan stays map-only
+    val live = annTombTable(m).fold(codes)(t =>
+      codes.join(broadcast(spark.table(t).select("vec_id")),
+        Seq("vec_id"), "left_anti"))
+    Similarity.ivfadcSearch(q, coarseDf, booksDf, live, pqM, dim / pqM, k,
       nprobe)
   }
 }

@@ -3687,7 +3687,10 @@ object Extensions {
     new java.util.concurrent.atomic.AtomicReference[String]()
 
   private def standingAnnIndexes(s: SparkSession, d: String): Unit =
-    if (annIdxBuiltFor.get != d || !s.catalog.tableExists("graft_idx.emb_ann")) {
+    annIdxBuiltFor.synchronized {
+    if (annIdxBuiltFor.get != d ||
+        !s.catalog.tableExists("graft_idx.emb_ann") ||
+        !s.catalog.tableExists("graft_idx.emb_ann_del")) {
       val emb = Tables.embeddings(s, d)
       // q204's exact layout: seeds < 16, queries 16..23, corpus >= 24
       StandingIndex.buildAnnIndex(s, emb, nCells = 16, m = 4, ksub = 16,
@@ -3699,7 +3702,17 @@ object Extensions {
         nBuckets = 8, name = "emb_ann_inc")
       StandingIndex.appendAnnIndex(s, emb.filter(col("vec_id") >= 300),
         name = "emb_ann_inc")
+      // the delete twin: full build, then retire every 7th corpus
+      // vector as tombstones ([[StandingIndex.deleteFromAnnIndex]] —
+      // codes and quantizers untouched on disk, probes anti-join)
+      StandingIndex.buildAnnIndex(s, emb, nCells = 16, m = 4, ksub = 16,
+        corpusFrom = 24, iters = 4, nBuckets = 8, name = "emb_ann_del")
+      StandingIndex.deleteFromAnnIndex(s,
+        emb.filter(col("vec_id") >= 24 && col("vec_id") % 7 === 3)
+          .select("vec_id"),
+        name = "emb_ann_del")
       annIdxBuiltFor.set(d)
+    }
     }
 
   /** q204 through the STANDING ANN index: same oracle, same output,
@@ -3739,6 +3752,32 @@ object Extensions {
     },
     Some(Similarity.ivfadcTopKOracle(nCells = 16, m = 4, ksub = 16,
       nQueries = 8, k = 5, nprobe = 2, iters = 4, trainTo = 300)))
+
+  /** Tombstone DELETE from the standing ANN index, probed — the
+    * retire-by-id motion that completes the index's LSM lifecycle
+    * (build → append → DELETE → compaction folds): every 7th corpus
+    * vector is tombstoned ([[graft.operators.StandingIndex
+    * .deleteFromAnnIndex]] — O(tombstones) publish, code levels and
+    * quantizers untouched on disk), and the probe's top-k ranks over
+    * the SURVIVORS (the anti-join sits before the rank, so a deleted
+    * vector can never shadow a live neighbor out of the result). The
+    * oracle replays exactly these semantics: training/assignment/
+    * encode CTEs over the full corpus (deletes don't retrain — the
+    * retired vectors keep their influence on the trained geometry
+    * until the next full build), candidate set minus the deleted ids.
+    */
+  private val q215 = Q("q215_ann_delete_probe",
+    (s, d) => {
+      standingAnnIndexes(s, d)
+      StandingIndex.probeAnn(s,
+        Tables.embeddings(s, d)
+          .filter(col("vec_id") >= 16 && col("vec_id") < 24),
+        k = 5, nprobe = 2, name = "emb_ann_del")
+        .orderBy("query_id", "rnk")
+    },
+    Some(Similarity.ivfadcTopKOracle(nCells = 16, m = 4, ksub = 16,
+      nQueries = 8, k = 5, nprobe = 2, iters = 4,
+      deleteWhere = Some("vec_id % 7 = 3"))))
 
   /** Trained language classifier over the documents table — the
     * learned upgrade of q43's hand-written n-gram rules (the
@@ -3897,5 +3936,5 @@ object Extensions {
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
-    q211, q212, q213, q214)
+    q211, q212, q213, q214, q215)
 }

@@ -393,6 +393,74 @@ class StandingIndexSpec extends SparkSpec {
       .map(_.getAs[Int]("version")) === Some(v1))
   }
 
+  test("deleteFromAnnIndex: anti-join before rank, loud gates, compaction folds") {
+    val baseSlice = emb.filter(col("vec_id") < 400)
+    StandingIndex.buildAnnIndex(spark, baseSlice, nCells = 16, m = 4,
+      ksub = 16, corpusFrom = 24, iters = 2, nBuckets = 4, db = db,
+      name = "a_del")
+    val delIds = emb.filter(col("vec_id") >= 24 && col("vec_id") < 400 &&
+      col("vec_id") % 5 === 2).select("vec_id")
+    val delSet = delIds.collect().map(_.getLong(0)).toSet
+    assert(delSet.nonEmpty)
+    // truth = probe the UNDELETED index with k >= corpus (every
+    // candidate), drop the tombstoned ids, re-rank top 5: the delete's
+    // anti-join must sit BEFORE the top-k rank, so the two agree
+    // exactly (same LUT arithmetic → exact double equality)
+    val deep = StandingIndex.probeAnn(spark, annQueries, k = 500,
+        nprobe = 3, db = db, name = "a_del")
+      .select("query_id", "neighbor_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = deep.filterNot(t => delSet(t._2)).groupBy(_._1)
+      .toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+          .map { case ((q, n, dd), i) => (q, n, dd, (i + 1).toLong) }
+      }.toSet
+    StandingIndex.deleteFromAnnIndex(spark, delIds, db = db, name = "a_del")
+    val got = StandingIndex.probeAnn(spark, annQueries, k = 5, nprobe = 3,
+        db = db, name = "a_del")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got === want)
+    assert(got.size === 8 * 5)
+    // loud gates: unknown id, then double delete
+    import spark.implicits._
+    val eUnknown = intercept[IllegalArgumentException] {
+      StandingIndex.deleteFromAnnIndex(spark,
+        Seq(999999L).toDF("vec_id"), db = db, name = "a_del")
+    }
+    assert(eUnknown.getMessage.contains("not live"))
+    val eDouble = intercept[IllegalArgumentException] {
+      StandingIndex.deleteFromAnnIndex(spark, delIds.limit(2), db = db,
+        name = "a_del")
+    }
+    assert(eDouble.getMessage.contains("not live"))
+    val mDel = StandingIndex.manifest(spark, db, "a_del").get
+    assert(mDel.getAs[String]("tomb_tab").nonEmpty)
+    // an append past maxLevels COMPACTS and folds the tombstones: the
+    // manifest clears the list and the rewritten single code level
+    // physically drops every retired vector
+    val deltaSlice = emb.filter(col("vec_id") >= 400)
+    StandingIndex.appendAnnIndex(spark, deltaSlice, db = db, name = "a_del",
+      maxLevels = 1)
+    val mC = StandingIndex.manifest(spark, db, "a_del").get
+    assert(!mC.schema.fieldNames.contains("tomb_tab"),
+      "compaction must clear the folded tombstone list")
+    val lvls = mC.getAs[String]("levels_codes").split(",").toSeq
+    assert(lvls.size === 1, "compaction must rewrite to a single level")
+    val codeIds = spark.table(lvls.head).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(codeIds.intersect(delSet).isEmpty,
+      "folded codes must not contain any tombstoned vector")
+    assert(codeIds.size === (376 - delSet.size) + 100)
+    // probes after the fold: still no deleted id, full result shape
+    val after = StandingIndex.probeAnn(spark, annQueries, k = 5,
+        nprobe = 3, db = db, name = "a_del")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.length === 8 * 5)
+    assert(after.forall(t => !delSet(t._2)))
+  }
+
   test("ANN probe plan: no shuffle between the codes member scan and its joins") {
     StandingIndex.buildAnnIndex(spark, emb, nCells = 16, m = 4, ksub = 16,
       corpusFrom = 24, iters = 2, nBuckets = 4, db = db, name = "a_plan")

@@ -50,10 +50,22 @@ object Bench {
     val defaultRuns =
       if (args.nonEmpty || sys.env.contains("SPARK_GRAFT_BENCH_ALL")) "3" else "5"
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", defaultRuns).toInt
+    // SPARK_GRAFT_BENCH_WARMRUN=1: run each query ONCE unmeasured at
+    // the benched scale before its timed runs. The standing-index /
+    // shared-table queries (q201-q203, q206-q207, q215, q208-q209,
+    // q87...) amortize a one-time session build into their first run —
+    // with runs=3 a slow window pushes that build into the MEDIAN (the
+    // r15 q203 spread signature: min 0.97 / med 2.28 / max 4.83).
+    // The flag makes "build amortized out of the record" an explicit
+    // convention instead of a spread artifact; records carry
+    // "warm":true so cross-round sums are never silently compared
+    // across conventions.
+    val warmRun = sys.env.contains("SPARK_GRAFT_BENCH_WARMRUN")
     // (min, median, max): the median is the record; min/max expose the
     // run-to-run spread so a noisy sandbox can't masquerade as a
     // regression (or hide one).
     def materialize(name: String): (Double, Double, Double) = {
+      if (warmRun) once(name): Unit
       val ts = Seq.fill(runs)(once(name)).sorted
       (ts.head, ts(ts.size / 2), ts.last)
     }
@@ -107,7 +119,8 @@ object Bench {
                  catch { case _: Throwable => "nob" }
       s"$host/$boot"
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,"sf":"$sfDir","box":"$box"}""")
+    val warmField = if (warmRun) """"warm":true,""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"runs":$runs,$warmField"sf":"$sfDir","box":"$box"}""")
     spark.stop()
   }
 }

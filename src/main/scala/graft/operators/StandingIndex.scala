@@ -389,25 +389,32 @@ object StandingIndex {
     val baseD = Dedup.minhashBase(delta, content, id, n)
     val metaBase = Seq(s"$n AS n", s"$k AS k", s"$bands AS bands",
       s"$nBuckets AS n_buckets")
-    if (oldBanded.size >= maxLevels)
+    val tomb = tombTable(m)
+    if (oldBanded.size >= maxLevels) {
+      // compaction FOLDS the tombstones out of BOTH rewritten members
+      // and clears the list (the ANN-delete discipline on doc_id)
+      def fold(df: DataFrame): DataFrame = tomb.fold(df)(t =>
+        df.join(spark.table(t).select("doc_id"), Seq("doc_id"), "left_anti"))
       commitVersioned(spark, db, name, "neardup", Seq(
-        Member("banded", oldBanded.map(spark.table).reduce(_.unionByName(_))
-          .unionByName(Dedup.minhashBanded(baseD, k, bands)),
+        Member("banded",
+          fold(oldBanded.map(spark.table).reduce(_.unionByName(_))
+            .unionByName(Dedup.minhashBanded(baseD, k, bands))),
           Seq("bucket"), nBuckets),
-        Member("base", oldBase.map(spark.table).reduce(_.unionByName(_))
-          .unionByName(baseD.select(col("doc_id"), col("sh"))),
+        Member("base",
+          fold(oldBase.map(spark.table).reduce(_.unionByName(_))
+            .unionByName(baseD.select(col("doc_id"), col("sh")))),
           Seq("doc_id"), nBuckets)),
         v => metaBase ++ Seq(
           s"'${fq(db, name, v, "banded")}' AS levels_banded",
           s"'${fq(db, name, v, "base")}' AS levels_base"))
-    else {
+    } else {
       val i = oldBanded.size
       commitVersioned(spark, db, name, "neardup", Seq(
         Member(s"banded_l$i", Dedup.minhashBanded(baseD, k, bands),
           Seq("bucket"), nBuckets),
         Member(s"base_l$i", baseD.select(col("doc_id"), col("sh")),
           Seq("doc_id"), nBuckets)),
-        v => metaBase ++ Seq(
+        v => metaBase ++ tomb.map(t => s"'$t' AS tomb_tab") ++ Seq(
           s"'${(oldBanded :+ fq(db, name, v, s"banded_l$i")).mkString(",")}' AS levels_banded",
           s"'${(oldBase :+ fq(db, name, v, s"base_l$i")).mkString(",")}' AS levels_base"))
     }
@@ -501,13 +508,71 @@ object StandingIndex {
     val m = manifestOrThrow(spark, db, name, "neardup")
     val banded = levelsOrMember(db, name, m, "levels_banded", "banded")
     val base = levelsOrMember(db, name, m, "levels_base", "base")
-    banded.zip(base).map { case (bt, st) =>
+    val pairs = banded.zip(base).map { case (bt, st) =>
       Dedup.lookupNearDups(
         Dedup.MinHashIndex(
           spark.table(st), spark.table(bt),
           m.getAs[Int]("n"), m.getAs[Int]("k"), m.getAs[Int]("bands")),
         batch, content, id, threshold)
     }.reduce(_.unionByName(_))
+    // tombstoned corpus docs (retired ids awaiting the next compaction
+    // fold) drop out of the pair results: every (new_id, dup_of) pair
+    // is independent — no ranking — so filtering dup_of is EXACTLY the
+    // probe of a rebuilt index without the retired docs (q216's gate).
+    // The filter sits on the batch-bounded output frame; until the
+    // fold, retired docs still pay candidate generation — the
+    // documented tombstone trade.
+    tombTable(m).fold(pairs)(t =>
+      pairs.join(broadcast(spark.table(t).select(
+          col("doc_id").as("dup_of"))),
+        Seq("dup_of"), "left_anti")
+        // a USING-column join moves the key to slot 0 — restore the
+        // (new_id, dup_of, jaccard) contract positionally
+        .select("new_id", "dup_of", "jaccard"))
+  }
+
+  /** Retire documents from the live near-dup index — the DELETE half
+    * of its LSM lifecycle, [[deleteFromAnnIndex]]'s twin on doc_id:
+    * ids land in a tombstone member (O(tombstones) publish; the band
+    * and shingle levels carry over by manifest reference), probes
+    * anti-join the list on the corpus side of every pair, and the
+    * next compaction ([[appendNearDupIndex]] past `maxLevels`) folds
+    * the tombstones out of both rewritten members and clears the
+    * list. Unlike ANN's rank semantics, near-dup pairs are
+    * independent, so probe-after-delete is EXACTLY the probe of a
+    * full rebuild without the retired docs — the strongest possible
+    * oracle, and q216 gates it against the full SQL replay over
+    * corpus-minus-deleted.
+    *
+    * The chunk index deliberately has no delete: its member stores
+    * DISTINCT digests shared across documents, so retiring a doc
+    * needs per-digest refcounts (or a (fp, doc_id) member) to know
+    * which digests die with it — a different layout, rebuilt instead
+    * (the match index likewise: its hot-cap/sub splits are functions
+    * of global occurrence counts, so retire-by-id would drift from
+    * rebuild semantics whenever the cap binds).
+    */
+  def deleteFromNearDupIndex(spark: SparkSession, ids: DataFrame,
+                             db: String = "graft_idx",
+                             name: String = "neardup_idx"): Int = {
+    val m = manifestOrThrow(spark, db, name, "neardup")
+    val del = ids.select(col("doc_id").cast(LongType).as("doc_id")).distinct()
+    val published = levelsOrMember(db, name, m, "levels_base", "base")
+      .map(t => spark.table(t).select("doc_id")).reduce(_.unionByName(_))
+    requireLiveIds(spark, m, del, published, "doc_id", s"$db.$name")
+    val newTomb = tombTable(m).map(t => spark.table(t).select("doc_id"))
+      .fold(del)(_.unionByName(del).distinct())
+    val metaBase = Seq(s"${m.getAs[Int]("n")} AS n",
+      s"${m.getAs[Int]("k")} AS k", s"${m.getAs[Int]("bands")} AS bands",
+      s"${m.getAs[Int]("n_buckets")} AS n_buckets")
+    commitVersioned(spark, db, name, "neardup",
+      Seq(Member("tomb", newTomb)),
+      v => metaBase ++ Seq(
+        s"'${levelsOrMember(db, name, m, "levels_banded", "banded")
+          .mkString(",")}' AS levels_banded",
+        s"'${levelsOrMember(db, name, m, "levels_base", "base")
+          .mkString(",")}' AS levels_base",
+        s"'${fq(db, name, v, "tomb")}' AS tomb_tab"))
   }
 
   // ----------------------------------------------------- ANN (IVFADC)
@@ -553,13 +618,32 @@ object StandingIndex {
         s"'${fq(db, name, v, "books")}' AS books_tab"))
   }
 
-  /** FQ tombstone table of the live ANN version, if any — manifests
+  /** FQ tombstone table of a live index version, if any — manifests
     * written before deletes existed, or whose tombstones were folded
-    * by the last compaction, carry an empty/absent field.
+    * by the last compaction, carry an empty/absent field. Shared by
+    * the ANN (vec_id) and near-dup (doc_id) delete paths.
     */
-  private def annTombTable(m: Row): Option[String] =
+  private def tombTable(m: Row): Option[String] =
     scala.util.Try(m.getAs[String]("tomb_tab")).toOption
       .map(_.trim).filter(_.nonEmpty)
+
+  /** The loud liveness gate both delete paths share: every id being
+    * retired must currently be LIVE (published and not already
+    * tombstoned) — deleting an unknown id or double-deleting is an
+    * upstream id-bookkeeping bug surfaced immediately, never a silent
+    * no-op.
+    */
+  private def requireLiveIds(spark: SparkSession, m: Row, del: DataFrame,
+                             published: DataFrame, key: String,
+                             what: String): Unit = {
+    val live = tombTable(m).fold(published)(t =>
+      published.join(spark.table(t), Seq(key), "left_anti"))
+    val dead = del.join(live, Seq(key), "left_anti").limit(1).count()
+    require(dead == 0,
+      s"delete on $what: some ids are not live in the index (never " +
+        "published, or already tombstoned). Deletes must name live " +
+        "ids — a mismatch here is an upstream id-bookkeeping bug.")
+  }
 
   /** The build-parameter meta fields every ANN commit carries. */
   private def annMetaBase(m: Row, coarseTab: String,
@@ -596,13 +680,8 @@ object StandingIndex {
     val del = ids.select(col("vec_id").cast(LongType).as("vec_id")).distinct()
     val codes = levelsOrMember(db, name, m, "levels_codes", "codes")
       .map(t => spark.table(t).select("vec_id")).reduce(_.unionByName(_))
-    val oldTomb = annTombTable(m).map(t => spark.table(t).select("vec_id"))
-    val live = oldTomb.fold(codes)(t => codes.join(t, Seq("vec_id"), "left_anti"))
-    val dead = del.join(live, Seq("vec_id"), "left_anti").limit(1).count()
-    require(dead == 0,
-      s"delete on $db.$name: some ids are not live in the index (never " +
-        "published, or already tombstoned). Deletes must name live " +
-        "vectors — a mismatch here is an upstream id-bookkeeping bug.")
+    requireLiveIds(spark, m, del, codes, "vec_id", s"$db.$name")
+    val oldTomb = tombTable(m).map(t => spark.table(t).select("vec_id"))
     val coarseTab = levelsOrMember(db, name, m, "coarse_tab", "coarse").head
     val booksTab = levelsOrMember(db, name, m, "books_tab", "books").head
     val levels = levelsOrMember(db, name, m, "levels_codes", "codes")
@@ -673,7 +752,7 @@ object StandingIndex {
     val coarseTab = levelsOrMember(db, name, m, "coarse_tab", "coarse").head
     val booksTab = levelsOrMember(db, name, m, "books_tab", "books").head
     val metaBase = annMetaBase(m, coarseTab, booksTab)
-    val tomb = annTombTable(m)
+    val tomb = tombTable(m)
     if (oldCodes.size >= maxLevels) {
       // compaction FOLDS the tombstones: the rewritten single level
       // drops every retired vector and the manifest clears the list —
@@ -734,7 +813,7 @@ object StandingIndex {
     // out BEFORE the top-k rank — the id list is tiny by construction
     // (≪ corpus, or you'd compact), so the anti-join broadcasts and
     // the scan stays map-only
-    val live = annTombTable(m).fold(codes)(t =>
+    val live = tombTable(m).fold(codes)(t =>
       codes.join(broadcast(spark.table(t).select("vec_id")),
         Seq("vec_id"), "left_anti"))
     Similarity.ivfadcSearch(q, coarseDf, booksDf, live, pqM, dim / pqM, k,

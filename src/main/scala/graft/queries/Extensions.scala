@@ -3555,8 +3555,10 @@ object Extensions {
     new java.util.concurrent.atomic.AtomicReference[String]()
 
   private def standingIndexesIncremental(s: SparkSession, d: String): Unit =
+    idxIncBuiltFor.synchronized {
     if (idxIncBuiltFor.get != d ||
-        !s.catalog.tableExists("graft_idx.docs_match_inc")) {
+        !s.catalog.tableExists("graft_idx.docs_match_inc") ||
+        !s.catalog.tableExists("graft_idx.docs_neardup_del")) {
       val docs = Tables.documents(s, d)
       // match contract (q188/q192): corpus = doc_id % 10 != 0.
       // Base = 1..5, appended delta = 6..9.
@@ -3579,7 +3581,17 @@ object Extensions {
         n = 3, k = 8, bands = 4, nBuckets = 8, name = "docs_neardup_inc")
       StandingIndex.appendNearDupIndex(s, delta4, col("text"), col("doc_id"),
         name = "docs_neardup_inc")
+      // the delete twin (q216): full-corpus build, then retire the
+      // doc_id ≡ 5 (mod 30) slice as tombstones
+      StandingIndex.buildNearDupIndex(s,
+        docs.filter(col("doc_id") % 10 < 8), col("text"), col("doc_id"),
+        n = 3, k = 8, bands = 4, nBuckets = 8, name = "docs_neardup_del")
+      StandingIndex.deleteFromNearDupIndex(s,
+        docs.filter(col("doc_id") % 10 < 8 && col("doc_id") % 30 === 5)
+          .select("doc_id"),
+        name = "docs_neardup_del")
       idxIncBuiltFor.set(d)
+    }
     }
 
   /** q192's probe against an incrementally-published match index —
@@ -3619,6 +3631,29 @@ object Extensions {
     },
     Some(Dedup.incrementalNearDupsOracle(n = 3, k = 8, bands = 4,
       threshold = 0.8, corpusWhere = "doc_id % 10 < 8",
+      batchWhere = "doc_id % 10 >= 8")))
+
+  /** Tombstone DELETE from the standing near-dup index, probed —
+    * [[graft.operators.StandingIndex.deleteFromNearDupIndex]]: the
+    * doc_id ≡ 5 (mod 30) slice of the corpus retired after a full
+    * build, probe anti-joins the tombstones on the corpus side of
+    * every pair. Near-dup pairs are independent (no ranking), so
+    * probe-after-delete is EXACTLY a full rebuild without the retired
+    * docs — the oracle replays the whole pipeline over
+    * corpus-minus-deleted, the strongest gate a delete can face.
+    */
+  private val q216 = Q("q216_neardup_delete_probe",
+    (s, d) => {
+      standingIndexesIncremental(s, d)
+      StandingIndex.probeNearDups(s,
+        Tables.documents(s, d).filter(col("doc_id") % 10 >= 8),
+        col("text"), col("doc_id"), threshold = 0.8,
+        name = "docs_neardup_del")
+        .orderBy("new_id", "dup_of")
+    },
+    Some(Dedup.incrementalNearDupsOracle(n = 3, k = 8, bands = 4,
+      threshold = 0.8,
+      corpusWhere = "doc_id % 10 < 8 AND NOT (doc_id % 30 = 5)",
       batchWhere = "doc_id % 10 >= 8")))
 
   /** IVFADC — the missing rung between q60 (IVF-flat) and q197 (PQ on
@@ -3936,5 +3971,5 @@ object Extensions {
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
-    q211, q212, q213, q214, q215)
+    q211, q212, q213, q214, q215, q216)
 }

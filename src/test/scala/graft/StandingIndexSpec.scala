@@ -393,6 +393,63 @@ class StandingIndexSpec extends SparkSpec {
       .map(_.getAs[Int]("version")) === Some(v1))
   }
 
+  test("deleteFromNearDupIndex: probe ≡ rebuild-without, gates, fold") {
+    val slice03 = docs.filter(col("doc_id") % 10 < 4)
+    StandingIndex.buildNearDupIndex(spark, slice03, col("text"),
+      col("doc_id"), n = 3, k = 8, bands = 4, nBuckets = 4, db = db,
+      name = "n_del")
+    val delIds = slice03.filter(col("doc_id") % 20 === 1).select("doc_id")
+    val delSet = delIds.collect().map(_.getLong(0)).toSet
+    assert(delSet.nonEmpty)
+    StandingIndex.deleteFromNearDupIndex(spark, delIds, db = db,
+      name = "n_del")
+    // pairs are independent (no ranking) → probe-after-delete must be
+    // EXACTLY the probe of an index built without the retired docs
+    StandingIndex.buildNearDupIndex(spark,
+      slice03.filter(!(col("doc_id") % 20 === 1)), col("text"),
+      col("doc_id"), n = 3, k = 8, bands = 4, nBuckets = 4, db = db,
+      name = "n_del_truth")
+    def probe(name: String) = rows(StandingIndex.probeNearDups(spark,
+      batch, col("text"), col("doc_id"), threshold = 0.5, db = db,
+      name = name))
+    val got = probe("n_del")
+    assert(got === probe("n_del_truth"))
+    assert(got.nonEmpty, "fixture must exercise the deleted probe")
+    // loud gates: unknown id, double delete
+    import spark.implicits._
+    val eU = intercept[IllegalArgumentException] {
+      StandingIndex.deleteFromNearDupIndex(spark,
+        Seq(999999L).toDF("doc_id"), db = db, name = "n_del")
+    }
+    assert(eU.getMessage.contains("not live"))
+    val eD = intercept[IllegalArgumentException] {
+      StandingIndex.deleteFromNearDupIndex(spark, delIds.limit(1), db = db,
+        name = "n_del")
+    }
+    assert(eD.getMessage.contains("not live"))
+    // compaction (append past maxLevels) folds the tombstones out of
+    // BOTH members and clears the list; the probe still sees the
+    // retired docs as gone and the new delta as present
+    val delta = docs.filter(col("doc_id") % 10 >= 4 && col("doc_id") % 10 < 8)
+    StandingIndex.appendNearDupIndex(spark, delta, col("text"),
+      col("doc_id"), db = db, name = "n_del", maxLevels = 1)
+    val mC = StandingIndex.manifest(spark, db, "n_del").get
+    assert(!mC.schema.fieldNames.contains("tomb_tab"))
+    for (field <- Seq("levels_banded", "levels_base")) {
+      val lvls = mC.getAs[String](field).split(",").toSeq
+      assert(lvls.size === 1)
+      val ids = spark.table(lvls.head).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.intersect(delSet).isEmpty,
+        s"$field must physically drop every tombstoned doc")
+    }
+    StandingIndex.buildNearDupIndex(spark,
+      slice03.filter(!(col("doc_id") % 20 === 1)).unionByName(delta),
+      col("text"), col("doc_id"), n = 3, k = 8, bands = 4, nBuckets = 4,
+      db = db, name = "n_del_truth2")
+    assert(probe("n_del") === probe("n_del_truth2"))
+  }
+
   test("deleteFromAnnIndex: anti-join before rank, loud gates, compaction folds") {
     val baseSlice = emb.filter(col("vec_id") < 400)
     StandingIndex.buildAnnIndex(spark, baseSlice, nCells = 16, m = 4,

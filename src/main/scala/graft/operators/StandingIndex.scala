@@ -552,6 +552,36 @@ object StandingIndex {
     * of global occurrence counts, so retire-by-id would drift from
     * rebuild semantics whenever the cap binds).
     */
+  /** Explicit compaction of the live near-dup index — the maintenance
+    * motion a pure-delete workload needs: without it, tombstones only
+    * fold when an APPEND happens to cross `maxLevels`, so a corpus
+    * that shrinks (GDPR erasure, licence withdrawal) would pay the
+    * probe-side anti-join and the retired docs' candidate generation
+    * forever. Rewrites all levels as one (minus tombstones) and
+    * clears the list — the same fold the append-triggered compaction
+    * runs, callable on its own schedule. Idempotent: compacting a
+    * 1-level tombstone-free index recommits an identical layout.
+    */
+  def compactNearDupIndex(spark: SparkSession, db: String = "graft_idx",
+                          name: String = "neardup_idx"): Int = {
+    val m = manifestOrThrow(spark, db, name, "neardup")
+    def fold(df: DataFrame): DataFrame = tombTable(m).fold(df)(t =>
+      df.join(spark.table(t).select("doc_id"), Seq("doc_id"), "left_anti"))
+    def unioned(field: String, suffix: String): DataFrame =
+      levelsOrMember(db, name, m, field, suffix)
+        .map(spark.table).reduce(_.unionByName(_))
+    val nBuckets = m.getAs[Int]("n_buckets")
+    commitVersioned(spark, db, name, "neardup", Seq(
+      Member("banded", fold(unioned("levels_banded", "banded")),
+        Seq("bucket"), nBuckets),
+      Member("base", fold(unioned("levels_base", "base")),
+        Seq("doc_id"), nBuckets)),
+      v => Seq(s"${m.getAs[Int]("n")} AS n", s"${m.getAs[Int]("k")} AS k",
+        s"${m.getAs[Int]("bands")} AS bands", s"$nBuckets AS n_buckets",
+        s"'${fq(db, name, v, "banded")}' AS levels_banded",
+        s"'${fq(db, name, v, "base")}' AS levels_base"))
+  }
+
   def deleteFromNearDupIndex(spark: SparkSession, ids: DataFrame,
                              db: String = "graft_idx",
                              name: String = "neardup_idx"): Int = {
@@ -673,6 +703,30 @@ object StandingIndex {
     * deleting an unknown id or double-deleting is a pipeline bug
     * surfaced immediately, not a silent no-op.
     */
+  /** Explicit compaction of the live ANN index —
+    * [[compactNearDupIndex]]'s twin: all code levels rewrite as one,
+    * minus tombstones; quantizer tables carry over by reference
+    * (frozen, never rewritten). See the near-dup twin for why a
+    * pure-delete workload needs this as its own motion.
+    */
+  def compactAnnIndex(spark: SparkSession, db: String = "graft_idx",
+                      name: String = "ann_idx"): Int = {
+    val m = manifestOrThrow(spark, db, name, "ann")
+    val unioned = levelsOrMember(db, name, m, "levels_codes", "codes")
+      .map(spark.table).reduce(_.unionByName(_))
+    val folded = tombTable(m).fold(unioned)(t =>
+      unioned.join(spark.table(t).select("vec_id"), Seq("vec_id"),
+        "left_anti"))
+    val coarseTab = levelsOrMember(db, name, m, "coarse_tab", "coarse").head
+    val booksTab = levelsOrMember(db, name, m, "books_tab", "books").head
+    val nBuckets = m.getAs[Int]("n_buckets")
+    commitVersioned(spark, db, name, "ann", Seq(
+      Member("codes", folded, Seq("cell"), nBuckets,
+        sortKeys = Seq("cell", "vec_id"))),
+      v => annMetaBase(m, coarseTab, booksTab) :+
+        s"'${fq(db, name, v, "codes")}' AS levels_codes")
+  }
+
   def deleteFromAnnIndex(spark: SparkSession, ids: DataFrame,
                          db: String = "graft_idx",
                          name: String = "ann_idx"): Int = {

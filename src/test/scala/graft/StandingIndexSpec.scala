@@ -518,6 +518,53 @@ class StandingIndexSpec extends SparkSpec {
     assert(after.forall(t => !delSet(t._2)))
   }
 
+  test("explicit compaction folds tombstones without an append (both families)") {
+    // the pure-delete maintenance motion: no delta arrives, the fold
+    // must still be schedulable — and it is layout-only, so probes
+    // are value-identical before and after
+    // --- ANN
+    StandingIndex.buildAnnIndex(spark, emb, nCells = 16, m = 4, ksub = 16,
+      corpusFrom = 24, iters = 2, nBuckets = 4, db = db, name = "a_cmp")
+    val annDel = emb.filter(col("vec_id") >= 24 && col("vec_id") % 9 === 4)
+      .select("vec_id")
+    val annDelSet = annDel.collect().map(_.getLong(0)).toSet
+    StandingIndex.deleteFromAnnIndex(spark, annDel, db = db, name = "a_cmp")
+    def annProbe() = rows(StandingIndex.probeAnn(spark, annQueries, k = 5,
+      nprobe = 3, db = db, name = "a_cmp"))
+    val annBefore = annProbe()
+    StandingIndex.compactAnnIndex(spark, db = db, name = "a_cmp")
+    val mA = StandingIndex.manifest(spark, db, "a_cmp").get
+    assert(!mA.schema.fieldNames.contains("tomb_tab"))
+    val codeIds = spark.table(mA.getAs[String]("levels_codes"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(codeIds.intersect(annDelSet).isEmpty)
+    assert(annProbe() === annBefore)
+    // --- near-dup (plus idempotence: a second compact is a no-op
+    // relayout)
+    val slice03 = docs.filter(col("doc_id") % 10 < 4)
+    StandingIndex.buildNearDupIndex(spark, slice03, col("text"),
+      col("doc_id"), n = 3, k = 8, bands = 4, nBuckets = 4, db = db,
+      name = "n_cmp")
+    val ndDel = slice03.filter(col("doc_id") % 20 === 1).select("doc_id")
+    val ndDelSet = ndDel.collect().map(_.getLong(0)).toSet
+    StandingIndex.deleteFromNearDupIndex(spark, ndDel, db = db,
+      name = "n_cmp")
+    def ndProbe() = rows(StandingIndex.probeNearDups(spark, batch,
+      col("text"), col("doc_id"), threshold = 0.5, db = db, name = "n_cmp"))
+    val ndBefore = ndProbe()
+    StandingIndex.compactNearDupIndex(spark, db = db, name = "n_cmp")
+    val mN = StandingIndex.manifest(spark, db, "n_cmp").get
+    assert(!mN.schema.fieldNames.contains("tomb_tab"))
+    for (field <- Seq("levels_banded", "levels_base")) {
+      val ids = spark.table(mN.getAs[String](field)).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.intersect(ndDelSet).isEmpty)
+    }
+    assert(ndProbe() === ndBefore)
+    StandingIndex.compactNearDupIndex(spark, db = db, name = "n_cmp")
+    assert(ndProbe() === ndBefore)
+  }
+
   test("ANN probe plan: no shuffle between the codes member scan and its joins") {
     StandingIndex.buildAnnIndex(spark, emb, nCells = 16, m = 4, ksub = 16,
       corpusFrom = 24, iters = 2, nBuckets = 4, db = db, name = "a_plan")

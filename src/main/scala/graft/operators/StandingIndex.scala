@@ -359,6 +359,27 @@ object StandingIndex {
     }
   }
 
+  /** Explicit level-collapse of the live chunk index — the
+    * [[compactNearDupIndex]] maintenance motion for the family with
+    * no tombstones (digests are shared across docs; retire-by-id is a
+    * rebuild, see [[deleteFromNearDupIndex]]): a probe pays one
+    * anti-join PER LEVEL, so an index grown by many small appends
+    * that stopped arriving never amortizes its level tax without
+    * this. Levels are globally distinct by the append-time anti-join,
+    * so the union IS the compacted digest set. Idempotent.
+    */
+  def compactChunkIndex(spark: SparkSession, db: String = "graft_idx",
+                        name: String = "chunk_idx"): Int = {
+    val m = manifestOrThrow(spark, db, name, "chunk")
+    val nBuckets = m.getAs[Int]("n_buckets")
+    commitVersioned(spark, db, name, "chunk", Seq(
+      Member("fps", levelsOrMember(db, name, m, "levels", "fps")
+        .map(spark.table).reduce(_.unionByName(_)), Seq("fp"), nBuckets)),
+      v => Seq(s"${m.getAs[Int]("chunk_tokens")} AS chunk_tokens",
+        s"$nBuckets AS n_buckets",
+        s"'${fq(db, name, v, "fps")}' AS levels"))
+  }
+
   /** Incremental publish of the live near-dup index — LEVELED (round
     * 14, like [[appendChunkIndex]]): both members are per-document
     * maps (band rows, shingle sets), disjoint from the live index by

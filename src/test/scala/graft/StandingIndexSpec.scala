@@ -563,6 +563,22 @@ class StandingIndexSpec extends SparkSpec {
     assert(ndProbe() === ndBefore)
     StandingIndex.compactNearDupIndex(spark, db = db, name = "n_cmp")
     assert(ndProbe() === ndBefore)
+    // --- chunk: level collapse without new data (no tombstones in
+    // this family — digests are shared across docs)
+    StandingIndex.buildChunkIndex(spark, slice03, col("text"),
+      col("doc_id"), chunkTokens = 8, nBuckets = 4, db = db, name = "c_cmp")
+    StandingIndex.appendChunkIndex(spark,
+      docs.filter(col("doc_id") % 10 >= 4 && col("doc_id") % 10 < 8),
+      col("text"), col("doc_id"), db = db, name = "c_cmp")
+    def cProbe() = rows(StandingIndex.probeChunks(spark, batch,
+      col("text"), col("doc_id"), db = db, name = "c_cmp"))
+    val cBefore = cProbe()
+    assert(StandingIndex.manifest(spark, db, "c_cmp").get
+      .getAs[String]("levels").split(",").length === 2)
+    StandingIndex.compactChunkIndex(spark, db = db, name = "c_cmp")
+    assert(StandingIndex.manifest(spark, db, "c_cmp").get
+      .getAs[String]("levels").split(",").length === 1)
+    assert(cProbe() === cBefore)
   }
 
   test("ANN probe plan: no shuffle between the codes member scan and its joins") {

@@ -254,8 +254,10 @@ object StandingIndex {
     require(overlap == 0,
       s"append on $what: the delta contains document ids already in the " +
         "live index. Incremental publish is APPEND-ONLY (new documents); " +
-        "for updates or deletes rebuild the index from the corrected " +
-        "corpus (buildMatchIndex/buildChunkIndex/buildNearDupIndex).")
+        "deletes go through deleteFromNearDupIndex/deleteFromAnnIndex " +
+        "(tombstones), and UPDATES (including re-inserting a tombstoned " +
+        "id) rebuild the index from the corrected corpus — id-level " +
+        "tombstones would shadow the re-inserted row at probe time.")
   }
 
   // --------------------------------------------- incremental publish

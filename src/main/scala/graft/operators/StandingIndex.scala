@@ -253,11 +253,11 @@ object StandingIndex {
     val overlap = indexed.select(key).join(deltaIds, Seq(key)).limit(1).count()
     require(overlap == 0,
       s"append on $what: the delta contains document ids already in the " +
-        "live index. Incremental publish is APPEND-ONLY (new documents); " +
-        "deletes go through deleteFromNearDupIndex/deleteFromAnnIndex " +
-        "(tombstones), and UPDATES (including re-inserting a tombstoned " +
-        "id) rebuild the index from the corrected corpus — id-level " +
-        "tombstones would shadow the re-inserted row at probe time.")
+        "live index. Publish is append-only over LIVE ids; deletes go " +
+        "through deleteFromNearDupIndex/deleteFromAnnIndex (generation-" +
+        "stamped tombstones), and an UPDATE is delete followed by " +
+        "append of the corrected rows — the stamp kills only the older " +
+        "generation, so the re-insert survives probes.")
   }
 
   // --------------------------------------------- incremental publish
@@ -407,25 +407,35 @@ object StandingIndex {
     val nBuckets = m.getAs[Int]("n_buckets")
     val oldBanded = levelsOrMember(db, name, m, "levels_banded", "banded")
     val oldBase = levelsOrMember(db, name, m, "levels_base", "base")
-    oldBase.foreach(t => requireNewIds(spark.table(t),
-      delta.select(id.as("doc_id")).distinct(), "doc_id", s"$db.$name"))
+    // append-only gate over the LIVE id set (fully-shadowed ids are
+    // re-insertable — the generation-stamp upsert, see the ANN twin)
+    val liveIds = {
+      val all = unionWithOrdinal(spark, oldBase).select("doc_id", "__lvl")
+      tombTable(m).fold(all)(t => dropShadowed(all, spark.table(t),
+        "doc_id"))
+    }
+    requireNewIds(liveIds,
+      delta.select(id.as("doc_id")).distinct(), "doc_id", s"$db.$name")
     val baseD = Dedup.minhashBase(delta, content, id, n)
     val metaBase = Seq(s"$n AS n", s"$k AS k", s"$bands AS bands",
       s"$nBuckets AS n_buckets")
     val tomb = tombTable(m)
     if (oldBanded.size >= maxLevels) {
       // compaction FOLDS the tombstones out of BOTH rewritten members
-      // and clears the list (the ANN-delete discipline on doc_id)
-      def fold(df: DataFrame): DataFrame = tomb.fold(df)(t =>
-        df.join(spark.table(t).select("doc_id"), Seq("doc_id"), "left_anti"))
+      // and clears the list — level-aware, so a re-inserted doc's
+      // newer generation survives (the ANN-delete discipline)
+      def fold(levels: Seq[String], deltaPart: DataFrame): DataFrame = {
+        val unioned = unionWithOrdinal(spark, levels)
+          .unionByName(deltaPart.withColumn("__lvl", lit(levels.size)))
+        tomb.fold(unioned)(t =>
+          dropShadowed(unioned, spark.table(t), "doc_id")).drop("__lvl")
+      }
       commitVersioned(spark, db, name, "neardup", Seq(
         Member("banded",
-          fold(oldBanded.map(spark.table).reduce(_.unionByName(_))
-            .unionByName(Dedup.minhashBanded(baseD, k, bands))),
+          fold(oldBanded, Dedup.minhashBanded(baseD, k, bands)),
           Seq("bucket"), nBuckets),
         Member("base",
-          fold(oldBase.map(spark.table).reduce(_.unionByName(_))
-            .unionByName(baseD.select(col("doc_id"), col("sh")))),
+          fold(oldBase, baseD.select(col("doc_id"), col("sh"))),
           Seq("doc_id"), nBuckets)),
         v => metaBase ++ Seq(
           s"'${fq(db, name, v, "banded")}' AS levels_banded",
@@ -531,27 +541,28 @@ object StandingIndex {
     val m = manifestOrThrow(spark, db, name, "neardup")
     val banded = levelsOrMember(db, name, m, "levels_banded", "banded")
     val base = levelsOrMember(db, name, m, "levels_base", "base")
-    val pairs = banded.zip(base).map { case (bt, st) =>
-      Dedup.lookupNearDups(
+    // tombstoned corpus docs (retired generations awaiting the next
+    // compaction fold) drop out of each LEVEL's pair results: every
+    // (new_id, dup_of) pair is independent — no ranking — so the
+    // level-aware filter (a tombstone kills only pairs whose corpus
+    // doc lives in a level below its stamp; a re-inserted doc's newer
+    // level survives) is EXACTLY the probe of a rebuilt index without
+    // the retired generations (q216's gate). The filter sits on the
+    // batch-bounded per-level output; until the fold, retired docs
+    // still pay candidate generation — the documented tombstone trade.
+    val tombDf = tombTable(m).map(t => spark.table(t))
+    banded.zip(base).zipWithIndex.map { case ((bt, st), i) =>
+      val p = Dedup.lookupNearDups(
         Dedup.MinHashIndex(
           spark.table(st), spark.table(bt),
           m.getAs[Int]("n"), m.getAs[Int]("k"), m.getAs[Int]("bands")),
         batch, content, id, threshold)
+      tombDf.fold(p)(t =>
+        p.join(broadcast(t),
+            p("dup_of") === t("doc_id") && lit(i) < t("dead_below"),
+            "left_anti")
+          .select("new_id", "dup_of", "jaccard"))
     }.reduce(_.unionByName(_))
-    // tombstoned corpus docs (retired ids awaiting the next compaction
-    // fold) drop out of the pair results: every (new_id, dup_of) pair
-    // is independent — no ranking — so filtering dup_of is EXACTLY the
-    // probe of a rebuilt index without the retired docs (q216's gate).
-    // The filter sits on the batch-bounded output frame; until the
-    // fold, retired docs still pay candidate generation — the
-    // documented tombstone trade.
-    tombTable(m).fold(pairs)(t =>
-      pairs.join(broadcast(spark.table(t).select(
-          col("doc_id").as("dup_of"))),
-        Seq("dup_of"), "left_anti")
-        // a USING-column join moves the key to slot 0 — restore the
-        // (new_id, dup_of, jaccard) contract positionally
-        .select("new_id", "dup_of", "jaccard"))
   }
 
   /** Retire documents from the live near-dup index — the DELETE half
@@ -588,16 +599,17 @@ object StandingIndex {
   def compactNearDupIndex(spark: SparkSession, db: String = "graft_idx",
                           name: String = "neardup_idx"): Int = {
     val m = manifestOrThrow(spark, db, name, "neardup")
-    def fold(df: DataFrame): DataFrame = tombTable(m).fold(df)(t =>
-      df.join(spark.table(t).select("doc_id"), Seq("doc_id"), "left_anti"))
-    def unioned(field: String, suffix: String): DataFrame =
-      levelsOrMember(db, name, m, field, suffix)
-        .map(spark.table).reduce(_.unionByName(_))
+    def folded(field: String, suffix: String): DataFrame = {
+      val unioned = unionWithOrdinal(spark,
+        levelsOrMember(db, name, m, field, suffix))
+      tombTable(m).fold(unioned)(t =>
+        dropShadowed(unioned, spark.table(t), "doc_id")).drop("__lvl")
+    }
     val nBuckets = m.getAs[Int]("n_buckets")
     commitVersioned(spark, db, name, "neardup", Seq(
-      Member("banded", fold(unioned("levels_banded", "banded")),
+      Member("banded", folded("levels_banded", "banded"),
         Seq("bucket"), nBuckets),
-      Member("base", fold(unioned("levels_base", "base")),
+      Member("base", folded("levels_base", "base"),
         Seq("doc_id"), nBuckets)),
       v => Seq(s"${m.getAs[Int]("n")} AS n", s"${m.getAs[Int]("k")} AS k",
         s"${m.getAs[Int]("bands")} AS bands", s"$nBuckets AS n_buckets",
@@ -610,11 +622,11 @@ object StandingIndex {
                              name: String = "neardup_idx"): Int = {
     val m = manifestOrThrow(spark, db, name, "neardup")
     val del = ids.select(col("doc_id").cast(LongType).as("doc_id")).distinct()
-    val published = levelsOrMember(db, name, m, "levels_base", "base")
-      .map(t => spark.table(t).select("doc_id")).reduce(_.unionByName(_))
-    requireLiveIds(spark, m, del, published, "doc_id", s"$db.$name")
-    val newTomb = tombTable(m).map(t => spark.table(t).select("doc_id"))
-      .fold(del)(_.unionByName(del).distinct())
+    val baseLevels = levelsOrMember(db, name, m, "levels_base", "base")
+    requireLiveIds(spark, m, del,
+      unionWithOrdinal(spark, baseLevels).select("doc_id", "__lvl"),
+      "doc_id", s"$db.$name")
+    val newTomb = mergedTomb(spark, m, del, "doc_id", baseLevels.size)
     val metaBase = Seq(s"${m.getAs[Int]("n")} AS n",
       s"${m.getAs[Int]("k")} AS k", s"${m.getAs[Int]("bands")} AS bands",
       s"${m.getAs[Int]("n_buckets")} AS n_buckets")
@@ -680,22 +692,62 @@ object StandingIndex {
     scala.util.Try(m.getAs[String]("tomb_tab")).toOption
       .map(_.trim).filter(_.nonEmpty)
 
+  /** Union a leveled member's tables with every row stamped by its
+    * LEVEL ORDINAL (position in the manifest's level list = append
+    * order) as `__lvl` — the generation axis the tombstone shadow
+    * semantics run on.
+    */
+  private def unionWithOrdinal(spark: SparkSession,
+                               tables: Seq[String]): DataFrame =
+    tables.zipWithIndex.map { case (t, i) =>
+      spark.table(t).withColumn("__lvl", lit(i))
+    }.reduce(_.unionByName(_))
+
+  /** Generation-stamped shadow semantics (the upsert enabler): a
+    * tombstone row (key, dead_below) kills exactly the rows of `key`
+    * living in levels BELOW the stamp — levels published after the
+    * delete (a re-insert) are untouched, so delete → append of the
+    * same id is a first-class UPDATE instead of a rebuild. `df` must
+    * carry `__lvl` ([[unionWithOrdinal]]); the tombstone list
+    * broadcasts (≪ corpus, or you'd compact), keeping the anti-join
+    * map-only.
+    */
+  private def dropShadowed(df: DataFrame, tomb: DataFrame,
+                           key: String): DataFrame =
+    df.join(broadcast(tomb),
+      df(key) === tomb(key) && df("__lvl") < tomb("dead_below"),
+      "left_anti")
+
   /** The loud liveness gate both delete paths share: every id being
-    * retired must currently be LIVE (published and not already
-    * tombstoned) — deleting an unknown id or double-deleting is an
-    * upstream id-bookkeeping bug surfaced immediately, never a silent
-    * no-op.
+    * retired must currently be LIVE (published, and not fully
+    * shadowed by an earlier tombstone) — deleting an unknown id or
+    * double-deleting is an upstream id-bookkeeping bug surfaced
+    * immediately, never a silent no-op. `published` must carry
+    * `__lvl`.
     */
   private def requireLiveIds(spark: SparkSession, m: Row, del: DataFrame,
                              published: DataFrame, key: String,
                              what: String): Unit = {
     val live = tombTable(m).fold(published)(t =>
-      published.join(spark.table(t), Seq(key), "left_anti"))
+      dropShadowed(published, spark.table(t), key)).select(key)
     val dead = del.join(live, Seq(key), "left_anti").limit(1).count()
     require(dead == 0,
       s"delete on $what: some ids are not live in the index (never " +
         "published, or already tombstoned). Deletes must name live " +
         "ids — a mismatch here is an upstream id-bookkeeping bug.")
+  }
+
+  /** Merge a delete batch into the live tombstone list: the new rows
+    * stamp `dead_below = levels` (kill everything currently
+    * published); a re-deleted id keeps its HIGHEST stamp, which
+    * covers every older one.
+    */
+  private def mergedTomb(spark: SparkSession, m: Row, del: DataFrame,
+                         key: String, levels: Int): DataFrame = {
+    val stamped = del.withColumn("dead_below", lit(levels))
+    tombTable(m).map(t => spark.table(t)).fold(stamped)(
+        _.unionByName(stamped))
+      .groupBy(key).agg(max("dead_below").as("dead_below"))
   }
 
   /** The build-parameter meta fields every ANN commit carries. */
@@ -735,11 +787,10 @@ object StandingIndex {
   def compactAnnIndex(spark: SparkSession, db: String = "graft_idx",
                       name: String = "ann_idx"): Int = {
     val m = manifestOrThrow(spark, db, name, "ann")
-    val unioned = levelsOrMember(db, name, m, "levels_codes", "codes")
-      .map(spark.table).reduce(_.unionByName(_))
+    val unioned = unionWithOrdinal(spark,
+      levelsOrMember(db, name, m, "levels_codes", "codes"))
     val folded = tombTable(m).fold(unioned)(t =>
-      unioned.join(spark.table(t).select("vec_id"), Seq("vec_id"),
-        "left_anti"))
+      dropShadowed(unioned, spark.table(t), "vec_id")).drop("__lvl")
     val coarseTab = levelsOrMember(db, name, m, "coarse_tab", "coarse").head
     val booksTab = levelsOrMember(db, name, m, "books_tab", "books").head
     val nBuckets = m.getAs[Int]("n_buckets")
@@ -755,16 +806,14 @@ object StandingIndex {
                          name: String = "ann_idx"): Int = {
     val m = manifestOrThrow(spark, db, name, "ann")
     val del = ids.select(col("vec_id").cast(LongType).as("vec_id")).distinct()
-    val codes = levelsOrMember(db, name, m, "levels_codes", "codes")
-      .map(t => spark.table(t).select("vec_id")).reduce(_.unionByName(_))
-    requireLiveIds(spark, m, del, codes, "vec_id", s"$db.$name")
-    val oldTomb = tombTable(m).map(t => spark.table(t).select("vec_id"))
+    val levels = levelsOrMember(db, name, m, "levels_codes", "codes")
+    requireLiveIds(spark, m, del,
+      unionWithOrdinal(spark, levels).select("vec_id", "__lvl"),
+      "vec_id", s"$db.$name")
     val coarseTab = levelsOrMember(db, name, m, "coarse_tab", "coarse").head
     val booksTab = levelsOrMember(db, name, m, "books_tab", "books").head
-    val levels = levelsOrMember(db, name, m, "levels_codes", "codes")
-    val newTomb = oldTomb.fold(del)(_.unionByName(del).distinct())
     commitVersioned(spark, db, name, "ann",
-      Seq(Member("tomb", newTomb)),
+      Seq(Member("tomb", mergedTomb(spark, m, del, "vec_id", levels.size))),
       v => annMetaBase(m, coarseTab, booksTab) ++ Seq(
         s"'${levels.mkString(",")}' AS levels_codes",
         s"'${fq(db, name, v, "tomb")}' AS tomb_tab"))
@@ -813,9 +862,16 @@ object StandingIndex {
       (m.getAs[Int]("n_cells"), m.getAs[Int]("m"), m.getAs[Int]("ksub"),
         m.getAs[Int]("iters"), m.getAs[Int]("dim"), m.getAs[Int]("n_buckets"))
     val oldCodes = levelsOrMember(db, name, m, "levels_codes", "codes")
-    oldCodes.foreach(t => requireNewIds(
-      spark.table(t).select(col("cell"), col("vec_id")),
-      delta.select(col("vec_id")).distinct(), "vec_id", s"$db.$name"))
+    // append-only gate over the LIVE id set: a fully-shadowed
+    // (tombstoned) id is re-insertable — delete → append is the
+    // first-class UPDATE the generation stamps exist for
+    val liveIds = {
+      val all = unionWithOrdinal(spark, oldCodes).select("vec_id", "__lvl")
+      tombTable(m).fold(all)(t => dropShadowed(all, spark.table(t),
+        "vec_id"))
+    }
+    requireNewIds(liveIds,
+      delta.select(col("vec_id")).distinct(), "vec_id", s"$db.$name")
     val (coarseDf, booksDf) = annQuantizers(spark, db, name, m)
     val coarse = coarseDf.collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
@@ -831,14 +887,14 @@ object StandingIndex {
     val metaBase = annMetaBase(m, coarseTab, booksTab)
     val tomb = tombTable(m)
     if (oldCodes.size >= maxLevels) {
-      // compaction FOLDS the tombstones: the rewritten single level
-      // drops every retired vector and the manifest clears the list —
-      // probes stop paying the anti-join until the next delete
-      val unioned = oldCodes.map(spark.table).reduce(_.unionByName(_))
-        .unionByName(deltaCodes)
+      // compaction FOLDS the tombstones (level-aware — a re-inserted
+      // id's newer generation survives): the rewritten single level
+      // drops every retired generation and the manifest clears the
+      // list — probes stop paying the anti-join until the next delete
+      val unioned = unionWithOrdinal(spark, oldCodes)
+        .unionByName(deltaCodes.withColumn("__lvl", lit(oldCodes.size)))
       val folded = tomb.fold(unioned)(t =>
-        unioned.join(spark.table(t).select("vec_id"),
-          Seq("vec_id"), "left_anti"))
+        dropShadowed(unioned, spark.table(t), "vec_id")).drop("__lvl")
       commitVersioned(spark, db, name, "ann", Seq(
         Member("codes", folded, Seq("cell"), nBuckets,
           sortKeys = Seq("cell", "vec_id"))),
@@ -884,15 +940,18 @@ object StandingIndex {
     // exchanges on query_id either way, so levels cost no extra
     // corpus-side shuffle
     val codes = levelsOrMember(db, name, m, "levels_codes", "codes")
-      .map(t => spark.table(t).filter(col("cell").isin(cells: _*)))
+      .zipWithIndex
+      .map { case (t, i) => spark.table(t)
+        .filter(col("cell").isin(cells: _*)).withColumn("__lvl", lit(i)) }
       .reduce(_.unionByName(_))
-    // tombstones (retired ids awaiting the next compaction fold) drop
-    // out BEFORE the top-k rank — the id list is tiny by construction
-    // (≪ corpus, or you'd compact), so the anti-join broadcasts and
-    // the scan stays map-only
+    // tombstones (retired generations awaiting the next compaction
+    // fold) drop out BEFORE the top-k rank — level-aware: a tombstone
+    // kills only rows BELOW its stamp, so a re-inserted id's newer
+    // level survives. The id list is tiny by construction (≪ corpus,
+    // or you'd compact): the anti-join broadcasts, the scan stays
+    // map-only
     val live = tombTable(m).fold(codes)(t =>
-      codes.join(broadcast(spark.table(t).select("vec_id")),
-        Seq("vec_id"), "left_anti"))
+      dropShadowed(codes, spark.table(t), "vec_id")).drop("__lvl")
     Similarity.ivfadcSearch(q, coarseDf, booksDf, live, pqM, dim / pqM, k,
       nprobe)
   }

@@ -3725,7 +3725,8 @@ object Extensions {
     annIdxBuiltFor.synchronized {
     if (annIdxBuiltFor.get != d ||
         !s.catalog.tableExists("graft_idx.emb_ann") ||
-        !s.catalog.tableExists("graft_idx.emb_ann_del")) {
+        !s.catalog.tableExists("graft_idx.emb_ann_del") ||
+        !s.catalog.tableExists("graft_idx.emb_ann_ups")) {
       val emb = Tables.embeddings(s, d)
       // q204's exact layout: seeds < 16, queries 16..23, corpus >= 24
       StandingIndex.buildAnnIndex(s, emb, nCells = 16, m = 4, ksub = 16,
@@ -3746,6 +3747,15 @@ object Extensions {
         emb.filter(col("vec_id") >= 24 && col("vec_id") % 7 === 3)
           .select("vec_id"),
         name = "emb_ann_del")
+      // the upsert twin (q217): delete a slice, re-append the same
+      // vectors — generation-stamped tombstones make the round trip
+      // net to identity (the probe must hash-match the plain oracle)
+      val upsSlice = emb.filter(col("vec_id") >= 24 && col("vec_id") % 7 === 3)
+      StandingIndex.buildAnnIndex(s, emb, nCells = 16, m = 4, ksub = 16,
+        corpusFrom = 24, iters = 4, nBuckets = 8, name = "emb_ann_ups")
+      StandingIndex.deleteFromAnnIndex(s, upsSlice.select("vec_id"),
+        name = "emb_ann_ups")
+      StandingIndex.appendAnnIndex(s, upsSlice, name = "emb_ann_ups")
       annIdxBuiltFor.set(d)
     }
     }
@@ -3813,6 +3823,29 @@ object Extensions {
     Some(Similarity.ivfadcTopKOracle(nCells = 16, m = 4, ksub = 16,
       nQueries = 8, k = 5, nprobe = 2, iters = 4,
       deleteWhere = Some("vec_id % 7 = 3"))))
+
+  /** Generation-stamped UPSERT on the standing ANN index, probed —
+    * the UPDATE motion that completes the lifecycle: tombstones carry
+    * `dead_below` (the level count at delete time) and kill only the
+    * OLDER generations of an id, so delete → append of the corrected
+    * rows is first-class instead of a rebuild. q217 retires a corpus
+    * slice and re-appends the SAME vectors: re-encoding against the
+    * frozen quantizers reproduces the codes exactly, so the whole
+    * shadow machinery must net to identity — the probe hash-matches
+    * the PLAIN full-replay oracle (no delete filter), which is the
+    * strongest witness that nothing of the delete leaks through.
+    */
+  private val q217 = Q("q217_ann_upsert_probe",
+    (s, d) => {
+      standingAnnIndexes(s, d)
+      StandingIndex.probeAnn(s,
+        Tables.embeddings(s, d)
+          .filter(col("vec_id") >= 16 && col("vec_id") < 24),
+        k = 5, nprobe = 2, name = "emb_ann_ups")
+        .orderBy("query_id", "rnk")
+    },
+    Some(Similarity.ivfadcTopKOracle(nCells = 16, m = 4, ksub = 16,
+      nQueries = 8, k = 5, nprobe = 2, iters = 4)))
 
   /** Trained language classifier over the documents table — the
     * learned upgrade of q43's hand-written n-gram rules (the
@@ -3971,5 +4004,5 @@ object Extensions {
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
-    q211, q212, q213, q214, q215, q216)
+    q211, q212, q213, q214, q215, q216, q217)
 }

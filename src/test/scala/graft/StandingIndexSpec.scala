@@ -297,14 +297,14 @@ class StandingIndexSpec extends SparkSpec {
       StandingIndex.appendMatchIndex(spark, base.limit(5), col("text"),
         col("doc_id"), db = db, name = "m_gate")
     }
-    assert(e.getMessage.contains("APPEND-ONLY"))
+    assert(e.getMessage.contains("append-only"))
     StandingIndex.buildNearDupIndex(spark, base, col("text"), col("doc_id"),
       n = 3, k = 8, bands = 4, nBuckets = 4, db = db, name = "n_gate")
     val e2 = intercept[IllegalArgumentException] {
       StandingIndex.appendNearDupIndex(spark, base.limit(5), col("text"),
         col("doc_id"), db = db, name = "n_gate")
     }
-    assert(e2.getMessage.contains("APPEND-ONLY"))
+    assert(e2.getMessage.contains("append-only"))
     // a failed append must leave the live version untouched
     assert(StandingIndex.manifest(spark, db, "m_gate")
       .map(_.getAs[Int]("version")) === Some(0))
@@ -388,7 +388,7 @@ class StandingIndexSpec extends SparkSpec {
       StandingIndex.appendAnnIndex(spark, deltaSlice.limit(3), db = db,
         name = "a_app")
     }
-    assert(e.getMessage.contains("APPEND-ONLY"))
+    assert(e.getMessage.contains("append-only"))
     assert(StandingIndex.manifest(spark, db, "a_app")
       .map(_.getAs[Int]("version")) === Some(v1))
   }
@@ -516,6 +516,57 @@ class StandingIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(after.length === 8 * 5)
     assert(after.forall(t => !delSet(t._2)))
+  }
+
+  test("generation-stamped upsert: delete → re-append is a first-class " +
+       "UPDATE (both families)") {
+    // --- ANN: delete a slice, re-append the SAME vectors — the stamp
+    // kills only the older generation, re-encoding against the same
+    // frozen quantizers reproduces the codes exactly, so the probe
+    // must be bit-identical to the never-deleted index (net identity)
+    StandingIndex.buildAnnIndex(spark, emb, nCells = 16, m = 4, ksub = 16,
+      corpusFrom = 24, iters = 2, nBuckets = 4, db = db, name = "a_ups")
+    def annProbe() = rows(StandingIndex.probeAnn(spark, annQueries, k = 5,
+      nprobe = 3, db = db, name = "a_ups"))
+    val annBefore = annProbe()
+    val annD = emb.filter(col("vec_id") >= 24 && col("vec_id") % 11 === 7)
+    val annDSet = annD.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(annDSet.nonEmpty)
+    StandingIndex.deleteFromAnnIndex(spark, annD.select("vec_id"), db = db,
+      name = "a_ups")
+    StandingIndex.appendAnnIndex(spark, annD, db = db, name = "a_ups")
+    assert(annProbe() === annBefore,
+      "delete + same-value re-append must net to identity")
+    // the re-inserted generation is itself deletable (stamps are
+    // monotone: the new stamp covers the newer level too)
+    StandingIndex.deleteFromAnnIndex(spark, annD.select("vec_id"), db = db,
+      name = "a_ups")
+    val afterRedelete = StandingIndex.probeAnn(spark, annQueries, k = 5,
+        nprobe = 3, db = db, name = "a_ups")
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(afterRedelete.forall(n => !annDSet(n)))
+    // and the fold clears it all while keeping the re-delete visible
+    StandingIndex.compactAnnIndex(spark, db = db, name = "a_ups")
+    val mU = StandingIndex.manifest(spark, db, "a_ups").get
+    assert(!mU.schema.fieldNames.contains("tomb_tab"))
+    assert(spark.table(mU.getAs[String]("levels_codes")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet.intersect(annDSet).isEmpty)
+    // --- near-dup twin: same round trip on doc_id
+    val slice03 = docs.filter(col("doc_id") % 10 < 4)
+    StandingIndex.buildNearDupIndex(spark, slice03, col("text"),
+      col("doc_id"), n = 3, k = 8, bands = 4, nBuckets = 4, db = db,
+      name = "n_ups")
+    def ndProbe() = rows(StandingIndex.probeNearDups(spark, batch,
+      col("text"), col("doc_id"), threshold = 0.5, db = db, name = "n_ups"))
+    val ndBefore = ndProbe()
+    val ndD = slice03.filter(col("doc_id") % 20 === 3)
+    assert(ndD.count() > 0)
+    StandingIndex.deleteFromNearDupIndex(spark, ndD.select("doc_id"),
+      db = db, name = "n_ups")
+    StandingIndex.appendNearDupIndex(spark, ndD, col("text"),
+      col("doc_id"), db = db, name = "n_ups")
+    assert(ndProbe() === ndBefore,
+      "near-dup delete + same-doc re-append must net to identity")
   }
 
   test("explicit compaction folds tombstones without an append (both families)") {

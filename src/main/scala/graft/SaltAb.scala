@@ -16,6 +16,16 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * exchange. MINs decide; checksum equality gates the comparison.
   */
 object SaltAb {
+  /** HARNESS-ONLY candidate, not a general operator (r16 ADVICE): the
+    * bucket expression `(x − lo) · buckets` runs in non-ANSI Long
+    * arithmetic and WRAPS when the per-group spread exceeds
+    * Long.MaxValue / buckets (e.g. a full-range 64-bit hash as the
+    * order column), assigning wrong buckets. Fine for the q129 price
+    * column this rig benches — the production `Skew.saltedRank` is
+    * the guarded general form; promote this shape only behind
+    * Profiling's `(hi − lo) · B must fit int64` gate. The checksum
+    * parity gate below would fail loudly on a wrapped run.
+    */
   def saltedRankWindowCount(df: DataFrame, partCols: Seq[String],
                             orderCol: String, tieCols: Seq[String],
                             buckets: Int = 64,

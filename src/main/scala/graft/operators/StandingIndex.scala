@@ -24,7 +24,10 @@ import org.apache.spark.sql.types.LongType
   *     and inline derivations are structurally identical;
   *   - **chunk index** ([[buildChunkIndex]]/[[probeChunks]]): the
   *     distinct chunk-digest table (fp) bucketed on fp —
-  *     `TextAnalysis.corpusChunkFps`;
+  *     `TextAnalysis.corpusChunkFps` — plus (round 17) the
+  *     (fp, doc_id) reference sidecar that makes the shared-digest
+  *     family delete-capable ([[deleteFromChunkIndex]]); probes never
+  *     read the sidecar;
   *   - **near-dup index** ([[buildNearDupIndex]]/[[probeNearDups]]):
   *     the MinHash-LSH band table (doc_id, band, bucket) bucketed on
   *     bucket and the shingle-set table (doc_id, sh) bucketed on
@@ -157,7 +160,7 @@ object StandingIndex {
     * field; empty when the field is absent (pre-leveled manifests).
     */
   private def levelTables(m: Row, field: String): Seq[String] =
-    scala.util.Try(m.getAs[String](field)).toOption
+    metaString(m, field)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
 
@@ -254,10 +257,11 @@ object StandingIndex {
     require(overlap == 0,
       s"append on $what: the delta contains document ids already in the " +
         "live index. Publish is append-only over LIVE ids; deletes go " +
-        "through deleteFromNearDupIndex/deleteFromAnnIndex (generation-" +
-        "stamped tombstones), and an UPDATE is delete followed by " +
-        "append of the corrected rows — the stamp kills only the older " +
-        "generation, so the re-insert survives probes.")
+        "through deleteFromNearDupIndex/deleteFromAnnIndex/" +
+        "deleteFromChunkIndex (generation-stamped tombstones), and an " +
+        "UPDATE is delete followed by append of the corrected rows — " +
+        "the stamp kills only the older generation, so the re-insert " +
+        "survives probes.")
   }
 
   // --------------------------------------------- incremental publish
@@ -343,43 +347,173 @@ object StandingIndex {
     val ct = m.getAs[Int]("chunk_tokens")
     val nBuckets = m.getAs[Int]("n_buckets")
     val old = levelsOrMember(db, name, m, "levels", "fps")
-    val deltaFps = old.foldLeft(
-      TextAnalysis.corpusChunkFps(delta, content, id, ct))(
+    val oldFpdocs = chunkSidecarLevels(db, name, m)
+    // append-only gate over the LIVE id set (the match/neardup/ANN
+    // discipline, enabled for chunks by the round-17 sidecar): a
+    // fully-shadowed (tombstoned) id is re-insertable — delete →
+    // append is the first-class UPDATE.
+    requireNewIds(liveChunkSidecar(spark, m, oldFpdocs).select("doc_id"),
+      delta.select(id.as("doc_id")).distinct(), "doc_id", s"$db.$name")
+    val deltaFpdocs = TextAnalysis.corpusChunkFpDocs(delta, content, id, ct)
+    val deltaFpsAll = deltaFpdocs.select("fp").distinct()
+    val deltaFps = old.foldLeft(deltaFpsAll)(
       (acc, t) => acc.join(spark.table(t), Seq("fp"), "left_anti"))
     val metaBase = Seq(s"$ct AS chunk_tokens", s"$nBuckets AS n_buckets")
-    if (old.size >= maxLevels)
+    if (old.size >= maxLevels) {
+      // compaction FOLDS: live sidecar rows (generation-shadowed docs
+      // dropped) ∪ the delta's; the fps member is their distinct fp
+      // set — which also folds the dead-fp list out (a dead fp has no
+      // live referencing row by the fp-tomb invariant). Tombs clear.
+      val foldedFpdocs = liveChunkSidecar(spark, m, oldFpdocs)
+        .drop("__lvl").unionByName(deltaFpdocs)
       commitVersioned(spark, db, name, "chunk", Seq(
-        Member("fps", old.map(spark.table).reduce(_.unionByName(_))
-          .unionByName(deltaFps), Seq("fp"), nBuckets)),
-        v => metaBase :+ s"'${fq(db, name, v, "fps")}' AS levels")
-    else {
-      val lvl = s"fps_l${old.size}"
-      commitVersioned(spark, db, name, "chunk", Seq(
-        Member(lvl, deltaFps, Seq("fp"), nBuckets)),
-        v => metaBase :+
-          s"'${(old :+ fq(db, name, v, lvl)).mkString(",")}' AS levels")
+        Member("fps", foldedFpdocs.select("fp").distinct(),
+          Seq("fp"), nBuckets),
+        Member("fpdocs", foldedFpdocs, Seq("fp"), nBuckets)),
+        v => metaBase ++ Seq(
+          s"'${fq(db, name, v, "fps")}' AS levels",
+          s"'${fq(db, name, v, "fpdocs")}' AS levels_fpdocs"))
+    } else {
+      val lvlF = s"fps_l${old.size}"
+      val lvlD = s"fpdocs_l${old.size}"
+      // fp-tomb REVIVAL: a delta that re-references a dead digest
+      // makes it live again — it must leave the dead list (its
+      // physical copy in an older level resumes serving probes; the
+      // level anti-join above keeps the new level globally distinct
+      // either way). The doc tombstones carry over untouched: their
+      // generation stamps already exempt the new level.
+      val fpTomb = metaString(m, "fp_tomb_tab").flatMap { t =>
+        val kept = spark.table(t)
+          .join(deltaFpsAll, Seq("fp"), "left_anti")
+        if (kept.limit(1).count() == 0) None else Some(kept)
+      }
+      commitVersioned(spark, db, name, "chunk",
+        Seq(
+          Member(lvlF, deltaFps, Seq("fp"), nBuckets),
+          Member(lvlD, deltaFpdocs, Seq("fp"), nBuckets)) ++
+          fpTomb.map(Member("fptomb", _)),
+        v => metaBase ++
+          metaString(m, "tomb_tab").map(t => s"'$t' AS tomb_tab") ++
+          fpTomb.map(_ => s"'${fq(db, name, v, "fptomb")}' AS fp_tomb_tab") ++
+          Seq(
+            s"'${(old :+ fq(db, name, v, lvlF)).mkString(",")}' AS levels",
+            s"'${(oldFpdocs :+ fq(db, name, v, lvlD)).mkString(",")}' AS levels_fpdocs"))
     }
   }
 
+  /** The sidecar level tables of a delete-capable chunk index —
+    * loud-fails on a pre-round-17 layout (distinct digests only, no
+    * reference pairs): rebuild with [[buildChunkIndex]] to gain the
+    * delete/upsert lifecycle.
+    */
+  private def chunkSidecarLevels(db: String, name: String, m: Row): Seq[String] = {
+    val l = levelTables(m, "levels_fpdocs")
+    require(l.nonEmpty,
+      s"$db.$name was built before the (fp, doc_id) reference sidecar " +
+        "existed — its digest member cannot attribute digests to " +
+        "documents, so append gates and deletes are undefined on it. " +
+        "Rebuild with buildChunkIndex to get the delete-capable layout.")
+    l
+  }
+
+  /** Live (unshadowed) sidecar rows of a chunk index: (fp, doc_id,
+    * __lvl) minus the generations the doc tombstones kill.
+    */
+  private def liveChunkSidecar(spark: SparkSession, m: Row,
+                               sidecarLevels: Seq[String]): DataFrame = {
+    val all = unionWithOrdinal(spark, sidecarLevels)
+      .select("fp", "doc_id", "__lvl")
+    tombTable(m).fold(all)(t => dropShadowed(all, spark.table(t), "doc_id"))
+  }
+
+  /** Retire documents from the live chunk index — the refcount-style
+    * DELETE the shared-digest layout needs (r16 verdict item 4;
+    * the Scaladoc that used to declare this impossible described the
+    * pre-sidecar layout): a digest is live while ≥ 1 LIVE document
+    * references it, so deleting ids kills exactly the digests whose
+    * referencing docs are now all retired. The publish is
+    * O(deleted docs' digests), never O(index): the corpus-sized fps
+    * and fpdocs levels carry over by manifest reference; the delete
+    * writes (a) the merged generation-stamped doc tombstones (the
+    * [[deleteFromAnnIndex]] shadow algebra on doc_id — so delete →
+    * re-append is a first-class UPDATE here too) and (b) the DEAD-FP
+    * list: digests of the deleted docs' live generations minus those
+    * any surviving live row still references — candidates broadcast
+    * against the fp-bucketed sidecar scans, so nothing corpus-sized
+    * shuffles. Probes treat dead digests as absent
+    * ([[TextAnalysis.chunkDedupAgainstFpLevels]]'s un-kill branch),
+    * making probe-after-delete EXACTLY the probe of an index rebuilt
+    * over corpus-minus-deleted (q218's oracle replays that full
+    * pipeline). The next compaction folds both lists out.
+    *
+    * Invariant maintained everywhere: fp_tomb = digests physically
+    * present in some level with ZERO live referencing sidecar rows.
+    * Appends that re-reference a dead digest revive it (remove it
+    * from the list); compactions rewrite members to the live set and
+    * clear both lists.
+    */
+  def deleteFromChunkIndex(spark: SparkSession, ids: DataFrame,
+                           db: String = "graft_idx",
+                           name: String = "chunk_idx"): Int = {
+    val m = manifestOrThrow(spark, db, name, "chunk")
+    val del = ids.select(col("doc_id").cast(LongType).as("doc_id")).distinct()
+    val fpsLevels = levelsOrMember(db, name, m, "levels", "fps")
+    val sidecar = chunkSidecarLevels(db, name, m)
+    requireLiveIds(spark, m, del,
+      unionWithOrdinal(spark, sidecar).select("doc_id", "__lvl"),
+      "doc_id", s"$db.$name")
+    val live = liveChunkSidecar(spark, m, sidecar)
+    // digests the retired docs reference (their live generation only)
+    val candidates = live.join(broadcast(del), Seq("doc_id"), "left_semi")
+      .select("fp").distinct()
+    // ... minus digests any SURVIVING live row still references: the
+    // candidate list broadcasts into the fp-bucketed sidecar scans
+    // (map-only), the delete set broadcasts into the doc filter
+    val surviving = live.join(broadcast(candidates), Seq("fp"), "left_semi")
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .select("fp").distinct()
+    val dead = candidates.join(surviving, Seq("fp"), "left_anti")
+    val newFpTomb = metaString(m, "fp_tomb_tab")
+      .map(t => spark.table(t).unionByName(dead).distinct())
+      .getOrElse(dead)
+    val newDocTomb = mergedTomb(spark, m, del, "doc_id", fpsLevels.size)
+    commitVersioned(spark, db, name, "chunk",
+      Seq(Member("doctomb", newDocTomb), Member("fptomb", newFpTomb)),
+      v => Seq(s"${m.getAs[Int]("chunk_tokens")} AS chunk_tokens",
+        s"${m.getAs[Int]("n_buckets")} AS n_buckets",
+        s"'${fpsLevels.mkString(",")}' AS levels",
+        s"'${sidecar.mkString(",")}' AS levels_fpdocs",
+        s"'${fq(db, name, v, "doctomb")}' AS tomb_tab",
+        s"'${fq(db, name, v, "fptomb")}' AS fp_tomb_tab"))
+  }
+
   /** Explicit level-collapse of the live chunk index — the
-    * [[compactNearDupIndex]] maintenance motion for the family with
-    * no tombstones (digests are shared across docs; retire-by-id is a
-    * rebuild, see [[deleteFromNearDupIndex]]): a probe pays one
-    * anti-join PER LEVEL, so an index grown by many small appends
-    * that stopped arriving never amortizes its level tax without
-    * this. Levels are globally distinct by the append-time anti-join,
-    * so the union IS the compacted digest set. Idempotent.
+    * [[compactNearDupIndex]] maintenance motion: a probe pays one
+    * anti-join PER LEVEL (plus, after deletes, the dead-fp un-kill
+    * branch), so an index grown by many small appends that stopped
+    * arriving never amortizes its level tax without this. The live
+    * sidecar (generation-shadowed rows dropped) is the compacted
+    * reference state; its distinct fp set is the compacted digest
+    * member — which excludes every dead digest, so both tombstone
+    * lists clear. Idempotent.
     */
   def compactChunkIndex(spark: SparkSession, db: String = "graft_idx",
                         name: String = "chunk_idx"): Int = {
     val m = manifestOrThrow(spark, db, name, "chunk")
     val nBuckets = m.getAs[Int]("n_buckets")
+    // the live sidecar IS the compacted state: generation-shadowed
+    // rows drop, and the rewritten fps member (its distinct fp set)
+    // therefore drops every dead digest too — both tomb lists clear
+    val foldedFpdocs = liveChunkSidecar(spark, m,
+      chunkSidecarLevels(db, name, m)).drop("__lvl")
     commitVersioned(spark, db, name, "chunk", Seq(
-      Member("fps", levelsOrMember(db, name, m, "levels", "fps")
-        .map(spark.table).reduce(_.unionByName(_)), Seq("fp"), nBuckets)),
+      Member("fps", foldedFpdocs.select("fp").distinct(),
+        Seq("fp"), nBuckets),
+      Member("fpdocs", foldedFpdocs, Seq("fp"), nBuckets)),
       v => Seq(s"${m.getAs[Int]("chunk_tokens")} AS chunk_tokens",
         s"$nBuckets AS n_buckets",
-        s"'${fq(db, name, v, "fps")}' AS levels"))
+        s"'${fq(db, name, v, "fps")}' AS levels",
+        s"'${fq(db, name, v, "fpdocs")}' AS levels_fpdocs"))
   }
 
   /** Incremental publish of the live near-dup index — LEVELED (round
@@ -478,12 +612,21 @@ object StandingIndex {
   def buildChunkIndex(spark: SparkSession, corpus: DataFrame,
                       content: Column, id: Column, chunkTokens: Int = 8,
                       nBuckets: Int = 64, db: String = "graft_idx",
-                      name: String = "chunk_idx"): Int =
+                      name: String = "chunk_idx"): Int = {
+    // the (fp, doc_id) sidecar (round 17) is what makes the family
+    // delete-capable: digests are SHARED across documents, so
+    // retire-by-id needs reference attribution — see
+    // [[deleteFromChunkIndex]]. Probes never read it; it is bucketed
+    // on fp so delete-time liveness checks broadcast into its buckets.
+    val fpdocs = TextAnalysis.corpusChunkFpDocs(corpus, content, id,
+      chunkTokens)
     commitVersioned(spark, db, name, "chunk", Seq(
-      Member("fps", TextAnalysis.corpusChunkFps(corpus, content, id,
-        chunkTokens), Seq("fp"), nBuckets)),
+      Member("fps", fpdocs.select("fp").distinct(), Seq("fp"), nBuckets),
+      Member("fpdocs", fpdocs, Seq("fp"), nBuckets)),
       v => Seq(s"$chunkTokens AS chunk_tokens", s"$nBuckets AS n_buckets",
-        s"'${fq(db, name, v, "fps")}' AS levels"))
+        s"'${fq(db, name, v, "fps")}' AS levels",
+        s"'${fq(db, name, v, "fpdocs")}' AS levels_fpdocs"))
+  }
 
   /** Probe a batch against the live chunk index —
     * `TextAnalysis.chunkDedupIncremental`'s exact output (per batch
@@ -496,7 +639,11 @@ object StandingIndex {
     val m = manifestOrThrow(spark, db, name, "chunk")
     TextAnalysis.chunkDedupAgainstFpLevels(
       levelsOrMember(db, name, m, "levels", "fps").map(spark.table),
-      batch, content, id, m.getAs[Int]("chunk_tokens"))
+      batch, content, id, m.getAs[Int]("chunk_tokens"),
+      // dead digests (zero live referencing docs, awaiting the next
+      // compaction fold) must not count as corpus hits — see
+      // [[deleteFromChunkIndex]]
+      deadFps = metaString(m, "fp_tomb_tab").map(spark.table))
   }
 
   // -------------------------------------------------- near-dup (LSH)
@@ -557,11 +704,14 @@ object StandingIndex {
           spark.table(st), spark.table(bt),
           m.getAs[Int]("n"), m.getAs[Int]("k"), m.getAs[Int]("bands")),
         batch, content, id, threshold)
+      // project BOTH branches to p's own schema (r16 ADVICE): the
+      // anti-join can reorder columns, and a future lookupNearDups
+      // column must not make the probe schema tombstone-dependent
       tombDf.fold(p)(t =>
-        p.join(broadcast(t),
+          p.join(broadcast(t),
             p("dup_of") === t("doc_id") && lit(i) < t("dead_below"),
-            "left_anti")
-          .select("new_id", "dup_of", "jaccard"))
+            "left_anti"))
+        .select(p.columns.toSeq.map(col): _*)
     }.reduce(_.unionByName(_))
   }
 
@@ -578,13 +728,15 @@ object StandingIndex {
     * oracle, and q216 gates it against the full SQL replay over
     * corpus-minus-deleted.
     *
-    * The chunk index deliberately has no delete: its member stores
-    * DISTINCT digests shared across documents, so retiring a doc
-    * needs per-digest refcounts (or a (fp, doc_id) member) to know
-    * which digests die with it — a different layout, rebuilt instead
-    * (the match index likewise: its hot-cap/sub splits are functions
-    * of global occurrence counts, so retire-by-id would drift from
-    * rebuild semantics whenever the cap binds).
+    * The chunk index gained its delete in round 17 via the
+    * (fp, doc_id) reference sidecar ([[deleteFromChunkIndex]]). The
+    * MATCH index remains the one family without retire-by-id: its
+    * hot-cap/sub splits are functions of GLOBAL occurrence counts, so
+    * a retire that merely removed the deleted docs' rows would drift
+    * from rebuild semantics whenever the cap binds (a gh capped
+    * because of the deleted docs' occurrences would stay split/capped
+    * after the delete where a rebuild would uncap it) — documented
+    * rebuild-instead semantics.
     */
   /** Explicit compaction of the live near-dup index — the maintenance
     * motion a pure-delete workload needs: without it, tombstones only
@@ -689,7 +841,14 @@ object StandingIndex {
     * the ANN (vec_id) and near-dup (doc_id) delete paths.
     */
   private def tombTable(m: Row): Option[String] =
-    scala.util.Try(m.getAs[String]("tomb_tab")).toOption
+    metaString(m, "tomb_tab")
+
+  /** A string meta field that may be absent OR NULL: `Try(...).toOption`
+    * alone yields `Some(null)` for a present-but-NULL field (r16
+    * ADVICE) — flatMap through `Option(_)` so both degrade to None.
+    */
+  private def metaString(m: Row, field: String): Option[String] =
+    scala.util.Try(m.getAs[String](field)).toOption.flatMap(Option(_))
       .map(_.trim).filter(_.nonEmpty)
 
   /** Union a leveled member's tables with every row stamped by its

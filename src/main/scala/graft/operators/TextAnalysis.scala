@@ -1181,6 +1181,21 @@ object TextAnalysis {
     chunkedCore(corpus, content, id, chunkTokens, overlap = 0)
       .select(md5(col("chunk_text")).as("fp")).distinct()
 
+  /** The (fp, doc_id) REFERENCE pairs of a corpus — which documents
+    * contribute each distinct chunk digest. The refcount sidecar a
+    * delete-capable standing chunk index persists next to the
+    * probe-facing digest set ([[StandingIndex.buildChunkIndex]]): a
+    * digest dies only when its LAST live referencing document is
+    * retired, and this frame is what makes that determinable from ids
+    * alone. Distinct per (fp, doc_id) — within-document repetition is
+    * irrelevant to liveness.
+    */
+  private[operators] def corpusChunkFpDocs(corpus: DataFrame, content: Column,
+                                           id: Column,
+                                           chunkTokens: Int): DataFrame =
+    chunkedCore(corpus, content, id, chunkTokens, overlap = 0)
+      .select(md5(col("chunk_text")).as("fp"), col("doc_id")).distinct()
+
   /** Screen a batch against an already-distinct corpus chunk-digest
     * frame (in memory or a [[StandingIndex]] table bucketed on fp —
     * then the anti-join's index side needs no Exchange): batch chunks
@@ -1204,14 +1219,27 @@ object TextAnalysis {
   private[operators] def chunkDedupAgainstFpLevels(corpusFpLevels: Seq[DataFrame],
                                                    batch: DataFrame,
                                                    content: Column, id: Column,
-                                                   chunkTokens: Int): DataFrame = {
+                                                   chunkTokens: Int,
+                                                   deadFps: Option[DataFrame] =
+                                                     None): DataFrame = {
     require(corpusFpLevels.nonEmpty, "need at least one corpus fp level")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("fp").orderBy("doc_id", "chunk_id")
-    corpusFpLevels.foldLeft(
-        chunkedCore(batch, content, id, chunkTokens, overlap = 0)
-          .withColumn("fp", md5(col("chunk_text"))))(
-        (acc, lvl) => acc.join(lvl, Seq("fp"), "left_anti"))
+    val chunks = chunkedCore(batch, content, id, chunkTokens, overlap = 0)
+      .withColumn("fp", md5(col("chunk_text")))
+    val afterLevels = corpusFpLevels.foldLeft(chunks)(
+      (acc, lvl) => acc.join(lvl, Seq("fp"), "left_anti"))
+    // dead digests (zero live referencing docs after deletes, still
+    // physically present in a level until the next compaction fold)
+    // must NOT count as corpus hits: un-kill the batch chunks whose fp
+    // is on the dead list. The list is tombstone-sized (≪ corpus, or
+    // you'd compact) so it broadcasts, and the two branches are
+    // disjoint by construction (dead fps ⊆ level fps, so a dead-fp
+    // chunk never survives the anti-join chain) — the union is exact.
+    val survivors = deadFps.fold(afterLevels)(d =>
+      afterLevels.unionByName(
+        chunks.join(broadcast(d.select("fp")), Seq("fp"), "left_semi")))
+    survivors
       .withColumn("kept", row_number().over(w) === 1)
       // anti-join survivors only — chunks found in the corpus are gone
       // entirely, so n_chunks must come from a fresh per-doc count over

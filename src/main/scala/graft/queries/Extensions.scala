@@ -453,10 +453,14 @@ object Extensions {
 
   // Build blocks below synchronize on their AtomicReference: the
   // check-then-act plus mode(overwrite) saveAsTable is only safe
-  // sequentially, and while Bench/Verify run queries one at a time
-  // today, a concurrent harness must not read a table mid-overwrite
-  // or double-build (round-15 ADVICE). The lock is uncontended in the
-  // sequential case — zero cost.
+  // sequentially — the lock prevents double-builds (round-15 ADVICE)
+  // and is uncontended in Bench/Verify's sequential case, zero cost.
+  // Residual race (r16 ADVICE): the returned s.table(...) frame reads
+  // LAZILY after the lock is released, so a truly concurrent harness
+  // could still observe a mid-overwrite table; full protection needs
+  // the StandingIndex versioned-name + manifest-flip pattern, not
+  // in-place overwrite. Documented, not built — no concurrent caller
+  // exists, and the share tables are session-scoped scratch.
   private def sharedSimhashPairs(s: SparkSession, d: String): DataFrame = {
     simhashPairsBuiltFor.synchronized {
       if (simhashPairsBuiltFor.get != d ||
@@ -3558,7 +3562,9 @@ object Extensions {
     idxIncBuiltFor.synchronized {
     if (idxIncBuiltFor.get != d ||
         !s.catalog.tableExists("graft_idx.docs_match_inc") ||
-        !s.catalog.tableExists("graft_idx.docs_neardup_del")) {
+        !s.catalog.tableExists("graft_idx.docs_neardup_del") ||
+        !s.catalog.tableExists("graft_idx.docs_chunk_del") ||
+        !s.catalog.tableExists("graft_idx.docs_chunk_ups")) {
       val docs = Tables.documents(s, d)
       // match contract (q188/q192): corpus = doc_id % 10 != 0.
       // Base = 1..5, appended delta = 6..9.
@@ -3590,6 +3596,27 @@ object Extensions {
         docs.filter(col("doc_id") % 10 < 8 && col("doc_id") % 30 === 5)
           .select("doc_id"),
         name = "docs_neardup_del")
+      // the chunk delete twin (q218, round 17): same corpus/slice as
+      // the near-dup delete — the refcount machinery must kill
+      // exactly the digests whose referencing docs all retired
+      val chunkCorpus = docs.filter(col("doc_id") % 10 < 8)
+      val chunkDelSlice = docs
+        .filter(col("doc_id") % 10 < 8 && col("doc_id") % 30 === 5)
+      StandingIndex.buildChunkIndex(s, chunkCorpus, col("text"),
+        col("doc_id"), chunkTokens = 8, nBuckets = 8,
+        name = "docs_chunk_del")
+      StandingIndex.deleteFromChunkIndex(s, chunkDelSlice.select("doc_id"),
+        name = "docs_chunk_del")
+      // the chunk upsert twin (q219): delete the slice, re-append the
+      // SAME docs — generation stamps + dead-fp revival must net to
+      // identity against the plain full oracle
+      StandingIndex.buildChunkIndex(s, chunkCorpus, col("text"),
+        col("doc_id"), chunkTokens = 8, nBuckets = 8,
+        name = "docs_chunk_ups")
+      StandingIndex.deleteFromChunkIndex(s, chunkDelSlice.select("doc_id"),
+        name = "docs_chunk_ups")
+      StandingIndex.appendChunkIndex(s, chunkDelSlice, col("text"),
+        col("doc_id"), name = "docs_chunk_ups")
       idxIncBuiltFor.set(d)
     }
     }
@@ -3655,6 +3682,49 @@ object Extensions {
       threshold = 0.8,
       corpusWhere = "doc_id % 10 < 8 AND NOT (doc_id % 30 = 5)",
       batchWhere = "doc_id % 10 >= 8")))
+
+  /** Refcount DELETE from the standing chunk index, probed — the
+    * motion the shared-digest layout needed a reference sidecar for
+    * ([[graft.operators.StandingIndex.deleteFromChunkIndex]], round
+    * 17): digests are shared across documents, so retiring the
+    * doc_id ≡ 5 (mod 30) slice must kill exactly the digests whose
+    * referencing docs ALL retired (any digest a surviving doc shares
+    * stays live), at O(deleted docs' digests) publish cost — the
+    * corpus-sized members carry over by manifest reference. The probe
+    * treats dead digests as absent, so probe-after-delete is EXACTLY
+    * the probe of an index rebuilt over corpus-minus-deleted — the
+    * oracle replays that full pipeline (the q216 precedent).
+    */
+  private val q218 = Q("q218_chunk_idx_delete_probe",
+    (s, d) => {
+      standingIndexesIncremental(s, d)
+      StandingIndex.probeChunks(s,
+        Tables.documents(s, d).filter(col("doc_id") % 10 >= 8),
+        col("text"), col("doc_id"), name = "docs_chunk_del")
+    },
+    Some(TextAnalysis.chunkDedupIncrementalOracle(chunkTokens = 8,
+      corpusWhere = "doc_id % 10 < 8 AND NOT (doc_id % 30 = 5)",
+      batchWhere = "doc_id % 10 >= 8")))
+
+  /** Generation-stamped UPSERT on the standing chunk index, probed —
+    * q217's discipline on the shared-digest family: delete the slice,
+    * re-append the SAME documents. The doc tombstones' `dead_below`
+    * stamps exempt the re-appended level, and the re-referenced dead
+    * digests REVIVE off the fp-tomb list (their physical copies in
+    * the original level resume serving probes), so the whole round
+    * trip must net to identity — the probe hash-matches the PLAIN
+    * full-corpus oracle, the strongest witness that nothing of the
+    * delete leaks through.
+    */
+  private val q219 = Q("q219_chunk_idx_upsert_probe",
+    (s, d) => {
+      standingIndexesIncremental(s, d)
+      StandingIndex.probeChunks(s,
+        Tables.documents(s, d).filter(col("doc_id") % 10 >= 8),
+        col("text"), col("doc_id"), name = "docs_chunk_ups")
+    },
+    Some(TextAnalysis.chunkDedupIncrementalOracle(chunkTokens = 8,
+      corpusWhere = "doc_id % 10 < 8", batchWhere = "doc_id % 10 >= 8")))
 
   /** IVFADC — the missing rung between q60 (IVF-flat) and q197 (PQ on
     * raw vectors): coarse cells + PQ over residuals, nprobe-bounded
@@ -4004,5 +4074,5 @@ object Extensions {
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190,
     q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
-    q211, q212, q213, q214, q215, q216, q217)
+    q211, q212, q213, q214, q215, q216, q217, q218, q219)
 }

@@ -128,12 +128,14 @@ class StandingIndexSpec extends SparkSpec {
     StandingIndex.buildChunkIndex(spark, corpus, col("text"), col("doc_id"),
       nBuckets = 2, db = db, name = "m_life")
     assert(liveVersion === Some(1))
-    assert(memberTables === Set("m_life__v0__fps", "m_life__v1__fps"),
+    assert(memberTables === Set("m_life__v0__fps", "m_life__v0__fpdocs",
+      "m_life__v1__fps", "m_life__v1__fpdocs"),
       "previous version must survive one publish cycle")
     StandingIndex.buildChunkIndex(spark, corpus, col("text"), col("doc_id"),
       nBuckets = 2, db = db, name = "m_life")
     assert(liveVersion === Some(2))
-    assert(memberTables === Set("m_life__v1__fps", "m_life__v2__fps"),
+    assert(memberTables === Set("m_life__v1__fps", "m_life__v1__fpdocs",
+      "m_life__v2__fps", "m_life__v2__fpdocs"),
       "versions older than the superseded one must be GC'd")
     // probes resolve through the manifest — still consistent post-GC
     assert(rows(StandingIndex.probeChunks(spark, batch, col("text"),
@@ -630,6 +632,216 @@ class StandingIndexSpec extends SparkSpec {
     assert(StandingIndex.manifest(spark, db, "c_cmp").get
       .getAs[String]("levels").split(",").length === 1)
     assert(cProbe() === cBefore)
+  }
+
+  test("deleteFromChunkIndex: refcount law, rebuild-equivalence, " +
+       "O(tombstones) publish, gates, upsert revival, folds") {
+    val corp = corpus // %10 != 0 — disjoint from the probe batch
+    StandingIndex.buildChunkIndex(spark, corp, col("text"),
+      col("doc_id"), chunkTokens = 8, nBuckets = 4, db = db, name = "c_del")
+    val m0 = StandingIndex.manifest(spark, db, "c_del").get
+    def cProbe(name: String) = rows(StandingIndex.probeChunks(spark,
+      batch, col("text"), col("doc_id"), db = db, name = name))
+    val cNever = cProbe("c_del")
+    val delIds = corp.filter(col("doc_id") % 20 === 1).select("doc_id")
+    val delSet = delIds.collect().map(_.getLong(0)).toSet
+    assert(delSet.nonEmpty)
+    StandingIndex.deleteFromChunkIndex(spark, delIds, db = db,
+      name = "c_del")
+    val mD = StandingIndex.manifest(spark, db, "c_del").get
+    // O(tombstones) publish: the corpus-sized members carry over by
+    // reference — identical FQ names before and after the delete
+    assert(mD.getAs[String]("levels") === m0.getAs[String]("levels"))
+    assert(mD.getAs[String]("levels_fpdocs") ===
+      m0.getAs[String]("levels_fpdocs"))
+    // the refcount LAW, recomputed by an independent formulation
+    // (groupBy over the sidecar vs the operator's join chain): the
+    // dead list is EXACTLY the digests whose referencing docs all
+    // retired; any digest a surviving doc shares stays live
+    val side = mD.getAs[String]("levels_fpdocs").split(",").toSeq
+      .map(spark.table).reduce(_.unionByName(_))
+    val perFp = side.groupBy("fp").agg(
+      max(when(col("doc_id").isInCollection(delSet), 1).otherwise(0))
+        .as("hasDel"),
+      max(when(!col("doc_id").isInCollection(delSet), 1).otherwise(0))
+        .as("hasLive"))
+    val tombFps = spark.table(mD.getAs[String]("fp_tomb_tab"))
+      .collect().map(_.getString(0)).toSet
+    val onlyDel = perFp.filter(col("hasDel") === 1 && col("hasLive") === 0)
+      .select("fp").collect().map(_.getString(0)).toSet
+    val shared = perFp.filter(col("hasDel") === 1 && col("hasLive") === 1)
+      .select("fp").collect().map(_.getString(0)).toSet
+    assert(onlyDel === tombFps,
+      "dead list must be exactly the zero-live-reference digests")
+    assert(shared.nonEmpty, "fixture must exercise shared digests")
+    assert(tombFps.nonEmpty, "fixture must kill at least one digest")
+    // probe-after-delete ≡ probe of an index rebuilt without the
+    // retired docs (the q218 gate, locally)
+    StandingIndex.buildChunkIndex(spark,
+      corp.filter(!(col("doc_id") % 20 === 1)), col("text"),
+      col("doc_id"), chunkTokens = 8, nBuckets = 4, db = db,
+      name = "c_del_truth")
+    val truthProbe = cProbe("c_del_truth")
+    assert(cProbe("c_del") === truthProbe)
+    assert(cNever !== truthProbe,
+      "fixture must make the delete observable at probe time")
+    // loud gates: unknown id, double delete, and append of a live id
+    import spark.implicits._
+    val eU = intercept[IllegalArgumentException] {
+      StandingIndex.deleteFromChunkIndex(spark,
+        Seq(999999L).toDF("doc_id"), db = db, name = "c_del")
+    }
+    assert(eU.getMessage.contains("not live"))
+    val eD = intercept[IllegalArgumentException] {
+      StandingIndex.deleteFromChunkIndex(spark, delIds.limit(1), db = db,
+        name = "c_del")
+    }
+    assert(eD.getMessage.contains("not live"))
+    val eA = intercept[IllegalArgumentException] {
+      StandingIndex.appendChunkIndex(spark,
+        corp.filter(col("doc_id") % 20 === 2), col("text"),
+        col("doc_id"), db = db, name = "c_del")
+    }
+    assert(eA.getMessage.contains("already in the"))
+    // UPSERT: re-append the SAME docs — generation stamps exempt the
+    // new level, every dead digest is re-referenced and must REVIVE
+    // (fp-tomb clears), and the probe nets to the never-deleted truth
+    val delDocs = corp.filter(col("doc_id") % 20 === 1)
+    StandingIndex.appendChunkIndex(spark, delDocs, col("text"),
+      col("doc_id"), db = db, name = "c_del")
+    val mU = StandingIndex.manifest(spark, db, "c_del").get
+    assert(!mU.schema.fieldNames.contains("fp_tomb_tab"),
+      "full re-reference must revive every dead digest")
+    assert(mU.schema.fieldNames.contains("tomb_tab"),
+      "doc tombstones stay until the next fold (generation stamps)")
+    assert(cProbe("c_del") === cNever,
+      "delete + same-doc re-append must net to identity")
+    // the re-inserted generation is itself deletable (monotone stamps)
+    StandingIndex.deleteFromChunkIndex(spark, delIds, db = db,
+      name = "c_del")
+    assert(cProbe("c_del") === cProbe("c_del_truth"))
+    // explicit compaction (pure-delete maintenance): members rewrite
+    // to the live sets, both tomb lists clear, probe value-identical
+    StandingIndex.compactChunkIndex(spark, db = db, name = "c_del")
+    val mC = StandingIndex.manifest(spark, db, "c_del").get
+    assert(!mC.schema.fieldNames.contains("tomb_tab"))
+    assert(!mC.schema.fieldNames.contains("fp_tomb_tab"))
+    val foldedIds = spark.table(mC.getAs[String]("levels_fpdocs"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(foldedIds.intersect(delSet).isEmpty,
+      "folded sidecar must physically drop every retired doc")
+    val foldedFps = spark.table(mC.getAs[String]("levels"))
+      .select("fp").collect().map(_.getString(0)).toSet
+    assert(foldedFps.intersect(onlyDel).isEmpty,
+      "folded digest member must physically drop every dead digest")
+    assert(cProbe("c_del") === cProbe("c_del_truth"))
+    // append-triggered fold (maxLevels crossed): same clearing
+    StandingIndex.deleteFromChunkIndex(spark,
+      corp.filter(col("doc_id") % 20 === 11).select("doc_id"),
+      db = db, name = "c_del")
+    StandingIndex.appendChunkIndex(spark, delDocs, col("text"),
+      col("doc_id"), db = db, name = "c_del", maxLevels = 1)
+    val mF = StandingIndex.manifest(spark, db, "c_del").get
+    assert(!mF.schema.fieldNames.contains("tomb_tab"))
+    assert(!mF.schema.fieldNames.contains("fp_tomb_tab"))
+    assert(mF.getAs[String]("levels").split(",").length === 1)
+    StandingIndex.buildChunkIndex(spark,
+      corp.filter(!(col("doc_id") % 20 === 11)), col("text"),
+      col("doc_id"), chunkTokens = 8, nBuckets = 4, db = db,
+      name = "c_del_truth2")
+    assert(cProbe("c_del") === cProbe("c_del_truth2"))
+  }
+
+  test("independent plain-Scala recompute: near-dup index lifecycle " +
+       "build → append → delete → upsert → compact, probe row-for-row") {
+    // The q87 defense applied to the subtlest code in the repo (the
+    // generation-stamp shadow algebra): every probe along a full
+    // lifecycle is recomputed from FIRST PRINCIPLES in plain
+    // collections — strings → md5 → universal-hash minhash → band
+    // hashes → exact Jaccard — with no Spark SQL and no DuckDB, so a
+    // correlated engine/oracle blind spot cannot hide here. The plain
+    // model is FLAT (no levels, no tombstones): it probes the live
+    // document set each time, which is exactly the identity the
+    // leveled+stamped engine claims to implement.
+    val (n, k, bands, thr) = (3, 8, 4, 0.5)
+    val r = k / bands
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shingleSet(text: String): Array[String] = {
+      val toks = text.split("\\s+", -1) // Spark split keeps trailing empties
+      if (toks.length < n) Array.empty
+      else {
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        for (i <- 0 to toks.length - n) seen += toks.slice(i, i + n).mkString(" ")
+        seen.toArray
+      }
+    }
+    val P = 2147483647L
+    def bandHashes(sh: Array[String]): Seq[String] = {
+      val shh = sh.map(s => java.lang.Long.parseLong(
+        md5hex(s).substring(0, 8), 16))
+      val sig = (0 until k).map(i =>
+        shh.map(h => ((2L * i + 1) * h + 1000003L * (i + 1)) % P).min)
+      (0 until bands).map(b =>
+        md5hex((0 until r).map(j => sig(b * r + j).toString).mkString("|")))
+    }
+    val allTexts = docs.select("doc_id", "text").collect()
+      .map(row => row.getLong(0) -> row.getString(1)).toMap
+    val batchIds = allTexts.keySet.filter(_ % 10 == 0)
+    def plainProbe(liveIds: Set[Long]): Set[(Long, Long, Double)] = {
+      def prepared(ids: Set[Long]) = ids.toSeq.sorted
+        .map(i => (i, shingleSet(allTexts(i)))).filter(_._2.nonEmpty)
+        .map { case (i, sh) => (i, sh.toSet, bandHashes(sh)) }
+      val corpusP = prepared(liveIds)
+      (for {
+        (bId, bSh, bBands) <- prepared(batchIds)
+        (cId, cSh, cBands) <- corpusP
+        // candidate iff SOME band index agrees on its band hash
+        if (0 until bands).exists(b => bBands(b) == cBands(b))
+        inter = (bSh & cSh).size
+        jac = inter.toDouble / (bSh.size + cSh.size - inter)
+        if jac >= thr
+      } yield (bId, cId, jac)).toSet
+    }
+    def engineProbe(): Set[(Long, Long, Double)] =
+      StandingIndex.probeNearDups(spark, batch, col("text"), col("doc_id"),
+        threshold = thr, db = db, name = "n_plain")
+        .collect().map(row =>
+          (row.getLong(0), row.getLong(1), row.getDouble(2))).toSet
+    val sliceA = docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 4)
+    val sliceB = docs.filter(col("doc_id") % 10 >= 5 && col("doc_id") % 10 <= 7)
+    val idsA = allTexts.keySet.filter(i => i % 10 >= 1 && i % 10 <= 4)
+    val idsB = allTexts.keySet.filter(i => i % 10 >= 5 && i % 10 <= 7)
+    // delete slice spans BOTH levels (%7 hits ids in A and in B)
+    val idsD = (idsA ++ idsB).filter(_ % 7 == 5)
+    assert(idsD.exists(idsA) && idsD.exists(idsB))
+    StandingIndex.buildNearDupIndex(spark, sliceA, col("text"),
+      col("doc_id"), n = n, k = k, bands = bands, nBuckets = 4, db = db,
+      name = "n_plain")
+    assert(engineProbe() === plainProbe(idsA))
+    StandingIndex.appendNearDupIndex(spark, sliceB, col("text"),
+      col("doc_id"), db = db, name = "n_plain")
+    assert(engineProbe() === plainProbe(idsA ++ idsB))
+    val delDf = docs.filter((col("doc_id") % 10 >= 1) &&
+      (col("doc_id") % 10 <= 7) && (col("doc_id") % 7 === 5))
+    StandingIndex.deleteFromNearDupIndex(spark, delDf.select("doc_id"),
+      db = db, name = "n_plain")
+    val afterDelete = engineProbe()
+    assert(afterDelete === plainProbe(idsA ++ idsB -- idsD))
+    assert(afterDelete !== plainProbe(idsA ++ idsB),
+      "fixture must make the delete probe-visible")
+    // upsert: re-append the SAME docs — net identity vs the flat model
+    StandingIndex.appendNearDupIndex(spark, delDf, col("text"),
+      col("doc_id"), db = db, name = "n_plain")
+    assert(engineProbe() === plainProbe(idsA ++ idsB))
+    // re-delete the re-inserted generation, then compact: the fold is
+    // layout-only, so both probes must equal the flat minus-D model
+    StandingIndex.deleteFromNearDupIndex(spark, delDf.select("doc_id"),
+      db = db, name = "n_plain")
+    assert(engineProbe() === plainProbe(idsA ++ idsB -- idsD))
+    StandingIndex.compactNearDupIndex(spark, db = db, name = "n_plain")
+    assert(engineProbe() === plainProbe(idsA ++ idsB -- idsD))
   }
 
   test("ANN probe plan: no shuffle between the codes member scan and its joins") {

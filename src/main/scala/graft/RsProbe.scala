@@ -87,6 +87,48 @@ object RsProbe {
       val _ = modes
       clean()
     }
+    // Interleaved A/B (round-17 verdict item 1): the window arm's two
+    // count passes over the cache — mode's (g, q) and the ranking's
+    // (g, x) — vs ONE grouping-sets pass (Expand doubles the map-side
+    // rows, halves the scan/job count). grouping_id discriminates the
+    // sets, so NULL measure values can never collide with the
+    // grouping nulls. Checksum parity gates the comparison.
+    {
+      val v = li.select(col("l_returnflag").as("g"),
+          floor(col("l_quantity")).cast(LongType).as("q"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast(LongType).as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      v.count()
+      def twoPass() = {
+        v.groupBy("g", "q").agg(count(lit(1)).as("w"))
+          .write.format("noop").mode("overwrite").save()
+        v.groupBy("g", "x").agg(count(lit(1)).as("w"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      def fused() =
+        v.groupingSets(Seq(Seq(col("g"), col("q")), Seq(col("g"), col("x"))),
+            col("g"), col("q"), col("x"))
+          .agg(count(lit(1)).as("w"), grouping(col("q")).as("gq"))
+          .write.format("noop").mode("overwrite").save()
+      // parity: the fused pass must reproduce both count frames
+      val g2 = v.groupingSets(Seq(Seq(col("g"), col("q")), Seq(col("g"), col("x"))),
+          col("g"), col("q"), col("x"))
+        .agg(count(lit(1)).as("w"), grouping(col("q")).as("gq"))
+      val fusedQ = g2.filter(col("gq") === 0).select("g", "q", "w")
+      val fusedX = g2.filter(col("gq") === 1).select("g", "x", "w")
+      val okQ = fusedQ.collect().map(_.toString).sorted.sameElements(
+        v.groupBy("g", "q").agg(count(lit(1)).as("w"))
+          .collect().map(_.toString).sorted)
+      val okX = fusedX.collect().map(_.toString).sorted.sameElements(
+        v.groupBy("g", "x").agg(count(lit(1)).as("w"))
+          .collect().map(_.toString).sorted)
+      println(s"[rs] AB parity: q=$okQ x=$okX")
+      for (run <- 1 to 3) {
+        t(s"AB two-pass run$run") { twoPass() }
+        t(s"AB fused run$run") { fused() }
+      }
+      clean()
+    }
     spark.stop()
   }
 }

@@ -234,7 +234,19 @@ object Fns {
     * projection and use `explode_outer` + an explicit null filter
     * instead of `explode` + size filters.
     */
-  def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
+  def spreadIfNarrow(df: DataFrame, key: Column): DataFrame =
+    spreadIfNarrow(df, key, SpreadMinBytes)
+
+  /** [[spreadIfNarrow]] with a caller-chosen tiny-input threshold:
+    * the default gate assumes sub-[[SpreadMinBytes]] scans carry at
+    * most ~a second of one-core map work, which is false for
+    * regex-heavy text kernels on compressed text (r17 q178 StageProbe:
+    * a 0.6 MB documents scan carried ~1.8 s of single-task
+    * regexp_extract_all+explode). Such callers pass a lower
+    * `minBytes` (0 = spread whenever narrow and scan-shaped).
+    */
+  def spreadIfNarrow(df: DataFrame, key: Column,
+                     minBytes: Long): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // Probe the partition count only for scan-shaped inputs: on a frame
@@ -268,7 +280,7 @@ object Fns {
     // short-circuits (multi-split scans), so the gate only ever fires
     // where it was measured to matter.
     val tiny = scanShaped &&
-      df.queryExecution.optimizedPlan.stats.sizeInBytes < SpreadMinBytes
+      df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes
     if (!tiny && scanShaped && df.rdd.getNumPartitions < n)
       df.repartition(n, key)
     else df

@@ -83,18 +83,21 @@ object Dedup {
       expression(split(content, "\\s+"))))
   }
 
-  private def tokenizedDocs(docs: DataFrame, content: Column,
-                            id: Column): DataFrame = {
+  /** Spread a SCAN-SHAPED frame up to session parallelism before an
+    * expensive cached/multi-pass consumer: a small corpus parquet
+    * arrives as a handful of input splits, so without this every pass
+    * over it runs on that many cores whatever the cluster size. Probe
+    * the partition count only for scan-shaped inputs: on a frame with
+    * shuffle stages, `.rdd` under AQE materializes every upstream
+    * exchange just to read a count (the pipeline would run TWICE) —
+    * and such a frame already carries shuffle-partition parallelism,
+    * so the spread is unnecessary there anyway. At real scale the
+    * scan has ≥ target splits and this is a no-op.
+    */
+  private[operators] def spreadScan(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical
-    // the shingle consumers resolve the native `shingles` function
-    graft.expressions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val target = docs.sparkSession.sparkContext.defaultParallelism
-    // Probe the partition count only for scan-shaped inputs: on a frame
-    // with shuffle stages, `.rdd` under AQE materializes every upstream
-    // exchange just to read a count (the pipeline would run TWICE) —
-    // and such a frame already carries shuffle-partition parallelism,
-    // so the spread is unnecessary there anyway.
-    val scanShaped = docs.queryExecution.analyzed.collectFirst {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val scanShaped = df.queryExecution.analyzed.collectFirst {
       case _: logical.Aggregate          => ()
       case _: logical.Join               => ()
       case _: logical.Window             => ()
@@ -106,11 +109,16 @@ object Dedup {
       case _: logical.RepartitionOperation => ()
       case _: logical.Sort               => ()
     }.isEmpty
-    val spread =
-      if (scanShaped && docs.rdd.getNumPartitions < target)
-        docs.repartition(target)
-      else docs
-    spread.select(id.as("doc_id"), barrierSplit(content).as("toks"))
+    if (scanShaped && df.rdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
+  }
+
+  private def tokenizedDocs(docs: DataFrame, content: Column,
+                            id: Column): DataFrame = {
+    // the shingle consumers resolve the native `shingles` function
+    graft.expressions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    spreadScan(docs).select(id.as("doc_id"), barrierSplit(content).as("toks"))
   }
 
   /** (doc_id, g) exploded shingle pairs with the generator FUSED onto

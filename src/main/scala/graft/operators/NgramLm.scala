@@ -63,8 +63,14 @@ object NgramLm {
     * @return (doc_id, n_bigrams, avg_prob)
     */
   def bigramScore(docs: DataFrame, content: Column, id: Column): DataFrame = {
+    // minBytes = 0: this kernel's per-byte cost (lowercase + regex
+    // extract-all + bigram explode, then the stream re-derived by the
+    // scoring join) breaks the default tiny-input gate's "sub-MB scan
+    // = sub-second map" assumption — r17 StageProbe measured ~1.8 s of
+    // single-task work on a 0.6 MB scan the gate had left unspread
     val ws = graft.functions.Fns.spreadIfNarrow(
-        docs.select(id.as("doc_id"), content.as("__content")), col("doc_id"))
+        docs.select(id.as("doc_id"), content.as("__content")), col("doc_id"),
+        minBytes = 0L)
       .select(col("doc_id"), words(col("__content")).as("ws"))
     // the size(ws) >= 2 guard lives INSIDE the projection (CASE WHEN →
     // null array) and the generate is OUTER + null-filtered: a plain

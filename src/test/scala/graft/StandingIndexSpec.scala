@@ -752,6 +752,73 @@ class StandingIndexSpec extends SparkSpec {
     assert(cProbe("c_del") === cProbe("c_del_truth2"))
   }
 
+  test("match-index delete descope PROVEN: the hot-cap counterexample — " +
+       "carried-by-reference members cannot be rebuild-equivalent") {
+    // The Scaladoc claim (deleteFromNearDupIndex): the match index has
+    // no O(tombstones) delete because its hot-cap/sub splits are
+    // functions of GLOBAL occurrence counts. This test constructs the
+    // counterexample: a gram capped BECAUSE OF the deleted docs'
+    // occurrences. After the delete, a rebuild un-caps it and
+    // reassigns every SURVIVING row's sub (pmod by a different nsub) —
+    // so the anchors member's bytes must change for rows the delete
+    // never touched, and no carry-by-reference + tombstone publish
+    // (the ANN/near-dup/chunk shape) can satisfy the bit-identical-
+    // to-rebuild contract (q201's gate). Probe VALUES agree either
+    // way (the sub split is layout, spec'd at "hot-anchor cap"), which
+    // is exactly why the contract is bit-level and the documented
+    // delete is a rebuild.
+    import spark.implicits._
+    // 6 docs sharing one 4-token phrase; every other window unique
+    val docs6 = (1L to 6L).map(i =>
+        (i, s"alpha beta gamma delta u${i}a u${i}b")).toDF("doc_id", "text")
+    StandingIndex.buildMatchIndex(spark, docs6, col("text"), col("doc_id"),
+      minLen = 4, maxAnchorOccurrences = 4, nBuckets = 2, db = db,
+      name = "m_imp_full")
+    def member(name: String, suffix: String) = {
+      val v = StandingIndex.manifest(spark, db, name).get.getAs[Int]("version")
+      spark.table(s"$db.${name}__v${v}__$suffix")
+    }
+    assert(member("m_imp_full", "hot").count() > 0,
+      "the cap must bind on the 6-occurrence phrase (6 > 4)")
+    // pick 3 survivors including one whose corpus-id hash is odd: its
+    // sub under the capped layout (nsub = 2) is 1, but a rebuild
+    // without the deleted docs (3 ≤ cap) has nsub = 1 ⇒ sub = 0
+    val subs = spark.range(1, 7)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(2L)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oddIds = (1L to 6L).filter(i => subs(i) == 1L)
+    assert(oddIds.nonEmpty && oddIds.size < 6, s"hash split: $subs")
+    val survivors = (oddIds.take(1) ++
+      (1L to 6L).filterNot(oddIds.take(1).contains)).take(3)
+    StandingIndex.buildMatchIndex(spark,
+      docs6.filter(col("doc_id").isInCollection(survivors)),
+      col("text"), col("doc_id"), minLen = 4, maxAnchorOccurrences = 4,
+      nBuckets = 2, db = db, name = "m_imp_rebuild")
+    assert(member("m_imp_rebuild", "hot").count() === 0,
+      "the rebuild must un-cap (3 ≤ 4)")
+    // the surviving rows' BYTES differ: same (gh, corpus_id, pos_c),
+    // different sub — a carried-by-reference anchors member is wrong
+    val fullSurvivorRows = member("m_imp_full", "anchors")
+      .filter(col("corpus_id").isInCollection(survivors))
+      .collect().map(_.toString).toSet
+    val rebuildRows = member("m_imp_rebuild", "anchors")
+      .collect().map(_.toString).toSet
+    assert(fullSurvivorRows !== rebuildRows,
+      "surviving rows must need a sub reassignment when the cap unbinds")
+    // ... while probe VALUES agree (the split is layout): the bit-level
+    // publish contract, not probe semantics, is what forces the rebuild
+    val probeDoc = Seq((100L, "alpha beta gamma delta tail1 tail2"))
+      .toDF("doc_id", "text")
+    def probeSurvivors(name: String) = rows(StandingIndex.probeMatches(
+        spark, probeDoc, col("text"), col("doc_id"), db = db, name = name)
+      .filter(col("corpus_id").isInCollection(survivors))
+      .select("batch_id", "pos_b", "corpus_id", "pos_c", "match_len"))
+    val viaRebuild = probeSurvivors("m_imp_rebuild")
+    assert(viaRebuild.nonEmpty)
+    assert(probeSurvivors("m_imp_full") === viaRebuild,
+      "per-survivor probe values agree across the two layouts")
+  }
+
   test("independent plain-Scala recompute: near-dup index lifecycle " +
        "build → append → delete → upsert → compact, probe row-for-row") {
     // The q87 defense applied to the subtlest code in the repo (the

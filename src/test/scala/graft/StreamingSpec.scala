@@ -703,6 +703,82 @@ class StreamingSpec extends SparkSpec {
       "batch 0 ran before the append and cannot see delta vectors")
   }
 
+  test("annProbeSink: a mid-stream DELETE and re-append (upsert) move " +
+       "each next batch to the right generation") {
+    // the round-17 twin of the append-flip test above: the manifest
+    // re-resolution must pick up TOMBSTONE publishes too — a live
+    // retrieval endpoint honors a GDPR erasure at the next
+    // micro-batch, and the generation-stamped re-append (the q217
+    // upsert) restores the vectors for the batch after that.
+    import graft.operators.StandingIndex
+    import graft.tables.Tables
+    val d = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, d)
+    val queries = emb.filter(col("vec_id") >= 16 && col("vec_id") < 24)
+    val c0 = queries.filter(col("vec_id") < 19)
+    val c1 = queries.filter(col("vec_id") >= 19 && col("vec_id") < 22)
+    val c2 = queries.filter(col("vec_id") >= 22)
+
+    StandingIndex.buildAnnIndex(spark, emb, nCells = 16, m = 4, ksub = 16,
+      corpusFrom = 24, iters = 2, nBuckets = 4, name = "stream_ann_del")
+    def probe(qs: org.apache.spark.sql.DataFrame): Set[String] =
+      StandingIndex.probeAnn(spark, qs, k = 5, nprobe = 16,
+        name = "stream_ann_del").collect().map(_.toString).toSet
+    // the delete slice = batch 0's own neighbors — guarantees the
+    // delete is observable (batch 0 returned them; batch 1 must not)
+    val e0 = probe(c0)
+    val eNever2 = probe(c2) // the never-deleted truth for batch 2
+    val delSet = StandingIndex.probeAnn(spark, c0, k = 5, nprobe = 16,
+        name = "stream_ann_del")
+      .select("neighbor_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(delSet.nonEmpty)
+    import spark.implicits._
+    val delIds = delSet.toSeq.toDF("vec_id")
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft-sad-in")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sad-out").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sad-ck").toString
+    c0.coalesce(1).write.parquet(inDir.toString + "/c0")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString + "/c*")
+    val q = EventStream.annProbeSink(stream, outDir, ckpt, k = 5,
+      nprobe = 16, name = "stream_ann_del")
+    try {
+      q.processAllAvailable()          // batch 0: full index
+      StandingIndex.deleteFromAnnIndex(spark, delIds,
+        name = "stream_ann_del")      // tombstone publish mid-stream
+      val e1 = probe(c1)               // post-delete truth, pre-upsert
+      c1.coalesce(1).write.parquet(inDir.toString + "/c1")
+      q.processAllAvailable()          // batch 1: tombstones live
+      // upsert: re-append the SAME vectors (frozen quantizers
+      // reproduce the codes exactly — the q217 net identity)
+      StandingIndex.appendAnnIndex(spark,
+        emb.filter(col("vec_id").isInCollection(delSet)),
+        name = "stream_ann_del")
+      c2.coalesce(1).write.parquet(inDir.toString + "/c2")
+      q.processAllAvailable()          // batch 2: re-insert visible
+
+      val out = spark.read.parquet(outDir)
+      def neighbors(lo: Long, hi: Long): Seq[Long] =
+        out.filter(col("query_id") >= lo && col("query_id") < hi)
+          .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+      // batch 0 ran pre-delete and returned the soon-deleted ids
+      assert(out.filter(col("query_id") < 19).collect()
+        .map(_.toString).toSet === e0)
+      assert(neighbors(16, 19).exists(delSet), "delete must be observable")
+      // batch 1 ran between delete and upsert: no retired id survives
+      assert(out.filter(col("query_id") >= 19 && col("query_id") < 22)
+        .collect().map(_.toString).toSet === e1)
+      assert(!neighbors(19, 22).exists(delSet),
+        "a tombstoned vector must not be returned mid-lifecycle")
+      // batch 2 ran post-upsert: net identity with the never-deleted
+      // index (the q217 law, observed through the streaming endpoint)
+      assert(out.filter(col("query_id") >= 22).collect()
+        .map(_.toString).toSet === eNever2)
+    } finally q.stop()
+  }
+
   test("contaminationSink: per-micro-batch screening equals the batch operator over the union") {
     import graft.operators.Curate
     import graft.tables.Tables

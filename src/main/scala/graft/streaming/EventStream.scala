@@ -320,6 +320,40 @@ object EventStream {
       }
       .start()
 
+  /** Standing chunk-screening endpoint (the 18th stream≡batch twin):
+    * each arriving micro-batch of documents is screened against the
+    * LIVE chunk index by the batch
+    * [[graft.operators.StandingIndex.probeChunks]] operator verbatim —
+    * per-document rows (doc_id, n_chunks, n_kept, dedup_text), so
+    * stream output equals the batch probe of each micro-batch slice
+    * at its then-live index generation. NOT chunking-independent by
+    * design: the within-batch first-occurrence vote is part of the
+    * probe contract, so the micro-batch IS the dedup scope — the same
+    * statement as calling the batch operator once per crawl shard.
+    * The manifest re-resolves at EVERY micro-batch: a rebuild, a
+    * leveled append, a refcount tombstone DELETE
+    * ([[graft.operators.StandingIndex.deleteFromChunkIndex]]) or a
+    * generation-stamped upsert published mid-stream atomically moves
+    * the NEXT batch to the new generation — an erasure request stops
+    * shadowing its digests (they revive for arriving shards) one
+    * micro-batch after the tombstone lands, with no endpoint restart
+    * (spec: the delete/upsert flip twin). Emits append-only. Returns
+    * the started query; callers own awaitTermination/stop.
+    */
+  def chunkProbeSink(docsStream: DataFrame, content: String, id: String,
+                     outDir: String, checkpointDir: String,
+                     db: String = "graft_idx", name: String = "chunk_idx")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.StandingIndex.probeChunks(batch.sparkSession,
+            batch.toDF(), col(content), col(id), db, name)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Online contamination monitor (15th stream≡batch twin): every
     * micro-batch of an arriving document stream is screened against
     * the STATIC eval-set grams by the batch

@@ -911,6 +911,90 @@ class StandingIndexSpec extends SparkSpec {
     assert(engineProbe() === plainProbe(idsA ++ idsB -- idsD))
   }
 
+  test("independent plain-Scala recompute: chunk index lifecycle " +
+       "build → append → delete → upsert → compact, probe row-for-row") {
+    // The near-dup recompute's defense extended to the round-17
+    // refcount algebra (dead digests = zero live referencing docs,
+    // fp-tomb revival, the probe's un-kill branch): every probe along
+    // a full chunk-index lifecycle is recomputed from FIRST PRINCIPLES
+    // in plain collections — tokens → fixed windows → md5 digests →
+    // a flat live-digest set — with no Spark SQL and no DuckDB. The
+    // plain model has no levels, no sidecar, no tombstones of either
+    // kind: it re-derives the live corpus digest set each time, which
+    // is exactly the identity the leveled+stamped+refcounted engine
+    // claims to implement.
+    val ct = 8
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chunksOf(text: String): Vector[(Long, String)] = {
+      val toks = text.split("\\s+", -1) // Spark split keeps empties
+      val n = toks.length
+      val nc = 1 + (math.max(n - ct, 0) + ct - 1) / ct
+      (0 until nc).map(i =>
+        (i.toLong, toks.slice(i * ct, math.min(n, i * ct + ct))
+          .mkString(" "))).toVector
+    }
+    val allTexts = docs.select("doc_id", "text").collect()
+      .map(row => row.getLong(0) -> row.getString(1)).toMap
+    val batchIds = allTexts.keySet.filter(_ % 10 == 0)
+    def plainProbe(liveIds: Set[Long]): Set[(Long, Long, Long, String)] = {
+      val liveFps = liveIds.flatMap(i =>
+        chunksOf(allTexts(i)).map(c => md5hex(c._2)))
+      val batchChunks = batchIds.toSeq.sorted.flatMap(d =>
+        chunksOf(allTexts(d)).map { case (cid, txt) =>
+          (d, cid, txt, md5hex(txt)) })
+      val survivors = batchChunks.filterNot(c => liveFps(c._4))
+      // global first occurrence among survivors, by (doc_id, chunk_id)
+      val kept = survivors.groupBy(_._4)
+        .map { case (_, cs) => cs.minBy(c => (c._1, c._2)) }.toSet
+      batchIds.map { d =>
+        val mine = kept.filter(_._1 == d).toSeq.sortBy(_._2)
+        (d, chunksOf(allTexts(d)).size.toLong, mine.size.toLong,
+          mine.map(_._3).mkString(" "))
+      }
+    }
+    def engineProbe(): Set[(Long, Long, Long, String)] =
+      StandingIndex.probeChunks(spark, batch, col("text"), col("doc_id"),
+        db = db, name = "c_plain")
+        .collect().map(row => (row.getLong(0), row.getLong(1),
+          row.getLong(2), row.getString(3))).toSet
+    val sliceA = docs.filter(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 4)
+    val sliceB = docs.filter(col("doc_id") % 10 >= 5 && col("doc_id") % 10 <= 7)
+    val idsA = allTexts.keySet.filter(i => i % 10 >= 1 && i % 10 <= 4)
+    val idsB = allTexts.keySet.filter(i => i % 10 >= 5 && i % 10 <= 7)
+    // delete slice spans BOTH levels (%7 hits ids in A and in B)
+    val idsD = (idsA ++ idsB).filter(_ % 7 == 5)
+    assert(idsD.exists(idsA) && idsD.exists(idsB))
+    StandingIndex.buildChunkIndex(spark, sliceA, col("text"),
+      col("doc_id"), chunkTokens = ct, nBuckets = 4, db = db,
+      name = "c_plain")
+    assert(engineProbe() === plainProbe(idsA))
+    StandingIndex.appendChunkIndex(spark, sliceB, col("text"),
+      col("doc_id"), db = db, name = "c_plain")
+    assert(engineProbe() === plainProbe(idsA ++ idsB))
+    val delDf = docs.filter((col("doc_id") % 10 >= 1) &&
+      (col("doc_id") % 10 <= 7) && (col("doc_id") % 7 === 5))
+    StandingIndex.deleteFromChunkIndex(spark, delDf.select("doc_id"),
+      db = db, name = "c_plain")
+    val afterDelete = engineProbe()
+    assert(afterDelete === plainProbe(idsA ++ idsB -- idsD))
+    assert(afterDelete !== plainProbe(idsA ++ idsB),
+      "fixture must make the delete probe-visible (a batch chunk " +
+        "digest must die with the retired docs)")
+    // upsert: re-append the SAME docs — net identity vs the flat model
+    StandingIndex.appendChunkIndex(spark, delDf, col("text"),
+      col("doc_id"), db = db, name = "c_plain")
+    assert(engineProbe() === plainProbe(idsA ++ idsB))
+    // re-delete the re-inserted generation, then compact: the fold is
+    // layout-only, so both probes must equal the flat minus-D model
+    StandingIndex.deleteFromChunkIndex(spark, delDf.select("doc_id"),
+      db = db, name = "c_plain")
+    assert(engineProbe() === plainProbe(idsA ++ idsB -- idsD))
+    StandingIndex.compactChunkIndex(spark, db = db, name = "c_plain")
+    assert(engineProbe() === plainProbe(idsA ++ idsB -- idsD))
+  }
+
   test("ANN probe plan: no shuffle between the codes member scan and its joins") {
     StandingIndex.buildAnnIndex(spark, emb, nCells = 16, m = 4, ksub = 16,
       corpusFrom = 24, iters = 2, nBuckets = 4, db = db, name = "a_plan")

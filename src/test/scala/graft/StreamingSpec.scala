@@ -779,6 +779,92 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkProbeSink: batch parity AND a mid-stream refcount DELETE " +
+       "and re-append (upsert) move each next batch to the right generation") {
+    // the chunk-family member of the delete-flip family: the manifest
+    // re-resolution must pick up the round-17 refcount tombstone
+    // publish — an erasure's digests stop shadowing arriving shards
+    // (they REVIVE: chunks that used to drop as corpus dups are kept)
+    // one micro-batch after the delete lands, and the
+    // generation-stamped re-append restores the screen for the batch
+    // after that (the q219 net-identity law through the endpoint).
+    import graft.operators.{StandingIndex, TextAnalysis}
+    import graft.tables.Tables
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batchAll = docs.filter(col("doc_id") % 10 === 0)
+    val c0 = batchAll.filter(col("doc_id") < 200)
+    val c1 = batchAll.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+    val c2 = batchAll.filter(col("doc_id") >= 400)
+    assert(c0.limit(1).count() === 1 && c1.limit(1).count() === 1 &&
+      c2.limit(1).count() === 1)
+
+    StandingIndex.buildChunkIndex(spark, corpus, col("text"),
+      col("doc_id"), chunkTokens = 8, nBuckets = 4,
+      name = "stream_chunk_del")
+    def probe(slice: org.apache.spark.sql.DataFrame): Set[String] =
+      StandingIndex.probeChunks(spark, slice, col("text"), col("doc_id"),
+        name = "stream_chunk_del").collect().map(_.toString).toSet
+    val e0 = probe(c0)
+    val ePre1 = probe(c1)   // what batch 1 would read WITHOUT the delete
+    val eNever2 = probe(c2) // the never-deleted truth for batch 2
+    // delete slice = every corpus doc sharing a chunk digest with c1:
+    // with ALL referencing docs retired, each shared digest dies, so
+    // the delete is probe-visible at batch 1 by construction
+    def fps(slice: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.chunkDocuments(slice, col("text"), col("doc_id"),
+        chunkTokens = 8, overlap = 0)
+        .select(md5(col("chunk_text")).as("fp"))
+    val delIds = TextAnalysis.chunkDocuments(corpus, col("text"),
+        col("doc_id"), chunkTokens = 8, overlap = 0)
+      .select(md5(col("chunk_text")).as("fp"), col("doc_id"))
+      .join(fps(c1), Seq("fp"), "left_semi")
+      .select("doc_id").distinct()
+    assert(delIds.limit(1).count() === 1,
+      "fixture must share a chunk digest between corpus and batch 1")
+    val delDocs = corpus.join(delIds, Seq("doc_id"), "left_semi")
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft-scd-in")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-scd-out").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd-ck").toString
+    c0.coalesce(1).write.parquet(inDir.toString + "/c0")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString + "/c*")
+    val q = EventStream.chunkProbeSink(stream, "text", "doc_id",
+      outDir, ckpt, name = "stream_chunk_del")
+    var e1 = Set.empty[String]         // post-delete truth, pre-upsert
+    try {
+      q.processAllAvailable()          // batch 0: full index
+      StandingIndex.deleteFromChunkIndex(spark, delIds,
+        name = "stream_chunk_del")     // refcount tombstones mid-stream
+      e1 = probe(c1)
+      assert(e1 !== ePre1,
+        "the delete must change batch 1's screen (revived digests)")
+      c1.coalesce(1).write.parquet(inDir.toString + "/c1")
+      q.processAllAvailable()          // batch 1: dead digests revive
+      // upsert: re-append the SAME corpus docs (generation stamps
+      // exempt the new level; every dead digest re-referenced)
+      StandingIndex.appendChunkIndex(spark, delDocs, col("text"),
+        col("doc_id"), name = "stream_chunk_del")
+      c2.coalesce(1).write.parquet(inDir.toString + "/c2")
+      q.processAllAvailable()          // batch 2: screen restored
+    } finally q.stop()
+
+    val out = spark.read.parquet(outDir)
+    def slice(lo: Long, hi: Long): Set[String] =
+      out.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .collect().map(_.toString).toSet
+    assert(slice(0, 200) === e0, "batch 0 must equal the pre-delete probe")
+    val got1 = slice(200, 400)
+    assert(got1 === e1, "batch 1 must equal the post-delete probe")
+    assert(got1 !== ePre1,
+      "a dead digest must stop shadowing batch 1 (kept, not dropped)")
+    assert(slice(400, Long.MaxValue) === eNever2,
+      "batch 2 post-upsert must net to the never-deleted truth")
+  }
+
   test("contaminationSink: per-micro-batch screening equals the batch operator over the union") {
     import graft.operators.Curate
     import graft.tables.Tables

@@ -995,6 +995,171 @@ class StandingIndexSpec extends SparkSpec {
     assert(engineProbe() === plainProbe(idsA ++ idsB -- idsD))
   }
 
+  test("independent plain-Scala recompute: ANN index lifecycle " +
+       "build → append → delete → upsert → compact, probe row-for-row") {
+    // The third (and subtlest) member of the recompute-defense family:
+    // the FULL IVFADC quantizer math — deterministic L2 Lloyd with
+    // decimal-exact means, residual PQ books seeded from the first
+    // ksub corpus vectors, frozen-quantizer encode, asymmetric-LUT
+    // probe with fixed-order distance sums — re-derived from FIRST
+    // PRINCIPLES in plain collections, with no Spark SQL and no
+    // DuckDB. The plain model is FLAT: no levels, no tombstone
+    // stamps, no sidecar — it encodes the live id set against the
+    // build-time quantizers and ranks candidates directly, which is
+    // exactly the identity the leveled + generation-stamped engine
+    // index claims to implement (probe doubles compared EXACTLY —
+    // every arithmetic step mirrors the engine's IEEE fold order).
+    val nCells = 16; val mSub = 4; val ksub = 16; val corpusFrom = 24L
+    val iters = 2; val dim = 64; val subLen = dim / mSub
+    type Vec = Array[Double]
+    // dot_product expression: left-to-right acc += a(i)*b(i)
+    def dotP(a: Vec, b: Vec): Double = {
+      var acc = 0.0; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    // l2 kernel: (xx − 2·xy) + yy, both engines' fold order
+    def l2d(xx: Double, xy: Double, yy: Double): Double = xx - 2.0 * xy + yy
+    // the M-step mean: per-value cast to DECIMAL(38,6) (HALF_UP, off
+    // the double's shortest decimal form — Spark's Decimal(BigDecimal
+    // (d))), exact decimal sum, cast to double, / count
+    def decMean(xs: Seq[Double]): Double =
+      xs.map(x => java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP))
+        .reduce(_.add(_)).doubleValue() / xs.size
+    val allVecs: Map[Long, Vec] = emb.select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    // deterministic Lloyd (the lloydTrainL2All algebra): argmin by
+    // (squared-L2, cent_id), decimal means, empty cells keep their
+    // previous centroid
+    def lloyd(seeds: Seq[(Long, Vec)], train: Seq[Vec]): Seq[(Long, Vec)] = {
+      var cents = seeds
+      for (_ <- 1 to iters) {
+        val byCell = train.map { v =>
+          val vv = dotP(v, v)
+          cents.map { case (id, c) =>
+            (l2d(vv, dotP(v, c), dotP(c, c)), id) }.min._2 -> v
+        }.groupBy(_._1)
+        cents = cents.map { case (id, c) =>
+          id -> byCell.get(id).fold(c)(ms => Array.tabulate(c.length)(p =>
+            decMean(ms.map(_._2(p)))))
+        }
+      }
+      cents
+    }
+    // argminLit: FIRST minimum over cent_id-sorted centroids = min by
+    // (d, cent_id)
+    def argmin(v: Vec, cents: Seq[(Long, Vec)]): Long = {
+      val vv = dotP(v, v)
+      cents.map { case (id, c) => (l2d(vv, dotP(v, c), dotP(c, c)), id) }
+        .min._2
+    }
+    val idsA = allVecs.keySet.filter(_ < 300)
+    val idsB = allVecs.keySet.filter(_ >= 300)
+    val corpusA = idsA.filter(_ >= corpusFrom).toSeq.sorted
+    // coarse codebook: seeds = vec_id < nCells of slice A, train =
+    // slice A's corpus (ids ≥ corpusFrom)
+    val coarse = lloyd(
+      (0L until nCells.toLong).map(i => i -> allVecs(i)),
+      corpusA.map(allVecs))
+    def residOf(id: Long): (Long, Vec) = {
+      val e = allVecs(id)
+      val cell = argmin(e, coarse)
+      val ce = coarse.find(_._1 == cell).get._2
+      cell -> Array.tabulate(dim)(i => e(i) - ce(i))
+    }
+    def subOf(r: Vec, s: Int): Vec = r.slice(s * subLen, s * subLen + subLen)
+    // residual PQ books: per subspace, seeds = the first ksub corpus
+    // vectors' residual subvectors (cent ids = their vec_ids), train =
+    // all of slice A's residuals
+    val residA: Map[Long, (Long, Vec)] = corpusA.map(i => i -> residOf(i)).toMap
+    val books: Seq[Seq[(Long, Vec)]] = (0 until mSub).map { s =>
+      lloyd(
+        corpusA.take(ksub).map(i => i -> subOf(residA(i)._2, s)),
+        corpusA.map(i => subOf(residA(i)._2, s)))
+    }
+    // frozen-quantizer encode — identical for build, append and upsert
+    def encode(id: Long): (Long, Seq[Long]) = {
+      val (cell, r) = residOf(id)
+      (cell, (0 until mSub).map(s => argmin(subOf(r, s), books(s))))
+    }
+    val queryIds = (16L until 24L).toSeq
+    val k = 5; val nprobe = 3
+    def plainProbe(liveIds: Set[Long]): Set[(Long, Long, Double, Long)] = {
+      val cand = liveIds.toSeq.sorted.map(i => (i, encode(i)))
+      queryIds.flatMap { q =>
+        val qe = allVecs(q); val qq = dotP(qe, qe)
+        val probed = coarse.map { case (cell, ce) =>
+          (l2d(qq, dotP(qe, ce), dotP(ce, ce)), cell) }.sorted.take(nprobe)
+        val scored = probed.flatMap { case (_, cell) =>
+          val ce = coarse.find(_._1 == cell).get._2
+          val rq = Array.tabulate(dim)(i => qe(i) - ce(i))
+          // per-(query, cell) LUT over the residual query, then the
+          // fixed-order subspace sum d_0 + d_1 + … (foldLeft, exactly
+          // the engine's reduce(_ + _))
+          val lut: Seq[Map[Long, Double]] = (0 until mSub).map { s =>
+            val rqs = subOf(rq, s); val rr = dotP(rqs, rqs)
+            books(s).map { case (code, bce) =>
+              code -> l2d(rr, dotP(rqs, bce), dotP(bce, bce)) }.toMap
+          }
+          cand.filter(_._2._1 == cell).map { case (id, (_, codes)) =>
+            (id, codes.zipWithIndex
+              .map { case (c, s) => lut(s)(c) }.reduceLeft(_ + _))
+          }
+        }
+        scored.sortBy { case (id, d) => (d, id) }.take(k).zipWithIndex
+          .map { case ((id, d), i) => (q, id, d, (i + 1).toLong) }
+      }.toSet
+    }
+    def engineProbe(): Set[(Long, Long, Double, Long)] =
+      StandingIndex.probeAnn(spark, annQueries, k = k, nprobe = nprobe,
+        db = db, name = "a_plain")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+    StandingIndex.buildAnnIndex(spark, emb.filter(col("vec_id") < 300),
+      nCells = nCells, m = mSub, ksub = ksub, corpusFrom = corpusFrom,
+      iters = iters, nBuckets = 4, db = db, name = "a_plain")
+    // quantizer-level witness first (localizes a Lloyd/decimal drift
+    // before it smears into every probe row): the persisted coarse
+    // member must equal the plain model's centroids bit-for-bit
+    val mf = StandingIndex.manifest(spark, db, "a_plain").get
+    val coarseGot = spark.table(mf.getAs[String]("coarse_tab"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(coarseGot === coarse.map { case (id, c) => id -> c.toSeq }.toMap)
+    assert(engineProbe() === plainProbe(idsA.filter(_ >= corpusFrom)))
+    // frozen-quantizer append: slice B encodes against A's quantizers
+    StandingIndex.appendAnnIndex(spark, emb.filter(col("vec_id") >= 300),
+      db = db, name = "a_plain")
+    val live1 = idsA.filter(_ >= corpusFrom) ++ idsB
+    val probe1 = plainProbe(live1)
+    assert(engineProbe() === probe1)
+    // cross-level delete, guaranteed probe-visible: a rank-1 neighbor
+    // plus the %11 stripe (ids on both sides of the level split)
+    val topNbr = probe1.filter(_._4 == 1L).map(_._2).min
+    val idsD = live1.filter(_ % 11 == 7) + topNbr
+    assert(idsD.exists(_ < 300) && idsD.exists(_ >= 300))
+    import spark.implicits._
+    StandingIndex.deleteFromAnnIndex(spark, idsD.toSeq.sorted.toDF("vec_id"),
+      db = db, name = "a_plain")
+    val afterDelete = engineProbe()
+    assert(afterDelete === plainProbe(live1 -- idsD))
+    assert(afterDelete !== probe1, "fixture must make the delete probe-visible")
+    // upsert: re-append the SAME vectors — frozen encode reproduces the
+    // codes exactly, so the flat model sees net identity
+    StandingIndex.appendAnnIndex(spark,
+      emb.filter(col("vec_id").isin(idsD.toSeq: _*)), db = db,
+      name = "a_plain")
+    assert(engineProbe() === probe1)
+    // re-delete the re-inserted generation, then compact: the fold is
+    // layout-only, so both probes must equal the flat minus-D model
+    StandingIndex.deleteFromAnnIndex(spark, idsD.toSeq.sorted.toDF("vec_id"),
+      db = db, name = "a_plain")
+    assert(engineProbe() === plainProbe(live1 -- idsD))
+    StandingIndex.compactAnnIndex(spark, db = db, name = "a_plain")
+    assert(engineProbe() === plainProbe(live1 -- idsD))
+  }
+
   test("ANN probe plan: no shuffle between the codes member scan and its joins") {
     StandingIndex.buildAnnIndex(spark, emb, nCells = 16, m = 4, ksub = 16,
       corpusFrom = 24, iters = 2, nBuckets = 4, db = db, name = "a_plan")

@@ -145,12 +145,24 @@ object Extensions {
 
   /** ROLLUP grouping sets (explicit NULLS FIRST ordering — Spark and
     * DuckDB disagree on the default null sort order).
+    *
+    * r17: computed via [[graft.operators.Rollup.fromPartials]] — one
+    * fine (flag, status) aggregate pass re-aggregated into the coarser
+    * sets, replacing the native Expand(×3) plan that pushed 3× the
+    * corpus rows through the partial decimal aggregate (sf0.1 plan:
+    * Expand of 600k rows; the fine agg is 9 rows, so the derived
+    * levels are free). Oracle unchanged — COUNT/decimal-SUM
+    * re-aggregation is exact.
     */
   private val q54 = Q("q54_rollup",
-    (s, d) => Tables.lineitem(s, d)
-      .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("cnt"), Fns.exactSumD(col("l_quantity")).as("sum_qty"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    (s, d) => {
+      val keys = Seq("l_returnflag", "l_linestatus")
+      graft.operators.Rollup.fromPartials(Tables.lineitem(s, d), keys,
+          col("l_quantity"), graft.operators.Rollup.rollupSets(keys))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("cnt"), col("__s").cast(DoubleType).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
     Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -745,14 +757,21 @@ object Extensions {
     * aggregate, no extra scans.
     */
   private val q79 = Q("q79_grouping_sets",
-    (s, d) => Tables.orders(s, d)
-      .groupingSets(
-        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
-          Seq(col("o_orderstatus")), Seq()),
-        col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("cnt"), Fns.exactSumD(col("o_totalprice")).as("total"))
-      .orderBy(col("o_orderstatus").asc_nulls_first,
-        col("o_orderpriority").asc_nulls_first),
+    // r17: re-aggregated from the fine (status, priority) level via
+    // [[graft.operators.Rollup.fromPartials]] — the native plan's
+    // Expand(×3) pushed 3× the orders rows through the partial decimal
+    // aggregate (this replaces the r17 "Expand×4 pass IS the operator"
+    // floor row: the Expand was in fact reducible). Oracle unchanged.
+    (s, d) => {
+      val keys = Seq("o_orderstatus", "o_orderpriority")
+      graft.operators.Rollup.fromPartials(Tables.orders(s, d), keys,
+          col("o_totalprice"),
+          Seq(keys, Seq("o_orderstatus"), Seq.empty))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("cnt"), col("__s").cast(DoubleType).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
     Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
             FROM orders

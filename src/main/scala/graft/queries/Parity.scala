@@ -683,13 +683,23 @@ object Parity {
             GROUP BY c_custkey, c_name, n_name
             ORDER BY lost_revenue DESC, c_custkey LIMIT 20"""))
 
-  /** CUBE — all grouping-set combinations (completes q54's ROLLUP). */
+  /** CUBE — all grouping-set combinations (completes q54's ROLLUP).
+    * r17: re-aggregated from the fine grouping level
+    * ([[graft.operators.Rollup.fromPartials]]) — the native CUBE plan
+    * Expands every row ×4 before the partial decimal aggregate; the
+    * four sets derive exactly from the fine counts/sums. Oracle
+    * unchanged.
+    */
   private val q35 = Q("q35_cube",
-    (s, d) => Tables.orders(s, d)
-      .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("cnt"), Fns.exactSumD(col("o_totalprice")).as("total"))
-      .orderBy(col("o_orderstatus").asc_nulls_first,
-        col("o_orderpriority").asc_nulls_first),
+    (s, d) => {
+      val keys = Seq("o_orderstatus", "o_orderpriority")
+      graft.operators.Rollup.fromPartials(Tables.orders(s, d), keys,
+          col("o_totalprice"), graft.operators.Rollup.cubeSets(keys))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("cnt"), col("__s").cast(DoubleType).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
     Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)

@@ -3539,12 +3539,37 @@ object Extensions {
     * the clustered-structure spec pins PQ at same-cluster@5 = 1.00.
     * The audit exists to measure exactly this honestly.
     */
+  /** Session-shared exact-L2 truth (q199/q205/q213/q214 all audit
+    * against the IDENTICAL bruteForceTopKL2(nQueries=8, k=5,
+    * queryFrom=16) over the same embeddings): computed once per
+    * (session, data dir) into a 40-row table — the sharedIvfadcModel /
+    * classifierReportFrom train-once idiom (r17). Every audit's oracle
+    * keeps replaying the full literal brute-force SQL per query; the
+    * saved frame is value-identical (exact doubles, parquet
+    * round-trip-exact), so the gates prove the share changes nothing.
+    */
+  private val bruteTruthBuiltFor =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  private def sharedBruteTruthL2(s: SparkSession, d: String): DataFrame = {
+    bruteTruthBuiltFor.synchronized {
+      if (bruteTruthBuiltFor.get != d ||
+          !s.catalog.tableExists("graft_ml.brute_truth_l2")) {
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_ml")
+        Similarity.bruteForceTopKL2(Tables.embeddings(s, d), nQueries = 8,
+            k = 5, queryFrom = 16)
+          .write.mode("overwrite").saveAsTable("graft_ml.brute_truth_l2")
+        bruteTruthBuiltFor.set(d)
+      }
+    }
+    s.table("graft_ml.brute_truth_l2")
+  }
+
   private val q199 = Q("q199_pq_recall",
     (s, d) => Similarity.recallAtK(
         Similarity.pqTopK(Tables.embeddings(s, d), m = 4, ksub = 16,
           nQueries = 8, k = 5, iters = 2),
-        Similarity.bruteForceTopKL2(Tables.embeddings(s, d), nQueries = 8,
-          k = 5, queryFrom = 16))
+        sharedBruteTruthL2(s, d))
       .orderBy("query_id"),
     Some(Similarity.recallAtKOracle(
       Similarity.pqTopKOracle(m = 4, ksub = 16, nQueries = 8, k = 5,
@@ -3795,8 +3820,7 @@ object Extensions {
     (s, d) => Similarity.recallAtK(
         Similarity.ivfadcTopKWith(sharedIvfadcModel(s, d),
           Tables.embeddings(s, d), k = 5, nprobe = 2),
-        Similarity.bruteForceTopKL2(Tables.embeddings(s, d), nQueries = 8,
-          k = 5, queryFrom = 16))
+        sharedBruteTruthL2(s, d))
       .orderBy("query_id"),
     Some(Similarity.recallAtKOracle(
       Similarity.ivfadcTopKOracle(nCells = 16, m = 4, ksub = 16,
@@ -4047,8 +4071,7 @@ object Extensions {
     (s, d) => Similarity.recallAtK(
         Similarity.ivfadcRefineTopKWith(sharedIvfadcModel(s, d),
           Tables.embeddings(s, d), k = 5, nprobe = 2, rerank = 20),
-        Similarity.bruteForceTopKL2(Tables.embeddings(s, d), nQueries = 8,
-          k = 5, queryFrom = 16))
+        sharedBruteTruthL2(s, d))
       .orderBy("query_id"),
     Some(Similarity.recallAtKOracle(
       Similarity.ivfadcRefineTopKOracle(nCells = 16, m = 4, ksub = 16,
@@ -4066,8 +4089,7 @@ object Extensions {
     (s, d) => Similarity.recallAtK(
         Similarity.ivfadcRefineTopKWith(sharedIvfadcModel(s, d),
           Tables.embeddings(s, d), k = 5, nprobe = 4, rerank = 40),
-        Similarity.bruteForceTopKL2(Tables.embeddings(s, d), nQueries = 8,
-          k = 5, queryFrom = 16))
+        sharedBruteTruthL2(s, d))
       .orderBy("query_id"),
     Some(Similarity.recallAtKOracle(
       Similarity.ivfadcRefineTopKOracle(nCells = 16, m = 4, ksub = 16,

@@ -1033,15 +1033,22 @@ object Extensions {
     * formulation (identical semantics to UNPIVOT on both engines).
     */
   private val q88 = Q("q88_unpivot",
+    // r17: sort BEFORE the unpivot — (l_orderkey, l_linenumber) is a
+    // unique key, so ordering the 1× base rows and emitting the three
+    // measures in alphabetical order per row yields exactly the
+    // ORDER BY (okey, linenumber, measure) total order while the
+    // range sort processes N rows instead of 3N (unpivot's Expand is
+    // narrow and order-preserving). Same bag of rows, same order,
+    // oracle unchanged.
     (s, d) => Tables.lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity",
         "l_extendedprice", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
       .unpivot(
         ids = Array(col("l_orderkey"), col("l_linenumber")),
-        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        values = Array(col("l_discount"), col("l_extendedprice"), col("l_quantity")),
         variableColumnName = "measure",
-        valueColumnName = "value")
-      .orderBy("l_orderkey", "l_linenumber", "measure"),
+        valueColumnName = "value"),
     Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
                    l_quantity AS value FROM lineitem
             UNION ALL

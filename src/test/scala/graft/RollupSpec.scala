@@ -65,4 +65,24 @@ class RollupSpec extends SparkSpec {
     val der = derived(empty, Rollup.rollupSets(Seq("k1", "k2")))
     assert(rows(der) === Set((None, None, 0L, None)))
   }
+
+  test("property: fromPartials == native ROLLUP and CUBE on random frames") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val key = Gen.option(Gen.oneOf("a", "b", "c", "d"))
+    val row = for { a <- key; b <- key
+                    v <- Gen.chooseNum(-1000, 1000) } yield (a, b, v / 16.0)
+    val frames = (0 until 6).map { i =>
+      val n = 1 + i * 7
+      (0 until n).flatMap(j =>
+        row.apply(Gen.Parameters.default, Seed((i * 1000 + j).toLong)))
+        .toDF("k1", "k2", "v")
+    }
+    frames.foreach { f =>
+      assert(rows(derived(f, Rollup.rollupSets(Seq("k1", "k2")))) ===
+        rows(native(f, f.rollup("k1", "k2"))), "rollup")
+      assert(rows(derived(f, Rollup.cubeSets(Seq("k1", "k2")))) ===
+        rows(native(f, f.cube("k1", "k2"))), "cube")
+    }
+  }
 }

@@ -20,11 +20,30 @@ import org.apache.spark.sql.functions._
   * scanned and aggregated ONCE, and the derived levels are
   * domain-sized work, never data-sized.
   *
-  * The finest aggregate is materialized via one eager localCheckpoint
-  * (the [[Profiling]] domain-frame discipline) so the |sets|-branch
-  * union reads it from block storage instead of gambling on
-  * ReuseExchange across differently-pruned branches (the r06 lesson:
-  * per-branch column pruning defeats exchange reuse).
+  * r18 shape: the coarser sets derive from the fine frame via ONE
+  * native GROUPING SETS aggregate — Expand over a DOMAIN-sized frame
+  * is free (it was only harmful over the corpus), so the whole
+  * derivation is a single linear plan: fine partial agg (one corpus
+  * exchange) → Expand(×|sets|) over 9–19 rows → tiny final agg. The
+  * r17 shape instead ran a |sets|-branch union over an eagerly
+  * localCheckpoint-ed fine frame: correct, but it paid a dedicated
+  * corpus-pass checkpoint job plus 2 stages per branch — measured at
+  * sf1 (q79) the ~4 fixed extra stages cost MORE than the corpus
+  * Expand they replaced (0.75 → 0.97 s, the r17 verdict's kept
+  * regression). The grouping-sets-over-fine form keeps the corpus
+  * Expand eliminated AND drops the fixed overhead. The fine frame now
+  * has exactly ONE consumer, so no materialization is needed at all —
+  * except when `sets` includes the global () set (it does in all
+  * three declared queries): Spark's native grouping sets emit ZERO
+  * rows on empty input even for (), while this operator's contract
+  * (and the SQL oracles' engine) emits one cnt=0 global row — so the
+  * () row is derived by re-aggregating ONE grouping set of the
+  * domain-sized level frame, which is eagerly localCheckpoint-ed
+  * (9–19 rows — against the r17 ADVICE note, the non-reliable
+  * checkpoint now holds a trivially small frame, not the corpus-pass
+  * result, so executor loss costs one domain-sized recompute) to pin
+  * the two consumers to one computation (the r06 lesson: per-branch
+  * column pruning defeats ReuseExchange).
   *
   * Result equivalence with the native operator (oracle-gated): each
   * grouping set contributes one output row per surviving key
@@ -44,29 +63,50 @@ object Rollup {
   def fromPartials(df: DataFrame, keys: Seq[String], value: Column,
                    sets: Seq[Seq[String]]): DataFrame = {
     require(keys.nonEmpty, "keys must be non-empty")
+    require(sets.nonEmpty, "sets must be non-empty")
+    require(sets.distinct == sets, s"sets must be distinct, got $sets")
     require(sets.forall(_.forall(keys.contains)),
       s"every grouping set must be a subset of keys=$keys")
     val fine = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
         graft.functions.Fns.exactSum(value).as("__s"))
-      .localCheckpoint(eager = true)
     val keyType = keys.map(k => k -> fine.schema(k).dataType).toMap
-    val levels = sets.map { g =>
-      val agg =
-        if (g == keys) fine
-        else if (g.isEmpty)
-          // global aggregate: one row even on empty input — COUNT is 0
-          // there (sum-of-counts is NULL), matching the native () set
-          fine.agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt"),
-            sum(col("__s")).as("__s"))
-        else fine.groupBy(g.map(col): _*)
-          .agg(sum(col("cnt")).as("cnt"), sum(col("__s")).as("__s"))
-      agg.select(keys.map(k =>
-        (if (g.contains(k)) col(k)
-         else lit(null).cast(keyType(k))).as(k))
-        ++ Seq(col("cnt"), col("__s")): _*)
+    def nulls = keys.map(k => lit(null).cast(keyType(k)).as(k))
+    val nonGlobal = sets.filter(_.nonEmpty)
+    if (nonGlobal.isEmpty)
+      // only the () set — one plain global aggregate over the data
+      // (one row even on empty input: COUNT is 0, SUM is NULL, the
+      // oracle-engine GROUP BY () contract)
+      return df.agg(count(lit(1)).as("cnt"),
+          graft.functions.Fns.exactSum(value).as("__s"))
+        .select(nulls ++ Seq(col("cnt"), col("__s")): _*)
+    // every keyed set in ONE native grouping-sets pass over the
+    // domain-sized fine frame (sum-of-counts / sum-of-exact-decimal-
+    // sums re-aggregate exactly; data-NULL keys group within each set
+    // the same way the native corpus plan's nulled Expand copies do)
+    val levels = fine
+      .groupingSets(nonGlobal.map(_.map(col)), keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("__s")).as("__s"),
+        grouping_id().as("__gid"))
+    val body = levels.select(keys.map(col) ++ Seq(col("cnt"), col("__s")): _*)
+    if (!sets.exists(_.isEmpty)) body
+    else {
+      // the () row cannot ride the native pass (zero rows on empty
+      // input there) — derive it by re-aggregating exactly ONE of the
+      // computed sets, identified by its grouping_id. The level frame
+      // is domain-sized, so the pin-both-consumers checkpoint is tiny.
+      val lv = levels.localCheckpoint(eager = true)
+      val g0 = nonGlobal.head
+      val gid0 = keys.zipWithIndex.collect {
+        case (k, i) if !g0.contains(k) => 1 << (keys.length - 1 - i)
+      }.sum
+      val global = lv.filter(col("__gid") === lit(gid0))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("cnt"),
+          sum(col("__s")).as("__s"))
+        .select(nulls ++ Seq(col("cnt"), col("__s")): _*)
+      lv.select(keys.map(col) ++ Seq(col("cnt"), col("__s")): _*)
+        .unionByName(global)
     }
-    levels.reduce(_.unionByName(_))
   }
 
   /** The `sets` argument for a ROLLUP over `keys` (fine → grand total). */

@@ -453,6 +453,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     val pre = row(Profiling.ksDriftFromCounts(cnts(a), cnts(b)))
     assert(raw === pre)
     assert(raw.head._1 === 7L && raw.head._2 === 6L)
+    // the two-phase bucket-offset CDF arm (domains above windowDomain;
+    // r18) must compute the identical statistic — force it by putting
+    // the crossover below the 7-value domain
+    val two = row(Profiling.ksDrift(a, b, col("x0"), windowDomain = 1L))
+    assert(two === raw)
+  }
+
+  test("ksDrift two-phase arm: cumulative windows are per-bucket, never global") {
+    // a domain wide enough to spread over several range buckets, with
+    // clumped duplicates so bucket boundaries land inside value runs
+    val a = spark.range(0, 3000).selectExpr("(id % 500) * 3 AS x0")
+    val b = spark.range(0, 2000).selectExpr("(id % 400) * 4 AS x0")
+    val forced = Profiling.ksDrift(a, b, col("x0"), windowDomain = 1L)
+    val plan = forced.queryExecution.executedPlan.toString
+    // every window over the bucketed count frame is partitioned by the
+    // range-bucket id; the x-ordered cumsum must never be global
+    assert(plan.contains("windowspecdefinition(b#"),
+      s"expected a per-bucket cumulative window in:\n$plan")
+    assert(!plan.contains("windowspecdefinition(x#"),
+      s"the global-order x window must be gone in the two-phase arm:\n$plan")
+    val dflt = Profiling.ksDrift(a, b, col("x0"))
+    assert(forced.collect().toSeq === dflt.collect().toSeq)
   }
 
   test("systematicSample: exact k, partition-invariant, equals the global-window brute force") {

@@ -22,12 +22,18 @@ class RollupSpec extends SparkSpec {
     (None, None, 64.0), (Some("b"), Some("y"), 0.375))
     .toDF("k1", "k2", "v")
 
-  private def rows(d: DataFrame): Set[(Option[String], Option[String], Long, Option[Double])] =
+  /** Row multiplicity map — a true BAG compare (Set + count can miss
+    * mismatched duplicate multiplicity: {A,A,B} vs {A,B,B}; the r17
+    * ADVICE note), and grouping sets with data-NULL keys are exactly
+    * where duplicate-looking rows arise.
+    */
+  private def rows(d: DataFrame): Map[(Option[String], Option[String], Long, Option[Double]), Int] =
     d.collect().map(r => (
       Option(r.getAs[String]("k1")), Option(r.getAs[String]("k2")),
       r.getAs[Long]("cnt"),
       if (r.isNullAt(r.fieldIndex("s"))) None
-      else Some(r.getAs[Double]("s")))).toSet
+      else Some(r.getAs[Double]("s")))).toSeq
+      .groupBy(identity).map { case (k, v) => k -> v.length }
 
   private def derived(d: DataFrame, sets: Seq[Seq[String]]): DataFrame =
     Rollup.fromPartials(d, Seq("k1", "k2"), col("v"), sets)
@@ -63,7 +69,20 @@ class RollupSpec extends SparkSpec {
   test("empty input: global set emits one cnt=0 row, keyed sets emit none") {
     val empty = df.filter(lit(false))
     val der = derived(empty, Rollup.rollupSets(Seq("k1", "k2")))
-    assert(rows(der) === Set((None, None, 0L, None)))
+    assert(rows(der) === Map((None, None, 0L, None) -> 1))
+  }
+
+  test("global-only sets: one plain aggregate row, no grouping sets") {
+    val der = derived(df, Seq(Seq.empty))
+    assert(rows(der) === Map((None, None, 8L, Some(128.75)) -> 1))
+    val derEmpty = derived(df.filter(lit(false)), Seq(Seq.empty))
+    assert(rows(derEmpty) === Map((None, None, 0L, None) -> 1))
+  }
+
+  test("guards: empty sets list and duplicate sets are refused") {
+    intercept[IllegalArgumentException](derived(df, Seq.empty))
+    intercept[IllegalArgumentException](
+      derived(df, Seq(Seq("k1"), Seq("k1"))))
   }
 
   test("property: fromPartials == native ROLLUP and CUBE on random frames") {

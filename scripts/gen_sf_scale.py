@@ -25,7 +25,18 @@ distincts ≈ rows, the shape the gates exist to refuse). All offsets
 are exact in double (≤2 decimal places over small magnitudes), so the
 Spark-vs-DuckDB oracle gates stay bit-clean on the widened fixture.
 
+With --row-group-size N, every output parquet is written with N-row
+row groups (DuckDB COPY ROW_GROUP_SIZE / pyarrow row_group_size)
+instead of the writers' defaults. The driver's sf0.1 fixtures are ONE
+row group per file, and Spark assigns a scan task per row-group
+midpoint — so every scan-rooted stage is single-task at sf0.1
+whatever the core count (the r17 verdict's suspect_cpus_ignored
+finding: a fixture artifact, not an engine property). `copies=1
+--row-group-size 18000` writes a byte-equal-DATA, multi-row-group
+stand-in on which core-count scaling is actually measurable.
+
 Usage: python3 scripts/gen_sf_scale.py [copies] [outDir] [--widen]
+         [--row-group-size N]
 Defaults: 10 /tmp/graft_sf1
 """
 import sys
@@ -38,8 +49,15 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 WIDEN = "--widen" in sys.argv
 args = [a for a in sys.argv[1:] if a != "--widen"]
+RGS = None
+if "--row-group-size" in args:
+    i = args.index("--row-group-size")
+    RGS = int(args[i + 1])
+    del args[i:i + 2]
 COPIES = int(args[0]) if len(args) > 0 else 10
 OUT = args[1] if len(args) > 1 else "/tmp/graft_sf1"
+RG_COPY = f", ROW_GROUP_SIZE {RGS}" if RGS else ""
+RG_PA = {"row_group_size": RGS} if RGS else {}
 
 # per-copy value offsets (applied only with --widen); {i} = copy index
 WIDEN_OFFSETS = {
@@ -68,7 +86,7 @@ def copy_union(table, shifted, plain):
         selects.append(
             f"SELECT {', '.join(cols)} FROM '{SRC}/{table}.parquet'")
     con.sql(f"COPY ({' UNION ALL '.join(selects)}) TO "
-            f"'{OUT}/{table}.parquet' (FORMAT PARQUET)")
+            f"'{OUT}/{table}.parquet' (FORMAT PARQUET{RG_COPY})")
     n = con.sql(f"SELECT COUNT(*) FROM '{OUT}/{table}.parquet'").fetchall()[0][0]
     print(f"[gen] {table}: {n} rows")
 
@@ -79,7 +97,7 @@ os.makedirs(OUT, exist_ok=True)
 # tiny dims are shared across copies (the TPC-H region/nation shape)
 for t in ("region", "nation"):
     con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
-            f"'{OUT}/{t}.parquet' (FORMAT PARQUET)")
+            f"'{OUT}/{t}.parquet' (FORMAT PARQUET{RG_COPY})")
     print(f"[gen] {t}: copied")
 
 ck, pk, sk, ok = (mx("customer", "c_custkey"), mx("part", "p_partkey"),
@@ -124,7 +142,7 @@ for i in range(COPIES):
         out["lang"].append(docs["lang"][j])
         out["source"].append(docs["source"][j])
         out["n_chars"].append(len(text) if text else 0)
-pq.write_table(pa.table(out), f"{OUT}/documents.parquet")
+pq.write_table(pa.table(out), f"{OUT}/documents.parquet", **RG_PA)
 print(f"[gen] documents: {len(out['doc_id'])} rows")
 
 # embeddings: nudge a couple of dimensions per copy (keeps vectors
@@ -144,6 +162,7 @@ for i in range(COPIES):
 schema = pa.schema([("vec_id", pa.int64()),
                     ("embedding", pa.list_(pa.float32())),
                     ("label", pa.int32())])
-pq.write_table(pa.table(eo, schema=schema), f"{OUT}/embeddings.parquet")
+pq.write_table(pa.table(eo, schema=schema), f"{OUT}/embeddings.parquet",
+               **RG_PA)
 print(f"[gen] embeddings: {len(eo['vec_id'])} rows")
 print(f"[gen] done -> {OUT}")
